@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.TextPipeline
+import graft.operators.{Relational, TextPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -37,6 +37,23 @@ object SparkEntry {
     "bigram_topk" -> ((s, d) =>
       TextPipeline.bigramCounts(docs(s, d))
         .orderBy(desc("cnt"), asc("bigram")).limit(20)),
+
+    // --- relational surface over the star schema (SURVEY.md §7 step 3) ---
+    "rel_scan_filter_project" -> (Relational.filterPushdownScan _),
+    "rel_pricing_summary" -> (Relational.pricingSummary _),
+    "rel_shipping_priority" -> (Relational.shippingPriority _),
+    "rel_region_revenue" -> (Relational.regionRevenue _),
+    "rel_dim_broadcast_join" -> (Relational.dimBroadcastJoin _),
+    "rel_orders_rollup" -> (Relational.ordersRollup _),
+    "rel_window_top_orders" -> (Relational.windowTopOrders _),
+    "rel_topk_orders" -> (Relational.topkOrders _),
+    "rel_customers_without_orders" -> (Relational.customersWithoutOrders _),
+    "rel_keys_union" -> (Relational.keysUnion _),
+    "rel_keys_intersect" -> (Relational.keysIntersect _),
+    "rel_scalar_funcs" -> (Relational.scalarFuncs _),
+    "rel_date_funcs" -> (Relational.dateFuncs _),
+    "rel_json_extract_events" -> (Relational.jsonExtractEvents _),
+    "rel_event_time_windows" -> (Relational.eventTimeWindows _),
   )
 
   // Shared oracle-SQL fragments (DuckDB dialect), mirroring TextPipeline.
@@ -82,5 +99,108 @@ object SparkEntry {
       s"""WITH $wordsCte, $keptMainCte, ${gramsCte(2)}
          |SELECT g AS bigram, count(*) AS cnt FROM grams
          |GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
+
+    "rel_scan_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |WHERE l_shipdate >= '1999-01-01' AND l_shipdate < '1999-02-01'
+        |  AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "rel_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty
+        |FROM lineitem WHERE l_shipdate <= '2001-01-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "rel_shipping_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < '1998-07-01' AND l_shipdate > '1998-07-01'
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "rel_region_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1999-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "rel_dim_broadcast_join" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+    "rel_orders_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "rel_window_top_orders" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER w AS INTEGER) AS rn,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      OVER (w ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_total
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "rel_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "rel_customers_without_orders" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey FROM customer
+        |  EXCEPT
+        |  SELECT o_custkey AS c_custkey FROM orders WHERE o_orderdate >= '2001-01-01'
+        |) ORDER BY c_custkey""".stripMargin,
+    "rel_keys_union" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey AS k FROM customer UNION SELECT o_custkey FROM orders
+        |) ORDER BY k""".stripMargin,
+    "rel_keys_intersect" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey FROM orders
+        |) ORDER BY k""".stripMargin,
+    "rel_scalar_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u,
+        |  CAST(length(p_name) AS INTEGER) AS name_len,
+        |  substring(p_type, 1, 5) AS type5,
+        |  concat(p_brand, ':', p_type) AS brand_type,
+        |  round(p_retailprice * 1.1, 2) AS bumped,
+        |  abs(p_size - 25) AS size_dist,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS floor_price,
+        |  p_size % 7 AS size_mod
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "rel_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(day(o_orderdate) AS INTEGER) AS dom,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS ds,
+        |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "rel_json_extract_events" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "rel_event_time_windows" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

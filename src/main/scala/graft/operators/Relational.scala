@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Relational operator suite over the driver's star schema (TESTDATA.md) —
+  * exercises the same Spark surface the counting pipeline uses and fills
+  * the SURVEY.md §2 category checklist: scan/filter/project, hash +
+  * broadcast equi-joins, partial+final aggregation, rollup grouping sets,
+  * window functions, sort/limit/top-k, set ops, scalar string/date/math
+  * functions, JSON extraction, event-time windows (SURVEY.md §7 step 3-4).
+  *
+  * Determinism discipline (the driver hash-compares against DuckDB):
+  *  - money aggregates go through DECIMAL casts so the sum is exact and
+  *    order-insensitive, then back to DOUBLE for a stable output type;
+  *  - every query ends in a total ORDER BY;
+  *  - ratio columns are rounded to fixed decimals on both sides.
+  *
+  * Scale notes: only genuinely small dimensions (region 5 rows, nation 25,
+  * supplier ~sf×1k) get `broadcast()` hints; fact-fact joins stay shuffle
+  * hash/sort-merge so AQE can pick and handle skew. Filters sit directly
+  * on scans so Catalyst pushes them into the parquet reader.
+  */
+object Relational {
+
+  private val dec18 = DecimalType(18, 2)
+  private val dec28 = DecimalType(28, 4)
+
+  /** Exact, order-insensitive money sum: double → decimal → sum → double. */
+  private def moneySum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(dec28)).cast("double")
+
+  /** Scan→filter→project with predicate pushdown (SURVEY.md §2 #3 analog). */
+  def filterPushdownScan(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1999-01-01") &&
+        col("l_shipdate") < lit("1999-02-01") && col("l_quantity") < 10)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** TPC-H Q1-style pricing summary: partial+final hash aggregation. */
+  def pricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2001-01-01"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast(dec18)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec18)).cast("double").as("sum_base_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", round(col("sum_qty") / col("count_order"), 6))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-style shipping priority: fact⋈fact⋈dim join + agg + top-k. */
+  def shippingPriority(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-07-01"))
+    val l = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1998-07-01"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style regional revenue: 6-way join, small dims broadcast. */
+  def regionRevenue(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1999-01-01"))
+    Tables.lineitem(s, d)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
+  /** Small-dimension broadcast equi-join (nation ⋈ region). */
+  def dimBroadcastJoin(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name", "r_name")
+      .orderBy("n_nationkey")
+
+  /** ROLLUP grouping sets over orders (status × priority hierarchy). */
+  def ordersRollup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(dec18)).cast("double").as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy("status", "priority")
+
+  /** Window functions: per-customer top-3 orders by price + running sum. */
+  def windowTopOrders(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"),
+        sum(col("o_totalprice").cast(dec18))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("run_total"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Global sort + limit (top-k) over orders. */
+  def topkOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(10)
+
+  /** Set op: EXCEPT — customers with no order in 2001 (every customer has
+    * SOME order in the synthetic data, so the unfiltered variant is empty). */
+  def customersWithoutOrders(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select("c_custkey")
+      .except(Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("2001-01-01"))
+        .select(col("o_custkey").as("c_custkey")))
+      .orderBy("c_custkey")
+
+  /** Set op: distinct UNION of customer keys and order-placing keys. */
+  def keysUnion(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey").as("k"))
+      .union(Tables.orders(s, d).select(col("o_custkey").as("k")))
+      .distinct()
+      .orderBy("k")
+
+  /** Set op: INTERSECT — customer keys that do appear in orders. */
+  def keysIntersect(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey").as("k"))
+      .intersect(Tables.orders(s, d).select(col("o_custkey").as("k")))
+      .orderBy("k")
+
+  /** Scalar string/math functions over part. */
+  def scalarFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_u"),
+      length(col("p_name")).as("name_len"),
+      substring(col("p_type"), 1, 5).as("type5"),
+      concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+      round(col("p_retailprice") * 1.1, 2).as("bumped"),
+      abs(col("p_size") - 25).as("size_dist"),
+      floor(col("p_retailprice")).cast("long").as("floor_price"),
+      (col("p_size") % 7).as("size_mod"))
+      .orderBy("p_partkey")
+
+  /** Scalar date functions over orders. */
+  def dateFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("y"),
+      month(col("o_orderdate")).as("m"),
+      dayofmonth(col("o_orderdate")).as("dom"),
+      dayofweek(col("o_orderdate")).as("dow"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("ds"),
+      datediff(to_date(col("o_orderdate")), lit("1995-01-01")).cast("long")
+        .as("days_since"))
+      .orderBy("o_orderkey")
+
+  /** JSON extraction over events.props + aggregation. */
+  def jsonExtractEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+      .orderBy("event_type")
+
+  /** Event-time tumbling windows (batch `window()`; streaming variant in
+    * graft.streaming uses the same expression). */
+  def eventTimeWindows(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double")
+          .as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour_start", "event_type")
+}
