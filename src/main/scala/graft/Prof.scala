@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
-/** Dev helper: steady-state per-query timings (3 rounds, local[32]). */
+/** Dev helper: steady-state per-query timings (rounds at local[32]). */
 object Prof {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -8,9 +8,10 @@ object Prof {
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    for (round <- 1 to 3; (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    val names = if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted else args.toSeq
+    for (round <- 1 to 2; name <- names) {
       val t0 = System.nanoTime()
-      fn(spark, d).write.format("noop").mode("overwrite").save()
+      SparkEntry.queries(name)(spark, d).write.format("noop").mode("overwrite").save()
       println(f"XQX round$round $name ${(System.nanoTime()-t0)/1e9}%.2f s")
     }
     spark.stop()

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Relational, TextPipeline}
+import graft.operators.{Dedup, DedupOracles, Relational, TextPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -54,6 +54,13 @@ object SparkEntry {
     "rel_date_funcs" -> (Relational.dateFuncs _),
     "rel_json_extract_events" -> (Relational.jsonExtractEvents _),
     "rel_event_time_windows" -> (Relational.eventTimeWindows _),
+
+    // --- dedup suite (LLM-data-pipeline operators; north star) ---
+    "dedup_exact" -> (Dedup.exact _),
+    "dedup_jaccard_pairs" -> (Dedup.jaccardPairs _),
+    "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
+    "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
+    "dedup_embedding_pairs" -> (Dedup.embeddingPairs _),
   )
 
   // Shared oracle-SQL fragments (DuckDB dialect), mirroring TextPipeline.
@@ -202,5 +209,11 @@ object SparkEntry {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "dedup_exact" -> DedupOracles.exact,
+    "dedup_jaccard_pairs" -> DedupOracles.jaccardPairs,
+    "dedup_minhash_lsh" -> DedupOracles.minhashLsh,
+    "dedup_simhash_pairs" -> DedupOracles.simhashPairs,
+    "dedup_embedding_pairs" -> DedupOracles.embeddingPairs,
   )
 }

@@ -31,11 +31,12 @@ case class NGramArray(child: Expression, n: Int)
   require(n >= 1, s"n-gram size must be >= 1, got $n")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def checkInputDataTypes() = {
-    require(child.dataType == StringType,
-      s"ngram_array expects a string column, got ${child.dataType}")
-    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ngram_array expects a string column, got ${child.dataType}")
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes

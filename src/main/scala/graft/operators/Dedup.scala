@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{CosineSimilarity, WordShingles}
+
+/** Document deduplication suite — the LLM-data-pipeline operators layered
+  * over the reference's counting substrate (BASELINE.json north star).
+  *
+  * Five escalating strategies, each a `SparkEntry` query with a DuckDB
+  * oracle (the MinHash and SimHash oracles replicate the full portable
+  * pipeline in SQL, so even the "approximate" operators are checked
+  * exactly):
+  *
+  *  1. exact       — hash groupBy on the full text
+  *  2. jaccard     — exact word-shingle Jaccard via inverted-index join
+  *                   (shingle equi-join, NOT an O(n²) cross join)
+  *  3. minhash+LSH — 16 portable minhashes, 8 bands × r=2, band-bucket
+  *                   join for candidates, exact-Jaccard verification
+  *  4. simhash     — 60-bit fingerprint, 5 × 12-bit pigeonhole bands
+  *                   (complete recall for hamming ≤ 4), bit_count verify
+  *  5. embedding   — cosine over `embeddings` (brute pair join at test
+  *                   scale; the 100 TB path is the LSH/IVF ANN operator
+  *                   in [[Similarity]])
+  *
+  * Portability note: every hash derives from `md5` (identical in Spark
+  * and DuckDB) — `('0x' || hex)::BIGINT` on the oracle side matches
+  * `conv(hex, 16, 10)::long` on the Spark side, so signatures are
+  * bit-identical across engines.
+  *
+  * Scale notes: all joins are key-equi joins on shingle/band/bucket —
+  * shuffle-partitionable, AQE-skew-splittable. The only driver-side data
+  * is the final result. Shingle→doc inverted lists for stopword-like
+  * hyper-frequent shingles are the skew risk at 100 TB; LSH banding (3)
+  * bounds that by joining on narrow band keys instead of raw shingles.
+  */
+object Dedup {
+
+  val P = 2147483647L // 2^31 - 1 (Mersenne prime): mod base for minhash
+
+  /** Fixed minhash parameters, shared by the Spark pipeline and the
+    * generated oracle SQL. Seeded → identical on every JVM. */
+  object MinHashParams {
+    val K = 16          // signature length
+    val Bands = 8       // LSH bands of r = K/Bands = 2 rows
+    private val rnd = new scala.util.Random(7)
+    val A: IndexedSeq[Long] = IndexedSeq.fill(K)(1L + rnd.nextInt(P.toInt - 1))
+    val B: IndexedSeq[Long] = IndexedSeq.fill(K)(rnd.nextInt(P.toInt).toLong)
+  }
+
+  val SimHashBits = 60       // md5-derived 60-bit fingerprints
+  val SimHashBands = 5       // 12-bit chunks; complete for hamming <= 4
+  val SimHashMaxHamming = 4
+  val JaccardThreshold = 0.8
+  val CosineThreshold = 0.45
+
+  /** Portable 60-bit hash of a string column: first 15 hex chars of md5.
+    * DuckDB equivalent: `('0x' || substr(md5(x), 1, 15))::BIGINT`. */
+  def md5hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  // ------------------------------------------------------------------
+  // 1. exact dedup
+  // ------------------------------------------------------------------
+
+  /** Exact dedup: one surviving doc_id (the minimum) per distinct text,
+    * with the multiplicity. Plain hash aggregation — partial+final. */
+  def exact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy("text")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+
+  // ------------------------------------------------------------------
+  // 2. exact n-gram (word-shingle) Jaccard pairs
+  // ------------------------------------------------------------------
+
+  /** doc_id → distinct word-3-shingles (inverted-index input). */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(WordShingles(col("text"), 3)).as("s"))
+      .distinct()
+
+  /** Exact Jaccard ≥ 0.8 pairs via inverted-index self-join on shingles:
+    * |A∩B| from the equi-join, |A∪B| = |A|+|B|−|A∩B|. */
+  def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = sh.toDF("i", "sa")
+    val b = sh.toDF("j", "sb")
+    val inter = a.join(b, col("sa") === col("sb") && col("i") < col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.toDF("i", "sz_i"), "i")
+      .join(sizes.toDF("j", "sz_j"), "j")
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("sz_i") + col("sz_j") - col("c")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("i").as("doc_a"), col("j").as("doc_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ------------------------------------------------------------------
+  // 3. MinHash + LSH
+  // ------------------------------------------------------------------
+
+  /** doc_id → K minhash columns mh0..mhK-1 over word-3-shingles. */
+  def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+    import MinHashParams._
+    val h = shingles(s, d)
+      .select(col("doc_id"), (md5hash60(col("s")) % P).as("hv"))
+    val mins = (0 until K).map(i =>
+      min((lit(A(i)) * col("hv") + lit(B(i))) % P).as(s"mh$i"))
+    h.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** Candidate pairs whose exact Jaccard ≥ 0.8, found via LSH banding
+    * (8 bands × 2 rows) then verified with the true shingle Jaccard. */
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    import MinHashParams._
+    val sig = minhashSignatures(s, d)
+    val bandKeys = (0 until Bands).map(b =>
+      col(s"mh${2 * b}") * P + col(s"mh${2 * b + 1}"))
+    val bands = sig.select(col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+    val cands = bands.toDF("i", "band", "bkey")
+      .join(bands.toDF("j", "band2", "bkey2"),
+        col("band") === col("band2") && col("bkey") === col("bkey2") &&
+          col("i") < col("j"))
+      .select("i", "j").distinct()
+    // verify candidates with the exact Jaccard
+    val sh = shingles(s, d)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.toDF("i", "sa")
+      .join(sh.toDF("j", "sb"),
+        col("sa") === col("sb") && col("i") < col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("c"))
+    cands.join(inter, Seq("i", "j"))
+      .join(sizes.toDF("i", "sz_i"), "i")
+      .join(sizes.toDF("j", "sz_j"), "j")
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("sz_i") + col("sz_j") - col("c")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("i").as("doc_a"), col("j").as("doc_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ------------------------------------------------------------------
+  // 4. SimHash
+  // ------------------------------------------------------------------
+
+  /** doc_id → 60-bit simhash over the token multiset (frequency-weighted:
+    * every occurrence votes ±1 per bit). */
+  def simhashSignatures(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(WordShingles(col("text"), 1)).as("w"))
+    val h = toks.select(col("doc_id"), md5hash60(col("w")).as("hv"))
+    val bitSums = (0 until SimHashBits).map(j =>
+      sum(when(shiftright(col("hv"), j).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"s$j"))
+    val sums = h.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until SimHashBits).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** Near-dup pairs with hamming(simhash) ≤ 4. Candidates from 5 × 12-bit
+    * pigeonhole bands (≤ 4 differing bits can't touch all 5 bands, so
+    * recall is COMPLETE, not probabilistic), then exact bit_count verify. */
+  def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = simhashSignatures(s, d)
+    val chunks = (0 until SimHashBands).map(b =>
+      shiftright(col("simhash"), 12 * b).bitwiseAND(0xFFF))
+    val bands = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array(chunks: _*)).as(Seq("band", "bkey")))
+    bands.toDF("i", "sim_i", "band", "bkey")
+      .join(bands.toDF("j", "sim_j", "band2", "bkey2"),
+        col("band") === col("band2") && col("bkey") === col("bkey2") &&
+          col("i") < col("j"))
+      .select(col("i"), col("j"),
+        bit_count(col("sim_i").bitwiseXOR(col("sim_j"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= SimHashMaxHamming)
+      .select(col("i").as("doc_a"), col("j").as("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ------------------------------------------------------------------
+  // 5. embedding cosine near-dup
+  // ------------------------------------------------------------------
+
+  /** Embedding pairs with cosine ≥ 0.45 — brute pair join (i < j).
+    * Correctness baseline for [[Similarity]]'s bucketed ANN; at 100 TB
+    * the pair join must be replaced by that operator. */
+  def embeddingPairs(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("vec_id").as("i"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("j"), col("embedding").as("vb"))
+    a.join(b, col("i") < col("j"))
+      .withColumn("cos", CosineSimilarity(col("va"), col("vb")))
+      .filter(col("cos") >= CosineThreshold)
+      .select(col("i").as("vec_a"), col("j").as("vec_b"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+/** DuckDB oracle SQL for the [[Dedup]] suite, generated from the SAME
+  * constants as the Spark pipeline (minhash coefficients, band layout,
+  * thresholds) so the approximate operators are checked exactly —
+  * the oracle replicates the full portable md5-based pipeline in SQL. */
+object DedupOracles {
+
+  private val wordsCtes =
+    """wl AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents
+      |)""".stripMargin
+
+  private val shinglesCte =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |  FROM wl, unnest(generate_series(1, len(ws) - 2)) t(i)
+      |)""".stripMargin
+
+  private val sizesCte = "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1)"
+
+  private val interCte =
+    """inter AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)""".stripMargin
+
+  val exact: String =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
+
+  val jaccardPairs: String =
+    s"""WITH $wordsCtes, $shinglesCte, $sizesCte, $interCte
+       |SELECT i AS doc_a, j AS doc_b,
+       |  round(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard
+       |FROM inter JOIN sizes sa ON i = sa.doc_id JOIN sizes sb ON j = sb.doc_id
+       |WHERE c * 1.0 / (sa.sz + sb.sz - c) >= ${Dedup.JaccardThreshold}
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val minhashLsh: String = {
+    import Dedup.MinHashParams._
+    val P = Dedup.P
+    val minExprs = (0 until K).map(i =>
+      s"min((${A(i)} * hv + ${B(i)}) % $P) AS mh$i").mkString(",\n    ")
+    val bandSelects = (0 until Bands).map(b =>
+      s"SELECT doc_id, $b AS band, mh${2 * b} * $P + mh${2 * b + 1} AS bkey FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $wordsCtes, $shinglesCte,
+       |h AS (
+       |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % $P AS hv FROM sh
+       |),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $minExprs
+       |  FROM h GROUP BY doc_id
+       |),
+       |bands AS (
+       |  $bandSelects
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |),
+       |$sizesCte, $interCte
+       |SELECT cand.i AS doc_a, cand.j AS doc_b,
+       |  round(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard
+       |FROM cand
+       |JOIN inter ON cand.i = inter.i AND cand.j = inter.j
+       |JOIN sizes sa ON cand.i = sa.doc_id JOIN sizes sb ON cand.j = sb.doc_id
+       |WHERE c * 1.0 / (sa.sz + sb.sz - c) >= ${Dedup.JaccardThreshold}
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  val simhashPairs: String = {
+    val bits = Dedup.SimHashBits
+    val bitSums = (0 until bits).map(j =>
+      s"sum(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(",\n    ")
+    val comb = (0 until bits).map(j =>
+      s"(CASE WHEN s$j > 0 THEN (1::BIGINT << $j) ELSE 0 END)").mkString(" + ")
+    s"""WITH $wordsCtes,
+       |toksm AS (SELECT doc_id, unnest(ws) AS w FROM wl),
+       |h AS (
+       |  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM toksm
+       |),
+       |bitsums AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM h GROUP BY doc_id
+       |),
+       |sig AS (SELECT doc_id, $comb AS simhash FROM bitsums)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= ${Dedup.SimHashMaxHamming}
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // embeddings are float32; cast to DOUBLE[] so DuckDB accumulates in
+  // doubles exactly like the Spark-side CosineSimilarity expression
+  val embeddingPairs: String =
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= ${Dedup.CosineThreshold}
+       |ORDER BY vec_a, vec_b""".stripMargin
+}

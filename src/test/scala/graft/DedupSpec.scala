@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{CosineSimilarity, WordShingles}
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("WordShingles ≡ sliding-window spec (randomized, with messy spaces)") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("agg", "row", "scan", "x", "key", "value", "spark")
+    val texts = Seq.fill(200) {
+      val n = rnd.nextInt(8)
+      val sep = () => " " * (1 + rnd.nextInt(3)) // multi-space separators
+      (0 until n).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(sep()) + (if (rnd.nextBoolean()) " " else "")
+    } :+ "" :+ " " :+ "solo" :+ "  two  words  "
+
+    def spec(t: String, k: Int): Seq[String] = {
+      val ws = t.split(" +").filter(_.nonEmpty).toSeq
+      if (ws.length < k) Seq.empty
+      else ws.sliding(k).map(_.mkString(" ")).toSeq
+    }
+
+    for (k <- Seq(1, 2, 3)) {
+      val got = texts.toDF("t")
+        .select($"t", WordShingles($"t", k).as("sh"))
+        .as[(String, Seq[String])].collect().toMap
+      texts.foreach(t => assert(got(t) === spec(t, k), s"text='$t' k=$k"))
+    }
+  }
+
+  test("CosineSimilarity matches a reference Scala computation") {
+    val rnd = new scala.util.Random(5)
+    val vecs = Seq.fill(50)(Array.fill(16)(rnd.nextFloat() - 0.5f))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("id", "v")
+    val pairs = df.toDF("i", "va").join(df.toDF("j", "vb"), $"i" < $"j")
+      .select($"i", $"j", CosineSimilarity($"va", $"vb").as("cos"))
+      .as[(Long, Long, Double)].collect()
+    def ref(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (k <- a.indices) {
+        dot += a(k).toDouble * b(k); na += a(k).toDouble * a(k)
+        nb += b(k).toDouble * b(k)
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    pairs.foreach { case (i, j, cos) =>
+      assert(cos === ref(vecs(i.toInt), vecs(j.toInt)), s"pair $i,$j")
+    }
+  }
+
+  test("CosineSimilarity: length mismatch and zero vector yield NULL") {
+    val df = Seq(
+      (1L, Seq(1f, 2f), Seq(1f, 2f, 3f)),  // length mismatch
+      (2L, Seq(0f, 0f), Seq(1f, 2f)),      // zero norm
+      (3L, Seq(1f, 0f), Seq(1f, 0f))       // fine
+    ).toDF("id", "a", "b")
+    val got = df.select($"id", CosineSimilarity($"a", $"b").as("c"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L) === None)
+    assert(got(2L) === None)
+    assert(got(3L) === Some(1.0))
+  }
+
+  test("minhash LSH finds exactly the exact-Jaccard pairs (planted dups)") {
+    val exact = Dedup.jaccardPairs(spark, d)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLsh(spark, d)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(lsh === exact)
+  }
+
+  test("simhash banding ≡ brute-force hamming pairs (pigeonhole complete)") {
+    // NB: iterate a Seq, not the Map — a for-comprehension over a Map
+    // yielding pairs rebuilds a Map and silently collapses duplicate keys
+    val sig = Dedup.simhashSignatures(spark, d)
+      .as[(Long, Long)].collect().toSeq
+    val brute = (for {
+      (i, si) <- sig; (j, sj) <- sig if i < j
+      if java.lang.Long.bitCount(si ^ sj) <= Dedup.SimHashMaxHamming
+    } yield (i, j)).toSet
+    val banded = Dedup.simhashPairs(spark, d)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(banded === brute)
+    assert(banded.nonEmpty, "fixture should contain simhash near-dups")
+  }
+
+  test("exact dedup covers every doc exactly once") {
+    val total = Dedup.exact(spark, d).agg(sum("n_copies")).as[Long].head()
+    assert(total === Tables.documents(spark, d).count())
+  }
+}
