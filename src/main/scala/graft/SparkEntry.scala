@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, DedupOracles, Relational, TextPipeline}
+import graft.operators.{Dedup, DedupOracles, Relational, Similarity, SimilarityOracles, TextPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -61,6 +61,10 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "dedup_embedding_pairs" -> (Dedup.embeddingPairs _),
+
+    // --- similarity search (ANN over embeddings) ---
+    "ann_topk_brute" -> (Similarity.bruteTopK _),
+    "ann_topk_lsh" -> (Similarity.lshTopK _),
   )
 
   // Shared oracle-SQL fragments (DuckDB dialect), mirroring TextPipeline.
@@ -215,5 +219,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> DedupOracles.minhashLsh,
     "dedup_simhash_pairs" -> DedupOracles.simhashPairs,
     "dedup_embedding_pairs" -> DedupOracles.embeddingPairs,
+    "ann_topk_brute" -> SimilarityOracles.bruteTopK,
+    "ann_topk_lsh" -> SimilarityOracles.lshTopK,
   )
 }

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{CosineSimilarity, LshBuckets}
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * Two operators with identical output schema
+  * (query_id, neighbor_id, rank, cosine):
+  *
+  *  - [[bruteTopK]]: exact top-k — the small QUERY side is broadcast and
+  *    the corpus streams through in one pass (never shuffled, never
+  *    collected), then a per-query window ranks neighbors. The baseline
+  *    and the correctness reference.
+  *  - [[lshTopK]]: the 100 TB path — sign-random-projection buckets
+  *    ([[graft.functions.LshBuckets]]) turn the n×m pair join into a
+  *    bucket equi-join; only candidates sharing a bucket in at least one
+  *    of the 4 tables get an exact cosine. Integer-quantized projections
+  *    make the bucketing deterministic, so the DuckDB oracle replicates
+  *    it exactly (a rare property for an ANN operator — the oracle checks
+  *    the whole pipeline, not just shape).
+  *
+  * Tie-breaking is total: (cosine DESC, neighbor_id ASC), so ranks are
+  * reproducible across engines. */
+object Similarity {
+
+  val K = 5
+  val NumQueries = 10 // queries = vec_id < NumQueries
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+
+  /** Exact brute-force top-k: broadcast queries × streamed corpus. */
+  def bruteTopK(s: SparkSession, d: String): DataFrame =
+    bruteTopKOn(emb(s, d))
+
+  /** [[bruteTopK]] over any (vec_id, embedding) DataFrame. */
+  def bruteTopKOn(e: DataFrame): DataFrame = {
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", CosineSimilarity(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** vec_id → (table, bucket) pairs. */
+  def buckets(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      posexplode(LshBuckets(col("embedding"))).as(Seq("t", "bucket")))
+
+  /** LSH-bucketed approximate top-k: bucket equi-join for candidates,
+    * exact cosine + window rank on the (much smaller) candidate set. */
+  def lshTopK(s: SparkSession, d: String): DataFrame =
+    lshTopKOn(emb(s, d))
+
+  /** [[lshTopK]] over any (vec_id, embedding) DataFrame. */
+  def lshTopKOn(e: DataFrame): DataFrame = {
+    val b = buckets(e)
+    val qb = b.filter(col("vec_id") < NumQueries)
+      .toDF("query_id", "t", "bucket")
+    val cands = qb.join(b.toDF("neighbor_id", "t2", "bucket2"),
+        col("t") === col("t2") && col("bucket") === col("bucket2") &&
+          col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    cands
+      .join(broadcast(q), "query_id")
+      .join(c, "neighbor_id")
+      .withColumn("cos", CosineSimilarity(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+}
+
+/** DuckDB oracles for [[Similarity]], generated from the same constants. */
+object SimilarityOracles {
+  import graft.functions.LshBuckets.{Bits, QuantScale, Tables => NT}
+  import Similarity.{K, NumQueries}
+
+  val bruteTopK: String =
+    s"""SELECT query_id, neighbor_id, rank, cosine FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+       |               c.vec_id) AS INTEGER) AS rank,
+       |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < $NumQueries
+       |) WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  /** Replicates the integer-quantized sign-random-projection bucketing:
+    * same md5 plane weights, same floor quantization, same bit packing. */
+  val lshTopK: String =
+    s"""WITH dims AS (
+       |  SELECT vec_id, d, floor(embedding[d]::DOUBLE * $QuantScale)::BIGINT AS qv
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(d)
+       |),
+       |planes AS (
+       |  SELECT t, b, d,
+       |    ('0x' || substr(md5('p_' || t || '_' || b || '_' || d), 1, 15))::BIGINT % 2001 - 1000 AS w
+       |  FROM unnest(generate_series(0, ${NT - 1})) tt(t),
+       |       unnest(generate_series(0, ${Bits - 1})) bb(b),
+       |       unnest(generate_series(1, 64)) dd(d)
+       |),
+       |dots AS (
+       |  SELECT vec_id, t, b, sum(qv * w) AS dot
+       |  FROM dims JOIN planes USING (d) GROUP BY 1, 2, 3
+       |),
+       |buckets AS (
+       |  SELECT vec_id, t,
+       |    sum(CASE WHEN dot >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS bucket
+       |  FROM dots GROUP BY 1, 2
+       |),
+       |cands AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM buckets q JOIN buckets c
+       |    ON q.t = c.t AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < $NumQueries
+       |),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+       |               neighbor_id) AS INTEGER) AS rank,
+       |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+       |  FROM cands
+       |  JOIN embeddings q ON q.vec_id = query_id
+       |  JOIN embeddings c ON c.vec_id = neighbor_id
+       |)
+       |SELECT query_id, neighbor_id, rank, cosine FROM ranked
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("brute top-k: k rows per query, rank 1 has the max cosine") {
+    val rows = Similarity.bruteTopK(spark, d)
+      .as[(Long, Long, Int, Double)].collect()
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size === Similarity.NumQueries)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length === Similarity.K, s"query $q")
+      val sorted = rs.sortBy(_._3)
+      assert(sorted.map(_._4).toSeq === sorted.map(_._4).sortBy(-_).toSeq,
+        s"cosine not descending for query $q")
+    }
+  }
+
+  test("LSH recall is high on a corpus with planted near-neighbors") {
+    // The parquet fixture's vectors are near-orthogonal (max cosine ~0.5),
+    // so ANY bucketing has ~zero recall there — that's the data, not the
+    // operator. Plant real near-duplicates: each query i<10 gets 3 noisy
+    // copies; LSH must recover them.
+    val rnd = new scala.util.Random(13)
+    val dim = 32
+    val base = Seq.tabulate(200)(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() - 0.5f)))
+    val planted = for {
+      (i, v) <- base.take(Similarity.NumQueries)
+      c <- 0 until 3
+    } yield (1000L + i * 10 + c,
+      v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f))
+    val e = (base ++ planted).map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+
+    val brute = Similarity.bruteTopKOn(e)
+      .as[(Long, Long, Int, Double)].collect()
+    val lsh = Similarity.lshTopKOn(e)
+      .as[(Long, Long, Int, Double)].collect()
+    // brute's top-3 per query must be the planted copies
+    brute.filter(_._3 <= 3).foreach { case (q, n, _, cos) =>
+      assert(n >= 1000L && (n - 1000) / 10 === q, s"query $q neighbor $n")
+      assert(cos > 0.99, s"planted copy similarity $cos")
+    }
+    val bruteTop3 = brute.filter(_._3 <= 3)
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val lshByQ = lsh.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = bruteTop3.map { case (q, top3) =>
+      lshByQ.getOrElse(q, Set.empty).intersect(top3).size.toDouble / 3
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean recall@3 (planted) = $mean%.2f")
+    assert(mean >= 0.9, f"planted near-dup recall $mean%.2f too low")
+  }
+
+  test("LshBuckets is deterministic and emits Tables keys in [0, 2^Bits)") {
+    import graft.functions.LshBuckets
+    val e = Tables.embeddings(spark, d)
+    val b1 = Similarity.buckets(e).as[(Long, Int, Long)].collect().toSet
+    val b2 = Similarity.buckets(e).as[(Long, Int, Long)].collect().toSet
+    assert(b1 === b2)
+    assert(b1.map(_._2).max === LshBuckets.Tables - 1)
+    assert(b1.forall { case (_, _, k) => k >= 0 && k < (1L << LshBuckets.Bits) })
+  }
+}
