@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, DedupOracles, Relational, Similarity, SimilarityOracles, TextPipeline}
+import graft.operators.{Dedup, DedupOracles, Relational, Similarity, SimilarityOracles, TextAnalysis, TextAnalysisOracles, TextPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -65,6 +65,12 @@ object SparkEntry {
     // --- similarity search (ANN over embeddings) ---
     "ann_topk_brute" -> (Similarity.bruteTopK _),
     "ann_topk_lsh" -> (Similarity.lshTopK _),
+
+    // --- text analysis (curation ops) ---
+    "text_langid" -> (TextAnalysis.langId _),
+    "text_quality" -> (TextAnalysis.quality _),
+    "text_token_counts" -> (TextAnalysis.tokenCounts _),
+    "text_fingerprint" -> (TextAnalysis.fingerprint _),
   )
 
   // Shared oracle-SQL fragments (DuckDB dialect), mirroring TextPipeline.
@@ -221,5 +227,9 @@ object SparkEntry {
     "dedup_embedding_pairs" -> DedupOracles.embeddingPairs,
     "ann_topk_brute" -> SimilarityOracles.bruteTopK,
     "ann_topk_lsh" -> SimilarityOracles.lshTopK,
+    "text_langid" -> TextAnalysisOracles.langId,
+    "text_quality" -> TextAnalysisOracles.quality,
+    "text_token_counts" -> TextAnalysisOracles.tokenCounts,
+    "text_fingerprint" -> TextAnalysisOracles.fingerprint,
   )
 }

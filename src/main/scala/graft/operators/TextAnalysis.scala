@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.WordShingles
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * deterministic column arithmetic (fixed operation order, explicit
+  * rounding) so every query has an exact DuckDB oracle.
+  *
+  * Scale notes: everything is a single scan + one hash aggregation per
+  * document (the explodes feed straight into partial aggregation); no
+  * self-joins, no windows, no collect. */
+object TextAnalysis {
+
+  /** Tiny public stopword lists — enough signal for a heuristic n-gram/
+    * stopword language scorer. Order matters only for tie-breaking
+    * (alphabetical language wins a tie). */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
+    "en" -> Seq("the", "and", "a", "of", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "que", "los", "en", "un", "es"),
+    "fr" -> Seq("le", "les", "des", "est", "une", "dans", "et", "du"))
+
+  private def docsWithTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        explode(WordShingles(col("text"), 1)).as("w"))
+
+  /** Heuristic language ID: per-language stopword hit-ratio, argmax with
+    * alphabetical tie-break. Emits the predicted language and each score. */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val toks = docsWithTokens(s, d)
+    val scoreCols = Stopwords.map { case (lang, words) =>
+      (sum(when(col("w").isin(words: _*), 1).otherwise(0)).cast("double") /
+        count(lit(1))).as(s"raw_$lang")
+    }
+    val agg = toks.groupBy("doc_id").agg(scoreCols.head, scoreCols.tail: _*)
+    val langs = Stopwords.map(_._1)
+    // argmax, earliest-alphabetical language wins ties
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last): Column) {
+      case ((lang, i), elseCol) =>
+        val geAll = langs.drop(i + 1)
+          .map(other => col(s"raw_$lang") >= col(s"raw_$other"))
+          .reduce(_ && _)
+        when(geAll, lit(lang)).otherwise(elseCol)
+    }
+    val scores = langs.map(l => round(col(s"raw_$l"), 6).as(s"score_$l"))
+    agg.select(col("doc_id") +: pred.as("pred_lang") +: scores: _*)
+      .orderBy("doc_id")
+  }
+
+  /** Per-document quality metrics + a fixed-weight score:
+    *  - n_tokens, mean token length
+    *  - punct_ratio: share of chars outside [a-z0-9 ]
+    *  - stop_ratio: share of tokens that are English stopwords
+    *  - score = 0.35·min(1, n_tokens/50) + 0.35·(1 − punct_ratio)
+    *          + 0.3·min(1, 4·stop_ratio)                           */
+  def quality(s: SparkSession, d: String): DataFrame = {
+    val en = Stopwords.toMap.apply("en")
+    val toks = docsWithTokens(s, d)
+    val agg = toks.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tokens"),
+      (sum(when(col("w").isin(en: _*), 1).otherwise(0)).cast("double") /
+        count(lit(1))).as("stop_ratio_raw"),
+      first(col("text")).as("text"))
+    agg.select(
+      col("doc_id"),
+      col("n_tokens"),
+      round(length(regexp_replace(col("text"), " ", "")).cast("double") /
+        col("n_tokens"), 6).as("mean_tok_len"),
+      round(length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") /
+        length(col("text")), 6).as("punct_ratio"),
+      round(col("stop_ratio_raw"), 6).as("stop_ratio"),
+      round(
+        lit(0.35) * least(lit(1.0), col("n_tokens").cast("double") / lit(50.0)) +
+          lit(0.35) * (lit(1.0) -
+            length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") /
+              length(col("text"))) +
+          lit(0.3) * least(lit(1.0), lit(4.0) * col("stop_ratio_raw")),
+        6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Whitespace token count + a BPE-ish regex token count (letter runs,
+    * digit runs, single other non-space chars) + char count. */
+  def tokenCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(WordShingles(col("text"), 1)).as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_bpe_tokens"),
+      length(col("text")).as("n_chars"))
+      .orderBy("doc_id")
+
+  /** Content fingerprints: whole-text md5 (exact-dup key), minimum
+    * 2-shingle md5 (a 1-hash MinHash — stable under small edits), and the
+    * distinct-shingle count. */
+  def fingerprint(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d).select(
+      col("doc_id"),
+      substring(md5(col("text").cast("binary")), 1, 16).as("doc_md5"),
+      explode(WordShingles(col("text"), 2)).as("s"))
+    sh.groupBy("doc_id").agg(
+      min(col("doc_md5")).as("doc_md5"),
+      min(substring(md5(col("s").cast("binary")), 1, 16)).as("shingle_min"),
+      countDistinct(col("s")).as("n_shingles"))
+      .orderBy("doc_id")
+  }
+}
+
+/** DuckDB oracles for [[TextAnalysis]], generated from the same lists
+  * and formulas. */
+object TextAnalysisOracles {
+  import TextAnalysis.Stopwords
+
+  private val toksCte =
+    """toks AS (
+      |  SELECT doc_id, text,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      |  FROM documents
+      |)""".stripMargin
+
+  private def inList(words: Seq[String]) =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val langId: String = {
+    val langs = Stopwords.map(_._1)
+    val scoreExprs = Stopwords.map { case (lang, words) =>
+      s"sum(CASE WHEN w IN ${inList(words)} THEN 1 ELSE 0 END)::DOUBLE / count(*) AS raw_$lang"
+    }.mkString(",\n    ")
+    val pred = {
+      val cases = langs.init.zipWithIndex.map { case (lang, i) =>
+        val conds = langs.drop(i + 1).map(o => s"raw_$lang >= raw_$o")
+          .mkString(" AND ")
+        s"WHEN $conds THEN '$lang'"
+      }.mkString(" ")
+      s"CASE $cases ELSE '${langs.last}' END"
+    }
+    val scores = langs.map(l => s"round(raw_$l, 6) AS score_$l").mkString(", ")
+    s"""WITH $toksCte,
+       |agg AS (
+       |  SELECT doc_id,
+       |    $scoreExprs
+       |  FROM toks GROUP BY doc_id
+       |)
+       |SELECT doc_id, $pred AS pred_lang, $scores
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
+  val quality: String = {
+    val en = inList(Stopwords.toMap.apply("en"))
+    s"""WITH $toksCte,
+       |agg AS (
+       |  SELECT doc_id, any_value(text) AS text, count(*) AS n_tokens,
+       |    sum(CASE WHEN w IN $en THEN 1 ELSE 0 END)::DOUBLE / count(*) AS stop_ratio_raw
+       |  FROM toks GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_tokens,
+       |  round(length(regexp_replace(text, ' ', '', 'g'))::DOUBLE / n_tokens, 6) AS mean_tok_len,
+       |  round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE / length(text), 6) AS punct_ratio,
+       |  round(stop_ratio_raw, 6) AS stop_ratio,
+       |  round(
+       |    0.35 * least(1.0, n_tokens::DOUBLE / 50.0) +
+       |    0.35 * (1.0 - length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE / length(text)) +
+       |    0.3 * least(1.0, 4.0 * stop_ratio_raw), 6) AS quality
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
+  val tokenCounts: String =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpe_tokens,
+      |  CAST(length(text) AS INTEGER) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val fingerprint: String =
+    """WITH wl AS (
+      |  SELECT doc_id, substr(md5(text), 1, 16) AS doc_md5,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents
+      |),
+      |sh AS (
+      |  SELECT doc_id, doc_md5, ws[i] || ' ' || ws[i+1] AS s
+      |  FROM wl, unnest(generate_series(1, len(ws) - 1)) t(i)
+      |)
+      |SELECT doc_id, min(doc_md5) AS doc_md5,
+      |  min(substr(md5(s), 1, 16)) AS shingle_min,
+      |  count(DISTINCT s) AS n_shingles
+      |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+}
