@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, DedupOracles, Relational, Similarity, SimilarityOracles, TextAnalysis, TextAnalysisOracles, TextPipeline}
+import graft.operators.{Dedup, DedupOracles, Multimodal, MultimodalOracles, Relational, Similarity, SimilarityOracles, TextAnalysis, TextAnalysisOracles, TextPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -71,6 +71,14 @@ object SparkEntry {
     "text_quality" -> (TextAnalysis.quality _),
     "text_token_counts" -> (TextAnalysis.tokenCounts _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
+
+    // --- multimodal plumbing (stubbed decode; see Multimodal scaladoc) ---
+    "mm_decode_features" -> (Multimodal.decodeFeatures _),
+    "mm_frame_sample" -> (Multimodal.frameSample _),
+
+    // --- sessionization (batch window form; stateful streaming variant
+    //     in graft.streaming is spec-tested for equivalence) ---
+    "events_sessionized" -> (graft.streaming.EventStream.sessionizeBatch _),
   )
 
   // Shared oracle-SQL fragments (DuckDB dialect), mirroring TextPipeline.
@@ -231,5 +239,25 @@ object SparkEntry {
     "text_quality" -> TextAnalysisOracles.quality,
     "text_token_counts" -> TextAnalysisOracles.tokenCounts,
     "text_fingerprint" -> TextAnalysisOracles.fingerprint,
+    "mm_decode_features" -> MultimodalOracles.decodeFeatures,
+    "mm_frame_sample" -> MultimodalOracles.frameSample,
+    "events_sessionized" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events
+        |), marked AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 600000000
+        |    THEN 1 ELSE 0 END AS new_session FROM e
+        |), sess AS (
+        |  SELECT *, (sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) - 1)::INTEGER AS session_idx
+        |  FROM marked
+        |)
+        |SELECT user_id, session_idx, min(us)::BIGINT AS start_us,
+        |  max(us)::BIGINT AS end_us, count(*)::INTEGER AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
   )
 }

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, decoded/feature-extracted via
+  * iterator-to-iterator `mapPartitions` (the Scala analog of batched
+  * pandas UDFs — one partition streams through without materializing).
+  *
+  * The DECODE STEP IS A STUB (this container has no image/audio codecs):
+  * `decodeStub` derives deterministic pseudo-features from the raw bytes.
+  * Everything around it is real and tested — the media schema, the
+  * Dataset[T] encoder plumbing, the partition-iterator batch shape, the
+  * per-kind dispatch, and the frame-sampling explode. Swapping
+  * `decodeStub` for a JNI/codec call changes no plumbing.
+  *
+  * Because the stub is deterministic byte arithmetic, both queries have
+  * exact DuckDB oracles — the test corpus's payloads are UTF-8 text, so
+  * the oracle can reproduce byte values with ascii()/length().
+  *
+  * Scale notes: decode runs partition-local with no shuffle; media tables
+  * should be stored with payloads in their own parquet column (column
+  * pruning skips them unless touched) and partitioned so one partition's
+  * payloads fit executor memory (`spark.sql.files.maxPartitionBytes`). */
+object Multimodal {
+
+  case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte])
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+      checksum: Long, features: Seq[Float])
+
+  val Kinds = Seq("image", "audio", "video")
+
+  /** Synthetic media catalog: document text bytes as the payload, kind
+    * assigned round-robin. Stands in for `spark.read.format("binaryFile")`
+    * or a parquet table with a real binary column. */
+  def catalog(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id").as("media_id"),
+      element_at(array(Kinds.map(lit): _*),
+        (col("doc_id") % Kinds.size).cast("int") + 1).as("kind"),
+      col("text").cast("binary").as("bytes"))
+
+  /** STUB decoder: deterministic pseudo-features from raw bytes.
+    * Replace with a real codec (JNI/javacpp) — signature and batch shape
+    * stay identical. Floats are computed as double-then-round-to-float so
+    * the oracle can reproduce them bit-exactly. */
+  def decodeStub(row: MediaRow): MediaFeatures = {
+    val b = row.bytes
+    var checksum = 0L
+    var i = 0
+    while (i < b.length) { checksum += b(i) & 0xFF; i += 1 }
+    val first = if (b.nonEmpty) (b(0) & 0xFF) else 0
+    val last = if (b.nonEmpty) (b(b.length - 1) & 0xFF) else 0
+    MediaFeatures(row.media_id, row.kind, b.length, checksum,
+      Seq((b.length.toDouble / 1000.0).toFloat,
+        (first.toDouble / 255.0).toFloat,
+        (last.toDouble / 255.0).toFloat,
+        ((checksum % 1000L).toDouble / 1000.0).toFloat))
+  }
+
+  /** Decode + feature-extract: Dataset[MediaRow] → mapPartitions →
+    * Dataset[MediaFeatures]. Iterator-in/iterator-out: constant memory
+    * per partition regardless of partition size. */
+  def decodeFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    catalog(s, d).as[MediaRow]
+      .mapPartitions(_.map(decodeStub))
+      .toDF()
+      // flatten the feature vector to scalar columns in the query output —
+      // friendlier to the driver's row-hash compare than array cells
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"),
+        element_at(col("features"), 1).as("f_len"),
+        element_at(col("features"), 2).as("f_first"),
+        element_at(col("features"), 3).as("f_last"),
+        element_at(col("features"), 4).as("f_cksum"))
+      .orderBy("media_id")
+  }
+
+  /** Frame sampling for video rows: up to 8 frame offsets at a fixed
+    * 64-byte stride, each with its (stub-decoded) frame byte. The explode
+    * is the real plumbing; a codec would seek to `offset` instead. */
+  def frameSample(s: SparkSession, d: String): DataFrame = {
+    val c = catalog(s, d).filter(col("kind") === "video")
+      .withColumn("n_bytes", length(col("bytes")))
+      .withColumn("n_frames", // (n-1)/64 + 1 keeps every offset in-bounds
+        least(lit(8), floor((col("n_bytes") - 1) / 64).cast("int") + 1))
+    c.select(col("media_id"), col("n_bytes"), col("bytes"),
+        posexplode(sequence(lit(0), col("n_frames") - 1)).as(Seq("_p", "frame_idx")))
+      .select(col("media_id"), col("frame_idx"),
+        (col("frame_idx") * 64).cast("long").as("offset"),
+        // frame "decode" stub: the byte at the frame offset
+        ascii(substring(col("bytes").cast("string"),
+          (col("frame_idx") * 64 + 1).cast("int"), lit(1))).as("frame_byte"))
+      .orderBy("media_id", "frame_idx")
+  }
+}
+
+/** DuckDB oracles for [[Multimodal]] — the stub decode is deterministic
+  * byte arithmetic, so even the mapPartitions path is exactly checked
+  * (payload bytes are the UTF-8 text, and the corpus is ASCII). */
+object MultimodalOracles {
+  private val kinds = Multimodal.Kinds
+    .zipWithIndex.map { case (k, i) => s"WHEN ${i} THEN '$k'" }.mkString(" ")
+
+  val decodeFeatures: String =
+    s"""WITH media AS (
+       |  SELECT doc_id AS media_id,
+       |    CASE doc_id % ${Multimodal.Kinds.size} $kinds END AS kind,
+       |    text FROM documents
+       |),
+       |bytes AS (
+       |  SELECT media_id, i, ascii(substr(text, i, 1)) AS bv
+       |  FROM media, unnest(generate_series(1, length(text))) t(i)
+       |),
+       |agg AS (
+       |  SELECT media_id, count(*)::INTEGER AS n_bytes,
+       |    sum(bv)::BIGINT AS checksum,
+       |    min(CASE WHEN i = 1 THEN bv END) AS first_b
+       |  FROM bytes GROUP BY media_id
+       |),
+       |lastb AS (
+       |  SELECT media_id, ascii(substr(text, length(text), 1)) AS last_b
+       |  FROM media
+       |)
+       |SELECT a.media_id, m.kind, a.n_bytes, a.checksum,
+       |  ((a.n_bytes::DOUBLE) / 1000.0)::FLOAT AS f_len,
+       |  ((a.first_b::DOUBLE) / 255.0)::FLOAT AS f_first,
+       |  ((l.last_b::DOUBLE) / 255.0)::FLOAT AS f_last,
+       |  (((a.checksum % 1000)::DOUBLE) / 1000.0)::FLOAT AS f_cksum
+       |FROM agg a JOIN media m ON a.media_id = m.media_id
+       |JOIN lastb l ON a.media_id = l.media_id
+       |ORDER BY a.media_id""".stripMargin
+
+  val frameSample: String =
+    s"""WITH media AS (
+       |  SELECT doc_id AS media_id,
+       |    CASE doc_id % ${Multimodal.Kinds.size} $kinds END AS kind,
+       |    text FROM documents
+       |),
+       |v AS (
+       |  SELECT media_id, text, length(text) AS n_bytes,
+       |    least(8, floor((length(text) - 1) / 64)::INTEGER + 1) AS n_frames
+       |  FROM media WHERE kind = 'video'
+       |)
+       |SELECT media_id, f::INTEGER AS frame_idx, (f * 64)::BIGINT AS offset,
+       |  ascii(substr(text, f * 64 + 1, 1)) AS frame_byte
+       |FROM v, unnest(generate_series(0, n_frames - 1)) t(f)
+       |ORDER BY media_id, frame_idx""".stripMargin
+}

@@ -1,0 +1,157 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Structured-Streaming surface over the events table: windowed
+  * aggregation with watermarks and stateful gap-based sessionization.
+  *
+  * Design: every operator is a transform over a DataFrame/Dataset, so the
+  * SAME code runs in batch (on `Tables.events`) and streaming (on
+  * `readStream`/MemoryStream). The batch sessionization is also expressed
+  * as a classic gaps-and-islands window query ([[sessionizeBatch]]) —
+  * SQL-expressible, so it's the DuckDB-oracled `SparkEntry` query; the
+  * stateful `flatMapGroupsWithState` variant is spec-tested to produce
+  * identical sessions.
+  *
+  * Scale notes: sessionization state is per-user (keyed state store,
+  * partitioned by user_id); watermark bounds state size — without it the
+  * store grows forever. The windowed agg shuffles once on
+  * (window, event_type) after partial aggregation. */
+object EventStream {
+
+  val SessionGapMinutes = 10L
+  private val gapMicros = SessionGapMinutes * 60L * 1000000L
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionOut(user_id: Long, session_idx: Int, start_us: Long,
+      end_us: Long, n_events: Int, sum_value: Double)
+
+  // ------------------------------------------------------------------
+  // windowed aggregation (same expression, batch or stream)
+  // ------------------------------------------------------------------
+
+  /** 1-hour tumbling windows by event type. On a streaming input add
+    * [[withWatermark]] first; on batch it behaves like a plain groupBy. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double")
+          .as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Streaming variant with a 30-minute watermark (late events beyond it
+    * are dropped; state for closed windows is evicted). */
+  def windowedCountsStream(events: DataFrame): DataFrame =
+    windowedCounts(events.withWatermark("ts", "30 minutes"))
+
+  /** File-based streaming source over the events parquet (nanos→micros
+    * conversion matching [[graft.Tables.events]]). */
+  def readEventStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream
+      .schema(Tables.load(s, dir, "events").schema)
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  // ------------------------------------------------------------------
+  // sessionization: gaps-and-islands (batch SQL) …
+  // ------------------------------------------------------------------
+
+  /** Batch sessionization: sessions break when the gap to the previous
+    * event of the same user exceeds 10 minutes. Pure window functions —
+    * this is the oracle-checked `SparkEntry` query. */
+  def sessionizeBatch(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapMicros, 1).otherwise(0))
+      .withColumn("session_idx",
+        (sum("new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+          .cast("int"))
+      .groupBy("user_id", "session_idx")
+      .agg(
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"),
+        count(lit(1)).cast("int").as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double")
+          .as("sum_value"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  // ------------------------------------------------------------------
+  // … and the stateful streaming equivalent
+  // ------------------------------------------------------------------
+
+  case class SessState(startUs: Long, endUs: Long, n: Int, sum: Double,
+      idx: Int)
+
+  private def toOut(uid: Long, s: SessState): SessionOut =
+    SessionOut(uid, s.idx, s.startUs, s.endUs, s.n, s.sum)
+
+  private def tsMicros(e: Ev): Long =
+    e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
+
+  /** Stateful sessionization via flatMapGroupsWithState — the SAME
+    * function runs in batch (`closeTrailing = true`: one call per key,
+    * final open session emitted, NoTimeout) and streaming
+    * (`closeTrailing = false`: open session parked in keyed state with an
+    * event-time timeout, emitted when the watermark passes end + gap).
+    *
+    * Scale: per-user state is O(1) — one open session; the state store is
+    * hash-partitioned by user_id; sorting is per-(user, micro-batch). */
+  def sessionizeStateful(events: Dataset[Ev], closeTrailing: Boolean)
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val timeout =
+      if (closeTrailing) GroupStateTimeout.NoTimeout()
+      else GroupStateTimeout.EventTimeTimeout()
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append(), timeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the open session's end + gap: emit & clear
+            val s = state.get
+            state.remove()
+            Iterator(toOut(uid, s))
+          } else {
+            val evs = it.map(e => (tsMicros(e), e.value)).toSeq.sortBy(_._1)
+            val closed = scala.collection.mutable.ListBuffer[SessionOut]()
+            var open: SessState = state.getOption.orNull
+            evs.foreach { case (us, v) =>
+              if (open == null) {
+                open = SessState(us, us, 1, v, 0)
+              } else if (us - open.endUs > gapMicros) {
+                closed += toOut(uid, open)
+                open = SessState(us, us, 1, v, open.idx + 1)
+              } else {
+                open = open.copy(endUs = math.max(open.endUs, us),
+                  n = open.n + 1, sum = open.sum + v)
+              }
+            }
+            if (closeTrailing) {
+              if (open != null) closed += toOut(uid, open)
+              state.remove()
+            } else if (open != null) {
+              state.update(open)
+              state.setTimeoutTimestamp(
+                open.endUs / 1000 + SessionGapMinutes * 60 * 1000)
+            }
+            closed.iterator
+          }
+      }
+  }
+}

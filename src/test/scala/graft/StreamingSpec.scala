@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Ev, SessionOut}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("stateful sessionization (batch mode) ≡ gaps-and-islands SQL") {
+    val evs = Tables.events(spark, d)
+      .select(col("user_id"), col("ts"), col("value")).as[Ev]
+    val stateful = EventStream.sessionizeStateful(evs, closeTrailing = true)
+      .collect().map(s => (s.user_id, s.session_idx, s.start_us, s.end_us,
+        s.n_events)).toSet
+    val sql = EventStream.sessionizeBatch(spark, d)
+      .select("user_id", "session_idx", "start_us", "end_us", "n_events")
+      .as[(Long, Int, Long, Long, Int)].collect().toSet
+    assert(sql.nonEmpty)
+    assert(stateful === sql)
+  }
+
+  test("streaming windowed counts (complete mode) ≡ batch on same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val batchDf = Tables.events(spark, d)
+      .select(col("ts"), col("event_type"), col("value"))
+    val rows = batchDf.as[(Timestamp, String, Double)].collect().toSeq
+
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val streamDf = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventStream.windowedCounts(streamDf)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try {
+      mem.addData(rows)
+      q.processAllAvailable()
+      val got = spark.table("win_out")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("w"), col("event_type"), col("n"), col("sum_value"))
+        .as[(String, String, Long, Double)].collect().toSet
+      val want = EventStream.windowedCounts(batchDf)
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("w"), col("event_type"), col("n"), col("sum_value"))
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(got === want)
+      assert(want.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming sessionization emits a session once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(minutes: Long) = new Timestamp(1700000000000L + minutes * 60000L)
+
+    val mem = MemoryStream[Ev]
+    val sessions = EventStream.sessionizeStateful(
+      mem.toDS().withWatermark("ts", "0 seconds"), closeTrailing = false)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      // batch 1: user 7, two events 1 minute apart -> one open session
+      mem.addData(Ev(7, ts(0), 1.0), Ev(7, ts(1), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() === 0) // still open
+
+      // batch 2: an event far past the gap advances the watermark beyond
+      // end + 10 min AND starts a new session for the user
+      mem.addData(Ev(7, ts(60), 5.0))
+      q.processAllAvailable()
+      // batch 3: push watermark further so the timeout for session 0 fires
+      mem.addData(Ev(8, ts(120), 1.0))
+      q.processAllAvailable()
+
+      // session 0 closed by its timeout; session 1 (the lone ts(60) event)
+      // also timed out once the watermark hit ts(120)
+      val got = spark.table("sess_out").as[SessionOut].collect()
+        .filter(_.user_id == 7).map(s => (s.session_idx, s.n_events, s.sum_value))
+      assert(got.toSet === Set((0, 2, 3.0), (1, 1, 5.0)))
+    } finally q.stop()
+  }
+}

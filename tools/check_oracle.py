@@ -21,7 +21,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:  # list/array cells are unhashable: tuple-ize
+        if df[c].dtype == object and len(df) and \
+                isinstance(df[c].iloc[0], (list, tuple)) or \
+                str(df[c].dtype) == "object" and len(df) and \
+                hasattr(df[c].iloc[0], "__len__") and \
+                not isinstance(df[c].iloc[0], str):
+            df[c] = df[c].map(lambda v: tuple(v) if hasattr(v, "__iter__")
+                              and not isinstance(v, str) else v)
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
