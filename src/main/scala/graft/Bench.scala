@@ -35,8 +35,15 @@ object Bench {
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    names.foreach(runOnce) // warmup pass
-    val results = names.map(n => n -> runOnce(n))
+    names.foreach(runOnce) // warmup pass (JIT + codegen compilation)
+    // two timed passes, report the min: JIT compilation of a heavy query
+    // can still straddle the first timed pass
+    val pass1 = names.map(n => n -> runOnce(n)).toMap
+    val results = names.map { n =>
+      val t2 = runOnce(n)
+      val t1 = pass1(n)
+      n -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
+    }
 
     val qs = results.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")

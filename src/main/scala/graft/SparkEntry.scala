@@ -34,6 +34,11 @@ object SparkEntry {
       TextPipeline.onlyOneProbabilities(docs(s, d))),
     "trigram_counts" -> ((s, d) =>
       TextPipeline.ngramCounts(docs(s, d), 3).orderBy("gram3")),
+    "word_topk" -> ((s, d) =>
+      TextPipeline.freqTable(
+        TextPipeline.tokenize(docs(s, d)).filter(length(col("w")) >= 1)
+          .select(col("w").as("gram")), "word")
+        .orderBy(desc("cnt"), asc("word")).limit(50)),
     "bigram_topk" -> ((s, d) =>
       TextPipeline.bigramCounts(docs(s, d))
         .orderBy(desc("cnt"), asc("bigram")).limit(20)),
@@ -45,6 +50,13 @@ object SparkEntry {
     "rel_region_revenue" -> (Relational.regionRevenue _),
     "rel_dim_broadcast_join" -> (Relational.dimBroadcastJoin _),
     "rel_orders_rollup" -> (Relational.ordersRollup _),
+    "rel_orders_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), year(col("o_orderdate")).as("y"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("y"), lit(-1)).as("y"), col("n"))
+        .orderBy("status", "y")),
     "rel_window_top_orders" -> (Relational.windowTopOrders _),
     "rel_topk_orders" -> (Relational.topkOrders _),
     "rel_customers_without_orders" -> (Relational.customersWithoutOrders _),
@@ -120,6 +132,16 @@ object SparkEntry {
       s"""WITH $wordsCte, $keptMainCte, ${gramsCte(3)}
          |SELECT g AS gram3, count(*) AS cnt FROM grams
          |GROUP BY 1 ORDER BY gram3""".stripMargin,
+    "word_topk" ->
+      s"""WITH $wordsCte
+         |SELECT w AS word, count(*) AS cnt FROM words WHERE length(w) >= 1
+         |GROUP BY 1 ORDER BY cnt DESC, word LIMIT 50""".stripMargin,
+    "rel_orders_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(CAST(year(o_orderdate) AS INTEGER), -1) AS y,
+        |  count(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, year(o_orderdate))
+        |ORDER BY status, y""".stripMargin,
     "bigram_topk" ->
       s"""WITH $wordsCte, $keptMainCte, ${gramsCte(2)}
          |SELECT g AS bigram, count(*) AS cnt FROM grams

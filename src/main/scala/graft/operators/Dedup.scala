@@ -132,11 +132,17 @@ object Dedup {
         col("band") === col("band2") && col("bkey") === col("bkey2") &&
           col("i") < col("j"))
       .select("i", "j").distinct()
-    // verify candidates with the exact Jaccard
+    // verify candidates with the exact Jaccard — the shingle intersection
+    // is computed ONLY for candidate docs (semi-join first): at scale the
+    // unrestricted co-shingle self-join is quadratic in shingle document
+    // frequency, while candidates are bounded by the LSH bucket sizes
     val sh = shingles(s, d)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = sh.toDF("i", "sa")
-      .join(sh.toDF("j", "sb"),
+    val candDocs = cands.select(col("i").as("doc_id"))
+      .union(cands.select(col("j").as("doc_id"))).distinct()
+    val shCand = sh.join(candDocs, "doc_id")
+    val inter = shCand.toDF("i", "sa")
+      .join(shCand.toDF("j", "sb"),
         col("sa") === col("sb") && col("i") < col("j"))
       .groupBy("i", "j").agg(count(lit(1)).as("c"))
     cands.join(inter, Seq("i", "j"))
@@ -155,19 +161,16 @@ object Dedup {
   // ------------------------------------------------------------------
 
   /** doc_id → 60-bit simhash over the token multiset (frequency-weighted:
-    * every occurrence votes ±1 per bit). */
+    * every occurrence votes ±1 per bit). Uses the int[60]-buffer
+    * [[graft.functions.SimHashAgg]] — the equivalent 60-column
+    * `sum(when(...))` formulation overflows codegen method limits and
+    * falls back to interpreted evaluation (5-28s vs sub-second at sf0.1). */
   def simhashSignatures(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(WordShingles(col("text"), 1)).as("w"))
     val h = toks.select(col("doc_id"), md5hash60(col("w")).as("hv"))
-    val bitSums = (0 until SimHashBits).map(j =>
-      sum(when(shiftright(col("hv"), j).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"s$j"))
-    val sums = h.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until SimHashBits).map(j =>
-      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    sums.select(col("doc_id"), sim.as("simhash"))
+    h.groupBy("doc_id")
+      .agg(graft.functions.SimHashAgg(col("hv")).as("simhash"))
   }
 
   /** Near-dup pairs with hamming(simhash) ≤ 4. Candidates from 5 × 12-bit

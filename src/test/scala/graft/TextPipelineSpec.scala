@@ -98,6 +98,22 @@ class TextPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("reference sink reproduces the golden results.txt bytes") {
+    val counts = TextPipeline.freqTable(
+      TextPipeline.explodeNgrams(TextPipeline.mainFilter(testNglWords), 2),
+      "bigram")
+    val out = java.nio.file.Files.createTempDirectory("refsink").toString
+    graft.sources.ReferenceSink.writeCounts(counts, "bigram", "cnt", out)
+    val file = new java.io.File(out).listFiles()
+      .find(_.getName.startsWith("part-")).get
+    val bytes = java.nio.file.Files.readAllBytes(file.toPath)
+    val text = new String(bytes, "UTF-8")
+    // golden first rows from FIXTURES.md, byte-exact incl. tabs + CRLF
+    assert(text.startsWith(
+      "ac: \t\t 1\r\nai: \t\t 1\r\nap: \t\t 1\r\nar: \t\t 3\r\nat: \t\t 3\r\n"))
+    assert(text.split("\r\n").length === 78)
+  }
+
   test("driver contract: entry returns rows; queries/oracles keys line up") {
     assert(SparkEntry.entry(spark).count() > 0)
     // every oracle key must have a query; queries without oracle are the
