@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, DedupOracles, Multimodal, MultimodalOracles, Relational, Similarity, SimilarityOracles, TextAnalysis, TextAnalysisOracles, TextPipeline}
+import graft.operators.{AsOfJoin, Dedup, DedupOracles, Multimodal, MultimodalOracles, Relational, Similarity, SimilarityOracles, TextAnalysis, TextAnalysisOracles, TextPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -83,6 +83,37 @@ object SparkEntry {
     "text_quality" -> (TextAnalysis.quality _),
     "text_token_counts" -> (TextAnalysis.tokenCounts _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
+
+    // --- as-of join (composed operator Spark lacks natively) ---
+    "rel_asof_click_purchase" -> (AsOfJoin.clickToPurchase _),
+
+    // --- pivot ---
+    "rel_pivot_user_events" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = Tables.events(s, d).groupBy("user_id")
+        .pivot("event_type", types).agg(count(lit(1)))
+      p.select(col("user_id") +: types.map(t =>
+        coalesce(col(t), lit(0L)).as(s"n_$t")): _*).orderBy("user_id")
+    }),
+
+    // --- deterministic md5 train/val/test split (reproducible sampling) ---
+    "text_split_assign" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          (conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+            1, 8), 16, 10).cast("long") % 100).as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))
+        .orderBy("doc_id")),
+
+    // --- approximate distinct (HLL sketch; engine-specific estimate, so
+    //     no cross-engine oracle -> driver rows-only check) ---
+    "rel_approx_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag")),
 
     // --- multimodal plumbing (stubbed decode; see Multimodal scaladoc) ---
     "mm_decode_features" -> (Multimodal.decodeFeatures _),
@@ -261,6 +292,29 @@ object SparkEntry {
     "text_quality" -> TextAnalysisOracles.quality,
     "text_token_counts" -> TextAnalysisOracles.tokenCounts,
     "text_fingerprint" -> TextAnalysisOracles.fingerprint,
+    "rel_asof_click_purchase" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT * FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+        |  epoch_us(c.ts) AS click_us,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "rel_pivot_user_events" ->
+      """SELECT user_id,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "text_split_assign" ->
+      """SELECT doc_id,
+        |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket,
+        |  CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+        |       WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_decode_features" -> MultimodalOracles.decodeFeatures,
     "mm_frame_sample" -> MultimodalOracles.frameSample,
     "events_sessionized" ->

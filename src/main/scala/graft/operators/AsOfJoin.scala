@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** AS-OF join — for each left row, the latest right row of the same key
+  * with `rightTs <= leftTs`. Spark has no native ASOF join (DuckDB does);
+  * per the extension preference order this is COMPOSED from existing
+  * operators (SURVEY.md §7: compose > custom Expression > custom plan):
+  *
+  *   union the two sides tagged 0/1 → one window per key ordered by
+  *   (ts, tag) → `last(right_payload, ignoreNulls)` over the unbounded
+  *   preceding frame → keep left rows.
+  *
+  * One shuffle on the key, one sort within partitions — exactly the cost
+  * of a sort-merge join, with no range-condition explosion. Ties
+  * (equal ts) sort the right row first, matching ASOF's `>=` semantics.
+  *
+  * Scale: partitions by key; per-key data is window-sorted. Hot keys are
+  * the skew risk (same as any keyed window) — AQE handles moderate skew;
+  * extreme cases call for time-bucketed pre-splitting. */
+object AsOfJoin {
+
+  /** Generic composition: left rows + `payload` columns from the latest
+    * right row at-or-before the left timestamp (null when none). Both
+    * inputs must share `key` and `ts` column names. */
+  def joinAsOf(left: DataFrame, right: DataFrame, key: String, ts: String,
+      payload: Seq[String]): DataFrame = {
+    val payloadStruct = struct(payload.map(c => right(c).as(c)): _*)
+    // left rows carry a NULL struct (not a struct of nulls!) so that
+    // last(_asof, ignoreNulls) skips them and sees only right rows
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType)))
+    val l = left.withColumn("_tag", lit(1))
+      .withColumn("_asof", lit(null).cast(payloadType))
+    val r = right.withColumn("_tag", lit(0))
+      .withColumn("_asof", payloadStruct)
+      .select(col(key), col(ts), col("_tag"), col("_asof"))
+    // align schemas: left's extra columns become nulls on the right side
+    val extra = left.columns.filterNot(c => c == key || c == ts)
+    val rAligned = extra.foldLeft(r)((df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+      .select(l.columns.map(col): _*)
+    val w = Window.partitionBy(key).orderBy(col(ts).asc, col("_tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.union(rAligned)
+      .withColumn("_matched", last(col("_asof"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .drop("_tag", "_asof")
+  }
+
+  /** For every purchase event: the user's most recent click at or before
+    * it, and the gap in microseconds (null when the purchase precedes any
+    * click). */
+  def clickToPurchase(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_event_id"))
+    joinAsOf(purchases, clicks, "user_id", "ts", Seq("click_event_id", "ts"))
+      .select(
+        col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"),
+        unix_micros(col("_matched.ts")).as("click_us"),
+        (unix_micros(col("ts")) - unix_micros(col("_matched.ts")))
+          .as("gap_us"))
+      .orderBy("event_id")
+  }
+}

@@ -98,16 +98,19 @@ object TextAnalysis {
 
   /** Content fingerprints: whole-text md5 (exact-dup key), minimum
     * 2-shingle md5 (a 1-hash MinHash — stable under small edits), and the
-    * distinct-shingle count. */
+    * distinct-shingle count. Shingles are de-duplicated BEFORE the
+    * aggregation (one distinct instead of countDistinct's expand — min
+    * over the distinct set is the same min). */
   def fingerprint(s: SparkSession, d: String): DataFrame = {
     val sh = Tables.documents(s, d).select(
       col("doc_id"),
       substring(md5(col("text").cast("binary")), 1, 16).as("doc_md5"),
       explode(WordShingles(col("text"), 2)).as("s"))
+      .distinct() // (doc_id, doc_md5, s): doc_md5 is functionally dependent
     sh.groupBy("doc_id").agg(
       min(col("doc_md5")).as("doc_md5"),
       min(substring(md5(col("s").cast("binary")), 1, 16)).as("shingle_min"),
-      countDistinct(col("s")).as("n_shingles"))
+      count(lit(1)).as("n_shingles"))
       .orderBy("doc_id")
   }
 }

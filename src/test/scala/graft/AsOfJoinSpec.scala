@@ -1,0 +1,50 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(m: Long) = new Timestamp(1700000000000L + m * 60000L)
+
+  test("as-of join: latest at-or-before match, ties take the right row") {
+    val left = Seq(
+      (1L, ts(10), "p1"), // matches r at ts(5)
+      (1L, ts(3), "p2"),  // before any right row -> null
+      (1L, ts(5), "p3"),  // tie with right at ts(5) -> >= matches
+      (2L, ts(10), "p4")  // key with no right rows -> null
+    ).toDF("k", "ts", "name")
+    val right = Seq(
+      (1L, ts(5), 100L),
+      (1L, ts(9), 200L)
+    ).toDF("k", "ts", "rv")
+
+    val got = AsOfJoin.joinAsOf(left, right, "k", "ts", Seq("rv"))
+      .select($"name", $"_matched.rv")
+      .as[(String, Option[Long])].collect().toMap
+    assert(got === Map(
+      "p1" -> Some(200L), // ts(9) is the latest <= ts(10)
+      "p2" -> None,
+      "p3" -> Some(100L), // equal timestamps match
+      "p4" -> None))
+  }
+
+  test("purchase->click as-of: gaps are non-negative, schema complete") {
+    val rows = AsOfJoin.clickToPurchase(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(4)) assert(r.getLong(4) >= 0L,
+        s"negative gap for event ${r.getLong(0)}")
+    }
+    // at least one purchase precedes all clicks for some user OR all match;
+    // either way matched rows must dominate on this fixture
+    val matched = rows.count(!_.isNullAt(3))
+    assert(matched > rows.length / 2)
+  }
+}
