@@ -62,6 +62,8 @@ object SparkEntry {
     "rel_customers_without_orders" -> (Relational.customersWithoutOrders _),
     "rel_keys_union" -> (Relational.keysUnion _),
     "rel_keys_intersect" -> (Relational.keysIntersect _),
+    "rel_semi_anti_join" -> (Relational.semiAntiJoin _),
+    "rel_stats_summary" -> (Relational.statsSummary _),
     "rel_scalar_funcs" -> (Relational.scalarFuncs _),
     "rel_date_funcs" -> (Relational.dateFuncs _),
     "rel_json_extract_events" -> (Relational.jsonExtractEvents _),
@@ -252,6 +254,21 @@ object SparkEntry {
       """SELECT * FROM (
         |  SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey FROM orders
         |) ORDER BY k""".stripMargin,
+    "rel_semi_anti_join" ->
+      """WITH urgent AS (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |)
+        |SELECT c_custkey, c_mktsegment,
+        |  (c_custkey IN (SELECT o_custkey FROM urgent)) AS has_urgent
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "rel_stats_summary" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+        |  round(sqrt((CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE)
+        |    - CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+        |    / (count(*) - 1)), 6) AS stddev_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "rel_scalar_funcs" ->
       """SELECT p_partkey, upper(p_brand) AS brand_u,
         |  CAST(length(p_name) AS INTEGER) AS name_len,

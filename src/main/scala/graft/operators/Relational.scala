@@ -156,6 +156,42 @@ object Relational {
       .intersect(Tables.orders(s, d).select(col("o_custkey").as("k")))
       .orderBy("k")
 
+  /** Semi + anti joins: customers partitioned by whether they have an
+    * urgent order (left_semi) or not (left_anti) — emitted as one table
+    * with a flag so a single query covers both join types. */
+  def semiAntiJoin(s: SparkSession, d: String): DataFrame = {
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val c = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+    val withU = c.join(urgent, col("c_custkey") === col("o_custkey"),
+      "left_semi").withColumn("has_urgent", lit(true))
+    val withoutU = c.join(urgent, col("c_custkey") === col("o_custkey"),
+      "left_anti").withColumn("has_urgent", lit(false))
+    withU.unionAll(withoutU).orderBy("c_custkey")
+  }
+
+  /** Descriptive statistics with cross-engine determinism: stddev is
+    * computed from exact DECIMAL sums (sqrt((Σx² − (Σx)²/n)/(n−1))), not
+    * the engine's float accumulator. */
+  def statsSummary(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity").cast(DecimalType(18, 2))
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        sum(x).cast("double").as("sum_qty"),
+        sum((x * x).cast(DecimalType(28, 4))).cast("double").as("sumsq_qty"))
+      .select(
+        col("l_returnflag"), col("n"), col("min_qty"), col("max_qty"),
+        round(col("sum_qty") / col("n"), 6).as("avg_qty"),
+        round(sqrt((col("sumsq_qty") - col("sum_qty") * col("sum_qty") /
+          col("n")) / (col("n") - 1)), 6).as("stddev_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** Scalar string/math functions over part. */
   def scalarFuncs(s: SparkSession, d: String): DataFrame =
     Tables.part(s, d).select(

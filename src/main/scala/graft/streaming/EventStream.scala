@@ -53,12 +53,15 @@ object EventStream {
     windowedCounts(events.withWatermark("ts", "30 minutes"))
 
   /** File-based streaming source over the events parquet (nanos→micros
-    * conversion matching [[graft.Tables.events]]). */
+    * conversion matching [[graft.Tables.events]]). The streaming file
+    * source monitors a DIRECTORY; `pathGlobFilter` narrows it to the
+    * events table. */
   def readEventStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.readStream
       .schema(Tables.load(s, dir, "events").schema)
-      .parquet(s"$dir/events.parquet")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 

@@ -55,6 +55,19 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source event stream (nanos parquet) ≡ batch windowed counts") {
+    val stream = EventStream.readEventStream(spark, d)
+    val q = EventStream.windowedCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("file_win_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("file_win_out")
+        .agg(org.apache.spark.sql.functions.sum("n")).as[Long].head()
+      assert(got === Tables.events(spark, d).count())
+    } finally q.stop()
+  }
+
   test("streaming sessionization emits a session once the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     def ts(minutes: Long) = new Timestamp(1700000000000L + minutes * 60000L)
