@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions._
+
+/** SQL registration of graft's native Catalyst expressions.
+  *
+  * Two entry points over one builder table:
+  *  - `new GraftExtensions` with `SparkSession.builder().withExtensions`
+  *    (or `spark.sql.extensions=graft.GraftExtensions`) — cluster-wide,
+  *  - [[GraftFunctions.register]] on an already-running session.
+  *
+  * {{{ spark.sql("SELECT explode(ngram_array(w, 2)) FROM words") }}}
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal int argument, got $other")
+  }
+
+  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("ngram_array", classOf[NGramArray].getName,
+      args => NGramArray(args.head, intArg(args(1), "ngram_array"))),
+    ("word_shingles", classOf[WordShingles].getName,
+      args => WordShingles(args.head, intArg(args(1), "word_shingles"))),
+    ("cosine_similarity", classOf[CosineSimilarity].getName,
+      args => CosineSimilarity(args.head, args(1))),
+    ("lsh_buckets", classOf[LshBuckets].getName,
+      args => LshBuckets(args.head)),
+    ("simhash_agg", classOf[SimHashAgg].getName,
+      args => SimHashAgg(args.head).toAggregateExpression()))
+
+  /** Register on a live session (temp functions). */
+  def register(spark: SparkSession): Unit = all.foreach {
+    case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+  }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, className, builder) =>
+      ext.injectFunction((new FunctionIdentifier(name),
+        new ExpressionInfo(className, name), builder))
+    }
+}

@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL surface of the native expressions. */
+class GraftExtensionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("native expressions are callable from SQL after registration") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+
+    Seq(("tree house", 1L)).toDF("t", "id").createOrReplaceTempView("tv")
+    val grams = spark.sql(
+      "SELECT ngram_array(t, 2) AS g, word_shingles(t, 1) AS w FROM tv")
+      .as[(Seq[String], Seq[String])].head()
+    assert(grams._1 === Seq("tr", "re", "ee", "ho", "ou", "us", "se"))
+    assert(grams._2 === Seq("tree", "house"))
+
+    val cos = spark.sql(
+      """SELECT cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                         array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c""".stripMargin)
+      .as[Double].head()
+    assert(cos === 1.0)
+
+    // constant hash 42 over 3 rows: exactly 42's bits win the vote
+    val sim = spark.sql(
+      "SELECT simhash_agg(CAST(42 AS BIGINT)) AS s FROM range(3)")
+      .as[Long].head()
+    assert(sim === 42L)
+
+    val buckets = spark.sql(
+      """SELECT lsh_buckets(array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT))) AS b""")
+      .as[Seq[Long]].head()
+    assert(buckets.length === graft.functions.LshBuckets.Tables)
+  }
+}
