@@ -62,6 +62,8 @@ object SparkEntry {
     "rel_customers_without_orders" -> (Relational.customersWithoutOrders _),
     "rel_keys_union" -> (Relational.keysUnion _),
     "rel_keys_intersect" -> (Relational.keysIntersect _),
+    "rel_percentiles" -> (Relational.percentiles _),
+    "rel_salted_agg" -> (Relational.saltedAgg _),
     "rel_semi_anti_join" -> (Relational.semiAntiJoin _),
     "rel_stats_summary" -> (Relational.statsSummary _),
     "rel_scalar_funcs" -> (Relational.scalarFuncs _),
@@ -254,6 +256,16 @@ object SparkEntry {
       """SELECT * FROM (
         |  SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey FROM orders
         |) ORDER BY k""".stripMargin,
+    "rel_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.9) AS p90,
+        |  quantile_cont(l_quantity, 0.99) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "rel_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "rel_semi_anti_join" ->
       """WITH urgent AS (
         |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'

@@ -192,6 +192,35 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Exact percentiles (linear interpolation — same definition as
+    * DuckDB's quantile_cont; l_quantity is integer-valued so the
+    * interpolated doubles are exact). */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.9)").as("p90"),
+        expr("percentile(l_quantity, 0.99)").as("p99"))
+      .orderBy("l_returnflag")
+
+  /** Salted two-stage aggregation — the skew-mitigation pattern: spread
+    * each hot group over 16 salt buckets for the first (heavy) partial
+    * aggregation, then combine the per-salt partials. Result is exactly
+    * the plain groupBy (decimal sums are associative), demonstrated
+    * against the unsalted oracle. */
+  def saltedAgg(s: SparkSession, d: String): DataFrame = {
+    val salted = Tables.lineitem(s, d)
+      .withColumn("_salt", pmod(col("l_orderkey"), lit(16)))
+      .groupBy("l_returnflag", "_salt")
+      .agg(count(lit(1)).as("pn"),
+        sum(col("l_extendedprice").cast(dec18)).as("psum"))
+    salted.groupBy("l_returnflag")
+      .agg(sum("pn").as("n"),
+        sum("psum").cast("double").as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
   /** Scalar string/math functions over part. */
   def scalarFuncs(s: SparkSession, d: String): DataFrame =
     Tables.part(s, d).select(
