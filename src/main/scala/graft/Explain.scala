@@ -5,7 +5,8 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions","8")
-      .config("spark.ui.enabled","false").getOrCreate()
+      .config("spark.ui.enabled","false")
+      .config(Tables.NanosConf, "true").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val executed = args.headOption.contains("--executed")
     val names = (if (executed) args.drop(1) else args).toSeq match {

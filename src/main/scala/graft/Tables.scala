@@ -16,13 +16,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  /** Conf that lets Spark read parquet TIMESTAMP(NANOS) columns as long.
+    * SESSION-WIDE: it changes how every int64-nanos parquet column in the
+    * session is read. Preferred setup is at session build time
+    * (`.config(NanosConf, "true")` — all graft mains and tests do this);
+    * [[events]] falls back to setting it lazily, once, for sessions built
+    * elsewhere (e.g. the external driver harness). */
+  val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
-    * Read nanos as long (legacy conf) and convert to a micros timestamp
-    * with integer division (a double division would lose precision —
-    * epoch-nanos exceed 2^53). Source data is micro-resolution, so the
-    * conversion is exact. */
+    * Read nanos as long (legacy conf, see [[NanosConf]]) and convert to a
+    * micros timestamp with integer division (a double division would lose
+    * precision — epoch-nanos exceed 2^53). Source data is
+    * micro-resolution, so the conversion is exact. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (!s.conf.getOption(NanosConf).contains("true"))
+      s.conf.set(NanosConf, "true")
     load(s, d, "events").withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

@@ -85,6 +85,9 @@ object Multimodal {
   def frameSample(s: SparkSession, d: String): DataFrame = {
     val c = catalog(s, d).filter(col("kind") === "video")
       .withColumn("n_bytes", length(col("bytes")))
+      // empty payloads would make n_frames 0 and sequence(0, -1) step -1 —
+      // drop them so both engines emit no frames for zero-byte media
+      .filter(col("n_bytes") > 0)
       .withColumn("n_frames", // (n-1)/64 + 1 keeps every offset in-bounds
         least(lit(8), floor((col("n_bytes") - 1) / 64).cast("int") + 1))
     c.select(col("media_id"), col("n_bytes"), col("bytes"),
@@ -143,7 +146,7 @@ object MultimodalOracles {
        |v AS (
        |  SELECT media_id, text, length(text) AS n_bytes,
        |    least(8, floor((length(text) - 1) / 64)::INTEGER + 1) AS n_frames
-       |  FROM media WHERE kind = 'video'
+       |  FROM media WHERE kind = 'video' AND length(text) > 0
        |)
        |SELECT media_id, f::INTEGER AS frame_idx, (f * 64)::BIGINT AS offset,
        |  ascii(substr(text, f * 64 + 1, 1)) AS frame_byte

@@ -113,11 +113,14 @@ object SimilarityOracles {
        |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(d)
        |),
        |planes AS (
+       |  -- dims derived from the data itself (not hard-coded) so a fixture
+       |  -- with any dimensionality <= LshBuckets.MaxDims stays covered
        |  SELECT t, b, d,
        |    ('0x' || substr(md5('p_' || t || '_' || b || '_' || d), 1, 15))::BIGINT % 2001 - 1000 AS w
        |  FROM unnest(generate_series(0, ${NT - 1})) tt(t),
        |       unnest(generate_series(0, ${Bits - 1})) bb(b),
-       |       unnest(generate_series(1, 64)) dd(d)
+       |       unnest(generate_series(1,
+       |         (SELECT max(len(embedding)) FROM embeddings))) dd(d)
        |),
        |dots AS (
        |  SELECT vec_id, t, b, sum(qv * w) AS dot

@@ -57,7 +57,8 @@ object EventStream {
     * source monitors a DIRECTORY; `pathGlobFilter` narrows it to the
     * events table. */
   def readEventStream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (!s.conf.getOption(Tables.NanosConf).contains("true"))
+      s.conf.set(Tables.NanosConf, "true")
     s.readStream
       .schema(Tables.load(s, dir, "events").schema)
       .option("pathGlobFilter", "events.parquet")
