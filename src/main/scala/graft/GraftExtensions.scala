@@ -32,6 +32,8 @@ object GraftFunctions {
       args => CosineSimilarity(args.head, args(1))),
     ("lsh_buckets", classOf[LshBuckets].getName,
       args => LshBuckets(args.head)),
+    ("vector_norm", classOf[VectorNorm].getName,
+      args => VectorNorm(args.head)),
     ("simhash_agg", classOf[SimHashAgg].getName,
       args => SimHashAgg(args.head).toAggregateExpression()))
 

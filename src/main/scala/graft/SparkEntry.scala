@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Dedup, DedupOracles, Multimodal, MultimodalOracles, Relational, Similarity, SimilarityOracles, TextAnalysis, TextAnalysisOracles, TextPipeline}
+import graft.operators.{AsOfJoin, Curation, CurationOracles, Dedup, DedupOracles, Multimodal, MultimodalOracles, Relational, Similarity, SimilarityOracles, TextAnalysis, TextAnalysisOracles, TextPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -70,10 +70,14 @@ object SparkEntry {
     "rel_date_funcs" -> (Relational.dateFuncs _),
     "rel_json_extract_events" -> (Relational.jsonExtractEvents _),
     "rel_event_time_windows" -> (Relational.eventTimeWindows _),
+    "rel_window_funcs" -> (Relational.windowFuncs _),
+    "rel_grouping_sets" -> (Relational.groupingSetsAgg _),
+    "rel_array_funcs" -> (Relational.arrayFuncs _),
 
     // --- dedup suite (LLM-data-pipeline operators; north star) ---
     "dedup_exact" -> (Dedup.exact _),
     "dedup_jaccard_pairs" -> (Dedup.jaccardPairs _),
+    "dedup_jaccard_prefix" -> (Dedup.jaccardPrefixPairs _),
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "dedup_embedding_pairs" -> (Dedup.embeddingPairs _),
@@ -81,12 +85,19 @@ object SparkEntry {
     // --- similarity search (ANN over embeddings) ---
     "ann_topk_brute" -> (Similarity.bruteTopK _),
     "ann_topk_lsh" -> (Similarity.lshTopK _),
+    "ann_topk_ivf" -> (Similarity.ivfTopK _),
 
     // --- text analysis (curation ops) ---
     "text_langid" -> (TextAnalysis.langId _),
     "text_quality" -> (TextAnalysis.quality _),
     "text_token_counts" -> (TextAnalysis.tokenCounts _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
+
+    // --- curation ops (normalization, LM scoring, sampling, pipeline) ---
+    "text_normalize" -> (Curation.normalize _),
+    "text_lm_score" -> (Curation.lmScore _),
+    "text_curation_pipeline" -> (Curation.curationPipeline _),
+    "events_stratified_sample" -> (Curation.stratifiedSample _),
 
     // --- as-of join (composed operator Spark lacks natively) ---
     "rel_asof_click_purchase" -> (AsOfJoin.clickToPurchase _),
@@ -101,15 +112,7 @@ object SparkEntry {
     }),
 
     // --- deterministic md5 train/val/test split (reproducible sampling) ---
-    "text_split_assign" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          (conv(substring(md5(col("doc_id").cast("string").cast("binary")),
-            1, 8), 16, 10).cast("long") % 100).as("bucket"))
-        .withColumn("split",
-          when(col("bucket") < 80, "train")
-            .when(col("bucket") < 90, "val").otherwise("test"))
-        .orderBy("doc_id")),
+    "text_split_assign" -> (Curation.splitAssign _),
 
     // --- approximate distinct (HLL sketch; engine-specific estimate, so
     //     no cross-engine oracle -> driver rows-only check) ---
@@ -309,18 +312,60 @@ object SparkEntry {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "rel_window_funcs" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lag(o_totalprice, 1) OVER wt AS prev_price,
+        |  lead(o_totalprice, 1) OVER wt AS next_price,
+        |  CAST(ntile(4) OVER wt AS INTEGER) AS quartile,
+        |  first_value(o_totalprice)
+        |    OVER (wt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS top_price,
+        |  CAST(rank() OVER wy AS INTEGER) AS yr_rank,
+        |  CAST(dense_rank() OVER wy AS INTEGER) AS yr_dense_rank,
+        |  round(percent_rank() OVER wy, 12) AS yr_pct_rank,
+        |  round(cume_dist() OVER wy, 12) AS yr_cume
+        |FROM orders
+        |WINDOW wt AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+        |       wy AS (PARTITION BY o_custkey ORDER BY year(o_orderdate))
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "rel_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INTEGER) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, status, priority""".stripMargin,
+    "rel_array_funcs" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INTEGER) AS dim,
+        |  round(list_min(embedding)::DOUBLE, 6) AS v_min,
+        |  round(list_max(embedding)::DOUBLE, 6) AS v_max,
+        |  round(embedding[1]::DOUBLE, 6) AS v_first,
+        |  round(embedding[-1]::DOUBLE, 6) AS v_last,
+        |  CAST(len(list_distinct(embedding)) AS INTEGER) AS n_distinct,
+        |  round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS l2_norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "dedup_exact" -> DedupOracles.exact,
     "dedup_jaccard_pairs" -> DedupOracles.jaccardPairs,
+    // prefix filtering is lossless, so its oracle IS the plain exact-
+    // Jaccard SQL — the strongest check that no pair was dropped
+    "dedup_jaccard_prefix" -> DedupOracles.jaccardPairs,
     "dedup_minhash_lsh" -> DedupOracles.minhashLsh,
     "dedup_simhash_pairs" -> DedupOracles.simhashPairs,
     "dedup_embedding_pairs" -> DedupOracles.embeddingPairs,
     "ann_topk_brute" -> SimilarityOracles.bruteTopK,
     "ann_topk_lsh" -> SimilarityOracles.lshTopK,
+    "ann_topk_ivf" -> SimilarityOracles.ivfTopK,
     "text_langid" -> TextAnalysisOracles.langId,
     "text_quality" -> TextAnalysisOracles.quality,
     "text_token_counts" -> TextAnalysisOracles.tokenCounts,
     "text_fingerprint" -> TextAnalysisOracles.fingerprint,
+    "text_normalize" -> CurationOracles.normalize,
+    "text_lm_score" -> CurationOracles.lmScore,
+    "text_curation_pipeline" -> CurationOracles.curationPipeline,
+    "events_stratified_sample" -> CurationOracles.stratifiedSample,
     "rel_asof_click_purchase" ->
       """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
         |c AS (SELECT * FROM events WHERE event_type = 'click')
@@ -337,13 +382,7 @@ object SparkEntry {
         |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
         |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
-    "text_split_assign" ->
-      """SELECT doc_id,
-        |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket,
-        |  CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 80 THEN 'train'
-        |       WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90 THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_split_assign" -> CurationOracles.splitAssign,
     "mm_decode_features" -> MultimodalOracles.decodeFeatures,
     "mm_frame_sample" -> MultimodalOracles.frameSample,
     "events_sessionized" ->

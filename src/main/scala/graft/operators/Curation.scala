@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-data curation operators layered over the reference's counting
+  * substrate: text normalization, corpus-LM fluency scoring, deterministic
+  * stratified sampling, and a composed dedup→quality→split pipeline.
+  *
+  * Determinism discipline (every query has an exact DuckDB oracle):
+  *  - the LM score is pure BIGINT arithmetic — per-bigram frequency is
+  *    quantized to parts-per-billion with integer division before any
+  *    aggregation, so summation order can't matter;
+  *  - sampling buckets derive from md5 (bit-identical across engines);
+  *  - normalization uses per-row regexp_replace (codegen'd, NOT a
+  *    higher-order-function lambda — see the NGramArray hazard note).
+  *
+  * Scale notes: the bigram LM is bounded at 26² rows regardless of corpus
+  * size, so scoring is a broadcast join — each document is scored in a
+  * single scan with no shuffle beyond the per-doc aggregation.
+  * Normalization and sampling are embarrassingly parallel projections. */
+object Curation {
+
+  /** Normalization chain: lowercase → strip non-[a-z0-9 ] → collapse
+    * space runs → trim. Input text is deliberately dirtied first
+    * (padding, uppercasing, punctuation) so the test corpus — which is
+    * already clean — actually exercises every step; `roundtrip_ok`
+    * asserts normalize(mess(text)) == text. */
+  def normalize(s: SparkSession, d: String): DataFrame = {
+    val messy = concat(lit("  "), upper(col("text")), lit(" !!! "))
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(messy), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), messy.as("messy"), norm.as("norm"))
+      .select(
+        col("doc_id"),
+        length(col("messy")).as("messy_len"),
+        length(col("norm")).as("norm_len"),
+        (col("norm") === col("text")).as("roundtrip_ok"),
+        substring(md5(col("norm").cast("binary")), 1, 16).as("norm_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-bigram-LM fluency score: build the reference pipeline's
+    * bigram table over the whole corpus, quantize each bigram's relative
+    * frequency to integer parts-per-billion, then score every document by
+    * the mean ppb of its own bigrams. A cheap "does this document look
+    * like the corpus" signal (the integer-arithmetic analog of mean
+    * log-likelihood under a unigram-of-bigrams model).
+    *
+    * The LM table is ≤ 26² rows no matter the corpus size → broadcast. */
+  def lmScore(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val counts = TextPipeline.bigramCounts(docs) // bigram, cnt (≤ 676 rows)
+    val total = counts.agg(sum("cnt").as("_total"))
+    val lm = counts.crossJoin(broadcast(total))
+      .select(col("bigram"), expr("cnt * 1000000000L div _total").as("ppb"))
+    val grams = TextPipeline.mainFilter(
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w")))
+      .select(col("doc_id"),
+        explode(TextPipeline.ngramsCol(col("w"), 2)).as("bigram"))
+    grams.join(broadcast(lm), "bigram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("ppb").as("sum_ppb"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_ppb"),
+        expr("sum_ppb div n_bigrams").as("avg_ppb"))
+      .orderBy("doc_id")
+  }
+
+  /** md5-derived percent bucket in [0, 100) for any key column —
+    * deterministic, engine-portable (`('0x'||substr(md5(k),1,8))::BIGINT
+    * % 100` in DuckDB). */
+  def pctBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % 100
+
+  /** Per-stratum sampling rates (percent) for [[stratifiedSample]]. */
+  val SampleRates: Seq[(String, Int)] = Seq(
+    "click" -> 5, "error" -> 20, "purchase" -> 50, "signup" -> 50,
+    "view" -> 2)
+
+  /** Deterministic stratified sampling over events: each event_type keeps
+    * its own md5-bucket fraction. Reproducible across runs/engines (no
+    * RNG), embarrassingly parallel (no shuffle before the output sort). */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val rate = SampleRates.foldRight(lit(0): Column) {
+      case ((t, r), elseCol) =>
+        when(col("event_type") === t, lit(r)).otherwise(elseCol)
+    }
+    Tables.events(s, d)
+      .withColumn("bucket", pctBucket(col("event_id")))
+      .filter(col("bucket") < rate)
+      .select("event_id", "event_type", "bucket")
+      .orderBy("event_id")
+  }
+
+  /** The train/val/test split label for a bucket column (80/10/10). */
+  def splitCol(bucket: Column): Column =
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+
+  /** Deterministic md5 train/val/test split over documents. */
+  def splitAssign(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), pctBucket(col("doc_id")).as("bucket"))
+      .withColumn("split", splitCol(col("bucket")))
+      .orderBy("doc_id")
+
+  val PipelineQualityMin = 0.5
+
+  /** Composed curation pass — the operators chained the way a real
+    * training-data pipeline runs them: exact dedup (keep the min doc_id
+    * per distinct text) → quality filter (score ≥ 0.5) → deterministic
+    * split assignment. One DataFrame, one Catalyst plan: the dedup
+    * aggregation and the quality aggregation share the documents scan. */
+  def curationPipeline(s: SparkSession, d: String): DataFrame = {
+    val keep = Dedup.exact(s, d).select(col("keep_id").as("doc_id"))
+    TextAnalysis.quality(s, d)
+      .join(keep, "doc_id")
+      .filter(col("quality") >= PipelineQualityMin)
+      .select(col("doc_id"), col("quality"),
+        splitCol(pctBucket(col("doc_id"))).as("split"))
+      .orderBy("doc_id")
+  }
+}
+
+/** DuckDB oracles for [[Curation]], generated from the same constants. */
+object CurationOracles {
+
+  /** `('0x'||substr(md5(k),1,8))::BIGINT % 100` — DuckDB twin of
+    * [[Curation.pctBucket]]. */
+  private def pctBucketSql(key: String): String =
+    s"('0x' || substr(md5($key), 1, 8))::BIGINT % 100"
+
+  val normalize: String =
+    """WITH n AS (
+      |  SELECT doc_id, text,
+      |    '  ' || upper(text) || ' !!! ' AS messy,
+      |    trim(regexp_replace(regexp_replace(
+      |      lower('  ' || upper(text) || ' !!! '),
+      |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(length(messy) AS INTEGER) AS messy_len,
+      |  CAST(length(norm) AS INTEGER) AS norm_len,
+      |  (norm = text) AS roundtrip_ok,
+      |  substr(md5(norm), 1, 16) AS norm_md5
+      |FROM n ORDER BY doc_id""".stripMargin
+
+  val lmScore: String =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      |),
+      |kept AS (
+      |  SELECT doc_id, w FROM words
+      |  WHERE length(w) >= 2 AND substring(w, 1, 1) BETWEEN 'a' AND 'z'
+      |),
+      |grams AS (
+      |  SELECT doc_id, substring(w, i, 2) AS bigram
+      |  FROM kept, unnest(generate_series(1, length(w) - 1)) t(i)
+      |  WHERE regexp_matches(substring(w, i, 2), '^[a-z]{2}$')
+      |),
+      |counts AS (SELECT bigram, count(*) AS cnt FROM grams GROUP BY 1),
+      |lm AS (
+      |  SELECT bigram,
+      |    (cnt * 1000000000) // (SELECT sum(cnt)::BIGINT FROM counts) AS ppb
+      |  FROM counts
+      |)
+      |SELECT g.doc_id, count(*) AS n_bigrams,
+      |  sum(l.ppb)::BIGINT AS sum_ppb,
+      |  sum(l.ppb)::BIGINT // count(*) AS avg_ppb
+      |FROM grams g JOIN lm l USING (bigram)
+      |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
+
+  val stratifiedSample: String = {
+    val rateCase = Curation.SampleRates
+      .map { case (t, r) => s"WHEN '$t' THEN $r" }.mkString(" ")
+    s"""SELECT event_id, event_type,
+       |  ${pctBucketSql("event_id::VARCHAR")} AS bucket
+       |FROM events
+       |WHERE ${pctBucketSql("event_id::VARCHAR")} <
+       |  CASE event_type $rateCase ELSE 0 END
+       |ORDER BY event_id""".stripMargin
+  }
+
+  val splitAssign: String =
+    s"""SELECT doc_id,
+       |  ${pctBucketSql("doc_id::VARCHAR")} AS bucket,
+       |  CASE WHEN ${pctBucketSql("doc_id::VARCHAR")} < 80 THEN 'train'
+       |       WHEN ${pctBucketSql("doc_id::VARCHAR")} < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  val curationPipeline: String =
+    s"""WITH keep AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+       |),
+       |q AS (${TextAnalysisOracles.qualityCore})
+       |SELECT q.doc_id, q.quality,
+       |  CASE WHEN ${pctBucketSql("q.doc_id::VARCHAR")} < 80 THEN 'train'
+       |       WHEN ${pctBucketSql("q.doc_id::VARCHAR")} < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM q JOIN keep USING (doc_id)
+       |WHERE q.quality >= ${Curation.PipelineQualityMin}
+       |ORDER BY doc_id""".stripMargin
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -136,7 +137,14 @@ object Dedup {
     // is computed ONLY for candidate docs (semi-join first): at scale the
     // unrestricted co-shingle self-join is quadratic in shingle document
     // frequency, while candidates are bounded by the LSH bucket sizes
-    val sh = shingles(s, d)
+    verifyJaccardPairs(shingles(s, d), cands)
+  }
+
+  /** Exact-Jaccard verification of candidate (i, j) pairs: restrict the
+    * inverted index to candidate docs, compute |A∩B| by co-shingle join,
+    * emit pairs with jaccard ≥ [[JaccardThreshold]]. Shared tail of every
+    * candidate-generation strategy (LSH banding, prefix filtering). */
+  private def verifyJaccardPairs(sh: DataFrame, cands: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val candDocs = cands.select(col("i").as("doc_id"))
       .union(cands.select(col("j").as("doc_id"))).distinct()
@@ -154,6 +162,40 @@ object Dedup {
       .select(col("i").as("doc_a"), col("j").as("doc_b"),
         round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact Jaccard ≥ 0.8 pairs via PREFIX FILTERING — the 100 TB path
+    * for exact near-dup joins (the plain inverted-index join in
+    * [[jaccardPairs]] is quadratic in per-shingle document frequency).
+    *
+    * Shingles are totally ordered by (global document frequency, shingle)
+    * — rarest first; each document indexes only its first
+    * `sz − ⌈t·sz⌉ + 1` shingles. Pigeonhole: two docs with J ≥ t must
+    * share an indexed shingle, so recall is COMPLETE and the result
+    * equals [[jaccardPairs]] exactly (the oracle is literally the same
+    * SQL — the strongest possible losslessness check). Joining on rare
+    * prefix shingles also caps join fan-out per shingle.
+    *
+    * The ⌈t·sz⌉ is computed in exact integer arithmetic for t = 4/5
+    * (= [[JaccardThreshold]]); a float `0.2 * sz` would round DOWN the
+    * prefix at multiples of 5 and silently lose pairs. */
+  def jaccardPrefixPairs(s: SparkSession, d: String): DataFrame = {
+    assert(JaccardThreshold == 0.8, "prefix arithmetic assumes t = 4/5")
+    val sh = shingles(s, d)
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("doc_id").orderBy(asc("df"), asc("s"))
+    val ranked = sh.join(dfreq, "s")
+      .select(col("doc_id"), col("s"), col("df"))
+      .withColumn("pos", row_number().over(wDoc))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val prefix = ranked
+      .filter(col("pos") <= expr("sz - ((4 * sz + 4) div 5) + 1"))
+      .select("doc_id", "s")
+    val cands = prefix.toDF("i", "sa")
+      .join(prefix.toDF("j", "sb"),
+        col("sa") === col("sb") && col("i") < col("j"))
+      .select("i", "j").distinct()
+    verifyJaccardPairs(sh, cands)
   }
 
   // ------------------------------------------------------------------

@@ -257,6 +257,65 @@ object Relational {
       .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
       .orderBy("event_type")
 
+  /** The full analytic-window function surface in one query:
+    * lag/lead/ntile over a TOTAL order (deterministic offsets), and
+    * rank/dense_rank/percent_rank/cume_dist over a TIES-allowed order
+    * (rank families are deterministic under ties; offset functions are
+    * not — hence the two windows). */
+  def windowFuncs(s: SparkSession, d: String): DataFrame = {
+    val wTotal = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    val wYear = Window.partitionBy("o_custkey")
+      .orderBy(year(col("o_orderdate")))
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+      lag("o_totalprice", 1).over(wTotal).as("prev_price"),
+      lead("o_totalprice", 1).over(wTotal).as("next_price"),
+      ntile(4).over(wTotal).as("quartile"),
+      first("o_totalprice")
+        .over(wTotal.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("top_price"),
+      rank().over(wYear).as("yr_rank"),
+      dense_rank().over(wYear).as("yr_dense_rank"),
+      round(percent_rank().over(wYear), 12).as("yr_pct_rank"),
+      round(cume_dist().over(wYear), 12).as("yr_cume"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Arbitrary GROUPING SETS (beyond ROLLUP/CUBE): status-only,
+    * priority-only, and grand-total aggregates in one pass, disambiguated
+    * with grouping() flags (computed explicitly as grouping(a)*2 +
+    * grouping(b) so the bit order can't differ across engines). */
+  def groupingSetsAgg(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  cast(grouping(o_orderstatus) AS INT) * 2 +
+        |    cast(grouping(o_orderpriority) AS INT) AS gid,
+        |  count(*) AS n,
+        |  cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, status, priority""".stripMargin)
+  }
+
+  /** Array/vector function surface over the embeddings table: size,
+    * min/max, element access, distinct count, plus the native codegen'd
+    * [[graft.functions.VectorNorm]] (the built-in `aggregate()` lambda
+    * formulation evaluates interpreted — see the NGramArray hazard). */
+  def arrayFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      size(col("embedding")).as("dim"),
+      round(array_min(col("embedding")).cast("double"), 6).as("v_min"),
+      round(array_max(col("embedding")).cast("double"), 6).as("v_max"),
+      round(element_at(col("embedding"), 1).cast("double"), 6).as("v_first"),
+      round(element_at(col("embedding"), -1).cast("double"), 6).as("v_last"),
+      size(array_distinct(col("embedding"))).as("n_distinct"),
+      round(graft.functions.VectorNorm(col("embedding")), 6).as("l2_norm"))
+      .orderBy("vec_id")
+
   /** Event-time tumbling windows (batch `window()`; streaming variant in
     * graft.streaming uses the same expression). */
   def eventTimeWindows(s: SparkSession, d: String): DataFrame =

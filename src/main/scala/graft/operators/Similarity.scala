@@ -64,15 +64,10 @@ object Similarity {
   def lshTopK(s: SparkSession, d: String): DataFrame =
     lshTopKOn(emb(s, d))
 
-  /** [[lshTopK]] over any (vec_id, embedding) DataFrame. */
-  def lshTopKOn(e: DataFrame): DataFrame = {
-    val b = buckets(e)
-    val qb = b.filter(col("vec_id") < NumQueries)
-      .toDF("query_id", "t", "bucket")
-    val cands = qb.join(b.toDF("neighbor_id", "t2", "bucket2"),
-        col("t") === col("t2") && col("bucket") === col("bucket2") &&
-          col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id").distinct()
+  /** Exact-rerank tail shared by the candidate-generation strategies:
+    * join candidate (query_id, neighbor_id) pairs back to their vectors,
+    * score with the exact cosine, rank per query, keep top [[K]]. */
+  private def rerank(e: DataFrame, cands: DataFrame): DataFrame = {
     val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
     val w = Window.partitionBy("query_id")
@@ -86,6 +81,57 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("cos"), 6).as("cosine"))
       .orderBy("query_id", "rank")
+  }
+
+  /** [[lshTopK]] over any (vec_id, embedding) DataFrame. */
+  def lshTopKOn(e: DataFrame): DataFrame = {
+    val b = buckets(e)
+    val qb = b.filter(col("vec_id") < NumQueries)
+      .toDF("query_id", "t", "bucket")
+    val cands = qb.join(b.toDF("neighbor_id", "t2", "bucket2"),
+        col("t") === col("t2") && col("bucket") === col("bucket2") &&
+          col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    rerank(e, cands)
+  }
+
+  /** Every [[CentroidMod]]-th vector serves as an IVF centroid — a
+    * deterministic stand-in for k-means (the assignment/probe/rerank
+    * plumbing is identical; a trained codebook would just replace the
+    * `cents` DataFrame). */
+  val CentroidMod = 40
+  /** Queries search their [[NProbe]] nearest cells. */
+  val NProbe = 2
+
+  /** IVF-style ANN: the second 100 TB path, complementary to LSH.
+    * Coarse quantization — every vector is assigned to its nearest
+    * centroid cell (broadcast centroid table, one corpus scan, no
+    * pairwise join); queries probe their [[NProbe]] nearest cells and
+    * only those cells' members are exactly reranked. Candidate count per
+    * query ≈ NProbe × n/|cells| instead of n. */
+  def ivfTopK(s: SparkSession, d: String): DataFrame =
+    ivfTopKOn(emb(s, d))
+
+  /** [[ivfTopK]] over any (vec_id, embedding) DataFrame. */
+  def ivfTopKOn(e: DataFrame): DataFrame = {
+    val cents = e.filter(col("vec_id") % CentroidMod === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    // nearest-centroid ranking per vector; ccos ordering is total because
+    // cent_id breaks exact ties
+    val ranked = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        CosineSimilarity(col("embedding"), col("cv")).as("ccos"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cent_id"))))
+    val cells = ranked.filter(col("crn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("cent_id"))
+    val probes = ranked
+      .filter(col("crn") <= NProbe && col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("cent_id"))
+    val cands = probes.join(cells, "cent_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    rerank(e, cands)
   }
 }
 
@@ -148,5 +194,42 @@ object SimilarityOracles {
        |  JOIN embeddings c ON c.vec_id = neighbor_id
        |)
        |SELECT query_id, neighbor_id, rank, cosine FROM ranked
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  /** Replicates the deterministic IVF pipeline: same centroid selection,
+    * same assignment/probe windows, same exact rerank. */
+  val ivfTopK: String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+       |  WHERE vec_id % ${Similarity.CentroidMod} = 0
+       |),
+       |assigned AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+       |               c.cent_id) AS crn
+       |  FROM embeddings e, cents c
+       |),
+       |cells AS (SELECT vec_id AS neighbor_id, cent_id FROM assigned WHERE crn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cent_id FROM assigned
+       |  WHERE crn <= ${Similarity.NProbe} AND vec_id < $NumQueries
+       |),
+       |cands AS (
+       |  SELECT DISTINCT p.query_id, cl.neighbor_id
+       |  FROM probes p JOIN cells cl USING (cent_id)
+       |  WHERE cl.neighbor_id <> p.query_id
+       |),
+       |rr AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+       |               neighbor_id) AS INTEGER) AS rank,
+       |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+       |  FROM cands
+       |  JOIN embeddings q ON q.vec_id = query_id
+       |  JOIN embeddings c ON c.vec_id = neighbor_id
+       |)
+       |SELECT query_id, neighbor_id, rank, cosine FROM rr
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 }

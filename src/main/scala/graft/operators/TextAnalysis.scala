@@ -154,7 +154,9 @@ object TextAnalysisOracles {
        |FROM agg ORDER BY doc_id""".stripMargin
   }
 
-  val quality: String = {
+  /** [[quality]] without the final ORDER BY — embeddable as a CTE body
+    * (used by the composed curation-pipeline oracle). */
+  val qualityCore: String = {
     val en = inList(Stopwords.toMap.apply("en"))
     s"""WITH $toksCte,
        |agg AS (
@@ -170,8 +172,10 @@ object TextAnalysisOracles {
        |    0.35 * least(1.0, n_tokens::DOUBLE / 50.0) +
        |    0.35 * (1.0 - length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE / length(text)) +
        |    0.3 * least(1.0, 4.0 * stop_ratio_raw), 6) AS quality
-       |FROM agg ORDER BY doc_id""".stripMargin
+       |FROM agg""".stripMargin
   }
+
+  val quality: String = s"$qualityCore ORDER BY doc_id"
 
   val tokenCounts: String =
     """SELECT doc_id,

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, TextPipeline}
+
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("normalize round-trips the dirtied corpus back to the original") {
+    val rows = Curation.normalize(spark, d)
+      .as[(Long, Int, Int, Boolean, String)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._4), "normalize(mess(text)) != text for some doc")
+    // messy adds padding + punctuation that normalization must remove
+    assert(rows.forall(r => r._3 < r._2), "norm_len must shrink")
+  }
+
+  test("lmScore conserves the corpus bigram mass") {
+    val scored = Curation.lmScore(spark, d)
+    // every document bigram occurrence exists in the corpus LM by
+    // construction, so the per-doc n_bigrams must sum to the corpus total
+    val perDoc = scored.agg(sum("n_bigrams")).as[Long].head()
+    val corpus = TextPipeline.bigramCounts(Tables.documents(spark, d))
+      .agg(sum("cnt")).as[Long].head()
+    assert(perDoc === corpus)
+    // ppb quantization: every doc average is inside the LM's ppb range
+    val (lo, hi) = (0L, 1000000000L)
+    val avgs = scored.select("avg_ppb").as[Long].collect()
+    assert(avgs.forall(a => a >= lo && a <= hi))
+  }
+
+  test("stratified sample respects per-stratum rates and is deterministic") {
+    val s1 = Curation.stratifiedSample(spark, d)
+      .as[(Long, String, Long)].collect()
+    val s2 = Curation.stratifiedSample(spark, d)
+      .as[(Long, String, Long)].collect()
+    assert(s1.toSeq === s2.toSeq, "sampling must be reproducible")
+    val rates = Curation.SampleRates.toMap
+    s1.foreach { case (id, t, b) =>
+      assert(b < rates(t), s"event $id bucket $b >= rate for stratum $t")
+    }
+    // empirical fraction should be near the configured rate per stratum
+    val total = Tables.events(spark, d)
+      .groupBy("event_type").count().as[(String, Long)].collect().toMap
+    s1.groupBy(_._2).foreach { case (t, rs) =>
+      val frac = rs.length.toDouble / total(t)
+      val want = rates(t) / 100.0
+      assert(math.abs(frac - want) < 0.1 + want * 0.5,
+        f"stratum $t sampled $frac%.3f, wanted ~$want%.3f")
+    }
+  }
+
+  test("curation pipeline output is deduped, quality-filtered, split-labeled") {
+    val out = Curation.curationPipeline(spark, d)
+      .as[(Long, Double, String)].collect()
+    assert(out.nonEmpty)
+    val keepIds = graft.operators.Dedup.exact(spark, d)
+      .select("keep_id").as[Long].collect().toSet
+    assert(out.forall(r => keepIds.contains(r._1)), "non-survivor leaked")
+    assert(out.forall(_._2 >= Curation.PipelineQualityMin))
+    assert(out.forall(r => Set("train", "val", "test").contains(r._3)))
+    // split assignment matches the standalone splitAssign operator
+    val splits = Curation.splitAssign(spark, d)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(out.forall(r => splits(r._1) === r._3))
+  }
+}

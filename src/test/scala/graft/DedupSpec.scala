@@ -79,6 +79,15 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh === exact)
   }
 
+  test("prefix filtering ≡ plain inverted-index Jaccard (lossless)") {
+    val plain = Dedup.jaccardPairs(spark, d)
+      .as[(Long, Long, Double)].collect().toSet
+    val prefix = Dedup.jaccardPrefixPairs(spark, d)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(plain.nonEmpty, "fixture should contain planted near-dups")
+    assert(prefix === plain)
+  }
+
   test("simhash banding ≡ brute-force hamming pairs (pigeonhole complete)") {
     // NB: iterate a Seq, not the Map — a for-comprehension over a Map
     // yielding pairs rebuilds a Map and silently collapses duplicate keys

@@ -33,5 +33,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
       """SELECT lsh_buckets(array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT))) AS b""")
       .as[Seq[Long]].head()
     assert(buckets.length === graft.functions.LshBuckets.Tables)
+
+    // 3-4-5 triangle: ||(3,4)|| = 5 exactly
+    val norm = spark.sql(
+      "SELECT vector_norm(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS n")
+      .as[Double].head()
+    assert(norm === 5.0)
   }
 }

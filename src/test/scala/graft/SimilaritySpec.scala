@@ -61,6 +61,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.9, f"planted near-dup recall $mean%.2f too low")
   }
 
+  test("IVF recall is high on a corpus with planted near-neighbors") {
+    val rnd = new scala.util.Random(29)
+    val dim = 32
+    val base = Seq.tabulate(200)(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() - 0.5f)))
+    val planted = for {
+      (i, v) <- base.take(Similarity.NumQueries)
+      c <- 0 until 3
+    } yield (1000L + i * 10 + c,
+      v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f))
+    val e = (base ++ planted).map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+
+    val brute = Similarity.bruteTopKOn(e)
+      .as[(Long, Long, Int, Double)].collect()
+    val ivf = Similarity.ivfTopKOn(e)
+      .as[(Long, Long, Int, Double)].collect()
+    val bruteTop3 = brute.filter(_._3 <= 3)
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivfByQ = ivf.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // a planted copy sits ~on top of its query, so both get the same
+    // nearest centroid — probing the query's own cell must find them
+    val recalls = bruteTop3.map { case (q, top3) =>
+      ivfByQ.getOrElse(q, Set.empty).intersect(top3).size.toDouble / 3
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean IVF recall@3 (planted) = $mean%.2f")
+    assert(mean >= 0.9, f"planted near-dup recall $mean%.2f too low")
+  }
+
+  test("IVF on the fixture emits ranked rows with exact cosines") {
+    val rows = Similarity.ivfTopK(spark, d)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val ranks = rs.map(_._3).sorted.toSeq
+      assert(ranks === (1 to rs.length), s"ranks not dense for query $q")
+      val sorted = rs.sortBy(_._3)
+      assert(sorted.map(_._4).toSeq === sorted.map(_._4).sortBy(-_).toSeq,
+        s"cosine not descending for query $q")
+    }
+  }
+
   test("LshBuckets is deterministic and emits Tables keys in [0, 2^Bits)") {
     import graft.functions.LshBuckets
     val e = Tables.embeddings(spark, d)
