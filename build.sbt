@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The query suite generates hundreds of whole-stage-codegen classes.
+  // Spark's compiled-class cache holds only 100 (static conf) and the JVM
+  // code cache 240 MB — both thrash across a 50+-query run, triggering
+  // Janino recompilation and JIT deopt/flush storms (measured 10-100×
+  // intermittent slowdowns on identical reruns). Size both for the suite.
+  "-Dspark.sql.codegen.cache.maxEntries=5000",
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -9,8 +9,10 @@ object Prof {
       .config(Tables.NanosConf, "true").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_PROF_ROUNDS", "2").toInt
     val names = if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted else args.toSeq
-    for (round <- 1 to 2; name <- names) {
+    for (round <- 1 to rounds; name <- names) {
+      spark.catalog.clearCache() // per-query persists must not span runs
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, d).write.format("noop").mode("overwrite").save()
       println(f"XQX round$round $name ${(System.nanoTime()-t0)/1e9}%.2f s")

@@ -85,10 +85,23 @@ object Dedup {
       .select(col("doc_id"), explode(WordShingles(col("text"), 3)).as("s"))
       .distinct()
 
+  /** [[shingles]], persisted. The Jaccard pair queries branch off the
+    * shingle frame 4-6 times in one plan (candidates, sizes, both sides
+    * of the intersection join), and Catalyst's exchange reuse does not
+    * always unify the branches (asymmetric pushed filters change the
+    * canonical subtree) — caching materializes the explode+distinct once.
+    * Measured: helps the many-consumer Jaccard plans (~2×), HURTS the
+    * minhash plan (the cache barrier stalls its fused aggregation), so
+    * only the Jaccard variants use it. Bench/Verify clear the cache
+    * between queries, keeping timings and memory honest. */
+  private def shinglesCached(s: SparkSession, d: String): DataFrame =
+    shingles(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Exact Jaccard ≥ 0.8 pairs via inverted-index self-join on shingles:
     * |A∩B| from the equi-join, |A∪B| = |A|+|B|−|A∩B|. */
   def jaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
+    val sh = shinglesCached(s, d)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = sh.toDF("i", "sa")
     val b = sh.toDF("j", "sb")
@@ -144,7 +157,13 @@ object Dedup {
     * inverted index to candidate docs, compute |A∩B| by co-shingle join,
     * emit pairs with jaccard ≥ [[JaccardThreshold]]. Shared tail of every
     * candidate-generation strategy (LSH banding, prefix filtering). */
-  private def verifyJaccardPairs(sh: DataFrame, cands: DataFrame): DataFrame = {
+  private def verifyJaccardPairs(sh: DataFrame, cands0: DataFrame): DataFrame = {
+    // cands is consumed three times (both legs of the doc restriction and
+    // the final join); without a persist each consumer re-evaluates the
+    // whole candidate-generation subtree (bands/windows/self-join). The
+    // candidate set itself is tiny — bounded by the LSH bucket / prefix
+    // collision counts — so caching it is nearly free.
+    val cands = cands0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val candDocs = cands.select(col("i").as("doc_id"))
       .union(cands.select(col("j").as("doc_id"))).distinct()
@@ -181,11 +200,14 @@ object Dedup {
     * prefix at multiples of 5 and silently lose pairs. */
   def jaccardPrefixPairs(s: SparkSession, d: String): DataFrame = {
     assert(JaccardThreshold == 0.8, "prefix arithmetic assumes t = 4/5")
-    val sh = shingles(s, d)
+    val sh = shinglesCached(s, d)
+    // document frequency as a hash aggregate + equi-join: a window over s
+    // would make one window group per distinct shingle (~#shingles tiny
+    // groups — per-group overhead dominates); hash aggregation handles
+    // high-cardinality keys natively and sh is already cached
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy("doc_id").orderBy(asc("df"), asc("s"))
     val ranked = sh.join(dfreq, "s")
-      .select(col("doc_id"), col("s"), col("df"))
       .withColumn("pos", row_number().over(wDoc))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
     val prefix = ranked

@@ -118,11 +118,15 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
     // nearest-centroid ranking per vector; ccos ordering is total because
     // cent_id breaks exact ties
+    // persisted: cells and probes both branch off the assignment — cache
+    // the centroid scoring once instead of recomputing the cross join
+    // per branch (Bench/Verify clear the cache between queries)
     val ranked = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cent_id"),
         CosineSimilarity(col("embedding"), col("cv")).as("ccos"))
       .withColumn("crn", row_number().over(
         Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cent_id"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cells = ranked.filter(col("crn") === 1)
       .select(col("vec_id").as("neighbor_id"), col("cent_id"))
     val probes = ranked
