@@ -46,9 +46,12 @@ object GraftFunctions {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, className, builder) =>
       ext.injectFunction((new FunctionIdentifier(name),
         new ExpressionInfo(className, name), builder))
     }
+    // whole-operator extension: plans graft.plans.AsOfJoinNode
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }

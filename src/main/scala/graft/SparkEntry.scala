@@ -99,8 +99,10 @@ object SparkEntry {
     "text_curation_pipeline" -> (Curation.curationPipeline _),
     "events_stratified_sample" -> (Curation.stratifiedSample _),
 
-    // --- as-of join (composed operator Spark lacks natively) ---
+    // --- as-of join: composed (union+window) AND native (custom
+    //     LogicalPlan + SparkStrategy + merge executor) — same oracle ---
     "rel_asof_click_purchase" -> (AsOfJoin.clickToPurchase _),
+    "rel_asof_native" -> (AsOfJoin.clickToPurchaseNative _),
 
     // --- pivot ---
     "rel_pivot_user_events" -> ((s, d) => {
@@ -141,6 +143,15 @@ object SparkEntry {
   private def gramsCte(n: Int) =
     s"grams AS (SELECT substring(w, i, $n) AS g FROM kept, unnest(generate_series(1, length(w) - ${n - 1})) AS t(i) " +
       s"WHERE regexp_matches(substring(w, i, $n), '^[a-z]{$n}$$'))"
+
+  private val asofOracle =
+    """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT * FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+      |  epoch_us(c.ts) AS click_us,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -366,14 +377,10 @@ object SparkEntry {
     "text_lm_score" -> CurationOracles.lmScore,
     "text_curation_pipeline" -> CurationOracles.curationPipeline,
     "events_stratified_sample" -> CurationOracles.stratifiedSample,
-    "rel_asof_click_purchase" ->
-      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
-        |c AS (SELECT * FROM events WHERE event_type = 'click')
-        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
-        |  epoch_us(c.ts) AS click_us,
-        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
-        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
-        |ORDER BY p.event_id""".stripMargin,
+    "rel_asof_click_purchase" -> asofOracle,
+    // the native custom-plan as-of join must produce byte-identical
+    // results to the composed one — one oracle checks both
+    "rel_asof_native" -> asofOracle,
     "rel_pivot_user_events" ->
       """SELECT user_id,
         |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,

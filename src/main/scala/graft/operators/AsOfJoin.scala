@@ -53,6 +53,25 @@ object AsOfJoin {
       .drop("_tag", "_asof")
   }
 
+  /** [[clickToPurchase]] computed by the NATIVE whole-operator as-of join
+    * ([[graft.plans.AsOfJoinNode]] + strategy + merge executor) instead
+    * of the union+window composition — identical semantics, same oracle
+    * SQL, so the driver cross-checks the custom operator exactly. */
+  def clickToPurchaseNative(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("r_user_id"),
+        unix_micros(col("ts")).as("click_us"))
+    graft.plans.NativeAsOf.joinAsOf(purchases, clicks,
+        "user_id", "r_user_id", "purchase_us", "click_us")
+      .select(col("event_id"), col("user_id"), col("purchase_us"),
+        col("click_us"), (col("purchase_us") - col("click_us")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
   /** For every purchase event: the user's most recent click at or before
     * it, and the gap in microseconds (null when the purchase precedes any
     * click). */

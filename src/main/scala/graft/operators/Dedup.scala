@@ -206,10 +206,15 @@ object Dedup {
     // groups — per-group overhead dominates); hash aggregation handles
     // high-cardinality keys natively and sh is already cached
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val wDoc = Window.partitionBy("doc_id").orderBy(asc("df"), asc("s"))
+    // sz arrives via an equi-join on doc_id (its shuffle is reused by the
+    // window's required doc_id clustering) rather than a second window
+    // pass over the full shingle frame; sizes stays shuffle-joined, not
+    // broadcast — at scale it has one row per document
     val ranked = sh.join(dfreq, "s")
+      .join(sizes, "doc_id")
       .withColumn("pos", row_number().over(wDoc))
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
     val prefix = ranked
       .filter(col("pos") <= expr("sz - ((4 * sz + 4) div 5) + 1"))
       .select("doc_id", "s")

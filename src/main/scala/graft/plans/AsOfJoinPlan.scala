@@ -1,0 +1,188 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftshim
+import org.apache.spark.sql.types.LongType
+
+/** Native AS-OF join: a whole-operator Catalyst extension — custom
+  * `LogicalPlan` node, `SparkStrategy`, and physical merge operator —
+  * the deepest extension tier from SURVEY.md §7 (compose > custom
+  * Expression > custom plan), used where composition genuinely costs
+  * more: the composed union+window AS-OF ([[graft.operators.AsOfJoin]])
+  * materializes every right row through the window and carries the
+  * left schema through a union; this operator streams both sides
+  * through ONE co-partitioned merge pass.
+  *
+  * Semantics (backward as-of, matching DuckDB `ASOF LEFT JOIN` on
+  * `l.key = r.key AND l.ts >= r.ts`): for every left row, the LATEST
+  * right row of the same key with `rightTs <= leftTs`; left rows
+  * without a match get nulls.
+  *
+  * Physical contract: both children hash-clustered on the key
+  * (`requiredChildDistribution`) and sorted by (key, ts)
+  * (`requiredChildOrdering`) — EnsureRequirements inserts the
+  * exchanges/sorts exactly as it would for a sort-merge join, AQE
+  * still re-plans around it. The merge itself is a single forward
+  * pass, O(|L| + |R|) per partition with O(1) state (the last
+  * matching right row) — no window buffers, no row multiplication.
+  *
+  * Scale: one shuffle per side on the join key, streaming merge, no
+  * per-key memory growth. Skewed hot keys cost what any keyed shuffle
+  * costs; AQE skew splitting cannot split a single key for a
+  * merge-with-state operator (same limitation as sort-merge join).
+  *
+  * Keys and timestamps are constrained to LongType (convert timestamps
+  * with `unix_micros` first) — the engine's portable integer-time
+  * convention; see `Tables.events`. */
+case class AsOfJoinNode(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTs: Expression, rightTs: Expression) extends BinaryNode {
+
+  require(Seq(leftKey, rightKey, leftTs, rightTs).forall(_.dataType == LongType),
+    "as-of join requires LongType keys and timestamps (use unix_micros)")
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override lazy val resolved: Boolean =
+    childrenResolved && Seq(leftKey, leftTs).forall(_.references.subsetOf(left.outputSet)) &&
+      Seq(rightKey, rightTs).forall(_.references.subsetOf(right.outputSet))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinNode]] → [[AsOfJoinExec]]. Registered per-session via
+  * `spark.experimental.extraStrategies` ([[NativeAsOf.ensureRegistered]])
+  * or cluster-wide via `GraftExtensions`. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lk, rk, lts, rts) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Streaming merge AS-OF join executor. See [[AsOfJoinNode]] for the
+  * contract. Row-based `doExecute` (no codegen): the operator runs once
+  * per partition pair as a tight two-pointer loop — codegen would only
+  * fuse the surrounding projections, and keeping it row-based keeps the
+  * implementation auditable. */
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTs: Expression, rightTs: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+
+  override def outputPartitioning = left.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lk = leftKey
+    val rk = rightKey
+    val lts = leftTs
+    val rts = rightTs
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // (key, ts) extractors; the projections are bound per partition
+      val lProj = UnsafeProjection.create(Seq(lk, lts), lOut)
+      val rProj = UnsafeProjection.create(Seq(rk, rts), rOut)
+      val nullRight = new GenericInternalRow(rOut.length)
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        private var rRow: InternalRow = _     // current right head (unconsumed)
+        private var rKey = 0L
+        private var rTs = 0L
+        private var rValid = false
+        private var lastMatch: InternalRow = _ // latest consumed right row …
+        private var lastKey = 0L               // … and its key
+        private var haveMatch = false
+
+        private def advanceRight(): Unit = {
+          rValid = false
+          while (!rValid && rIter.hasNext) {
+            rRow = rIter.next()
+            val kv = rProj(rRow)
+            if (!kv.isNullAt(0) && !kv.isNullAt(1)) {
+              rKey = kv.getLong(0); rTs = kv.getLong(1); rValid = true
+            } // right rows with null key/ts can never match — skip
+          }
+        }
+        advanceRight()
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val lRow = lIter.next()
+          val kv = lProj(lRow)
+          if (kv.isNullAt(0) || kv.isNullAt(1)) {
+            joined(lRow, nullRight) // null key/ts never matches
+          } else {
+            val k = kv.getLong(0)
+            val ts = kv.getLong(1)
+            // consume right rows at-or-before (k, ts); later left rows of
+            // the same key have ts' >= ts (sorted), so consumption is safe
+            while (rValid && (rKey < k || (rKey == k && rTs <= ts))) {
+              if (rKey == k) {
+                lastMatch = rRow.copy(); lastKey = k; haveMatch = true
+              }
+              advanceRight()
+            }
+            if (haveMatch && lastKey == k) joined(lRow, lastMatch)
+            else joined(lRow, nullRight)
+          }
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** DataFrame-level API over [[AsOfJoinNode]]. */
+object NativeAsOf {
+
+  /** Install [[AsOfJoinStrategy]] on the session (idempotent). */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+
+  /** `left ASOF LEFT JOIN right ON key, leftTs >= rightTs` — columns are
+    * named (must be unambiguous across the two sides; alias the right
+    * side) and bound against each side's analyzed output. */
+  def joinAsOf(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String): DataFrame = {
+    val spark = left.sparkSession
+    ensureRegistered(spark)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def bind(name: String, plan: LogicalPlan, side: String): Expression =
+      plan.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(
+        s"column '$name' not found on the $side side (${plan.output.map(_.name).mkString(", ")})"))
+    graftshim.ofRows(spark, AsOfJoinNode(lPlan, rPlan,
+      bind(leftKey, lPlan, "left"), bind(rightKey, rPlan, "right"),
+      bind(leftTs, lPlan, "left"), bind(rightTs, rPlan, "right")))
+  }
+}

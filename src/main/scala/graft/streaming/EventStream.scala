@@ -67,6 +67,20 @@ object EventStream {
   }
 
   // ------------------------------------------------------------------
+  // streaming dedup
+  // ------------------------------------------------------------------
+
+  /** Streaming exact dedup on event_id: duplicates arriving within the
+    * watermark delay of the first occurrence are dropped; state for an id
+    * is evicted once the watermark passes its event time + delay, so
+    * state is bounded by (arrival rate × delay) — the streaming twin of
+    * the batch `dropDuplicates`/[[graft.operators.Dedup.exact]] path. */
+  def dedupEventsStream(events: DataFrame,
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // ------------------------------------------------------------------
   // sessionization: gaps-and-islands (batch SQL) …
   // ------------------------------------------------------------------
 

@@ -34,6 +34,49 @@ class AsOfJoinSpec extends AnyFunSuite {
       "p4" -> None))
   }
 
+  test("native as-of join: edge cases match the spec") {
+    // longs directly (the native operator's portable-integer-time contract)
+    val left = Seq(
+      (1L, 10L, "p1"), // matches r at 9
+      (1L, 3L, "p2"),  // before any right row -> null
+      (1L, 5L, "p3"),  // tie -> >= matches
+      (2L, 10L, "p4"), // key with no right rows -> null
+      (3L, 7L, "p5")   // key after right-only key 2? (no rows for 3) -> null
+    ).toDF("k", "lts", "name")
+    val right = Seq(
+      (1L, 5L, 100L),
+      (1L, 9L, 200L),
+      (9L, 1L, 999L)   // right-only key, must be skipped cleanly
+    ).toDF("rk", "rts", "rv")
+
+    val got = graft.plans.NativeAsOf.joinAsOf(left, right,
+        "k", "rk", "lts", "rts")
+      .select($"name", $"rv")
+      .as[(String, Option[Long])].collect().toMap
+    assert(got === Map(
+      "p1" -> Some(200L),
+      "p2" -> None,
+      "p3" -> Some(100L),
+      "p4" -> None,
+      "p5" -> None))
+  }
+
+  test("native as-of join ≡ composed as-of join on the events fixture") {
+    val composed = AsOfJoin.clickToPurchase(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().toSeq
+    val native = AsOfJoin.clickToPurchaseNative(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().toSeq
+    assert(native === composed)
+    assert(native.nonEmpty)
+  }
+
+  test("native as-of join plans a single co-partitioned merge (no window)") {
+    val df = AsOfJoin.clickToPurchaseNative(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin "), s"custom operator missing:\n$plan")
+    assert(!plan.contains("Window"), "native path must not fall back to window")
+  }
+
   test("purchase->click as-of: gaps are non-negative, schema complete") {
     val rows = AsOfJoin.clickToPurchase(spark, "/root/testdata/sf0.001")
       .collect()

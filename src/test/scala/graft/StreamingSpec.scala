@@ -68,6 +68,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops within-watermark duplicate event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(minutes: Long) = new Timestamp(1700000000000L + minutes * 60000L)
+
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val deduped = EventStream.dedupEventsStream(
+      mem.toDF().toDF("event_id", "ts", "payload"), "30 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      mem.addData((1L, ts(0), "a"), (1L, ts(1), "a-dup"), (2L, ts(2), "b"))
+      q.processAllAvailable()
+      mem.addData((1L, ts(3), "a-dup-2"), (3L, ts(4), "c"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out")
+        .select("event_id").as[Long].collect().sorted.toSeq
+      assert(got === Seq(1L, 2L, 3L), "within-watermark duplicates must drop")
+    } finally q.stop()
+  }
+
   test("streaming sessionization emits a session once the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     def ts(minutes: Long) = new Timestamp(1700000000000L + minutes * 60000L)
