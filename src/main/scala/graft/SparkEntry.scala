@@ -73,6 +73,10 @@ object SparkEntry {
     "rel_window_funcs" -> (Relational.windowFuncs _),
     "rel_grouping_sets" -> (Relational.groupingSetsAgg _),
     "rel_array_funcs" -> (Relational.arrayFuncs _),
+    "rel_hopping_windows" -> (Relational.hoppingWindows _),
+    "rel_salted_join" -> (Relational.saltedJoin _),
+    "rel_exists_subquery" -> (Relational.existsSubquery _),
+    "rel_minmax_by" -> (Relational.minMaxBy _),
 
     // --- dedup suite (LLM-data-pipeline operators; north star) ---
     "dedup_exact" -> (Dedup.exact _),
@@ -94,6 +98,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
 
     // --- curation ops (normalization, LM scoring, sampling, pipeline) ---
+    "text_top_terms" -> (TextAnalysis.topTerms _),
     "text_normalize" -> (Curation.normalize _),
     "text_lm_score" -> (Curation.lmScore _),
     "text_curation_pipeline" -> (Curation.curationPipeline _),
@@ -347,6 +352,41 @@ object SparkEntry {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY gid, status, priority""".stripMargin,
+    "rel_hopping_windows" ->
+      """WITH hops AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v,
+        |    make_timestamp(((epoch_us(ts) // 1800000000) - i) * 1800000000) AS hop_ts
+        |  FROM events, unnest(generate_series(0, 1)) t(i)
+        |)
+        |SELECT strftime(hop_ts, '%Y-%m-%d %H:%M:%S') AS hop_start,
+        |  event_type, count(*) AS n, CAST(sum(v) AS DOUBLE) AS sum_value
+        |FROM hops GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the salted join must equal the plain unsalted join exactly
+    "rel_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rel_exists_subquery" ->
+      """SELECT c_custkey,
+        |  EXISTS(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |         AND o.o_totalprice > 300000) AS has_big_order,
+        |  (SELECT count(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer c ORDER BY c_custkey""".stripMargin,
+    "rel_minmax_by" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, l_orderkey, l_extendedprice,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) * 10000000 + l_orderkey AS u
+        |  FROM lineitem
+        |)
+        |SELECT l_returnflag,
+        |  max_by(l_orderkey, u) AS max_price_order,
+        |  min_by(l_orderkey, u) AS min_price_order,
+        |  max(l_extendedprice) AS max_price,
+        |  min(l_extendedprice) AS min_price
+        |FROM li GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_top_terms" -> TextAnalysisOracles.topTerms,
     "rel_array_funcs" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS INTEGER) AS dim,

@@ -316,6 +316,75 @@ object Relational {
       round(graft.functions.VectorNorm(col("embedding")), 6).as("l2_norm"))
       .orderBy("vec_id")
 
+  /** Event-time HOPPING (sliding) windows: 1-hour windows every 30
+    * minutes — every event lands in exactly two overlapping windows.
+    * Same partial-agg shape as the tumbling form; the explode-to-hops is
+    * inside Spark's `window()` expression. */
+  def hoppingWindows(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double")
+          .as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("hop_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hop_start", "event_type")
+
+  /** Salted JOIN — the skew-mitigation pattern for a hot-keyed join:
+    * the (conceptually skewed) fact side derives a salt from its own
+    * rows, the other side is replicated across all salt values, and the
+    * join key becomes (key, salt) so one hot key spreads over
+    * [[SaltedJoinSalts]] partitions. Exactly equal to the unsalted join
+    * (the oracle IS the plain-join SQL). AQE's skew-join split is the
+    * runtime alternative; salting remains the planned-ahead option when
+    * a key is known-pathological. */
+  val SaltedJoinSalts = 8
+  def saltedJoin(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+      .withColumn("_lsalt", pmod(col("l_linenumber"), lit(SaltedJoinSalts)))
+    val o = Tables.orders(s, d)
+      .withColumn("_osalt",
+        explode(sequence(lit(0), lit(SaltedJoinSalts - 1))))
+    l.join(o, col("l_orderkey") === col("o_orderkey") &&
+        col("_lsalt") === col("_osalt"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Correlated subquery surface: EXISTS and a correlated scalar
+    * aggregate subquery (Catalyst decorrelates both into joins). */
+  def existsSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer_sq")
+    Tables.orders(s, d).createOrReplaceTempView("orders_sq")
+    s.sql(
+      """SELECT c_custkey,
+        |  EXISTS(SELECT 1 FROM orders_sq o WHERE o.o_custkey = c.c_custkey
+        |         AND o.o_totalprice > 300000) AS has_big_order,
+        |  (SELECT count(*) FROM orders_sq o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer_sq c ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** arg-min/arg-max aggregates (min_by/max_by) with a collision-free
+    * integer ordering value — exact cents × 10^7 + orderkey — so the
+    * winning row is unique and the result engine-independent. */
+  def minMaxBy(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .withColumn("_u",
+        round(col("l_extendedprice") * 100, 0).cast("long") * 10000000L +
+          col("l_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        expr("max_by(l_orderkey, _u)").as("max_price_order"),
+        expr("min_by(l_orderkey, _u)").as("min_price_order"),
+        max(col("l_extendedprice")).as("max_price"),
+        min(col("l_extendedprice")).as("min_price"))
+      .orderBy("l_returnflag")
+
   /** Event-time tumbling windows (batch `window()`; streaming variant in
     * graft.streaming uses the same expression). */
   def eventTimeWindows(s: SparkSession, d: String): DataFrame =

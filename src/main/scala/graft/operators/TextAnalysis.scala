@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -101,6 +102,30 @@ object TextAnalysis {
     * distinct-shingle count. Shingles are de-duplicated BEFORE the
     * aggregation (one distinct instead of countDistinct's expand — min
     * over the distinct set is the same min). */
+  val TopTermsK = 3
+  val IdfScale = 1000L
+
+  /** Top-[[TopTermsK]] characteristic terms per document by a TF-IDF-
+    * style weight kept in pure integer arithmetic for cross-engine
+    * exactness: `score = tf × ((n_docs × 1000) div df)` — the rational
+    * N/df idf, scaled and floored, instead of a float log. Term
+    * frequency joins document frequency on the term (vocab-sized
+    * shuffle join — NOT broadcast: at corpus scale the vocabulary
+    * outgrows the driver); only the 1-row corpus count is broadcast. */
+  def topTerms(s: SparkSession, d: String): DataFrame = {
+    val toks = docsWithTokens(s, d).select("doc_id", "w")
+    val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct().groupBy("w").agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "w").crossJoin(broadcast(nDocs))
+      .withColumn("score", expr(s"tf * ((n_docs * $IdfScale) div df)"))
+    val wDoc = Window.partitionBy("doc_id").orderBy(desc("score"), asc("w"))
+    scored.withColumn("rank", row_number().over(wDoc))
+      .filter(col("rank") <= TopTermsK)
+      .select(col("doc_id"), col("rank"), col("w").as("term"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
   def fingerprint(s: SparkSession, d: String): DataFrame = {
     val sh = Tables.documents(s, d).select(
       col("doc_id"),
@@ -176,6 +201,26 @@ object TextAnalysisOracles {
   }
 
   val quality: String = s"$qualityCore ORDER BY doc_id"
+
+  val topTerms: String =
+    s"""WITH $toksCte,
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dfq AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.w,
+       |    tf.tf * ((n.n_docs * ${TextAnalysis.IdfScale}) // dfq.df) AS score
+       |  FROM tf JOIN dfq USING (w), n
+       |),
+       |ranked AS (
+       |  SELECT doc_id, w, score,
+       |    CAST(row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, w) AS INTEGER) AS rank
+       |  FROM scored
+       |)
+       |SELECT doc_id, rank, w AS term, score FROM ranked
+       |WHERE rank <= ${TextAnalysis.TopTermsK}
+       |ORDER BY doc_id, rank""".stripMargin
 
   val tokenCounts: String =
     """SELECT doc_id,
