@@ -74,6 +74,7 @@ object SparkEntry {
     "rel_grouping_sets" -> (Relational.groupingSetsAgg _),
     "rel_array_funcs" -> (Relational.arrayFuncs _),
     "rel_hopping_windows" -> (Relational.hoppingWindows _),
+    "rel_range_join" -> (Relational.rangeJoin _),
     "rel_salted_join" -> (Relational.saltedJoin _),
     "rel_exists_subquery" -> (Relational.existsSubquery _),
     "rel_minmax_by" -> (Relational.minMaxBy _),
@@ -99,6 +100,7 @@ object SparkEntry {
 
     // --- curation ops (normalization, LM scoring, sampling, pipeline) ---
     "text_top_terms" -> (TextAnalysis.topTerms _),
+    "text_doc_similarity" -> (TextAnalysis.docSimilarity _),
     "text_normalize" -> (Curation.normalize _),
     "text_lm_score" -> (Curation.lmScore _),
     "text_curation_pipeline" -> (Curation.curationPipeline _),
@@ -361,6 +363,19 @@ object SparkEntry {
         |SELECT strftime(hop_ts, '%Y-%m-%d %H:%M:%S') AS hop_start,
         |  event_type, count(*) AS n, CAST(sum(v) AS DOUBLE) AS sum_value
         |FROM hops GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the bucketized range join must equal the naive range-predicate join
+    "rel_range_join" ->
+      s"""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS p_us
+         |           FROM events WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id AS c_user, epoch_us(ts) AS c_us
+         |      FROM events WHERE event_type = 'click')
+         |SELECT p.event_id, p.user_id,
+         |  count(c.c_us) AS n_clicks_10m,
+         |  min(p.p_us - c.c_us) AS min_gap_us
+         |FROM p LEFT JOIN c ON c.c_user = p.user_id
+         |  AND c.c_us >= p.p_us - ${Relational.RangeJoinWindowUs}
+         |  AND c.c_us <= p.p_us
+         |GROUP BY 1, 2 ORDER BY event_id""".stripMargin,
     // the salted join must equal the plain unsalted join exactly
     "rel_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n,
@@ -387,6 +402,7 @@ object SparkEntry {
         |  min(l_extendedprice) AS min_price
         |FROM li GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_top_terms" -> TextAnalysisOracles.topTerms,
+    "text_doc_similarity" -> TextAnalysisOracles.docSimilarity,
     "rel_array_funcs" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS INTEGER) AS dim,

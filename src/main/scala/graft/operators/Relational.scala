@@ -385,6 +385,40 @@ object Relational {
         min(col("l_extendedprice")).as("min_price"))
       .orderBy("l_returnflag")
 
+  /** Range-join bucket width: 10 minutes in microseconds. */
+  val RangeJoinWindowUs = 600000000L
+
+  /** RANGE (interval) join, bucketized — for each purchase, the count of
+    * the same user's clicks in the preceding 10 minutes and the smallest
+    * gap. A naive range join is an equi-join on user with an O(n·m)
+    * range predicate per user; the scalable form buckets time by the
+    * range width W: a click at c falls in bucket c div W, a purchase at
+    * p probes buckets {p div W − 1, p div W} (they fully cover
+    * [p−W, p]), so the join is a plain (user, bucket) EQUI-join — 2×
+    * row replication on the probe side — with the exact range predicate
+    * applied as a post-filter. LEFT join keeps zero-click purchases. */
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    val W = RangeJoinWindowUs
+    val ev = Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("p_us"))
+      .withColumn("bucket",
+        explode(array(expr(s"p_us div $W - 1"), expr(s"p_us div $W"))))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"),
+        unix_micros(col("ts")).as("c_us"))
+      .withColumn("c_bucket", expr(s"c_us div $W"))
+    p.join(c,
+        col("user_id") === col("c_user") && col("bucket") === col("c_bucket") &&
+          col("c_us") >= col("p_us") - W && col("c_us") <= col("p_us"),
+        "left")
+      .groupBy("event_id", "user_id")
+      .agg(count(col("c_us")).as("n_clicks_10m"),
+        min(col("p_us") - col("c_us")).as("min_gap_us"))
+      .orderBy("event_id")
+  }
+
   /** Event-time tumbling windows (batch `window()`; streaming variant in
     * graft.streaming uses the same expression). */
   def eventTimeWindows(s: SparkSession, d: String): DataFrame =

@@ -126,6 +126,47 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  val DocSimThreshold = 0.6
+
+  /** Sparse TF-IDF cosine similarity between documents — text-side
+    * similarity search without embeddings, over the inverted index:
+    * `cos(a,b) = Σ_t w_a(t)·w_b(t) / (|a|·|b|)` summed over SHARED
+    * terms only (the term equi-join), never a dense pair join.
+    *
+    * Scale discipline:
+    *  - df-CAP: terms with df > n_docs/10 (stopword-frequent) are pruned
+    *    from weights AND norms — the inverted-index join is quadratic in
+    *    df per term, and hyper-frequent terms carry ~zero idf signal
+    *    anyway. The cap is relative to corpus size, computed on both
+    *    engines from the same integers.
+    *  - weights are pure integers (tf × rational scaled idf, like
+    *    [[topTerms]]); only the final norm/cosine touches doubles, so
+    *    sums are order-free and the oracle is exact. */
+  def docSimilarity(s: SparkSession, d: String): DataFrame = {
+    val toks = docsWithTokens(s, d).select("doc_id", "w")
+    val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct().groupBy("w").agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    // weights feed norms + both sides of the pair join (3 consumers) —
+    // persist, same rationale as Dedup.shinglesCached
+    val weights = tf.join(dfreq, "w").crossJoin(broadcast(nDocs))
+      .filter(col("df") <= expr("n_docs div 10"))
+      .select(col("doc_id"), col("w"),
+        expr(s"tf * ((n_docs * $IdfScale) div df)").as("wt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norms = weights.groupBy("doc_id").agg(sum(expr("wt * wt")).as("sq"))
+    val dots = weights.toDF("a", "w", "wa")
+      .join(weights.toDF("b", "w2", "wb"),
+        col("w") === col("w2") && col("a") < col("b"))
+      .groupBy("a", "b").agg(sum(expr("wa * wb")).as("dot"))
+    dots.join(norms.toDF("a", "sqa"), "a").join(norms.toDF("b", "sqb"), "b")
+      .withColumn("cosine",
+        round(col("dot") / (sqrt(col("sqa")) * sqrt(col("sqb"))), 6))
+      .filter(col("cosine") >= DocSimThreshold)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("cosine"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   def fingerprint(s: SparkSession, d: String): DataFrame = {
     val sh = Tables.documents(s, d).select(
       col("doc_id"),
@@ -201,6 +242,29 @@ object TextAnalysisOracles {
   }
 
   val quality: String = s"$qualityCore ORDER BY doc_id"
+
+  val docSimilarity: String =
+    s"""WITH $toksCte,
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dfq AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |wts AS (
+       |  SELECT tf.doc_id, tf.w,
+       |    tf.tf * ((n.n_docs * ${TextAnalysis.IdfScale}) // dfq.df) AS wt
+       |  FROM tf JOIN dfq USING (w), n
+       |  WHERE dfq.df <= n.n_docs // 10
+       |),
+       |norms AS (SELECT doc_id, sum(wt * wt)::BIGINT AS sq FROM wts GROUP BY 1),
+       |dots AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, sum(a.wt * b.wt)::BIGINT AS dot
+       |  FROM wts a JOIN wts b ON a.w = b.w AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT da AS doc_a, db AS doc_b,
+       |  round(dot / (sqrt(na.sq) * sqrt(nb.sq)), 6) AS cosine
+       |FROM dots JOIN norms na ON da = na.doc_id JOIN norms nb ON db = nb.doc_id
+       |WHERE round(dot / (sqrt(na.sq) * sqrt(nb.sq)), 6) >= ${TextAnalysis.DocSimThreshold}
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   val topTerms: String =
     s"""WITH $toksCte,
