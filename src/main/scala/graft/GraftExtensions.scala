@@ -51,7 +51,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((new FunctionIdentifier(name),
         new ExpressionInfo(className, name), builder))
     }
-    // whole-operator extension: plans graft.plans.AsOfJoinNode
+    // whole-operator extension: plans graft.plans.AsOfJoinNode, and
+    // prunes columns through it (stock Catalyst can't see inside)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PruneAsOfJoinColumns)
   }
 }

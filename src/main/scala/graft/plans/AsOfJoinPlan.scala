@@ -3,9 +3,10 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graftshim
 import org.apache.spark.sql.types.LongType
@@ -58,6 +59,27 @@ case class AsOfJoinNode(
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
     copy(left = newLeft, right = newRight)
+}
+
+/** Column pruning THROUGH [[AsOfJoinNode]] — stock Catalyst cannot push
+  * projections through a node it doesn't know, so without this rule a
+  * `select` above the as-of join forces both children to materialize
+  * every column (and the parquet scans to read them). When a Project
+  * consumes only part of the join output, push per-side Projects into
+  * the children, always retaining the key/ts columns the merge needs.
+  * Registered alongside the strategy ([[NativeAsOf.ensureRegistered]] /
+  * `GraftExtensions`). */
+object PruneAsOfJoinColumns extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case p @ Project(_, aj: AsOfJoinNode) =>
+      val needed = p.references ++ AttributeSet(
+        Seq(aj.leftKey, aj.rightKey, aj.leftTs, aj.rightTs)
+          .flatMap(_.references))
+      if (aj.output.forall(needed.contains)) p // already minimal
+      else p.copy(child = aj.copy(
+        left = Project(aj.left.output.filter(needed.contains), aj.left),
+        right = Project(aj.right.output.filter(needed.contains), aj.right)))
+  }
 }
 
 /** Plans [[AsOfJoinNode]] → [[AsOfJoinExec]]. Registered per-session via
@@ -162,11 +184,16 @@ case class AsOfJoinExec(
 /** DataFrame-level API over [[AsOfJoinNode]]. */
 object NativeAsOf {
 
-  /** Install [[AsOfJoinStrategy]] on the session (idempotent). */
-  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Install [[AsOfJoinStrategy]] + [[PruneAsOfJoinColumns]] on the
+    * session (idempotent). */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(PruneAsOfJoinColumns))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PruneAsOfJoinColumns
+  }
 
   /** `left ASOF LEFT JOIN right ON key, leftTs >= rightTs` — columns are
     * named (must be unambiguous across the two sides; alias the right

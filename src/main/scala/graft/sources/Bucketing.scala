@@ -22,4 +22,14 @@ object Bucketing {
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(table)
+
+  /** Write `df` hive-style partitioned by `partitionCol` — the layout
+    * that turns equality/range predicates on the partition column into
+    * directory-level pruning (`PartitionFilters` in the scan; zero I/O
+    * for excluded partitions). Partition by coarse, low-cardinality,
+    * always-filtered columns (date, region) — thousands of partitions,
+    * not millions. */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 }

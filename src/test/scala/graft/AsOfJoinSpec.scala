@@ -77,6 +77,24 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "native path must not fall back to window")
   }
 
+  test("optimizer prunes unused columns through the native as-of join") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    // left side deliberately carries a wide unused column (props)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("props"),
+        unix_micros(col("ts")).as("p_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("r_user"), unix_micros(col("ts")).as("c_us"))
+    val narrow = graft.plans.NativeAsOf
+      .joinAsOf(purchases, clicks, "user_id", "r_user", "p_us", "c_us")
+      .select("event_id", "c_us")
+    narrow.collect()
+    val plan = narrow.queryExecution.executedPlan.toString
+    assert(!plan.contains("props"),
+      s"unused wide column must be pruned out of the scan:\n$plan")
+  }
+
   test("purchase->click as-of: gaps are non-negative, schema complete") {
     val rows = AsOfJoin.clickToPurchase(spark, "/root/testdata/sf0.001")
       .collect()

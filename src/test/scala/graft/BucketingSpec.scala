@@ -42,4 +42,22 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("partitioned layout prunes directories via PartitionFilters") {
+    val path = "/tmp/graft-test-warehouse/orders_by_year"
+    Bucketing.writePartitioned(
+      Tables.orders(spark, d)
+        .withColumn("o_year", year(col("o_orderdate"))),
+      path, "o_year")
+    val filtered = spark.read.parquet(path).filter(col("o_year") === 1997)
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.matches("(?s).*PartitionFilters: \\[[^\\]]*o_year[^\\]]*\\].*"),
+      s"partition predicate must prune at directory level:\n$scan")
+    // pruned read returns exactly the 1997 orders
+    val want = Tables.orders(spark, d)
+      .filter(year(col("o_orderdate")) === 1997).count()
+    assert(filtered.count() === want)
+    assert(want > 0)
+  }
 }
