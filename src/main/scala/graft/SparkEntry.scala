@@ -131,6 +131,18 @@ object SparkEntry {
           countDistinct(col("l_partkey")).as("exact_parts"))
         .orderBy("l_returnflag")),
 
+    // --- approximate quantiles (mergeable percentile sketch; estimates
+    //     are engine-specific -> rows-only check, exact values alongside
+    //     for eyeball comparison) ---
+    "rel_approx_quantiles" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_quantity, 0.5, 1000)").as("ap50"),
+          expr("approx_percentile(l_quantity, 0.99, 1000)").as("ap99"),
+          expr("percentile(l_quantity, 0.5)").as("exact_p50"),
+          expr("percentile(l_quantity, 0.99)").as("exact_p99"))
+        .orderBy("l_returnflag")),
+
     // --- multimodal plumbing (stubbed decode; see Multimodal scaladoc) ---
     "mm_decode_features" -> (Multimodal.decodeFeatures _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
