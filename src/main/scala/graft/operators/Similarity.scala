@@ -112,10 +112,50 @@ object Similarity {
   def ivfTopK(s: SparkSession, d: String): DataFrame =
     ivfTopKOn(emb(s, d))
 
-  /** [[ivfTopK]] over any (vec_id, embedding) DataFrame. */
-  def ivfTopKOn(e: DataFrame): DataFrame = {
-    val cents = e.filter(col("vec_id") % CentroidMod === 0)
+  /** The default (modulo-sampled) IVF codebook. */
+  def defaultCentroids(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % CentroidMod === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+
+  /** Deterministic Lloyd (k-means) refinement of the IVF codebook:
+    * assign every vector to its nearest centroid (broadcast codebook,
+    * one corpus pass per iteration), then recompute each cell's mean.
+    * Means are computed in EXACT integer space — components are
+    * floor-quantized to 2^20ths, summed as BIGINT, divided with integer
+    * `div` — so the codebook is bit-identical regardless of partition
+    * or merge order (a plain float avg() varies in the last ulp across
+    * runs). Empty cells drop out (their vectors re-assign next round).
+    *
+    * Scale: per iteration one broadcast cross-score (n × k cosines) and
+    * one (cell, dim)-keyed aggregation — no pairwise joins; k ≈ √n
+    * keeps both sides bounded. */
+  def kmeansCentroids(e: DataFrame, iters: Int): DataFrame = {
+    var cents = defaultCentroids(e)
+    for (_ <- 1 to iters) {
+      val assigned = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cent_id"), col("embedding"),
+          CosineSimilarity(col("embedding"), col("cv")).as("ccos"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cent_id"))))
+        .filter(col("crn") === 1)
+      cents = assigned
+        .select(col("cent_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy("cent_id", "d")
+        .agg(expr("sum(cast(floor(x * 1048576.0) as bigint)) div count(1)")
+          .as("mq"))
+      .groupBy("cent_id")
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(d, mq)))," +
+            " s -> cast(s.mq / 1048576.0 as float))").as("cv"))
+    }
+    cents
+  }
+
+  /** [[ivfTopK]] over any (vec_id, embedding) DataFrame with the default
+    * codebook; pass [[kmeansCentroids]] output for the trained variant. */
+  def ivfTopKOn(e: DataFrame): DataFrame = ivfTopKOn(e, defaultCentroids(e))
+
+  def ivfTopKOn(e: DataFrame, cents: DataFrame): DataFrame = {
     // nearest-centroid ranking per vector; ccos ordering is total because
     // cent_id breaks exact ties
     // persisted: cells and probes both branch off the assignment — cache

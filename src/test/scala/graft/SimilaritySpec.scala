@@ -105,6 +105,42 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("k-means codebook is bit-deterministic and keeps IVF recall high") {
+    val rnd = new scala.util.Random(31)
+    val dim = 32
+    val base = Seq.tabulate(200)(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() - 0.5f)))
+    val planted = for {
+      (i, v) <- base.take(Similarity.NumQueries)
+      c <- 0 until 3
+    } yield (1000L + i * 10 + c,
+      v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f))
+    val e = (base ++ planted).map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+
+    val c1 = Similarity.kmeansCentroids(e, 2)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    val c2 = Similarity.kmeansCentroids(e, 2)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    assert(c1 === c2, "integer-quantized k-means must be bit-deterministic")
+    assert(c1.forall(_._2.length == dim))
+
+    val brute = Similarity.bruteTopKOn(e)
+      .as[(Long, Long, Int, Double)].collect()
+    val ivf = Similarity.ivfTopKOn(e, Similarity.kmeansCentroids(e, 2))
+      .as[(Long, Long, Int, Double)].collect()
+    val bruteTop3 = brute.filter(_._3 <= 3)
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivfByQ = ivf.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = bruteTop3.map { case (q, top3) =>
+      ivfByQ.getOrElse(q, Set.empty).intersect(top3).size.toDouble / 3
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean IVF recall@3 with trained codebook = $mean%.2f")
+    assert(mean >= 0.9, f"trained-codebook recall $mean%.2f too low")
+  }
+
   test("LshBuckets is deterministic and emits Tables keys in [0, 2^Bits)") {
     import graft.functions.LshBuckets
     val e = Tables.embeddings(spark, d)
