@@ -75,6 +75,8 @@ object SparkEntry {
     "rel_array_funcs" -> (Relational.arrayFuncs _),
     "rel_hopping_windows" -> (Relational.hoppingWindows _),
     "rel_range_join" -> (Relational.rangeJoin _),
+    "rel_outer_joins" -> (Relational.outerJoins _),
+    "rel_set_ops_all" -> (Relational.setOpsAll _),
     "rel_salted_join" -> (Relational.saltedJoin _),
     "rel_exists_subquery" -> (Relational.existsSubquery _),
     "rel_minmax_by" -> (Relational.minMaxBy _),
@@ -388,6 +390,32 @@ object SparkEntry {
          |  AND c.c_us >= p.p_us - ${Relational.RangeJoinWindowUs}
          |  AND c.c_us <= p.p_us
          |GROUP BY 1, 2 ORDER BY event_id""".stripMargin,
+    "rel_outer_joins" ->
+      """WITH a AS (
+        |  SELECT c_custkey AS ak, c_mktsegment FROM customer
+        |  WHERE c_custkey % 3 = 0
+        |),
+        |b AS (
+        |  SELECT o_custkey AS bk, count(*) AS n_orders FROM orders
+        |  WHERE o_custkey % 2 = 0 GROUP BY 1
+        |)
+        |SELECT coalesce(ak, bk) AS k, c_mktsegment, n_orders,
+        |  CASE WHEN ak IS NOT NULL AND bk IS NOT NULL THEN 'both'
+        |       WHEN ak IS NOT NULL THEN 'left_only'
+        |       ELSE 'right_only' END AS side
+        |FROM a FULL OUTER JOIN b ON ak = bk
+        |ORDER BY k""".stripMargin,
+    "rel_set_ops_all" ->
+      """WITH a AS (SELECT o_orderpriority AS x FROM orders WHERE o_orderstatus = 'F'),
+        |b AS (SELECT o_orderpriority AS x FROM orders WHERE o_totalprice > 200000),
+        |u AS (SELECT 'union_all' AS op, x, count(*) AS n
+        |      FROM (SELECT x FROM a UNION ALL SELECT x FROM b) GROUP BY 2),
+        |i AS (SELECT 'intersect_all' AS op, x, count(*) AS n
+        |      FROM (SELECT x FROM a INTERSECT ALL SELECT x FROM b) GROUP BY 2),
+        |e AS (SELECT 'except_all' AS op, x, count(*) AS n
+        |      FROM (SELECT x FROM a EXCEPT ALL SELECT x FROM b) GROUP BY 2)
+        |SELECT * FROM u UNION ALL SELECT * FROM i UNION ALL SELECT * FROM e
+        |ORDER BY op, x""".stripMargin,
     // the salted join must equal the plain unsalted join exactly
     "rel_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n,

@@ -385,6 +385,46 @@ object Relational {
         min(col("l_extendedprice")).as("min_price"))
       .orderBy("l_returnflag")
 
+  /** FULL OUTER join over two partially-overlapping keyed sets, with a
+    * provenance tag — fills the outer-join row of the join-type matrix
+    * (inner/semi/anti/left-via-asof are covered elsewhere; right outer
+    * is the mirror). */
+  def outerJoins(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.customer(s, d)
+      .filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").as("ak"), col("c_mktsegment"))
+    val b = Tables.orders(s, d)
+      .filter(col("o_custkey") % 2 === 0)
+      .groupBy(col("o_custkey").as("bk"))
+      .agg(count(lit(1)).as("n_orders"))
+    a.join(b, col("ak") === col("bk"), "full_outer")
+      .select(
+        coalesce(col("ak"), col("bk")).as("k"),
+        col("c_mktsegment"),
+        col("n_orders"),
+        when(col("ak").isNotNull && col("bk").isNotNull, "both")
+          .when(col("ak").isNotNull, "left_only")
+          .otherwise("right_only").as("side"))
+      .orderBy("k")
+  }
+
+  /** Bag-semantics set operations (UNION ALL / INTERSECT ALL /
+    * EXCEPT ALL), emitted as per-value multiplicity tables under an op
+    * tag — the multiset counterpart of the distinct set-op queries. */
+  def setOpsAll(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      .select(col("o_orderpriority").as("x"))
+    val b = Tables.orders(s, d).filter(col("o_totalprice") > 200000)
+      .select(col("o_orderpriority").as("x"))
+    def tally(df: DataFrame, op: String) =
+      df.groupBy("x").agg(count(lit(1)).as("n"))
+        .select(lit(op).as("op"), col("x"), col("n"))
+    tally(a.unionAll(b), "union_all")
+      .unionAll(tally(a.intersectAll(b), "intersect_all"))
+      .unionAll(tally(a.exceptAll(b), "except_all"))
+      .orderBy("op", "x")
+  }
+
   /** Range-join bucket width: 10 minutes in microseconds. */
   val RangeJoinWindowUs = 600000000L
 
