@@ -81,6 +81,28 @@ object EventStream {
       .dropDuplicatesWithinWatermark("event_id")
 
   // ------------------------------------------------------------------
+  // stream-stream join
+  // ------------------------------------------------------------------
+
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's clicks in the preceding 10 minutes — the streaming twin of
+    * the batch bucketized range join
+    * ([[graft.operators.Relational.rangeJoin]]).
+    *
+    * Inputs must carry (user_id, pts) and (c_user, cts). Both sides are
+    * watermarked: the time-range join condition + watermarks let Spark
+    * evict buffered rows once they can no longer match (state is
+    * bounded by rate × (delay + range)); without them a stream-stream
+    * join buffers forever. Works identically on batch DataFrames
+    * (watermark is a no-op there) — spec-tested both ways. */
+  def clickAttributionStream(purchases: DataFrame,
+      clicks: DataFrame): DataFrame =
+    purchases.withWatermark("pts", "10 minutes")
+      .join(clicks.withWatermark("cts", "10 minutes"),
+        expr("""user_id = c_user AND
+                cts >= pts - interval 10 minutes AND cts <= pts"""))
+
+  // ------------------------------------------------------------------
   // sessionization: gaps-and-islands (batch SQL) …
   // ------------------------------------------------------------------
 

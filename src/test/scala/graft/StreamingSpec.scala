@@ -88,6 +88,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked stream-stream interval join attributes purchases to clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(minutes: Long) = new Timestamp(1700000000000L + minutes * 60000L)
+
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp, String)]
+    val joined = EventStream.clickAttributionStream(
+      purchases.toDF().toDF("user_id", "pts", "p_name"),
+      clicks.toDF().toDF("c_user", "cts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    try {
+      clicks.addData((1L, ts(0)), (2L, ts(1)))
+      purchases.addData(
+        (1L, ts(5), "in-range"),     // 5 min after user 1's click
+        (1L, ts(20), "out-of-range"), // 20 min after -> no match
+        (3L, ts(6), "no-click"))     // user with no clicks -> no match
+      q.processAllAvailable()
+      // advance both watermarks far enough to finalize results
+      clicks.addData((9L, ts(120)))
+      purchases.addData((9L, ts(121), "late-driver"))
+      q.processAllAvailable()
+      val got = spark.table("attr_out")
+        .select("p_name").as[String].collect().toSet
+      assert(got.contains("in-range"))
+      assert(!got.contains("out-of-range") && !got.contains("no-click"))
+    } finally q.stop()
+
+    // the same transform on batch inputs behaves as a plain interval join
+    val bp = Seq((1L, ts(5), "in"), (1L, ts(20), "out"))
+      .toDF("user_id", "pts", "p_name")
+    val bc = Seq((1L, ts(0))).toDF("c_user", "cts")
+    val batch = EventStream.clickAttributionStream(bp, bc)
+      .select("p_name").as[String].collect().toSeq
+    assert(batch === Seq("in"))
+  }
+
   test("streaming sessionization emits a session once the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     def ts(minutes: Long) = new Timestamp(1700000000000L + minutes * 60000L)
