@@ -23,7 +23,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     TextPipeline.bigramProbabilities(docs(spark, "/root/testdata/sf0.001"))
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Cache lifecycle: some query builders persist() shared subframes
+    * (shingle index, candidate sets, tf-idf weights, IVF assignments) so
+    * one plan doesn't recompute them per consumer branch. Callers that
+    * run many queries in one session should `spark.catalog.clearCache()`
+    * between queries — Verify, Bench and Prof all do. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- core text pipeline (reference parity; SURVEY.md §2 #1-#14) ---
     "bigram_counts" -> ((s, d) =>
@@ -107,6 +113,7 @@ object SparkEntry {
     "text_lm_score" -> (Curation.lmScore _),
     "text_curation_pipeline" -> (Curation.curationPipeline _),
     "events_stratified_sample" -> (Curation.stratifiedSample _),
+    "events_bottomk_sample" -> (Curation.bottomKSample _),
 
     // --- as-of join: composed (union+window) AND native (custom
     //     LogicalPlan + SparkStrategy + merge executor) — same oracle ---
@@ -432,7 +439,7 @@ object SparkEntry {
     "rel_minmax_by" ->
       """WITH li AS (
         |  SELECT l_returnflag, l_orderkey, l_extendedprice,
-        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) * 10000000 + l_orderkey AS u
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) * 10000000000 + l_orderkey AS u
         |  FROM lineitem
         |)
         |SELECT l_returnflag,
@@ -473,6 +480,7 @@ object SparkEntry {
     "text_lm_score" -> CurationOracles.lmScore,
     "text_curation_pipeline" -> CurationOracles.curationPipeline,
     "events_stratified_sample" -> CurationOracles.stratifiedSample,
+    "events_bottomk_sample" -> CurationOracles.bottomKSample,
     "rel_asof_click_purchase" -> asofOracle,
     // the native custom-plan as-of join must produce byte-identical
     // results to the composed one — one oracle checks both

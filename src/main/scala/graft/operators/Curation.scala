@@ -96,6 +96,22 @@ object Curation {
       .orderBy("event_id")
   }
 
+  val BottomK = 200
+
+  /** Deterministic uniform sample via bottom-k hashing: the [[BottomK]]
+    * events with the smallest md5(event_id) — a reproducible "random"
+    * sample with an exact size, no RNG state. Plans as
+    * TakeOrderedAndProject (per-partition heap of k, driver merges k
+    * rows) — never a global sort, so it scales to any input size. */
+  def bottomKSample(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        substring(md5(col("event_id").cast("string").cast("binary")), 1, 16)
+          .as("h"))
+      .orderBy("h", "event_id")
+      .limit(BottomK)
+      .orderBy("event_id")
+
   /** The train/val/test split label for a bucket column (80/10/10). */
   def splitCol(bucket: Column): Column =
     when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
@@ -184,6 +200,13 @@ object CurationOracles {
        |  CASE event_type $rateCase ELSE 0 END
        |ORDER BY event_id""".stripMargin
   }
+
+  val bottomKSample: String =
+    s"""SELECT event_id, event_type, h FROM (
+       |  SELECT event_id, event_type,
+       |    substr(md5(event_id::VARCHAR), 1, 16) AS h
+       |  FROM events ORDER BY h, event_id LIMIT ${Curation.BottomK}
+       |) ORDER BY event_id""".stripMargin
 
   val splitAssign: String =
     s"""SELECT doc_id,

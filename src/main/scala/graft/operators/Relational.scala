@@ -370,12 +370,15 @@ object Relational {
   }
 
   /** arg-min/arg-max aggregates (min_by/max_by) with a collision-free
-    * integer ordering value — exact cents × 10^7 + orderkey — so the
-    * winning row is unique and the result engine-independent. */
+    * integer ordering value — exact cents × 10^10 + orderkey — so the
+    * winning row is unique and the result engine-independent. Bounds:
+    * prices < 10^6 currency units (10^8 cents) and orderkeys < 10^10
+    * keep u < 10^18 < 2^63; both hold for this schema's generator at
+    * any SF (TPC-H prices cap at ~10^5; keys are dense). */
   def minMaxBy(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .withColumn("_u",
-        round(col("l_extendedprice") * 100, 0).cast("long") * 10000000L +
+        round(col("l_extendedprice") * 100, 0).cast("long") * 10000000000L +
           col("l_orderkey"))
       .groupBy("l_returnflag")
       .agg(

@@ -105,20 +105,28 @@ object TextAnalysis {
   val TopTermsK = 3
   val IdfScale = 1000L
 
-  /** Top-[[TopTermsK]] characteristic terms per document by a TF-IDF-
-    * style weight kept in pure integer arithmetic for cross-engine
-    * exactness: `score = tf × ((n_docs × 1000) div df)` — the rational
-    * N/df idf, scaled and floored, instead of a float log. Term
-    * frequency joins document frequency on the term (vocab-sized
-    * shuffle join — NOT broadcast: at corpus scale the vocabulary
-    * outgrows the driver); only the 1-row corpus count is broadcast. */
-  def topTerms(s: SparkSession, d: String): DataFrame = {
+  /** Integer tf-idf weight: the rational N/df idf, scaled by
+    * [[IdfScale]] and floored, instead of a float log — cross-engine
+    * exact (`//` on the DuckDB side). */
+  private val tfIdfExpr = s"tf * ((n_docs * $IdfScale) div df)"
+
+  /** Per-(doc, term) frequency joined with per-term document frequency
+    * and the 1-row corpus count — the shared statistics behind
+    * [[topTerms]] and [[docSimilarity]]. The df join is a vocab-sized
+    * shuffle join (NOT broadcast: at corpus scale the vocabulary
+    * outgrows the driver); only the corpus count is broadcast. */
+  private def termStats(s: SparkSession, d: String): DataFrame = {
     val toks = docsWithTokens(s, d).select("doc_id", "w")
     val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
     val dfreq = toks.distinct().groupBy("w").agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(dfreq, "w").crossJoin(broadcast(nDocs))
-      .withColumn("score", expr(s"tf * ((n_docs * $IdfScale) div df)"))
+    tf.join(dfreq, "w").crossJoin(broadcast(nDocs))
+  }
+
+  /** Top-[[TopTermsK]] characteristic terms per document by the integer
+    * tf-idf weight. */
+  def topTerms(s: SparkSession, d: String): DataFrame = {
+    val scored = termStats(s, d).withColumn("score", expr(tfIdfExpr))
     val wDoc = Window.partitionBy("doc_id").orderBy(desc("score"), asc("w"))
     scored.withColumn("rank", row_number().over(wDoc))
       .filter(col("rank") <= TopTermsK)
@@ -143,16 +151,11 @@ object TextAnalysis {
     *    [[topTerms]]); only the final norm/cosine touches doubles, so
     *    sums are order-free and the oracle is exact. */
   def docSimilarity(s: SparkSession, d: String): DataFrame = {
-    val toks = docsWithTokens(s, d).select("doc_id", "w")
-    val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-    val dfreq = toks.distinct().groupBy("w").agg(count(lit(1)).as("df"))
-    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
     // weights feed norms + both sides of the pair join (3 consumers) —
     // persist, same rationale as Dedup.shinglesCached
-    val weights = tf.join(dfreq, "w").crossJoin(broadcast(nDocs))
+    val weights = termStats(s, d)
       .filter(col("df") <= expr("n_docs div 10"))
-      .select(col("doc_id"), col("w"),
-        expr(s"tf * ((n_docs * $IdfScale) div df)").as("wt"))
+      .select(col("doc_id"), col("w"), expr(tfIdfExpr).as("wt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val norms = weights.groupBy("doc_id").agg(sum(expr("wt * wt")).as("sq"))
     val dots = weights.toDF("a", "w", "wa")

@@ -205,6 +205,19 @@ object NativeAsOf {
     ensureRegistered(spark)
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
+    // fail loudly on ambiguous output: duplicate names make downstream
+    // selects silently resolve to the left copy, and shared ExprIds
+    // (both sides derived un-aliased from the same source) break
+    // attribute resolution inside the node
+    val dupNames = (lPlan.output.map(_.name) ++ rPlan.output.map(_.name))
+      .groupBy(identity).collect { case (n, vs) if vs.size > 1 => n }
+    require(dupNames.isEmpty,
+      s"as-of join output would be ambiguous; alias these columns on one " +
+        s"side: ${dupNames.mkString(", ")}")
+    val sharedIds = lPlan.outputSet.intersect(rPlan.outputSet)
+    require(sharedIds.isEmpty,
+      s"both sides carry the same attribute(s) ${sharedIds.mkString(", ")} " +
+        "— re-alias one side (e.g. .select(col(\"x\").as(\"rx\")))")
     def bind(name: String, plan: LogicalPlan, side: String): Expression =
       plan.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(
         s"column '$name' not found on the $side side (${plan.output.map(_.name).mkString(", ")})"))
