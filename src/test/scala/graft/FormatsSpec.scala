@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+
+/** Sink/source round-trips beyond parquet: CSV and JSON writes of a
+  * real query result re-read losslessly (Java's shortest-round-trip
+  * double formatting makes even float columns exact). */
+class FormatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("query results round-trip through csv and json sinks") {
+    val df = Relational.pricingSummary(spark, d) // strings, doubles, longs
+    val want = df.collect().toSet
+
+    val csvPath = "/tmp/graft-test-warehouse/rt_csv"
+    df.write.mode("overwrite").option("header", "true").csv(csvPath)
+    val csvBack = spark.read.schema(df.schema)
+      .option("header", "true").csv(csvPath).collect().toSet
+    assert(csvBack === want, "csv round-trip")
+
+    val jsonPath = "/tmp/graft-test-warehouse/rt_json"
+    df.write.mode("overwrite").json(jsonPath)
+    val jsonBack = spark.read.schema(df.schema)
+      .json(jsonPath).collect().toSet
+    assert(jsonBack === want, "json round-trip")
+  }
+}
