@@ -82,4 +82,51 @@ class RelationalSpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
     assert(total === Tables.events(spark, d).count())
   }
+
+  test("hopping windows cover every event exactly twice") {
+    val total = Relational.hoppingWindows(spark, d)
+      .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    assert(total === 2 * Tables.events(spark, d).count())
+  }
+
+  test("bottom-k sample plans as TakeOrderedAndProject, not a global sort") {
+    val df = graft.operators.Curation.bottomKSample(spark, d)
+    assert(planOf(df).contains("TakeOrderedAndProject"), planOf(df))
+  }
+
+  test("salted join replicates the build side across all salts") {
+    val plan = planOf(Relational.saltedJoin(spark, d))
+    assert(plan.contains("Generate explode"), plan) // the salt replication
+    assert(plan.contains("partial_sum"), plan)      // agg still partial+final
+  }
+
+  test("correlated subqueries decorrelate into joins (no per-row subplans)") {
+    val plan = planOf(Relational.existsSubquery(spark, d))
+    assert(plan.contains("ExistenceJoin") || plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("Subquery Exec"), plan)
+  }
+
+  test("grouping sets emit exactly the three declared groupings") {
+    val rows = Relational.groupingSetsAgg(spark, d).collect()
+    val gids = rows.map(_.getInt(2)).toSet
+    // gid 1 = (status), gid 2 = (priority), gid 3 = ()
+    assert(gids === Set(1, 2, 3))
+    val grand = rows.filter(_.getInt(2) == 3)
+    assert(grand.length === 1)
+    assert(grand.head.getLong(3) === Tables.orders(spark, d).count())
+  }
+
+  test("range join: every in-range click counted, zero-click purchases kept") {
+    val rows = Relational.rangeJoin(spark, d).collect()
+    val nPurch = Tables.events(spark, d)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .count()
+    assert(rows.length.toLong === nPurch, "one output row per purchase")
+    rows.foreach { r =>
+      val n = r.getLong(2)
+      if (n == 0) assert(r.isNullAt(3), s"purchase ${r.getLong(0)}")
+      else assert(r.getLong(3) >= 0 &&
+        r.getLong(3) <= Relational.RangeJoinWindowUs, s"purchase ${r.getLong(0)}")
+    }
+  }
 }
