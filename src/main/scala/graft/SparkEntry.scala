@@ -155,6 +155,7 @@ object SparkEntry {
     // --- multimodal plumbing (stubbed decode; see Multimodal scaladoc) ---
     "mm_decode_features" -> (Multimodal.decodeFeatures _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
+    "mm_resize" -> (Multimodal.resize _),
 
     // --- sessionization (batch window form; stateful streaming variant
     //     in graft.streaming is spec-tested for equivalence) ---
@@ -496,6 +497,7 @@ object SparkEntry {
     "text_split_assign" -> CurationOracles.splitAssign,
     "mm_decode_features" -> MultimodalOracles.decodeFeatures,
     "mm_frame_sample" -> MultimodalOracles.frameSample,
+    "mm_resize" -> MultimodalOracles.resize,
     "events_sessionized" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,

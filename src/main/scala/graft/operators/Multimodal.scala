@@ -79,6 +79,35 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  val ResizeTo = 8
+
+  /** "Resize" for image rows: 1-D nearest-neighbor resampling of the
+    * payload down to [[ResizeTo]] samples — sample j reads offset
+    * `floor(j · (n−1) / (ResizeTo−1))`, the exact index arithmetic a
+    * nearest-neighbor image downscale uses per axis. The resampling
+    * grid and gather are the real plumbing; a codec would decode pixels
+    * instead of reading raw bytes. Payloads shorter than [[ResizeTo]]
+    * bytes emit one sample per byte (grid degenerates to identity). */
+  def resize(s: SparkSession, d: String): DataFrame = {
+    val c = catalog(s, d).filter(col("kind") === "image")
+      .withColumn("n_bytes", length(col("bytes")))
+      .filter(col("n_bytes") > 0)
+      .withColumn("n_out", least(lit(ResizeTo), col("n_bytes")))
+    c.select(col("media_id"), col("n_bytes"), col("bytes"), col("n_out"),
+        posexplode(sequence(lit(0), col("n_out") - 1)).as(Seq("_p", "j")))
+      // "sample_off", not "offset": OFFSET is reserved in DuckDB, and the
+      // oracle must reference (not just alias) this column
+      .withColumn("sample_off",
+        when(col("n_out") === 1, lit(0L)).otherwise(
+          floor(col("j") * (col("n_bytes") - 1) / (col("n_out") - 1)))
+          .cast("long"))
+      .withColumn("sample_byte",
+        ascii(substring(col("bytes").cast("string"),
+          (col("sample_off") + 1).cast("int"), lit(1))))
+      .select("media_id", "n_bytes", "j", "sample_off", "sample_byte")
+      .orderBy("media_id", "j")
+  }
+
   /** Frame sampling for video rows: up to 8 frame offsets at a fixed
     * 64-byte stride, each with its (stub-decoded) frame byte. The explode
     * is the real plumbing; a codec would seek to `offset` instead. */
@@ -136,6 +165,27 @@ object MultimodalOracles {
        |FROM agg a JOIN media m ON a.media_id = m.media_id
        |JOIN lastb l ON a.media_id = l.media_id
        |ORDER BY a.media_id""".stripMargin
+
+  val resize: String =
+    s"""WITH media AS (
+       |  SELECT doc_id AS media_id,
+       |    CASE doc_id % ${Multimodal.Kinds.size} $kinds END AS kind,
+       |    text FROM documents
+       |),
+       |img AS (
+       |  SELECT media_id, text, length(text)::INTEGER AS n_bytes,
+       |    least(${Multimodal.ResizeTo}, length(text))::INTEGER AS n_out
+       |  FROM media WHERE kind = 'image' AND length(text) > 0
+       |),
+       |grid AS (
+       |  SELECT media_id, text, n_bytes, j::INTEGER AS j,
+       |    CASE WHEN n_out = 1 THEN 0
+       |         ELSE floor(j * (n_bytes - 1) / (n_out - 1)) END::BIGINT AS sample_off
+       |  FROM img, unnest(generate_series(0, n_out - 1)) t(j)
+       |)
+       |SELECT media_id, n_bytes, j, sample_off,
+       |  ascii(substr(text, sample_off::INTEGER + 1, 1)) AS sample_byte
+       |FROM grid ORDER BY media_id, j""".stripMargin
 
   val frameSample: String =
     s"""WITH media AS (
