@@ -123,6 +123,23 @@ object Curation {
       .withColumn("split", splitCol(col("bucket")))
       .orderBy("doc_id")
 
+  /** Attach one-pass data-quality metrics to a documents-shaped frame
+    * via the Observation API — row count, empty-text count, mean text
+    * length are computed as a side effect of whatever action the caller
+    * runs (no second scan, works identically under streaming
+    * `observe`). The production pattern for monitoring a curation
+    * pipeline without paying for separate audit queries. */
+  def withQualityObservation(df: DataFrame)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val observed = df.observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(when(col("text").isNull || length(col("text")) === 0, 1)
+        .otherwise(0)).as("n_empty"),
+      avg(length(col("text"))).as("mean_len"))
+    (observed, obs)
+  }
+
   val PipelineQualityMin = 0.5
 
   /** Composed curation pass — the operators chained the way a real

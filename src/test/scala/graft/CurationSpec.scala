@@ -55,6 +55,17 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("quality observation reports metrics from the same single pass") {
+    val docs = Tables.documents(spark, d)
+    val (observed, obs) = Curation.withQualityObservation(docs)
+    observed.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    assert(m("n_rows") === docs.count())
+    assert(m("n_empty") === 0L)
+    val meanLen = docs.agg(avg(length(col("text")))).as[Double].head()
+    assert(math.abs(m("mean_len").asInstanceOf[Double] - meanLen) < 1e-9)
+  }
+
   test("curation pipeline output is deduped, quality-filtered, split-labeled") {
     val out = Curation.curationPipeline(spark, d)
       .as[(Long, Double, String)].collect()
