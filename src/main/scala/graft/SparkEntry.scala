@@ -83,6 +83,9 @@ object SparkEntry {
     "rel_range_join" -> (Relational.rangeJoin _),
     "rel_outer_joins" -> (Relational.outerJoins _),
     "rel_set_ops_all" -> (Relational.setOpsAll _),
+    "rel_unpivot_user_events" -> (Relational.unpivotUserEvents _),
+    "rel_json_parse_typed" -> (Relational.jsonParseTyped _),
+    "rel_string_funcs" -> (Relational.stringFuncs _),
     "rel_salted_join" -> (Relational.saltedJoin _),
     "rel_exists_subquery" -> (Relational.existsSubquery _),
     "rel_minmax_by" -> (Relational.minMaxBy _),
@@ -398,6 +401,28 @@ object SparkEntry {
          |  AND c.c_us >= p.p_us - ${Relational.RangeJoinWindowUs}
          |  AND c.c_us <= p.p_us
          |GROUP BY 1, 2 ORDER BY event_id""".stripMargin,
+    // unpivot(pivot(x)) minus the null/zero fill-in == the plain groupBy
+    "rel_unpivot_user_events" ->
+      """SELECT user_id, event_type, count(*) AS n
+        |FROM events
+        |WHERE event_type IN ('click','error','purchase','signup','view')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "rel_json_parse_typed" ->
+      """SELECT event_type,
+        |  (json_extract_string(props, '$.k')::INTEGER // 10)::BIGINT AS k_decile,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "rel_string_funcs" ->
+      """SELECT p_partkey,
+        |  lpad(p_brand, 12, '*') AS brand_lpad,
+        |  rpad(p_brand, 12, '.') AS brand_rpad,
+        |  translate(p_type, 'ae', 'AE') AS type_tr,
+        |  reverse(p_brand) AS brand_rev,
+        |  repeat('ab', (p_size % 3)::INTEGER + 1) AS ab_rep,
+        |  split_part(p_type, ' ', 1) AS type_first,
+        |  instr(p_name, 'a')::INTEGER AS a_pos,
+        |  left(p_name, 5) AS name5
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "rel_outer_joins" ->
       """WITH a AS (
         |  SELECT c_custkey AS ak, c_mktsegment FROM customer

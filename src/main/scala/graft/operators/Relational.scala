@@ -428,6 +428,50 @@ object Relational {
       .orderBy("op", "x")
   }
 
+  val PivotEventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** UNPIVOT (melt) — the inverse of the pivot query: widen per-user
+    * event counts to columns, then unpivot back to long form. Dropping
+    * the zero-count rows recovers exactly the plain groupBy, which is
+    * the oracle. */
+  def unpivotUserEvents(s: SparkSession, d: String): DataFrame = {
+    val wide = Tables.events(s, d).groupBy("user_id")
+      .pivot("event_type", PivotEventTypes).agg(count(lit(1)))
+    val long = wide.unpivot(
+      Array(col("user_id")),
+      PivotEventTypes.map(col).toArray,
+      "event_type", "n")
+    long.filter(col("n").isNotNull && col("n") > 0)
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Schema-based JSON parsing (`from_json` into a typed struct —
+    * the typed counterpart of the path-based get_json_object query),
+    * aggregated by the parsed value's decile. */
+  def jsonParseTyped(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        from_json(col("props"), lit("k INT")).getField("k").as("k"))
+      .groupBy(col("event_type"), expr("k div 10").as("k_decile"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "k_decile")
+
+  /** Second scalar string batch: pad/translate/reverse/repeat/
+    * split_part/instr/left — all codegen'd built-ins with DuckDB
+    * equivalents. */
+  def stringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      lpad(col("p_brand"), 12, "*").as("brand_lpad"),
+      rpad(col("p_brand"), 12, ".").as("brand_rpad"),
+      translate(col("p_type"), "ae", "AE").as("type_tr"),
+      reverse(col("p_brand")).as("brand_rev"),
+      repeat(lit("ab"), (col("p_size") % 3).cast("int") + 1).as("ab_rep"),
+      expr("split_part(p_type, ' ', 1)").as("type_first"),
+      instr(col("p_name"), "a").as("a_pos"),
+      expr("left(p_name, 5)").as("name5"))
+      .orderBy("p_partkey")
+
   /** Range-join bucket width: 10 minutes in microseconds. */
   val RangeJoinWindowUs = 600000000L
 
