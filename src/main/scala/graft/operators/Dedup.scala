@@ -164,10 +164,19 @@ object Dedup {
     // candidate set itself is tiny — bounded by the LSH bucket / prefix
     // collision counts — so caching it is nearly free.
     val cands = cands0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val candDocs = cands.select(col("i").as("doc_id"))
       .union(cands.select(col("j").as("doc_id"))).distinct()
+    // candDocs is tiny (bounded by the candidate count) → the restriction
+    // is a broadcast join, no shuffle of the shingle frame. Persisted
+    // because it feeds both legs of the intersection join AND the size
+    // aggregation below.
     val shCand = sh.join(candDocs, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // |A| per candidate doc from the RESTRICTED frame — identical values
+    // (the restriction keeps every shingle of a candidate doc) but avoids
+    // re-aggregating + re-shuffling the full corpus-wide shingle frame,
+    // which was the dominant verify-stage cost (measured ~2s at sf0.1).
+    val sizes = shCand.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = shCand.toDF("i", "sa")
       .join(shCand.toDF("j", "sb"),
         col("sa") === col("sb") && col("i") < col("j"))
@@ -206,14 +215,14 @@ object Dedup {
     // groups — per-group overhead dominates); hash aggregation handles
     // high-cardinality keys natively and sh is already cached
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val wDoc = Window.partitionBy("doc_id").orderBy(asc("df"), asc("s"))
-    // sz arrives via an equi-join on doc_id (its shuffle is reused by the
-    // window's required doc_id clustering) rather than a second window
-    // pass over the full shingle frame; sizes stays shuffle-joined, not
-    // broadcast — at scale it has one row per document
+    // sz comes from an unordered window over the SAME doc_id partitioning
+    // as the rank — Catalyst plans both window specs over one Exchange +
+    // one Sort, so the per-doc size costs no extra shuffle (the previous
+    // groupBy+equi-join formulation paid a full aggregate + join of the
+    // shingle frame for the same numbers)
     val ranked = sh.join(dfreq, "s")
-      .join(sizes, "doc_id")
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
       .withColumn("pos", row_number().over(wDoc))
     val prefix = ranked
       .filter(col("pos") <= expr("sz - ((4 * sz + 4) div 5) + 1"))
