@@ -17,6 +17,13 @@ object SparkEntry {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
 
+  /** Sketch-estimate tolerance vs the exact value, shared by the Spark
+    * queries and their oracles: HLL distinct within 5% relative
+    * (both engines' observed error ≤2%), percentile sketches within
+    * ±2.0 absolute on l_quantity ∈ [1, 50] (observed ≤0.6). */
+  val ApproxDistinctRelTol = 0.05
+  val ApproxQuantileAbsTol = 2.0
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's full `main`-mode output: sorted bigram → count →
     * probability over the word corpus (SURVEY.md §7 step 1). */
@@ -135,17 +142,24 @@ object SparkEntry {
     // --- deterministic md5 train/val/test split (reproducible sampling) ---
     "text_split_assign" -> (Curation.splitAssign _),
 
-    // --- approximate distinct (HLL sketch; engine-specific estimate, so
-    //     no cross-engine oracle -> driver rows-only check) ---
+    // --- approximate distinct (HLL sketch). Estimates are engine-
+    //     specific, so the cross-engine check is a BOUNDS check: each
+    //     engine asserts ITS OWN sketch lands within 5% of the exact
+    //     count (both sketches' observed error is ~0.5-2%, so the
+    //     boolean — and therefore the row hash — matches) ---
     "rel_approx_distinct" -> ((s, d) =>
       Tables.lineitem(s, d).groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        .agg(approx_count_distinct(col("l_partkey")).as("ap"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("ap") - col("exact_parts")).cast("double") <=
+            col("exact_parts") * ApproxDistinctRelTol).as("approx_ok"))
         .orderBy("l_returnflag")),
 
-    // --- approximate quantiles (mergeable percentile sketch; estimates
-    //     are engine-specific -> rows-only check, exact values alongside
-    //     for eyeball comparison) ---
+    // --- approximate quantiles (mergeable percentile sketch). Same
+    //     bounds-check pattern: each engine asserts its own sketch is
+    //     within ±2.0 of the exact percentile (observed error ≤0.6 on
+    //     both engines for l_quantity ∈ [1, 50]) ---
     "rel_approx_quantiles" -> ((s, d) =>
       Tables.lineitem(s, d).groupBy("l_returnflag")
         .agg(
@@ -153,6 +167,13 @@ object SparkEntry {
           expr("approx_percentile(l_quantity, 0.99, 1000)").as("ap99"),
           expr("percentile(l_quantity, 0.5)").as("exact_p50"),
           expr("percentile(l_quantity, 0.99)").as("exact_p99"))
+        .select(col("l_returnflag"),
+          round(col("exact_p50"), 6).as("exact_p50"),
+          round(col("exact_p99"), 6).as("exact_p99"),
+          (abs(col("ap50") - col("exact_p50")) <= ApproxQuantileAbsTol)
+            .as("p50_ok"),
+          (abs(col("ap99") - col("exact_p99")) <= ApproxQuantileAbsTol)
+            .as("p99_ok"))
         .orderBy("l_returnflag")),
 
     // --- multimodal plumbing (stubbed decode; see Multimodal scaladoc) ---
@@ -520,6 +541,24 @@ object SparkEntry {
         |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "text_split_assign" -> CurationOracles.splitAssign,
+    // sketch estimates are engine-specific: the checked contract is a
+    // bounds predicate — each engine's own sketch must land within the
+    // shared tolerance of the exact value, making the boolean (and the
+    // row hash) engine-independent
+    "rel_approx_distinct" ->
+      s"""SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+         |  abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+         |    <= count(DISTINCT l_partkey) * $ApproxDistinctRelTol AS approx_ok
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rel_approx_quantiles" ->
+      s"""SELECT l_returnflag,
+         |  round(quantile_cont(l_quantity, 0.5), 6) AS exact_p50,
+         |  round(quantile_cont(l_quantity, 0.99), 6) AS exact_p99,
+         |  abs(approx_quantile(l_quantity, 0.5) - quantile_cont(l_quantity, 0.5))
+         |    <= $ApproxQuantileAbsTol AS p50_ok,
+         |  abs(approx_quantile(l_quantity, 0.99) - quantile_cont(l_quantity, 0.99))
+         |    <= $ApproxQuantileAbsTol AS p99_ok
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "mm_decode_features" -> MultimodalOracles.decodeFeatures,
     "mm_frame_sample" -> MultimodalOracles.frameSample,
     "mm_resize" -> MultimodalOracles.resize,

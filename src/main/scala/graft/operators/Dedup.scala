@@ -98,10 +98,26 @@ object Dedup {
     shingles(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  /** Hot-shingle guard for [[jaccardPairs]]: the naive co-shingle
+    * self-join emits df² rows per shingle, so any hyper-frequent shingle
+    * (a stopword run, boilerplate) makes it quadratic. Rather than
+    * silently detonating at scale, the operator refuses inputs whose max
+    * per-shingle document frequency exceeds this cap and points at
+    * [[jaccardPrefixPairs]] (same results, prefix-filtered index, df-
+    * bounded fan-out). Fixture max df is 25 at sf0.1 — 40× headroom. */
+  val MaxNaiveShingleDf = 1000L
+
   /** Exact Jaccard ≥ 0.8 pairs via inverted-index self-join on shingles:
     * |A∩B| from the equi-join, |A∪B| = |A|+|B|−|A∩B|. */
   def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val sh = shinglesCached(s, d)
+    // eager guard: one aggregate over the (persisted) shingle frame; its
+    // materialization is reused by every branch of the pair plan below
+    val maxDf = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .agg(max("df")).head().getLong(0)
+    require(maxDf <= MaxNaiveShingleDf,
+      s"naive jaccardPairs refused: max per-shingle df $maxDf > " +
+        s"$MaxNaiveShingleDf (quadratic fan-out); use jaccardPrefixPairs")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = sh.toDF("i", "sa")
     val b = sh.toDF("j", "sb")
