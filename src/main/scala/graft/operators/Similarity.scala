@@ -38,19 +38,28 @@ object Similarity {
   def bruteTopK(s: SparkSession, d: String): DataFrame =
     bruteTopKOn(emb(s, d))
 
-  /** [[bruteTopK]] over any (vec_id, embedding) DataFrame. */
+  /** [[bruteTopK]] over any (vec_id, embedding) DataFrame.
+    *
+    * Ranking is a bounded-heap aggregate ([[graft.functions.TopKAgg]]),
+    * not a window: a `row_number() OVER (PARTITION BY query_id)` would
+    * shuffle every corpus row into #queries partitions (10 here) — a
+    * funnel at 100 TB. The aggregate reduces each input partition to a
+    * k-entry buffer map-side; the shuffle carries only
+    * #partitions × #queries × k entries. Same total tie-break order
+    * (cos DESC, neighbor_id ASC), same oracle. */
   def bruteTopKOn(e: DataFrame): DataFrame = {
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(desc("cos"), asc("neighbor_id"))
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", CosineSimilarity(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cos"), 6).as("cosine"))
+      .select(col("query_id"), col("neighbor_id"),
+        CosineSimilarity(col("qv"), col("cv")).as("cos"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg(col("neighbor_id"), col("cos"), K).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "nb")))
+      .select(col("query_id"), col("nb.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        round(col("nb.score"), 6).as("cosine"))
       .orderBy("query_id", "rank")
   }
 

@@ -23,6 +23,15 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("brute top-k plan: bounded-heap aggregate, no per-query window funnel") {
+    // the ranking must be a partial+final aggregate (map-side k-entry
+    // buffers), NOT a window partitioned by query_id — a window would
+    // shuffle the whole corpus into #queries partitions
+    val plan = Similarity.bruteTopK(spark, d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window funnel in brute top-k plan:\n$plan")
+    assert(plan.contains("topk_agg"), s"expected topk_agg in plan:\n$plan")
+  }
+
   test("LSH recall is high on a corpus with planted near-neighbors") {
     // The parquet fixture's vectors are near-orthogonal (max cosine ~0.5),
     // so ANY bucketing has ~zero recall there — that's the data, not the
