@@ -3,11 +3,12 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, BoundReference, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.graftshim
 import org.apache.spark.sql.types.LongType
 
@@ -115,9 +116,23 @@ case class AsOfJoinExec(
 
   override def outputPartitioning = left.outputPartitioning
 
+  /** One output row per left row, emitted in left order — the (key, ts)
+    * ordering the merge required of its left child survives the join, and
+    * declaring it lets the planner elide downstream sorts on (key, ts)
+    * (e.g. a chained as-of join or window over the same key). */
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatchedRows" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatchedRows = longMetric("numMatchedRows")
     val lOut = left.output
     val rOut = right.output
+    val outAttrs = output
     val lk = leftKey
     val rk = rightKey
     val lts = leftTs
@@ -128,6 +143,15 @@ case class AsOfJoinExec(
       val rProj = UnsafeProjection.create(Seq(rk, rts), rOut)
       val nullRight = new GenericInternalRow(rOut.length)
       val joined = new JoinedRow
+      // downstream operators (and SparkPlan.collect) require UnsafeRow;
+      // a bare JoinedRow only survives when a Project happens to sit
+      // above. Bound by POSITION with the output's nullability (right side
+      // nullable) — BindReferences would take nullability from the child
+      // attributes, eliding the null checks and turning unmatched-row
+      // nulls into zeros
+      val outProj = UnsafeProjection.create(outAttrs.zipWithIndex.map {
+        case (a, i) => BoundReference(i, a.dataType, a.nullable)
+      })
 
       new Iterator[InternalRow] {
         private var rRow: InternalRow = _     // current right head (unconsumed)
@@ -155,8 +179,9 @@ case class AsOfJoinExec(
         override def next(): InternalRow = {
           val lRow = lIter.next()
           val kv = lProj(lRow)
+          numOutputRows += 1
           if (kv.isNullAt(0) || kv.isNullAt(1)) {
-            joined(lRow, nullRight) // null key/ts never matches
+            outProj(joined(lRow, nullRight)) // null key/ts never matches
           } else {
             val k = kv.getLong(0)
             val ts = kv.getLong(1)
@@ -168,8 +193,10 @@ case class AsOfJoinExec(
               }
               advanceRight()
             }
-            if (haveMatch && lastKey == k) joined(lRow, lastMatch)
-            else joined(lRow, nullRight)
+            if (haveMatch && lastKey == k) {
+              numMatchedRows += 1
+              outProj(joined(lRow, lastMatch))
+            } else outProj(joined(lRow, nullRight))
           }
         }
       }

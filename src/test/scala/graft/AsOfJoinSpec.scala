@@ -95,6 +95,55 @@ class AsOfJoinSpec extends AnyFunSuite {
       s"unused wide column must be pruned out of the scan:\n$plan")
   }
 
+  test("native as-of declares (key, ts) output ordering: downstream sort elided") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("p_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("r_user"), unix_micros(col("ts")).as("c_us"))
+    val joined = graft.plans.NativeAsOf
+      .joinAsOf(purchases, clicks, "user_id", "r_user", "p_us", "c_us")
+    def nSorts(df: org.apache.spark.sql.DataFrame): Int =
+      "\\bSort\\b".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    // a partition-local sort on exactly the join's (key, ts) must be
+    // satisfied by the exec's declared outputOrdering — no new Sort node
+    val resorted = joined.sortWithinPartitions("user_id", "p_us")
+    assert(nSorts(resorted) === nSorts(joined),
+      s"redundant Sort above AsOfJoinExec:\n${resorted.queryExecution.executedPlan}")
+  }
+
+  test("native as-of exec reports SQL metrics") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    // raw join, no trailing orderBy: a global sort's range partitioner
+    // SAMPLES its child RDD, executing the exec twice and double-counting
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("p_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("r_user"), unix_micros(col("ts")).as("c_us"))
+    val df = graft.plans.NativeAsOf
+      .joinAsOf(purchases, clicks, "user_id", "r_user", "p_us", "c_us")
+    // drive THIS QueryExecution (count() would plan a separate one whose
+    // exec instance owns the populated metrics)
+    val n = df.collect().length.toLong
+    // descend through AQE wrappers: query stages hold their subtree as a
+    // member, not a child, so a plain collectFirst never sees the exec
+    def findExec(p: SparkPlan): Option[graft.plans.AsOfJoinExec] = p match {
+      case a: AdaptiveSparkPlanExec => findExec(a.executedPlan)
+      case q: QueryStageExec => findExec(q.plan)
+      case a: graft.plans.AsOfJoinExec => Some(a)
+      case other => other.children.view.flatMap(findExec(_)).headOption
+    }
+    val exec = findExec(df.queryExecution.executedPlan)
+    assert(exec.isDefined, "AsOfJoinExec not found in final plan")
+    assert(exec.get.metrics("numOutputRows").value === n)
+    val matched = exec.get.metrics("numMatchedRows").value
+    assert(matched > 0 && matched <= n)
+  }
+
   test("purchase->click as-of: gaps are non-negative, schema complete") {
     val rows = AsOfJoin.clickToPurchase(spark, "/root/testdata/sf0.001")
       .collect()
