@@ -27,4 +27,22 @@ object ReferenceSink {
       path: String): Unit =
     formatted(df, keyCol, valCol).coalesce(1)
       .write.mode("overwrite").text(path)
+
+  /** Split-phase partitioned word sink — the reference's 26-way
+    * first-letter fan-out (`/root/reference/mapreduce.erl:158-185`:
+    * `readLines` filters each word and appends it to `only<c>.txt`).
+    *
+    * Re-expressed as a hive-partitioned text write: the same split-phase
+    * filter, then `partitionBy(first_letter)` so each letter's words land
+    * in their own directory (`first_letter=c/part-*.txt` — the layout
+    * analog of `onlyc.txt`). Unlike the reference's single-process file
+    * fan-out, every partition is written in parallel by whichever tasks
+    * hold the data, and a downstream scan filtered on `first_letter`
+    * prunes to one directory (the reference's "mapper per letter file"
+    * becomes partition pruning). */
+  def writeSplitPhase(words: DataFrame, path: String): Unit =
+    graft.operators.TextPipeline.mainFilter(words)
+      .select(col("w").as("value"),
+        substring(col("w"), 1, 1).as("first_letter"))
+      .write.mode("overwrite").partitionBy("first_letter").text(path)
 }
