@@ -109,6 +109,7 @@ object SparkEntry {
     "ann_topk_brute" -> (Similarity.bruteTopK _),
     "ann_topk_lsh" -> (Similarity.lshTopK _),
     "ann_topk_ivf" -> (Similarity.ivfTopK _),
+    "ann_topk_ivf_kmeans" -> (Similarity.ivfKmeansTopK _),
 
     // --- text analysis (curation ops) ---
     "text_langid" -> (TextAnalysis.langId _),
@@ -519,6 +520,7 @@ object SparkEntry {
     "ann_topk_brute" -> SimilarityOracles.bruteTopK,
     "ann_topk_lsh" -> SimilarityOracles.lshTopK,
     "ann_topk_ivf" -> SimilarityOracles.ivfTopK,
+    "ann_topk_ivf_kmeans" -> SimilarityOracles.ivfKmeansTopK,
     "text_langid" -> TextAnalysisOracles.langId,
     "text_quality" -> TextAnalysisOracles.quality,
     "text_token_counts" -> TextAnalysisOracles.tokenCounts,

@@ -147,7 +147,7 @@ object Similarity {
         .withColumn("crn", row_number().over(
           Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cent_id"))))
         .filter(col("crn") === 1)
-      cents = assigned
+      val next = assigned
         .select(col("cent_id"), posexplode(col("embedding")).as(Seq("d", "x")))
         .groupBy("cent_id", "d")
         .agg(expr("sum(cast(floor(x * 1048576.0) as bigint)) div count(1)")
@@ -156,8 +156,28 @@ object Similarity {
         .agg(expr(
           "transform(sort_array(collect_list(struct(d, mq)))," +
             " s -> cast(s.mq / 1048576.0 as float))").as("cv"))
+      // materialize + truncate lineage each Lloyd step: without this the
+      // logical plan doubles per iteration (each step re-plans every prior
+      // crossJoin/window/agg) and analysis/codegen time grows superlinearly.
+      // The codebook is k rows — checkpointing it is nearly free. On a
+      // cluster, swap localCheckpoint for a reliable checkpoint dir.
+      cents = next.localCheckpoint()
     }
     cents
+  }
+
+  /** How many Lloyd iterations the driver-surface trained-IVF query runs
+    * (shared with the generated oracle, which unrolls the same count). */
+  val KmeansIters = 2
+
+  /** IVF ANN over a TRAINED (k-means) codebook — the production IVF
+    * shape: [[kmeansCentroids]] tightens the cells, then the standard
+    * assign/probe/rerank runs against the trained codebook. Because the
+    * Lloyd step is exact-integer-deterministic, the DuckDB oracle
+    * replicates the entire pipeline including training. */
+  def ivfKmeansTopK(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    ivfTopKOn(e, kmeansCentroids(e, KmeansIters))
   }
 
   /** [[ivfTopK]] over any (vec_id, embedding) DataFrame with the default
@@ -248,6 +268,73 @@ object SimilarityOracles {
        |)
        |SELECT query_id, neighbor_id, rank, cosine FROM ranked
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  /** Replicates the ENTIRE trained-IVF pipeline — including
+    * [[Similarity.kmeansCentroids]]'s Lloyd iterations — in SQL. Possible
+    * because the Lloyd step is exact-integer arithmetic: components are
+    * floor-quantized to 2^20ths, summed as integers, divided with
+    * truncating integer division (Spark `div` ≡ DuckDB `//`, both
+    * toward zero), and re-emitted through float32 on both engines. */
+  val ivfKmeansTopK: String = {
+    val iters = Similarity.KmeansIters
+    val lloyd = (1 to iters).map { i =>
+      s"""a$i AS (
+         |  SELECT e.vec_id, c.cent_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+         |               c.cent_id) AS crn
+         |  FROM embeddings e, c${i - 1} c
+         |),
+         |m$i AS (
+         |  SELECT a.cent_id, dm.d, sum(dm.qv) // count(*) AS mq
+         |  FROM a$i a JOIN dims dm USING (vec_id)
+         |  WHERE a.crn = 1 GROUP BY 1, 2
+         |),
+         |c$i AS (
+         |  SELECT cent_id, list((mq / 1048576.0)::FLOAT ORDER BY d) AS cv
+         |  FROM m$i GROUP BY 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH dims AS (
+       |  SELECT vec_id, d,
+       |    floor(embedding[d]::DOUBLE * 1048576.0)::BIGINT AS qv
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(d)
+       |),
+       |c0 AS (
+       |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+       |  WHERE vec_id % ${Similarity.CentroidMod} = 0
+       |),
+       |$lloyd,
+       |assigned AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+       |               c.cent_id) AS crn
+       |  FROM embeddings e, c$iters c
+       |),
+       |cells AS (SELECT vec_id AS neighbor_id, cent_id FROM assigned WHERE crn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cent_id FROM assigned
+       |  WHERE crn <= ${Similarity.NProbe} AND vec_id < $NumQueries
+       |),
+       |cands AS (
+       |  SELECT DISTINCT p.query_id, cl.neighbor_id
+       |  FROM probes p JOIN cells cl USING (cent_id)
+       |  WHERE cl.neighbor_id <> p.query_id
+       |),
+       |rr AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+       |               neighbor_id) AS INTEGER) AS rank,
+       |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+       |  FROM cands
+       |  JOIN embeddings q ON q.vec_id = query_id
+       |  JOIN embeddings c ON c.vec_id = neighbor_id
+       |)
+       |SELECT query_id, neighbor_id, rank, cosine FROM rr
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
 
   /** Replicates the deterministic IVF pipeline: same centroid selection,
     * same assignment/probe windows, same exact rerank. */
