@@ -183,9 +183,12 @@ object SparkEntry {
     "mm_frame_sample" -> (Multimodal.frameSample _),
     "mm_resize" -> (Multimodal.resize _),
 
-    // --- sessionization (batch window form; stateful streaming variant
-    //     in graft.streaming is spec-tested for equivalence) ---
+    // --- sessionization (batch window form + the stateful variant run
+    //     under the actual streaming engine; both checked against ONE
+    //     oracle) ---
     "events_sessionized" -> (graft.streaming.EventStream.sessionizeBatch _),
+    "events_sessionized_stream" ->
+      (graft.streaming.EventStream.sessionizeStreamVerified _),
   )
 
   // Shared oracle-SQL fragments (DuckDB dialect), mirroring TextPipeline.
@@ -566,23 +569,28 @@ object SparkEntry {
     "mm_decode_features" -> MultimodalOracles.decodeFeatures,
     "mm_frame_sample" -> MultimodalOracles.frameSample,
     "mm_resize" -> MultimodalOracles.resize,
-    "events_sessionized" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
-        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
-        |  FROM events
-        |), marked AS (
-        |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 600000000
-        |    THEN 1 ELSE 0 END AS new_session FROM e
-        |), sess AS (
-        |  SELECT *, (sum(new_session) OVER (PARTITION BY user_id
-        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) - 1)::INTEGER AS session_idx
-        |  FROM marked
-        |)
-        |SELECT user_id, session_idx, min(us)::BIGINT AS start_us,
-        |  max(us)::BIGINT AS end_us, count(*)::INTEGER AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-        |FROM sess GROUP BY user_id, session_idx
-        |ORDER BY user_id, session_idx""".stripMargin,
+    "events_sessionized" -> sessionizedOracle,
+    // the streaming run of the stateful sessionizer must reproduce the
+    // batch gaps-and-islands result bit-for-bit — one oracle, both forms
+    "events_sessionized_stream" -> sessionizedOracle,
   )
+
+  private lazy val sessionizedOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |  FROM events
+      |), marked AS (
+      |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 600000000
+      |    THEN 1 ELSE 0 END AS new_session FROM e
+      |), sess AS (
+      |  SELECT *, (sum(new_session) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) - 1)::INTEGER AS session_idx
+      |  FROM marked
+      |)
+      |SELECT user_id, session_idx, min(us)::BIGINT AS start_us,
+      |  max(us)::BIGINT AS end_us, count(*)::INTEGER AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM sess GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
 }

@@ -131,6 +131,47 @@ object EventStream {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Driver-surface STREAMING sessionization — the stateful
+    * [[sessionizeStateful]] pipeline run under the actual streaming
+    * engine (file source → keyed state store → parquet sink,
+    * `Trigger.AvailableNow`), returning the sink's contents so the
+    * driver checks it against the SAME DuckDB oracle as the batch
+    * gaps-and-islands query: one oracle, three implementations (window
+    * SQL, stateful batch, stateful streaming).
+    *
+    * Exact-sum trick: `value` is pre-quantized to integer micro-units by
+    * Spark's own DECIMAL(18,6) cast, so the stateful accumulation is
+    * exact integer arithmetic (lossless in a Double below 2^53), and one
+    * IEEE division by 1e6 at the end lands on the identical double the
+    * DECIMAL sum → DOUBLE cast produces on both engines.
+    *
+    * The bounded fixture arrives as a single micro-batch, so
+    * `closeTrailing = true` (emit the final open session per key) gives
+    * the complete session set; the watermark-timeout lifecycle for
+    * unbounded inputs is exercised by the MemoryStream specs. */
+  def sessionizeStreamVerified(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-sess-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sess-ckpt").toString
+    val ev = readEventStream(s, d)
+      .select(col("user_id"), col("ts"),
+        (col("value").cast(DecimalType(18, 6)) * 1000000).cast("double")
+          .as("value"))
+      .as[Ev]
+    val q = sessionizeStateful(ev, closeTrailing = true).toDF()
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .select(col("user_id"), col("session_idx"), col("start_us"),
+        col("end_us"), col("n_events"),
+        (col("sum_value") / 1e6).as("sum_value"))
+      .orderBy("user_id", "session_idx")
+  }
+
   // ------------------------------------------------------------------
   // … and the stateful streaming equivalent
   // ------------------------------------------------------------------
