@@ -40,13 +40,15 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(runOnce) // warmup pass (JIT + codegen compilation)
-    // two timed passes, report the min: JIT compilation of a heavy query
-    // can still straddle the first timed pass
-    val pass1 = names.map(n => n -> runOnce(n)).toMap
+    // three timed passes, report the per-query min: JIT compilation can
+    // straddle the first timed pass, and the code-cache flush/deopt
+    // storms this box exhibits (see build.sbt javaOptions) occasionally
+    // contaminate a whole pass — two timed passes proved insufficient
+    // (observed: one storm run doubled half the suite in BOTH passes)
+    val passes = (1 to 3).map(_ => names.map(n => n -> runOnce(n)).toMap)
     val results = names.map { n =>
-      val t2 = runOnce(n)
-      val t1 = pass1(n)
-      n -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
+      val ts = passes.map(_(n))
+      n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
 
     val qs = results.map { case (k, v) => s""""$k":$v""" }
