@@ -24,6 +24,13 @@ object SparkEntry {
   val ApproxDistinctRelTol = 0.05
   val ApproxQuantileAbsTol = 2.0
 
+  /** Histogram-sketch parameters for `rel_hist_quantiles` (shared with
+    * the generated oracle): l_quantity ∈ [1, 50] → declared range
+    * [0, 50], 1000 bins, value error ≤ 0.05. */
+  val HistLo = 0.0
+  val HistHi = 50.0
+  val HistBins = 1000
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's full `main`-mode output: sorted bigram → count →
     * probability over the word corpus (SURVEY.md §7 step 1). */
@@ -177,6 +184,44 @@ object SparkEntry {
           (abs(col("ap99") - col("exact_p99")) <= ApproxQuantileAbsTol)
             .as("p99_ok"))
         .orderBy("l_returnflag")),
+
+    // --- deterministic mergeable quantile sketch (custom UDAF): unlike
+    //     t-digest/KLL, the histogram merge is commutative+associative,
+    //     so the estimate is partitioning-independent and the oracle
+    //     replicates the whole sketch EXACTLY (hash match, not bounds) ---
+    "rel_hist_quantiles" -> ((s, d) => {
+      import graft.functions.HistQuantileAgg
+      val x = col("l_quantity").cast("double")
+      def hq(q: Double) = round(
+        HistQuantileAgg(x, HistLo, HistHi, HistBins, q), 9)
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(hq(0.5).as("hq50"), hq(0.9).as("hq90"), hq(0.99).as("hq99"))
+        .orderBy("l_returnflag")
+    }),
+
+    // --- HLL sketches as DATA: per-group sketches union-merged into a
+    //     grand-total row (the 100 TB reaggregation pattern — distinct
+    //     counts over rollups without re-reading the fact table); each
+    //     engine bounds-checks its own sketch against the exact count ---
+    "rel_hll_sketch_union" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val grouped = li.groupBy("l_returnflag")
+        .agg(hll_sketch_agg(col("l_partkey")).as("sk"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .persist() // consumed twice: per-group rows + the merged ALL row
+      val perFlag = grouped.select(col("l_returnflag"),
+        col("exact_parts"), hll_sketch_estimate(col("sk")).as("ap"))
+      val merged = grouped.agg(hll_union_agg(col("sk")).as("sk"))
+        .crossJoin(broadcast(
+          li.agg(countDistinct(col("l_partkey")).as("exact_parts"))))
+        .select(lit("ALL").as("l_returnflag"), col("exact_parts"),
+          hll_sketch_estimate(col("sk")).as("ap"))
+      perFlag.union(merged)
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("ap") - col("exact_parts")).cast("double") <=
+            col("exact_parts") * ApproxDistinctRelTol).as("approx_ok"))
+        .orderBy("l_returnflag")
+    }),
 
     // --- multimodal plumbing (stubbed decode; see Multimodal scaladoc) ---
     "mm_decode_features" -> (Multimodal.decodeFeatures _),
@@ -557,6 +602,21 @@ object SparkEntry {
          |  abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
          |    <= count(DISTINCT l_partkey) * $ApproxDistinctRelTol AS approx_ok
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact replication of the deterministic histogram sketch: same
+    // binning, same ⌈q·n⌉ rank, same within-bin interpolation, same
+    // operation order — hash-exact, not a bounds check
+    "rel_hist_quantiles" -> histQuantilesOracle,
+    "rel_hll_sketch_union" ->
+      s"""SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+         |  abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+         |    <= count(DISTINCT l_partkey) * $ApproxDistinctRelTol AS approx_ok
+         |FROM lineitem GROUP BY 1
+         |UNION ALL
+         |SELECT 'ALL', count(DISTINCT l_partkey),
+         |  abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+         |    <= count(DISTINCT l_partkey) * $ApproxDistinctRelTol
+         |FROM lineitem
+         |ORDER BY l_returnflag""".stripMargin,
     "rel_approx_quantiles" ->
       s"""SELECT l_returnflag,
          |  round(quantile_cont(l_quantity, 0.5), 6) AS exact_p50,
@@ -574,6 +634,45 @@ object SparkEntry {
     // batch gaps-and-islands result bit-for-bit — one oracle, both forms
     "events_sessionized_stream" -> sessionizedOracle,
   )
+
+  /** Replicates [[graft.functions.HistQuantileAgg]] bin-for-bin: clamp
+    * into [0, bins), cumulative counts in bin order, target rank
+    * ⌈q·n⌉ (≥1), linear interpolation by rank fraction within the first
+    * bin reaching the rank — identical double operation order to the
+    * aggregate's eval, so the comparison is exact. */
+  private lazy val histQuantilesOracle: String = {
+    val w = (HistHi - HistLo) / HistBins
+    s"""WITH b AS (
+       |  SELECT l_returnflag,
+       |    least(greatest(floor((l_quantity::DOUBLE - $HistLo) / $w)::BIGINT, 0),
+       |      ${HistBins - 1}) AS bin
+       |  FROM lineitem WHERE l_quantity IS NOT NULL
+       |),
+       |c AS (SELECT l_returnflag, bin, count(*) AS n FROM b GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT l_returnflag, bin, n,
+       |    sum(n) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+       |    sum(n) OVER (PARTITION BY l_returnflag) AS tot
+       |  FROM c
+       |),
+       |pick AS (
+       |  SELECT l_returnflag, qq.q, bin, n, cum - n AS cumbefore,
+       |    greatest(ceil(qq.q * tot)::BIGINT, 1) AS r,
+       |    row_number() OVER (PARTITION BY l_returnflag, qq.q ORDER BY bin) AS rn
+       |  FROM cum, (VALUES (0.5), (0.9), (0.99)) qq(q)
+       |  WHERE cum >= greatest(ceil(qq.q * tot)::BIGINT, 1)
+       |),
+       |est AS (
+       |  SELECT l_returnflag, q,
+       |    round($HistLo + $w * bin + $w * ((r - cumbefore)::DOUBLE / n::DOUBLE), 9) AS e
+       |  FROM pick WHERE rn = 1
+       |)
+       |SELECT l_returnflag,
+       |  max(CASE WHEN q = 0.5 THEN e END) AS hq50,
+       |  max(CASE WHEN q = 0.9 THEN e END) AS hq90,
+       |  max(CASE WHEN q = 0.99 THEN e END) AS hq99
+       |FROM est GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   private lazy val sessionizedOracle: String =
     """WITH e AS (
