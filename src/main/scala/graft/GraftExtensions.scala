@@ -23,6 +23,17 @@ object GraftFunctions {
       s"$fn expects a literal int argument, got $other")
   }
 
+  // SQL fractional literals arrive as DECIMAL (0.5 → Decimal(1,1)), so a
+  // double parameter must accept both representations
+  private def doubleArg(e: Expression, fn: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case Literal(v: Int, _) => v.toDouble
+    case Literal(v: Long, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal numeric argument, got $other")
+  }
+
   val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("ngram_array", classOf[NGramArray].getName,
       args => NGramArray(args.head, intArg(args(1), "ngram_array"))),
@@ -35,7 +46,15 @@ object GraftFunctions {
     ("vector_norm", classOf[VectorNorm].getName,
       args => VectorNorm(args.head)),
     ("simhash_agg", classOf[SimHashAgg].getName,
-      args => SimHashAgg(args.head).toAggregateExpression()))
+      args => SimHashAgg(args.head).toAggregateExpression()),
+    ("topk_agg", classOf[TopKAgg].getName,
+      args => TopKAgg(args(0), args(1), intArg(args(2), "topk_agg"))
+        .toAggregateExpression()),
+    ("hist_quantile", classOf[HistQuantileAgg].getName,
+      args => HistQuantileAgg(args(0),
+        doubleArg(args(1), "hist_quantile"), doubleArg(args(2), "hist_quantile"),
+        intArg(args(3), "hist_quantile"), doubleArg(args(4), "hist_quantile"))
+        .toAggregateExpression()))
 
   /** Register on a live session (temp functions). */
   def register(spark: SparkSession): Unit = all.foreach {

@@ -138,6 +138,7 @@ object SparkEntry {
     //     LogicalPlan + SparkStrategy + merge executor) — same oracle ---
     "rel_asof_click_purchase" -> (AsOfJoin.clickToPurchase _),
     "rel_asof_native" -> (AsOfJoin.clickToPurchaseNative _),
+    "rel_asof_chain" -> (AsOfJoin.purchaseAttributionChain _),
 
     // --- pivot ---
     "rel_pivot_user_events" -> ((s, d) => {
@@ -584,6 +585,18 @@ object SparkEntry {
     // the native custom-plan as-of join must produce byte-identical
     // results to the composed one — one oracle checks both
     "rel_asof_native" -> asofOracle,
+    // chained ASOF: DuckDB chains them natively; the engine's chained
+    // native execs must agree
+    "rel_asof_chain" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT * FROM events WHERE event_type = 'click'),
+        |v AS (SELECT * FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+        |  epoch_us(c.ts) AS click_us, epoch_us(v.ts) AS view_us
+        |FROM p
+        |ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin,
     "rel_pivot_user_events" ->
       """SELECT user_id,
         |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,

@@ -72,6 +72,33 @@ object AsOfJoin {
       .orderBy("event_id")
   }
 
+  /** CHAINED native as-of joins: purchase → latest click ≤ purchase →
+    * latest view ≤ purchase. The payoff of [[graft.plans.AsOfJoinExec]]
+    * declaring its output partitioning (left's user_id clustering) and
+    * ordering (user_id, purchase_us): the second join's left side needs
+    * NO new exchange and NO new sort — the plan holds exactly one
+    * shuffle+sort per INPUT (3 total), not per join (which would be 4),
+    * pinned by a plan-shape spec. The chain pattern is how multi-signal
+    * attribution looks at 100 TB: each extra signal costs only its own
+    * shuffle. */
+  def purchaseAttributionChain(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), unix_micros(col("ts")).as("click_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), unix_micros(col("ts")).as("view_us"))
+    val j1 = graft.plans.NativeAsOf.joinAsOf(purchases, clicks,
+      "user_id", "c_user", "purchase_us", "click_us")
+    val j2 = graft.plans.NativeAsOf.joinAsOf(j1, views,
+      "user_id", "v_user", "purchase_us", "view_us")
+    j2.select(col("event_id"), col("user_id"), col("purchase_us"),
+        col("click_us"), col("view_us"))
+      .orderBy("event_id")
+  }
+
   /** For every purchase event: the user's most recent click at or before
     * it, and the gap in microseconds (null when the purchase precedes any
     * click). */

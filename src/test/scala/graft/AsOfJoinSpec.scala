@@ -144,6 +144,34 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(matched > 0 && matched <= n)
   }
 
+  test("chained as-of joins: one shuffle+sort per INPUT, not per join") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("p_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), unix_micros(col("ts")).as("v_us"))
+    val j1 = graft.plans.NativeAsOf.joinAsOf(purchases, clicks,
+      "user_id", "c_user", "p_us", "c_us")
+    val j2 = graft.plans.NativeAsOf.joinAsOf(j1, views,
+      "user_id", "v_user", "p_us", "v_us")
+    j2.collect()
+    // the adaptive plan's toString appends the pre-AQE "Initial Plan"
+    // section — count nodes in the final plan only
+    val plan = j2.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    def count(token: String) = token.r.findAllIn(plan).length
+    assert(count("AsOfJoin ") === 2, s"expected 2 execs:\n$plan")
+    // 3 inputs -> 3 hash exchanges and 3 sorts; the second join's left
+    // side rides the first exec's declared partitioning + ordering
+    assert(count("Exchange hashpartitioning") === 3,
+      s"second join's left must not re-shuffle:\n$plan")
+    assert(count(" Sort \\[") === 3,
+      s"second join's left must not re-sort:\n$plan")
+  }
+
   test("purchase->click as-of: gaps are non-negative, schema complete") {
     val rows = AsOfJoin.clickToPurchase(spark, "/root/testdata/sf0.001")
       .collect()

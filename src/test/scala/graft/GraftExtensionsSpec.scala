@@ -39,5 +39,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "SELECT vector_norm(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS n")
       .as[Double].head()
     assert(norm === 5.0)
+
+    // top-2 of ids 0..4 scored by id: (4, 3), ranks from array position
+    val topk = spark.sql(
+      "SELECT topk_agg(id, CAST(id AS DOUBLE), 2) AS t FROM range(5)")
+      .as[Seq[(Long, Double)]].head()
+    assert(topk === Seq((4L, 4.0), (3L, 3.0)))
+
+    // median of 0..9 over [0,10) in 10 unit bins: rank 5 → bin 4, one
+    // value per bin → 0 + 1*4 + 1*(1/1) = 5.0
+    val hq = spark.sql(
+      "SELECT hist_quantile(CAST(id AS DOUBLE), 0.0, 10.0, 10, 0.5) AS q FROM range(10)")
+      .as[Double].head()
+    assert(hq === 5.0)
   }
 }
