@@ -235,6 +235,11 @@ object SparkEntry {
     "events_sessionized" -> (graft.streaming.EventStream.sessionizeBatch _),
     "events_sessionized_stream" ->
       (graft.streaming.EventStream.sessionizeStreamVerified _),
+
+    // --- stream-stream interval join under the streaming engine,
+    //     oracle-checked against the plain SQL interval join ---
+    "events_range_join_stream" ->
+      (graft.streaming.EventStream.clickAttributionStreamVerified _),
   )
 
   // Shared oracle-SQL fragments (DuckDB dialect), mirroring TextPipeline.
@@ -643,6 +648,14 @@ object SparkEntry {
     "mm_frame_sample" -> MultimodalOracles.frameSample,
     "mm_resize" -> MultimodalOracles.resize,
     "events_sessionized" -> sessionizedOracle,
+    "events_range_join_stream" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.event_id AS p_event, c.event_id AS c_event,
+        |  epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS c_us
+        |FROM p JOIN c ON c.user_id = p.user_id
+        |  AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+        |ORDER BY p_event, c_event""".stripMargin,
     // the streaming run of the stateful sessionizer must reproduce the
     // batch gaps-and-islands result bit-for-bit — one oracle, both forms
     "events_sessionized_stream" -> sessionizedOracle,

@@ -102,6 +102,37 @@ object EventStream {
         expr("""user_id = c_user AND
                 cts >= pts - interval 10 minutes AND cts <= pts"""))
 
+  /** Driver-surface STREAM-STREAM interval join: [[clickAttributionStream]]
+    * run under the streaming engine as a self-join of two filtered reads
+    * of the event stream (watermarked both sides, parquet sink,
+    * `Trigger.AvailableNow`), returning the matched (purchase, click)
+    * pairs for the driver's oracle compare against the plain SQL interval
+    * join. Inner joins emit matches as both sides arrive, so on a bounded
+    * input the streaming result equals the batch join exactly; the
+    * watermarks' job — state eviction — is exercised by the MemoryStream
+    * specs. */
+  def clickAttributionStreamVerified(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-attr-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-attr-ckpt").toString
+    val ev = readEventStream(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event"), col("user_id"),
+        col("ts").as("pts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_event"), col("user_id").as("c_user"),
+        col("ts").as("cts"))
+    val q = clickAttributionStream(purchases, clicks)
+      .select(col("p_event"), col("c_event"),
+        unix_micros(col("pts")).as("p_us"), unix_micros(col("cts")).as("c_us"))
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out).orderBy("p_event", "c_event")
+  }
+
   // ------------------------------------------------------------------
   // sessionization: gaps-and-islands (batch SQL) …
   // ------------------------------------------------------------------
