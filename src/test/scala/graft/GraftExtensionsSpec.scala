@@ -53,4 +53,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .as[Double].head()
     assert(hq === 5.0)
   }
+
+  test("Graft.install wires SQL functions and the native as-of on a live session") {
+    import spark.implicits._
+    Graft.install(spark)
+    assert(spark.sql("SELECT vector_norm(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))")
+      .as[Double].head() === 5.0)
+    val left = Seq((1L, 10L, "a")).toDF("k", "lts", "v")
+    val right = Seq((1L, 5L, 7L)).toDF("rk", "rts", "rv")
+    val j = graft.plans.NativeAsOf.joinAsOf(left, right, "k", "rk", "lts", "rts")
+    assert(j.select("rv").as[Option[Long]].head() === Some(7L))
+    assert(j.queryExecution.executedPlan.toString.contains("AsOfJoin "))
+  }
 }
