@@ -28,4 +28,22 @@ class FormatsSpec extends AnyFunSuite {
       .json(jsonPath).collect().toSet
     assert(jsonBack === want, "json round-trip")
   }
+
+  test("query results round-trip through the orc sink, schema preserved") {
+    val df = Relational.pricingSummary(spark, d)
+    val want = df.collect().toSet
+    val orcPath = "/tmp/graft-test-warehouse/rt_orc"
+    df.write.mode("overwrite").orc(orcPath)
+    val back = spark.read.orc(orcPath)
+    // names + types survive (ORC reads every column as nullable)
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      df.schema.map(f => (f.name, f.dataType)), "orc carries its own schema")
+    assert(back.collect().toSet === want, "orc round-trip")
+    // columnar format: predicate + column pruning reach the ORC scan
+    val pruned = back.select("l_returnflag").filter(
+      org.apache.spark.sql.functions.col("l_returnflag") === "A")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema: struct<l_returnflag:string>"),
+      s"orc scan must prune columns:\n$scan")
+  }
 }
