@@ -128,6 +128,7 @@ object SparkEntry {
     // --- curation ops (normalization, LM scoring, sampling, pipeline) ---
     "text_top_terms" -> (TextAnalysis.topTerms _),
     "text_doc_similarity" -> (TextAnalysis.docSimilarity _),
+    "text_bm25" -> (TextAnalysis.bm25Retrieval _),
     "text_normalize" -> (Curation.normalize _),
     "text_lm_score" -> (Curation.lmScore _),
     "text_curation_pipeline" -> (Curation.curationPipeline _),
@@ -553,6 +554,7 @@ object SparkEntry {
         |FROM li GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_top_terms" -> TextAnalysisOracles.topTerms,
     "text_doc_similarity" -> TextAnalysisOracles.docSimilarity,
+    "text_bm25" -> TextAnalysisOracles.bm25Retrieval,
     "rel_array_funcs" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS INTEGER) AS dim,

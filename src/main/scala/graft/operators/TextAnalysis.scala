@@ -170,6 +170,49 @@ object TextAnalysis {
       .orderBy("doc_a", "doc_b")
   }
 
+  val Bm25K = 20
+  val Bm25QueryTerms = 3
+
+  /** BM25 document retrieval in EXACT integer arithmetic — the classic
+    * probabilistic ranking function, cross-engine-checkable because the
+    * standard constants are rationals that fold into integers:
+    * with k1 = 6/5, b = 3/4 (and idf as [[tfIdfExpr]]'s scaled-integer
+    * rational, not a float log),
+    *
+    *   score = idf · tf·(k1+1) / (tf + k1·(1−b) + k1·b·len·N/Σlen)
+    *
+    * multiplied through by 10·Σlen becomes
+    *
+    *   (idf·22·tf·Σlen) div (10·tf·Σlen + 3·Σlen + 9·len·N)
+    *
+    * — pure BIGINT ops, truncating division identical on both engines.
+    * Overflow envelope: idf ≤ N·IdfScale; the numerator stays under
+    * 2^63 while N·IdfScale·22·tf·Σlen does (≈3·10^16 at sf0.1; re-scale
+    * IdfScale down for corpora beyond ~10^9 tokens).
+    *
+    * The "query" is self-derived (top-[[Bm25QueryTerms]] terms by df,
+    * ties alphabetical) so the operator is deterministic per dataset.
+    * Scale: tf/df/len are hash aggregations; query terms broadcast; the
+    * scalar Σlen broadcast; ranking ends in TakeOrderedAndProject. */
+  def bm25Retrieval(s: SparkSession, d: String): DataFrame = {
+    val toks = docsWithTokens(s, d).select("doc_id", "w")
+    val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val sums = toks.agg(count(lit(1)).as("sumlen"))
+    val stats = termStats(s, d) // (doc_id, w, tf, df, n_docs)
+    val qterms = stats.select("w", "df").distinct()
+      .orderBy(desc("df"), asc("w")).limit(Bm25QueryTerms)
+      .select("w")
+    stats.join(broadcast(qterms), "w")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(sums))
+      .withColumn("idf_i", expr(s"(n_docs * $IdfScale) div df"))
+      .withColumn("s_i", expr(
+        "(idf_i * 22 * tf * sumlen) div " +
+          "(10 * tf * sumlen + 3 * sumlen + 9 * len * n_docs)"))
+      .groupBy("doc_id").agg(sum("s_i").as("bm25"))
+      .orderBy(desc("bm25"), asc("doc_id")).limit(Bm25K)
+  }
+
   def fingerprint(s: SparkSession, d: String): DataFrame = {
     val sh = Tables.documents(s, d).select(
       col("doc_id"),
@@ -268,6 +311,26 @@ object TextAnalysisOracles {
        |FROM dots JOIN norms na ON da = na.doc_id JOIN norms nb ON db = nb.doc_id
        |WHERE round(dot / (sqrt(na.sq) * sqrt(nb.sq)), 6) >= ${TextAnalysis.DocSimThreshold}
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Replicates the integer BM25 exactly: same scaled-integer idf, same
+    * folded rational constants (22/10/3/9 from k1=6/5, b=3/4), same
+    * truncating divisions. */
+  val bm25Retrieval: String =
+    s"""WITH $toksCte,
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dfq AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+       |tot AS (SELECT count(*) AS sumlen FROM toks),
+       |q AS (SELECT w FROM dfq ORDER BY df DESC, w LIMIT ${TextAnalysis.Bm25QueryTerms}),
+       |sc AS (
+       |  SELECT tf.doc_id,
+       |    (((n.n_docs * ${TextAnalysis.IdfScale}) // dfq.df) * 22 * tf.tf * tot.sumlen)
+       |      // (10 * tf.tf * tot.sumlen + 3 * tot.sumlen + 9 * lens.len * n.n_docs) AS s
+       |  FROM tf JOIN q USING (w) JOIN dfq USING (w) JOIN lens USING (doc_id), n, tot
+       |)
+       |SELECT doc_id, sum(s)::BIGINT AS bm25 FROM sc GROUP BY 1
+       |ORDER BY bm25 DESC, doc_id LIMIT ${TextAnalysis.Bm25K}""".stripMargin
 
   val topTerms: String =
     s"""WITH $toksCte,
