@@ -54,6 +54,10 @@ object GraftFunctions {
       args => HistQuantileAgg(args(0),
         doubleArg(args(1), "hist_quantile"), doubleArg(args(2), "hist_quantile"),
         intArg(args(3), "hist_quantile"), doubleArg(args(4), "hist_quantile"))
+        .toAggregateExpression()),
+    ("cms_agg", classOf[CountMinAgg].getName,
+      args => CountMinAgg(args.head,
+        intArg(args(1), "cms_agg"), intArg(args(2), "cms_agg"))
         .toAggregateExpression()))
 
   /** Register on a live session (temp functions). */

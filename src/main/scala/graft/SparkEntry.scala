@@ -31,6 +31,14 @@ object SparkEntry {
   val HistHi = 50.0
   val HistBins = 1000
 
+  /** Count-min sketch parameters for `rel_cms_freq` (shared with the
+    * generated oracle): 4×64 counters over 150 distinct users at sf0.01
+    * — deliberately undersized so collisions (and the sketch's
+    * one-sided overestimate) are actually exercised. */
+  val CmsDepth = 4
+  val CmsWidth = 64
+  val CmsTopN = 20
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's full `main`-mode output: sorted bigram → count →
     * probability over the word corpus (SURVEY.md §7 step 1). */
@@ -223,6 +231,42 @@ object SparkEntry {
           (abs(col("ap") - col("exact_parts")).cast("double") <=
             col("exact_parts") * ApproxDistinctRelTol).as("approx_ok"))
         .orderBy("l_returnflag")
+    }),
+
+    // --- count-min sketch (custom UDAF): md5-derived row hashes make the
+    //     whole 4×64 counter matrix deterministic and partitioning-
+    //     independent (elementwise-add merge), so the DuckDB oracle
+    //     rebuilds the sketch bucket-for-bucket and the point estimates
+    //     are hash-exact. Estimates ≥ exact by construction; the 64-wide
+    //     rows are deliberately undersized vs 150 users so collisions
+    //     show up in the checked output ---
+    "rel_cms_freq" -> ((s, d) => {
+      import graft.functions.CountMinAgg
+      val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+      // one sketch row over the whole table: 4*64 longs, built by
+      // partial aggregation — the events themselves never shuffle
+      val sk = ev.select(col("user_id").cast("string").as("uid"))
+        .agg(CountMinAgg(col("uid"), CmsDepth, CmsWidth).as("sk"))
+      // the sketch as a relational counter table: (row i, bucket, count)
+      val counters = sk
+        .select(posexplode(col("sk")).as(Seq("pos", "c")))
+        .select(expr(s"pos div $CmsWidth").as("i"),
+          (col("pos") % CmsWidth).cast("long").as("bucket"), col("c"))
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+      val top = exact
+        .orderBy(desc("exact_cnt"), asc("user_id")).limit(CmsTopN)
+      // probe row i of the sketch with the same portable md5 hash the
+      // aggregate used (CountMinAgg.bucket scaladoc); min over rows
+      val probes = top
+        .crossJoin(broadcast(s.range(CmsDepth).select(col("id").as("i"))))
+        .withColumn("bucket",
+          conv(substring(md5(concat(col("i").cast("string"), lit(":"),
+            col("user_id").cast("string"))), 1, 15), 16, 10)
+            .cast("long") % CmsWidth)
+      probes.join(broadcast(counters), Seq("i", "bucket"))
+        .groupBy("user_id", "exact_cnt").agg(min(col("c")).as("cms_est"))
+        .select(col("user_id"), col("exact_cnt"), col("cms_est"))
+        .orderBy("user_id")
     }),
 
     // --- multimodal plumbing (stubbed decode; see Multimodal scaladoc) ---
@@ -646,6 +690,37 @@ object SparkEntry {
          |  abs(approx_quantile(l_quantity, 0.99) - quantile_cont(l_quantity, 0.99))
          |    <= $ApproxQuantileAbsTol AS p99_ok
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // full-pipeline replication of the count-min sketch: same md5 row
+    // hashes, same GROUP BY (row, bucket) counters, same min-over-rows
+    // estimate — hash-exact like rel_hist_quantiles, not a bounds check
+    "rel_cms_freq" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, user_id::VARCHAR AS uid FROM events
+         |  WHERE user_id IS NOT NULL
+         |),
+         |d AS (SELECT unnest(generate_series(0, ${CmsDepth - 1}))::BIGINT AS i),
+         |counters AS (
+         |  SELECT d.i,
+         |    ('0x' || substr(md5(d.i::VARCHAR || ':' || ev.uid), 1, 15))::BIGINT
+         |      % $CmsWidth AS bucket,
+         |    count(*)::BIGINT AS c
+         |  FROM ev CROSS JOIN d GROUP BY 1, 2
+         |),
+         |exact AS (
+         |  SELECT user_id, count(*)::BIGINT AS exact_cnt FROM ev GROUP BY 1
+         |),
+         |top AS (
+         |  SELECT * FROM exact ORDER BY exact_cnt DESC, user_id LIMIT $CmsTopN
+         |),
+         |probes AS (
+         |  SELECT t.user_id, t.exact_cnt, d.i,
+         |    ('0x' || substr(md5(d.i::VARCHAR || ':' || t.user_id::VARCHAR), 1, 15))::BIGINT
+         |      % $CmsWidth AS bucket
+         |  FROM top t CROSS JOIN d
+         |)
+         |SELECT p.user_id, p.exact_cnt, min(c.c) AS cms_est
+         |FROM probes p JOIN counters c ON c.i = p.i AND c.bucket = p.bucket
+         |GROUP BY 1, 2 ORDER BY user_id""".stripMargin,
     "mm_decode_features" -> MultimodalOracles.decodeFeatures,
     "mm_frame_sample" -> MultimodalOracles.frameSample,
     "mm_resize" -> MultimodalOracles.resize,

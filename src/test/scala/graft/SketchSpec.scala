@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.HistQuantileAgg
+import graft.functions.{CountMinAgg, HistQuantileAgg}
 
-/** Specs for the deterministic histogram quantile sketch. */
+/** Specs for the deterministic mergeable sketches (histogram quantile,
+  * count-min). */
 class SketchSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -53,5 +54,84 @@ class SketchSpec extends AnyFunSuite {
     val est = hq(df, 0.5, lo = 0.0, hi = 10.0, bins = 10).get
     // rank 2 → bin [2,3) holds one value, frac = 1/1 → lo + w*2 + w*1 = 3.0
     assert(est === 3.0)
+  }
+
+  // ---- count-min sketch ----
+
+  private def cmsOf(df: org.apache.spark.sql.DataFrame,
+      depth: Int = 4, width: Int = 64): Seq[Long] =
+    df.agg(CountMinAgg(col("k"), depth, width)).head()
+      .getSeq[Long](0)
+
+  test("cms: scala bucket hash matches the Spark SQL portable md5 hash") {
+    // CountMinAgg.bucket must equal conv(substr(md5('i:s'),1,15),16,10) % w
+    // — the cross-engine contract the oracle and the probe side rely on
+    val keys = Seq("0", "42", "149", "hello world", "ä-unicode")
+    val rows = for (i <- 0 until 4; s <- keys) yield (i, s)
+    val got = rows.toDF("i", "s")
+      .select(col("i"), col("s"),
+        (conv(substring(md5(concat(col("i").cast("string"), lit(":"),
+          col("s"))), 1, 15), 16, 10).cast("long") % 64).as("bucket"))
+      .collect()
+    got.foreach { r =>
+      assert(CountMinAgg.bucket(r.getInt(0), r.getString(1), 64) ===
+        r.getLong(2).toInt, s"i=${r.getInt(0)} s=${r.getString(1)}")
+    }
+  }
+
+  test("cms: sketch is identical across partitionings") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id").cast("string").as("k"))
+    val base = cmsOf(ev)
+    for (parts <- Seq(1, 7, 32)) {
+      assert(cmsOf(ev.repartition(parts)) === base,
+        s"partitioning $parts changed the sketch")
+    }
+  }
+
+  test("cms: union of per-group sketches = elementwise sum = global sketch") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type"), col("user_id").cast("string").as("k"))
+    val global = cmsOf(ev)
+    // sketches as DATA: union per-type sketches in plain relational
+    // algebra (posexplode + groupBy(pos) + sum) — no second UDAF needed
+    val merged = ev.groupBy("event_type")
+      .agg(CountMinAgg(col("k"), 4, 64).as("sk"))
+      .select(posexplode(col("sk")).as(Seq("pos", "c")))
+      .groupBy("pos").agg(sum("c").as("c"))
+      .orderBy("pos").select("c").as[Long].collect().toSeq
+    assert(merged === global)
+  }
+
+  test("cms: estimates overestimate exact counts, never under") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id").cast("string").as("k"))
+    // width 8 << distinct keys at sf0.001, so collisions are guaranteed
+    // to be exercised (the sf0.01 query gets them at 64 from 150 users)
+    val sk = cmsOf(ev, width = 8)
+    val exact = ev.groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    var over = 0L
+    exact.foreach { case (k, n) =>
+      val est = (0 until 4)
+        .map(i => sk(i * 8 + CountMinAgg.bucket(i, k, 8))).min
+      assert(est >= n, s"cms UNDERestimated key $k: $est < $n")
+      over += est - n
+    }
+    // fixture + hashes are deterministic: overestimates must occur
+    assert(over > 0, "no collisions at 4x8 — sketch not exercised")
+  }
+
+  test("cms: SQL-registered cms_agg builds the same sketch") {
+    GraftFunctions.register(spark)
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id").cast("string").as("k"))
+      .createOrReplaceTempView("cms_in")
+    val viaSql = spark.sql("SELECT cms_agg(k, 4, 64) FROM cms_in")
+      .head().getSeq[Long](0)
+    val direct = cmsOf(
+      spark.table("cms_in"))
+    assert(viaSql === direct)
   }
 }
