@@ -120,6 +120,9 @@ object SparkEntry {
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "dedup_embedding_pairs" -> (Dedup.embeddingPairs _),
     "dedup_embedding_lsh" -> (Dedup.embeddingLshPairs _),
+    // connected components over the near-dup pair graph (iterative
+    // hook+jump min-label; oracle = recursive-CTE transitive closure)
+    "dedup_clusters" -> (Dedup.nearDupClusters _),
 
     // --- similarity search (ANN over embeddings) ---
     "ann_topk_brute" -> (Similarity.bruteTopK _),
@@ -619,6 +622,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> DedupOracles.simhashPairs,
     "dedup_embedding_pairs" -> DedupOracles.embeddingPairs,
     "dedup_embedding_lsh" -> DedupOracles.embeddingLshPairs,
+    "dedup_clusters" -> DedupOracles.clusters,
     "ann_topk_brute" -> SimilarityOracles.bruteTopK,
     "ann_topk_lsh" -> SimilarityOracles.lshTopK,
     "ann_topk_ivf" -> SimilarityOracles.ivfTopK,

@@ -112,16 +112,18 @@ object Dedup {
     * bounded fan-out). Fixture max df is 25 at sf0.1 — 40× headroom. */
   val MaxNaiveShingleDf = 1000L
 
-  /** Exact Jaccard ≥ 0.8 pairs via inverted-index self-join on shingles:
-    * |A∩B| from the equi-join, |A∪B| = |A|+|B|−|A∩B|. */
-  def jaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = shinglesCached(s, d)
+  /** All (i < j) pairs with exact shingle Jaccard ≥ t, via the naive
+    * inverted-index self-join. Guarded by [[MaxNaiveShingleDf]] — the
+    * join emits df² rows per shingle regardless of t (the threshold only
+    * post-filters). Shared by [[jaccardPairs]] and the cluster-edge
+    * generator in [[nearDupClusters]]. */
+  private def jaccardAll(sh: DataFrame, t: Double): DataFrame = {
     // eager guard: one aggregate over the (persisted) shingle frame; its
     // materialization is reused by every branch of the pair plan below
     val maxDf = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .agg(max("df")).head().getLong(0)
     require(maxDf <= MaxNaiveShingleDf,
-      s"naive jaccardPairs refused: max per-shingle df $maxDf > " +
+      s"naive jaccard join refused: max per-shingle df $maxDf > " +
         s"$MaxNaiveShingleDf (quadratic fan-out); use jaccardPrefixPairs")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = sh.toDF("i", "sa")
@@ -133,11 +135,16 @@ object Dedup {
       .join(sizes.toDF("j", "sz_j"), "j")
       .withColumn("jaccard",
         col("c").cast("double") / (col("sz_i") + col("sz_j") - col("c")))
-      .filter(col("jaccard") >= JaccardThreshold)
+      .filter(col("jaccard") >= t)
+  }
+
+  /** Exact Jaccard ≥ 0.8 pairs via inverted-index self-join on shingles:
+    * |A∩B| from the equi-join, |A∪B| = |A|+|B|−|A∩B|. */
+  def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    jaccardAll(shinglesCached(s, d), JaccardThreshold)
       .select(col("i").as("doc_a"), col("j").as("doc_b"),
         round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
-  }
 
   // ------------------------------------------------------------------
   // 3. MinHash + LSH
@@ -350,5 +357,96 @@ object Dedup {
       .select(col("i").as("vec_a"), col("j").as("vec_b"),
         round(col("cos"), 6).as("cosine"))
       .orderBy("vec_a", "vec_b")
+  }
+
+  // ------------------------------------------------------------------
+  // 6. near-dup clustering (connected components over the pair graph)
+  // ------------------------------------------------------------------
+
+  /** Edge threshold for [[nearDupClusters]]: low enough that background
+    * inter-document similarity (≤0.07 between non-planted fixture docs)
+    * chains pairs into multi-hop components — at sf0.01 the graph has a
+    * 6-node component — so the TRANSITIVE closure is actually exercised,
+    * not just echoed pairs. Shared with the oracle SQL. */
+  val ClusterJaccardThreshold = 0.03
+
+  /** Convergence backstop for [[connectedComponents]]. Hook+jump halves
+    * pointer-chain depth per round (O(log diameter)); 50 rounds covers a
+    * diameter beyond 2^49 — hitting this is a bug, not a big graph. */
+  val MaxCcIterations = 50
+
+  /** Connected components over an undirected edge list (columns `a`, `b`)
+    * → one row per node: (`v`, `cluster_id` = min node id reachable).
+    *
+    * Algorithm: alternating min-label HOOK and pointer-JUMP rounds —
+    * the MapReduce-style iterative CC (cf. Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14):
+    *
+    *  - hook: lbl(v) ← min(lbl over v's closed neighborhood) — one
+    *    shuffle on edge dst + one hash aggregate on src;
+    *  - jump: lbl(v) ← lbl(lbl(v)) — path halving via a labels
+    *    self-join, so convergence needs O(log diameter) rounds, not
+    *    O(diameter) as plain propagation would.
+    *
+    * Fixpoint = correct: when no label changes, hook implies
+    * lbl(u) ≤ lbl(v) for every edge both ways, so labels are constant
+    * per component and the component min labels itself.
+    *
+    * Scale: state is ONE row per node (far smaller than the pair/shingle
+    * frames feeding it); each round is two key-equi joins + an aggregate,
+    * all shuffle-partitionable. `localCheckpoint()` per round truncates
+    * the lineage (the plan otherwise doubles per iteration — SCALE.md).
+    * The per-round driver scalar is the convergence count only. */
+  def connectedComponents(
+      edges: DataFrame, maxIters: Int = MaxCcIterations): DataFrame = {
+    val und = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint() // consumed once per round: cut off the (possibly
+                         // expensive) candidate-generation lineage
+    val nodes = und.select(col("a").as("v")).distinct()
+    var labels = nodes.select(col("v"), col("v").as("lbl")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0) {
+      require(iter < maxIters,
+        s"connectedComponents did not converge in $maxIters rounds")
+      val nbrMin = und.join(labels, col("b") === col("v"))
+        .groupBy(col("a")).agg(min("lbl").as("nmin"))
+        .toDF("hv", "nmin")
+      val hooked = labels.join(nbrMin, col("v") === col("hv"), "left")
+        .select(col("v"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+      // jump: labels only ever point to SMALLER ids in the same
+      // component, so lbl(lbl(v)) is a valid (≤) label for v
+      val byId = hooked.toDF("jv", "jlbl")
+      val jumped = hooked.join(byId, col("lbl") === col("jv"), "left")
+        .select(col("v"), coalesce(col("jlbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+      changed = jumped.toDF("cv", "clbl")
+        .join(labels.toDF("ov", "olbl"), col("cv") === col("ov"))
+        .filter(col("clbl") =!= col("olbl")).count()
+      labels = jumped
+      iter += 1
+    }
+    labels.select(col("v"), col("lbl").as("cluster_id"))
+  }
+
+  /** Near-dup clusters: connected components over the Jaccard pair graph
+    * at [[ClusterJaccardThreshold]], with the component min as the
+    * canonical `cluster_id`, the component size, and the representative
+    * flag (`keep` = this doc survives dedup) — the standard
+    * "collapse each near-dup cluster to one document" curation step.
+    * Docs with no near-dup edge are implicitly their own singleton
+    * cluster and are omitted (at corpus scale they are ~all rows). */
+  def nearDupClusters(s: SparkSession, d: String): DataFrame = {
+    val edges = jaccardAll(shinglesCached(s, d), ClusterJaccardThreshold)
+      .select(col("i").as("a"), col("j").as("b"))
+    val labels = connectedComponents(edges)
+    val sizes = labels.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col("v").as("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("v") === col("cluster_id")).as("keep"))
+      .orderBy("doc_id")
   }
 }

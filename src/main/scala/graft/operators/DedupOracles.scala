@@ -108,6 +108,32 @@ object DedupOracles {
        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= ${Dedup.CosineThreshold}
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Connected components by transitive closure: a recursive CTE
+    * saturates (node, reachable) over the symmetrized edge set, then
+    * labels every node with its minimum reachable id — the declarative
+    * mirror of the hook+jump iteration in `Dedup.connectedComponents`
+    * (fine at oracle scale; the Spark side is the O(log d)-round
+    * iterative form that survives 100 TB graphs). */
+  val clusters: String =
+    s"""WITH RECURSIVE $wordsCtes, $shinglesCte, $sizesCte, $interCte,
+       |edges AS (
+       |  SELECT i, j FROM inter
+       |  JOIN sizes sa ON i = sa.doc_id JOIN sizes sb ON j = sb.doc_id
+       |  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= ${Dedup.ClusterJaccardThreshold}
+       |),
+       |und AS (SELECT i AS a, j AS b FROM edges UNION SELECT j, i FROM edges),
+       |reach AS (
+       |  SELECT a AS node, a AS r FROM und
+       |  UNION
+       |  SELECT u.a, re.r FROM und u JOIN reach re ON u.b = re.node
+       |),
+       |lab AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+       |csz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+       |SELECT l.doc_id, l.cluster_id, csz.cluster_size,
+       |  l.doc_id = l.cluster_id AS keep
+       |FROM lab l JOIN csz USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** Replicates the FULL LSH pair pipeline: the same integer-quantized
     * sign-random-projection bucketing as `graft.functions.LshBuckets`
     * (md5 plane weights, floor quantization, bit packing — identical to

@@ -107,4 +107,43 @@ class DedupSpec extends AnyFunSuite {
     val total = Dedup.exact(spark, d).agg(sum("n_copies")).as[Long].head()
     assert(total === Tables.documents(spark, d).count())
   }
+
+  // ---- connected components ----
+
+  private def cc(edges: (Long, Long)*): Map[Long, Long] =
+    Dedup.connectedComponents(edges.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+
+  test("connected components: chain, star, cycle, disjoint parts") {
+    // 64-node chain: diameter 63 — converges only because the jump step
+    // halves pointer depth per round (plain propagation would need >50
+    // rounds and trip the MaxCcIterations backstop)
+    val chain = cc((0L until 63L).map(i => (i, i + 1)): _*)
+    assert(chain === (0L to 63L).map(_ -> 0L).toMap)
+
+    // star centered on the HIGHEST id: min must flow through the center
+    val star = cc(100L -> 7L, 100L -> 8L, 100L -> 9L)
+    assert(star === Map(100L -> 7L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
+
+    // cycle + a separate component + duplicate/reversed edges
+    val mixed = cc(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 2L,
+      10L -> 11L, 11L -> 10L)
+    assert(mixed === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("near-dup clusters: labels = min reachable, keep flags the rep") {
+    val out = Dedup.nearDupClusters(spark, d)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(out.nonEmpty)
+    val byCluster = out.groupBy(_._2)
+    byCluster.foreach { case (cid, rows) =>
+      assert(rows.map(_._1).min === cid, s"cluster $cid not labeled by min")
+      assert(rows.count(_._4) === 1 && rows.find(_._4).get._1 === cid,
+        s"cluster $cid: keep must flag exactly the representative")
+      assert(rows.forall(_._3 === rows.length),
+        s"cluster $cid: cluster_size mismatch")
+      assert(rows.length >= 2, s"cluster $cid: singletons must be omitted")
+    }
+  }
 }
