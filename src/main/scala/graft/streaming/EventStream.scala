@@ -66,6 +66,21 @@ object EventStream {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Streaming CSV source. Streaming file sources cannot infer schemas
+    * (a scan of unbounded future files is undefined), so the schema is
+    * declared by the caller; `header` is still honored for column order.
+    * Timestamps round-trip through Spark's default ISO-8601 CSV format.
+    * Same directory-monitoring semantics as [[readEventStream]]. */
+  def readCsvStream(s: SparkSession,
+      dir: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.readStream.schema(schema).option("header", "true").csv(dir)
+
+  /** Streaming JSON (one object per line) source — schema-declared, like
+    * [[readCsvStream]]. */
+  def readJsonStream(s: SparkSession,
+      dir: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.readStream.schema(schema).json(dir)
+
   // ------------------------------------------------------------------
   // streaming dedup
   // ------------------------------------------------------------------

@@ -68,6 +68,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("csv and json streaming sources ≡ batch windowed counts") {
+    import org.apache.spark.sql.functions.col
+    val batch = Tables.events(spark, d)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val want = EventStream.windowedCounts(batch)
+      .orderBy("window_start", "event_type").collect().toSeq
+
+    for (fmt <- Seq("csv", "json")) {
+      val dir = s"/tmp/graft-test-warehouse/stream_src_$fmt"
+      val w = batch.write.mode("overwrite")
+      (if (fmt == "csv") w.option("header", "true") else w).format(fmt).save(dir)
+      val stream =
+        if (fmt == "csv") EventStream.readCsvStream(spark, dir, batch.schema)
+        else EventStream.readJsonStream(spark, dir, batch.schema)
+      val q = EventStream.windowedCounts(stream)
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(s"${fmt}_win_out").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table(s"${fmt}_win_out")
+          .orderBy("window_start", "event_type").collect().toSeq
+        assert(got === want, s"$fmt streaming source diverged from batch")
+      } finally q.stop()
+    }
+  }
+
   test("streaming dedup drops within-watermark duplicate event ids") {
     implicit val sqlCtx = spark.sqlContext
     def ts(minutes: Long) = new Timestamp(1700000000000L + minutes * 60000L)
