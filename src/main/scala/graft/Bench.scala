@@ -4,15 +4,39 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: every SparkEntry query at SPARK_GRAFT_SF_DIR.
   *
-  * Each query is executed once as warmup (JIT + whole-stage-codegen
-  * compilation dominate cold runs on small scale factors) and then once
-  * timed, materialized through the `noop` sink so every output column is
-  * computed but nothing is collected to the driver. Prints ONE JSON line.
+  * Output protocol: after EVERY query completes, the full cumulative
+  * result line (`{"metric":"total",...}`) is re-printed to stdout. Each
+  * line is a valid, complete bench artifact over the queries finished so
+  * far, so a driver timeout/kill at any point still leaves the last
+  * printed line as a usable partial result — the round can never again
+  * lose all per-query numbers to an rc=124 (BENCH_r03 failure mode).
+  * Consumers should take the LAST matching line.
+  *
+  * Pass policy (r4, after BENCH_r03 blew the driver wall-clock budget):
+  *   - streaming-sink queries (`*_stream`): ONE timed pass, no warmup.
+  *     Their cost is fixed micro-batch/checkpoint engine overhead, not
+  *     JIT-sensitive compute, so repeat passes buy nothing.
+  *   - batch queries: one warmup (JIT + whole-stage-codegen compilation
+  *     dominate cold runs), then a first timed pass. If that pass
+  *     exceeds [[SlowPassSec]] the result stands alone — repeating a
+  *     multi-second query to shave JIT jitter costs more wall than the
+  *     jitter it removes. Otherwise two more passes run and the min of
+  *     three is reported (code-cache flush/deopt storms on this box can
+  *     contaminate a whole pass; see build.sbt javaOptions).
+  *   - a global wall budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default
+  *     1500 s) degrades the policy to single-pass-no-warmup once
+  *     exceeded, so the tail of the suite still produces numbers.
+  * Per-query wall time goes to stderr as it happens, so any future
+  * stall is attributable to a specific query.
   */
 object Bench {
+  private val SlowPassSec = 5.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -39,23 +63,41 @@ object Bench {
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    names.foreach(runOnce) // warmup pass (JIT + codegen compilation)
-    // three timed passes, report the per-query min: JIT compilation can
-    // straddle the first timed pass, and the code-cache flush/deopt
-    // storms this box exhibits (see build.sbt javaOptions) occasionally
-    // contaminate a whole pass — two timed passes proved insufficient
-    // (observed: one storm run doubled half the suite in BOTH passes)
-    val passes = (1 to 3).map(_ => names.map(n => n -> runOnce(n)).toMap)
-    val results = names.map { n =>
-      val ts = passes.map(_(n))
-      n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+    val streaming = names.filter(_.endsWith("_stream")).toSet
+    val benchStart = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - benchStart) / 1e9
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def emit(): Unit = {
+      val qs = results.map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}")
+      val total = results.valuesIterator.filter(_ >= 0).sum
+      // cumulative: every printed line is a complete artifact so far
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      Console.out.flush()
     }
 
-    val qs = results.map { case (k, v) => s""""$k":$v""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    for (name <- names) {
+      val qStart = elapsed
+      val overBudget = qStart > budgetSec
+      val best =
+        if (streaming(name) || overBudget) runOnce(name)
+        else {
+          runOnce(name) // warmup
+          val first = runOnce(name)
+          if (first < 0 || first > SlowPassSec) first
+          else Seq(first, runOnce(name), runOnce(name)).filter(_ >= 0).min
+        }
+      results(name) = best
+      val mode =
+        if (streaming(name)) "stream-1pass"
+        else if (overBudget) "budget-1pass"
+        else if (best > SlowPassSec) "slow-1pass"
+        else "min-of-3"
+      System.err.println(
+        f"[bench] $name%-34s best=$best%8.3f s  wall=${elapsed - qStart}%8.3f s  elapsed=$elapsed%8.1f s  ($mode)")
+      emit()
+    }
     spark.stop()
   }
 }

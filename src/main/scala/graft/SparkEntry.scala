@@ -221,7 +221,11 @@ object SparkEntry {
       val grouped = li.groupBy("l_returnflag")
         .agg(hll_sketch_agg(col("l_partkey")).as("sk"),
           countDistinct(col("l_partkey")).as("exact_parts"))
-        .persist() // consumed twice: per-group rows + the merged ALL row
+        // consumed twice (per-group rows + the merged ALL row): an eager
+        // localCheckpoint materializes once and its blocks are released
+        // when the frame is GC'd — a bare persist() lingered in the
+        // catalog cache for the rest of the session (ADVICE r3)
+        .localCheckpoint()
       val perFlag = grouped.select(col("l_returnflag"),
         col("exact_parts"), hll_sketch_estimate(col("sk")).as("ap"))
       val merged = grouped.agg(hll_union_agg(col("sk")).as("sk"))
@@ -288,6 +292,14 @@ object SparkEntry {
     //     oracle-checked against the plain SQL interval join ---
     "events_range_join_stream" ->
       (graft.streaming.EventStream.clickAttributionStreamVerified _),
+
+    // --- watermarked windowed aggregation under the streaming engine:
+    //     append mode emits exactly the watermark-finalized windows
+    //     (window.end ≤ max(ts)@ms − 30 min); the oracle applies the
+    //     identical ms-precision cutoff in SQL, so the watermark
+    //     semantics themselves are cross-engine-checked ---
+    "events_windowed_stream" ->
+      (graft.streaming.EventStream.windowedCountsStreamVerified _),
   )
 
   // Shared oracle-SQL fragments (DuckDB dialect), mirroring TextPipeline.
@@ -740,6 +752,22 @@ object SparkEntry {
     // the streaming run of the stateful sessionizer must reproduce the
     // batch gaps-and-islands result bit-for-bit — one oracle, both forms
     "events_sessionized_stream" -> sessionizedOracle,
+    // rel_event_time_windows restricted to watermark-FINALIZED windows:
+    // Spark's event-time stats are ms-precision, so the final watermark
+    // is floor(max(ts)/1ms) − 30 min and append mode emits windows with
+    // end ≤ watermark — the HAVING clause replicates that cutoff exactly
+    "events_windowed_stream" ->
+      """WITH wm AS (
+        |  SELECT epoch_us(max(ts)) // 1000 - 1800000 AS wm_ms FROM events
+        |)
+        |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |HAVING epoch_us(date_trunc('hour', min(ts)) + INTERVAL 1 HOUR) // 1000
+        |  <= (SELECT wm_ms FROM wm)
+        |ORDER BY 1, 2""".stripMargin,
   )
 
   /** Replicates [[graft.functions.HistQuantileAgg]] bin-for-bin: clamp

@@ -52,6 +52,36 @@ object EventStream {
   def windowedCountsStream(events: DataFrame): DataFrame =
     windowedCounts(events.withWatermark("ts", "30 minutes"))
 
+  /** Driver-surface WATERMARKED windowed aggregation under the actual
+    * streaming engine: [[windowedCountsStream]] (30-minute watermark) run
+    * file source → state store → parquet sink with
+    * `Trigger.AvailableNow`, append mode.
+    *
+    * Append mode emits exactly the windows FINALIZED by the watermark —
+    * a window leaves the state store once `window.end ≤ watermark`
+    * (event-time stats are millisecond-precision, so the final watermark
+    * is `floor(max(ts)/1ms) − 30 min`). The trailing open windows are
+    * intentionally absent: that IS the production semantics of a
+    * watermarked append-mode aggregation on an unbounded stream. The
+    * oracle applies the identical ms-precision cutoff in SQL, so the
+    * watermark/finalization behavior itself is cross-engine-checked,
+    * not bypassed. */
+  def windowedCountsStreamVerified(s: SparkSession, d: String): DataFrame = {
+    val (out, ckpt) = scratchDirs("wincnt")
+    val q = windowedCountsStream(readEventStream(s, d))
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+        .as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val res = s.read.parquet(out).localCheckpoint()
+    deleteRecursively(out, ckpt)
+    res.orderBy("hour_start", "event_type")
+  }
+
   /** File-based streaming source over the events parquet (nanos→micros
     * conversion matching [[graft.Tables.events]]). The streaming file
     * source monitors a DIRECTORY; `pathGlobFilter` narrows it to the
@@ -68,12 +98,16 @@ object EventStream {
 
   /** Streaming CSV source. Streaming file sources cannot infer schemas
     * (a scan of unbounded future files is undefined), so the schema is
-    * declared by the caller; `header` is still honored for column order.
-    * Timestamps round-trip through Spark's default ISO-8601 CSV format.
-    * Same directory-monitoring semantics as [[readEventStream]]. */
+    * declared by the caller. `enforceSchema=false` makes Spark VALIDATE
+    * each file's header against the declared schema (the default merely
+    * skips the header row and binds columns positionally — a silently
+    * reordered producer would corrupt every row). Timestamps round-trip
+    * through Spark's default ISO-8601 CSV format. Same
+    * directory-monitoring semantics as [[readEventStream]]. */
   def readCsvStream(s: SparkSession,
       dir: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
-    s.readStream.schema(schema).option("header", "true").csv(dir)
+    s.readStream.schema(schema).option("header", "true")
+      .option("enforceSchema", "false").csv(dir)
 
   /** Streaming JSON (one object per line) source — schema-declared, like
     * [[readCsvStream]]. */
@@ -126,9 +160,27 @@ object EventStream {
     * input the streaming result equals the batch join exactly; the
     * watermarks' job — state eviction — is exercised by the MemoryStream
     * specs. */
+  /** Scratch dirs for a streaming-sink run + recursive cleanup. The sink
+    * parquet must outlive only the eager `localCheckpoint()` that copies
+    * the result into the block manager — after that both dirs are deleted
+    * (Bench used to invoke each *_stream query repeatedly, accumulating
+    * full parquet copies under /tmp per run — ADVICE r3). */
+  private def scratchDirs(tag: String): (String, String) = (
+    java.nio.file.Files.createTempDirectory(s"graft-$tag-out").toString,
+    java.nio.file.Files.createTempDirectory(s"graft-$tag-ckpt").toString)
+
+  private def deleteRecursively(paths: String*): Unit = paths.foreach { p =>
+    val root = java.nio.file.Paths.get(p)
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
   def clickAttributionStreamVerified(s: SparkSession, d: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft-attr-out").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-attr-ckpt").toString
+    val (out, ckpt) = scratchDirs("attr")
     val ev = readEventStream(s, d)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_event"), col("user_id"),
@@ -145,7 +197,11 @@ object EventStream {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(out).orderBy("p_event", "c_event")
+    // eager copy into the block manager, then drop the scratch dirs —
+    // the returned frame must not lazily re-read the deleted sink
+    val res = s.read.parquet(out).localCheckpoint()
+    deleteRecursively(out, ckpt)
+    res.orderBy("p_event", "c_event")
   }
 
   // ------------------------------------------------------------------
@@ -197,8 +253,7 @@ object EventStream {
     * unbounded inputs is exercised by the MemoryStream specs. */
   def sessionizeStreamVerified(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val out = java.nio.file.Files.createTempDirectory("graft-sess-out").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-sess-ckpt").toString
+    val (out, ckpt) = scratchDirs("sess")
     val ev = readEventStream(s, d)
       .select(col("user_id"), col("ts"),
         (col("value").cast(DecimalType(18, 6)) * 1000000).cast("double")
@@ -211,7 +266,9 @@ object EventStream {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(out)
+    val res = s.read.parquet(out).localCheckpoint()
+    deleteRecursively(out, ckpt)
+    res
       .select(col("user_id"), col("session_idx"), col("start_us"),
         col("end_us"), col("n_events"),
         (col("sum_value") / 1e6).as("sum_value"))
