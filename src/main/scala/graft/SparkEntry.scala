@@ -163,6 +163,9 @@ object SparkEntry {
 
     // --- deterministic md5 train/val/test split (reproducible sampling) ---
     "text_split_assign" -> (Curation.splitAssign _),
+    // --- train/test decontamination: test-doc shingles probed against
+    //     the DISTINCT train shingle set (linear equi-join, no df×df) ---
+    "text_contamination" -> (Curation.contamination _),
 
     // --- approximate distinct (HLL sketch). Estimates are engine-
     //     specific, so the cross-engine check is a BOUNDS check: each
@@ -673,6 +676,7 @@ object SparkEntry {
         |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "text_split_assign" -> CurationOracles.splitAssign,
+    "text_contamination" -> CurationOracles.contamination,
     // sketch estimates are engine-specific: the checked contract is a
     // bounds predicate — each engine's own sketch must land within the
     // shared tolerance of the exact value, making the boolean (and the

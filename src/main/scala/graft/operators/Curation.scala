@@ -123,6 +123,49 @@ object Curation {
       .withColumn("split", splitCol(col("bucket")))
       .orderBy("doc_id")
 
+  /** A test doc sharing at least this many distinct word-3-shingles with
+    * the train corpus is flagged contaminated. Fixture overlap spans
+    * 4..81 shingles (median 26), so 30 splits it non-trivially. */
+  val ContaminationMinShingles = 30L
+
+  /** Train/test DECONTAMINATION — the canonical LLM-pipeline check that
+    * evaluation data does not leak from the training set: for every test
+    * doc (per [[splitAssign]]'s deterministic md5 split), count its
+    * distinct word-3-shingles that occur anywhere in the train split, and
+    * flag docs at ≥ [[ContaminationMinShingles]].
+    *
+    * Scale: the train side collapses to a DISTINCT shingle SET before the
+    * join, so the probe is test-shingles ⋈ train-shingle-set — an
+    * equi-join whose fan-out per shingle is the number of TEST docs
+    * containing it (linear), never the train-df × test-df product. Both
+    * sides partition by shingle; output is one aggregated row per test
+    * doc. At 100 TB this is the shape you want: no window, no all-pairs,
+    * and the train set is reusable across evaluation suites. */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val sh = docs.select(col("doc_id"),
+        explode(graft.functions.WordShingles(col("text"), 3)).as("s"))
+      .distinct()
+    val split = docs.select(col("doc_id"),
+      splitCol(pctBucket(col("doc_id"))).as("split"))
+    val shSplit = sh.join(split, "doc_id")
+    val trainSet = shSplit.filter(col("split") === "train")
+      .select("s").distinct()
+    val testSh = shSplit.filter(col("split") === "test")
+    val sizes = testSh.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"))
+    val overlap = testSh.join(trainSet, "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    sizes.join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("overlap_ratio",
+        round(col("n_overlap").cast("double") / col("n_shingles"), 6))
+      .withColumn("contaminated",
+        col("n_overlap") >= ContaminationMinShingles)
+      .orderBy("doc_id")
+  }
+
   /** Attach one-pass data-quality metrics to a documents-shaped frame
     * via the Observation API — row count, empty-text count, mean text
     * length are computed as a side effect of whatever action the caller
@@ -232,6 +275,33 @@ object CurationOracles {
        |       WHEN ${pctBucketSql("doc_id::VARCHAR")} < 90 THEN 'val'
        |       ELSE 'test' END AS split
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  val contamination: String =
+    s"""WITH wl AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+       |  FROM documents
+       |),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+       |  FROM wl, unnest(generate_series(1, len(ws) - 2)) t(i)
+       |),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ${pctBucketSql("doc_id::VARCHAR")} < 80 THEN 'train'
+       |         WHEN ${pctBucketSql("doc_id::VARCHAR")} < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents
+       |),
+       |tr AS (SELECT DISTINCT s FROM sh JOIN sp USING (doc_id) WHERE split = 'train'),
+       |te AS (SELECT sh.doc_id, sh.s FROM sh JOIN sp USING (doc_id) WHERE split = 'test'),
+       |sz AS (SELECT doc_id, count(*) AS n_shingles FROM te GROUP BY 1),
+       |ov AS (SELECT doc_id, count(*) AS n_overlap FROM te JOIN tr USING (s) GROUP BY 1)
+       |SELECT sz.doc_id, sz.n_shingles,
+       |  coalesce(ov.n_overlap, 0) AS n_overlap,
+       |  round(coalesce(ov.n_overlap, 0) * 1.0 / sz.n_shingles, 6) AS overlap_ratio,
+       |  coalesce(ov.n_overlap, 0) >= ${Curation.ContaminationMinShingles} AS contaminated
+       |FROM sz LEFT JOIN ov USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   val curationPipeline: String =
     s"""WITH keep AS (

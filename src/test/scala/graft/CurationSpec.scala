@@ -80,4 +80,32 @@ class CurationSpec extends AnyFunSuite {
       .select("doc_id", "split").as[(Long, String)].collect().toMap
     assert(out.forall(r => splits(r._1) === r._3))
   }
+
+  test("contamination counts cross-split shingle overlap per test doc") {
+    val splits = Curation.splitAssign(spark, d)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val rows = Curation.contamination(spark, d)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    // exactly one output row per TEST doc, none for train/val
+    assert(rows.map(_._1).toSet === splits.filter(_._2 == "test").keySet)
+    rows.foreach { case (id, nSh, nOv, ratio, flag) =>
+      assert(nOv <= nSh, s"doc $id: overlap $nOv exceeds shingle count $nSh")
+      assert(math.abs(ratio - nOv.toDouble / nSh) < 1e-6)
+      assert(flag === (nOv >= Curation.ContaminationMinShingles))
+    }
+    // brute-force cross-check: recompute overlap from raw shingles
+    val docs = graft.Tables.documents(spark, d)
+      .select(col("doc_id"),
+        explode(graft.functions.WordShingles(col("text"), 3)).as("s"))
+      .distinct().as[(Long, String)].collect()
+    val trainSh = docs.collect {
+      case (id, s2) if splits(id) == "train" => s2 }.toSet
+    val byDoc = docs.groupBy(_._1)
+    rows.take(5).foreach { case (id, nSh, nOv, _, _) =>
+      val mine = byDoc(id).map(_._2).toSet
+      assert(nSh === mine.size)
+      assert(nOv === mine.count(trainSh))
+    }
+  }
 }
