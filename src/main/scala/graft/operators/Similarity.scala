@@ -137,7 +137,18 @@ object Similarity {
     *
     * Scale: per iteration one broadcast cross-score (n × k cosines) and
     * one (cell, dim)-keyed aggregation — no pairwise joins; k ≈ √n
-    * keeps both sides bounded. */
+    * keeps both sides bounded.
+    *
+    * The "Broadcasting large task binary with size 2.1 MiB" warnings this
+    * query (and the CC iteration) emit are BENIGN: the bulk is the
+    * serialized plan + whole-stage-codegen sources for the
+    * window/explode/agg stages, not data (the codebook itself is k×dim
+    * floats ≈ 13 KB, shipped as a separate torrent broadcast; both
+    * expressions here codegen natively — no interpreted fallback). A
+    * ~2 MiB one-time-per-stage broadcast is noise at any cluster size;
+    * the r3 bench-tail correlation with slowness was the JIT deopt storm
+    * (measured: same pass 24.7 s stormy vs 2.7 s steady), which the
+    * bench now guards with min-of-two passes for slow queries. */
   def kmeansCentroids(e: DataFrame, iters: Int): DataFrame = {
     var cents = defaultCentroids(e)
     for (_ <- 1 to iters) {

@@ -172,6 +172,55 @@ class AsOfJoinSpec extends AnyFunSuite {
       s"second join's left must not re-sort:\n$plan")
   }
 
+  test("depth-3 as-of chain: 4 inputs cost exactly 4 shuffles+sorts") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val d = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, d)
+    def side(t: String, user: String, us: String) =
+      ev.filter(col("event_type") === t)
+        .select(col("user_id").as(user), unix_micros(col("ts")).as(us))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("p_us"))
+    val j1 = graft.plans.NativeAsOf.joinAsOf(purchases,
+      side("click", "c_user", "c_us"), "user_id", "c_user", "p_us", "c_us")
+    val j2 = graft.plans.NativeAsOf.joinAsOf(j1,
+      side("view", "v_user", "v_us"), "user_id", "v_user", "p_us", "v_us")
+    val j3 = graft.plans.NativeAsOf.joinAsOf(j2,
+      side("signup", "s_user", "s_us"), "user_id", "s_user", "p_us", "s_us")
+    val rows = j3.select("event_id", "user_id", "p_us", "c_us", "v_us", "s_us")
+      .collect()
+    val plan = j3.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    def count(token: String) = token.r.findAllIn(plan).length
+    assert(count("AsOfJoin ") === 3, s"expected 3 chained execs:\n$plan")
+    // each INPUT shuffles+sorts once; every chained left side rides the
+    // previous exec's declared outputPartitioning + outputOrdering
+    assert(count("Exchange hashpartitioning") === 4,
+      s"chained left sides must not re-shuffle:\n$plan")
+    assert(count(" Sort \\[") === 4,
+      s"chained left sides must not re-sort:\n$plan")
+
+    // correctness: every hop independently recomputed in memory
+    val byType = ev.select("event_type", "user_id", "ts")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getTimestamp(2).getTime * 1000 +
+          (r.getTimestamp(2).getNanos / 1000) % 1000))
+      .groupBy(_._1)
+    def latestAtOrBefore(t: String, uid: Long, us: Long): Option[Long] =
+      byType.getOrElse(t, Array.empty)
+        .collect { case (_, u, ts2) if u == uid && ts2 <= us => ts2 }
+        .maxOption
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (uid, pUs) = (r.getLong(1), r.getLong(2))
+      def got(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+      assert(got(3) === latestAtOrBefore("click", uid, pUs))
+      assert(got(4) === latestAtOrBefore("view", uid, pUs))
+      assert(got(5) === latestAtOrBefore("signup", uid, pUs))
+    }
+  }
+
   test("purchase->click as-of: gaps are non-negative, schema complete") {
     val rows = AsOfJoin.clickToPurchase(spark, "/root/testdata/sf0.001")
       .collect()
