@@ -135,6 +135,7 @@ object SparkEntry {
     "text_quality" -> (TextAnalysis.quality _),
     "text_token_counts" -> (TextAnalysis.tokenCounts _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    "text_repetition" -> (TextAnalysis.repetition _),
 
     // --- curation ops (normalization, LM scoring, sampling, pipeline) ---
     "text_top_terms" -> (TextAnalysis.topTerms _),
@@ -166,6 +167,10 @@ object SparkEntry {
     // --- train/test decontamination: test-doc shingles probed against
     //     the DISTINCT train shingle set (linear equi-join, no df×df) ---
     "text_contamination" -> (Curation.contamination _),
+    // --- PII redaction + fixed-size sequence chunking (map-only
+    //     curation stages; see operator scaladocs) ---
+    "text_redact_pii" -> (Curation.redactPii _),
+    "text_chunks" -> (Curation.chunkDocs _),
 
     // --- approximate distinct (HLL sketch). Estimates are engine-
     //     specific, so the cross-engine check is a BOUNDS check: each
@@ -646,6 +651,7 @@ object SparkEntry {
     "text_quality" -> TextAnalysisOracles.quality,
     "text_token_counts" -> TextAnalysisOracles.tokenCounts,
     "text_fingerprint" -> TextAnalysisOracles.fingerprint,
+    "text_repetition" -> TextAnalysisOracles.repetition,
     "text_normalize" -> CurationOracles.normalize,
     "text_lm_score" -> CurationOracles.lmScore,
     "text_curation_pipeline" -> CurationOracles.curationPipeline,
@@ -677,6 +683,8 @@ object SparkEntry {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "text_split_assign" -> CurationOracles.splitAssign,
     "text_contamination" -> CurationOracles.contamination,
+    "text_redact_pii" -> CurationOracles.redactPii,
+    "text_chunks" -> CurationOracles.chunkDocs,
     // sketch estimates are engine-specific: the checked contract is a
     // bounds predicate — each engine's own sketch must land within the
     // shared tolerance of the exact value, making the boolean (and the

@@ -166,6 +166,74 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** PII regexes shared with the oracle — deliberately restricted to
+    * syntax RE2 (DuckDB) and java.util.regex (Spark) treat identically:
+    * character classes, +, bounded repeats; no lookaround/backrefs. */
+  val EmailRegex = "[a-z0-9.]+@[a-z0-9.]+[a-z]"
+  val PhoneRegex = "555-[0-9]{4}"
+
+  /** PII REDACTION — scrub emails/phone numbers from text, reporting the
+    * redaction counts. The fixture corpus is clean, so (mirroring
+    * [[normalize]]'s dirty-first pattern) each doc is first salted with
+    * deterministic doc_id-derived PII; the operator then must find and
+    * remove EXACTLY that: `clean` asserts the redacted text has zero
+    * remaining matches and the salted tail collapsed to the placeholder
+    * form. Pure per-row projection — embarrassingly parallel, no
+    * shuffle before the output sort, and regexp_replace/count are
+    * codegen'd (per-row regex, NOT a higher-order-function lambda — the
+    * NGramArray hazard). */
+  def redactPii(s: SparkSession, d: String): DataFrame = {
+    val salted = concat(col("text"),
+      lit(" contact u"), col("doc_id").cast("string"),
+      lit("@mail.example.com or call 555-"),
+      (col("doc_id") % 9000 + 1000).cast("string"), lit(" now"))
+    val redacted = regexp_replace(
+      regexp_replace(salted, PhoneRegex, "[PHONE]"),
+      EmailRegex, "[EMAIL]")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), salted.as("salted"),
+        redacted.as("redacted"))
+      .select(col("doc_id"),
+        regexp_count(col("salted"), lit(EmailRegex)).as("n_emails"),
+        regexp_count(col("salted"), lit(PhoneRegex)).as("n_phones"),
+        length(col("redacted")).as("redacted_len"),
+        (regexp_count(col("redacted"), lit(EmailRegex)) === 0 &&
+          regexp_count(col("redacted"), lit(PhoneRegex)) === 0 &&
+          col("redacted") === concat(col("text"),
+            lit(" contact [EMAIL] or call [PHONE] now"))).as("clean"))
+      .orderBy("doc_id")
+  }
+
+  /** Tokens per training chunk for [[chunkDocs]] (fixture docs hold
+    * 10–99 tokens → 1–4 chunks each). */
+  val ChunkTokens = 32
+
+  /** Fixed-size SEQUENCE CHUNKING — split each document into consecutive
+    * [[ChunkTokens]]-token windows (the pre-tokenization packing step of
+    * a training pipeline), emitting per chunk its index, token count
+    * (last chunk ragged) and first token (content spot-check).
+    *
+    * Scale: explode of ⌈n/32⌉ per doc with all values derived from the
+    * in-row token array — no shuffle before the output sort; at 100 TB
+    * this is a map-only stage feeding the tokenizer. */
+  def chunkDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.WordShingles(col("text"), 1).as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("n_tokens"), col("ws"))
+      .select(col("doc_id"), col("n_tokens"),
+        // `div` (integer), not `/` (Column./ is double division)
+        explode(expr(s"sequence(0, (n_tokens - 1) div $ChunkTokens)"))
+          .as("chunk_idx"),
+        col("ws"))
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        least(lit(ChunkTokens),
+          col("n_tokens") - col("chunk_idx") * ChunkTokens).cast("int")
+          .as("chunk_tokens"),
+        element_at(col("ws"), (col("chunk_idx") * ChunkTokens + 1).cast("int"))
+          .as("first_tok"))
+      .orderBy("doc_id", "chunk_idx")
+
   /** Attach one-pass data-quality metrics to a documents-shaped frame
     * via the Observation API — row count, empty-text count, mean text
     * length are computed as a side effect of whatever action the caller
@@ -302,6 +370,45 @@ object CurationOracles {
        |  coalesce(ov.n_overlap, 0) >= ${Curation.ContaminationMinShingles} AS contaminated
        |FROM sz LEFT JOIN ov USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  val redactPii: String = {
+    val e = Curation.EmailRegex
+    val p = Curation.PhoneRegex
+    s"""WITH s AS (
+       |  SELECT doc_id, text,
+       |    text || ' contact u' || doc_id || '@mail.example.com or call 555-'
+       |      || (doc_id % 9000 + 1000) || ' now' AS salted
+       |  FROM documents
+       |),
+       |r AS (
+       |  SELECT doc_id, text, salted,
+       |    regexp_replace(regexp_replace(salted, '$p', '[PHONE]', 'g'),
+       |      '$e', '[EMAIL]', 'g') AS redacted
+       |  FROM s
+       |)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(salted, '$e')) AS INTEGER) AS n_emails,
+       |  CAST(len(regexp_extract_all(salted, '$p')) AS INTEGER) AS n_phones,
+       |  CAST(length(redacted) AS INTEGER) AS redacted_len,
+       |  len(regexp_extract_all(redacted, '$e')) = 0 AND
+       |  len(regexp_extract_all(redacted, '$p')) = 0 AND
+       |  redacted = text || ' contact [EMAIL] or call [PHONE] now' AS clean
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  val chunkDocs: String = {
+    val ct = Curation.ChunkTokens
+    s"""WITH wl AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+       |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+       |  FROM documents
+       |)
+       |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+       |  CAST(least($ct, n_tokens - i * $ct) AS INTEGER) AS chunk_tokens,
+       |  ws[i * $ct + 1] AS first_tok
+       |FROM wl, unnest(generate_series(0, (n_tokens - 1) // $ct)) t(i)
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
 
   val curationPipeline: String =
     s"""WITH keep AS (

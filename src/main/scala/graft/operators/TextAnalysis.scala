@@ -225,6 +225,33 @@ object TextAnalysis {
       count(lit(1)).as("n_shingles"))
       .orderBy("doc_id")
   }
+
+  /** Repetition flag threshold: random-word fixture docs land near
+    * 1/(n_tokens−1) ≈ 0.01–0.1; a top bigram covering ≥ 5% of a doc's
+    * bigram positions marks template/boilerplate-like repetition. */
+  val RepetitionMaxRatio = 0.05
+
+  /** Gopher-style REPETITION quality signal: the fraction of a doc's
+    * bigram positions occupied by its single most frequent bigram
+    * (duplicate-heavy boilerplate scores high; natural text low). Bigrams
+    * keep duplicates (the multiset, NOT the distinct shingle set used by
+    * the dedup operators — repetition is precisely the duplication).
+    *
+    * Scale: one explode + one (doc, bigram) hash aggregate + one per-doc
+    * max — all partial-aggregatable, no joins, no windows. */
+  def repetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(WordShingles(col("text"), 2)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"), max("c").as("top_bigram_cnt"))
+      .select(col("doc_id"), col("n_bigrams"), col("top_bigram_cnt"),
+        round(col("top_bigram_cnt").cast("double") / col("n_bigrams"), 6)
+          .as("rep_ratio"),
+        (col("top_bigram_cnt").cast("double") / col("n_bigrams") >=
+          RepetitionMaxRatio).as("repetitive"))
+      .orderBy("doc_id")
 }
 
 /** DuckDB oracles for [[TextAnalysis]], generated from the same lists
@@ -373,4 +400,25 @@ object TextAnalysisOracles {
       |  min(substr(md5(s), 1, 16)) AS shingle_min,
       |  count(DISTINCT s) AS n_shingles
       |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val repetition: String =
+    s"""WITH wl AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+       |  FROM documents
+       |),
+       |bg AS (
+       |  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b
+       |  FROM wl, unnest(generate_series(1, len(ws) - 1)) t(i)
+       |),
+       |c AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_cnt
+       |  FROM c GROUP BY 1
+       |)
+       |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       |  CAST(top_bigram_cnt AS BIGINT) AS top_bigram_cnt,
+       |  round(top_bigram_cnt * 1.0 / n_bigrams, 6) AS rep_ratio,
+       |  top_bigram_cnt * 1.0 / n_bigrams >=
+       |    ${TextAnalysis.RepetitionMaxRatio} AS repetitive
+       |FROM agg ORDER BY doc_id""".stripMargin
 }

@@ -108,4 +108,37 @@ class CurationSpec extends AnyFunSuite {
       assert(nOv === mine.count(trainSh))
     }
   }
+
+  test("redactPii scrubs exactly the salted PII from every doc") {
+    val rows = Curation.redactPii(spark, d)
+      .as[(Long, Int, Int, Int, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nEmail, nPhone, redLen, clean) =>
+      assert(nEmail === 1, s"doc $id: expected 1 salted email")
+      assert(nPhone === 1, s"doc $id: expected 1 salted phone")
+      assert(redLen > 0)
+      assert(clean, s"doc $id: PII survived redaction or text corrupted")
+    }
+  }
+
+  test("chunkDocs partitions every doc's tokens exactly") {
+    val toks = graft.Tables.documents(spark, d)
+      .select(col("doc_id"),
+        graft.functions.WordShingles(col("text"), 1).as("ws"))
+      .as[(Long, Seq[String])].collect().toMap
+    val chunks = Curation.chunkDocs(spark, d)
+      .as[(Long, Int, Int, String)].collect()
+    assert(chunks.nonEmpty)
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      // contiguous indices, sizes sum to the token count, only the last
+      // chunk is ragged, each first_tok matches the token array
+      assert(sorted.map(_._2) === (0 until cs.length))
+      assert(sorted.map(_._3).sum === toks(id).length)
+      sorted.init.foreach(c => assert(c._3 === Curation.ChunkTokens))
+      sorted.foreach { case (_, idx, _, ft) =>
+        assert(ft === toks(id)(idx * Curation.ChunkTokens))
+      }
+    }
+  }
 }

@@ -48,4 +48,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     val qs = TextAnalysis.quality(spark, d).select("quality").as[Double].collect()
     qs.foreach(q => assert(q >= 0.0 && q <= 1.0))
   }
+
+  test("repetition: bigram multiset invariants hold against tokenCounts") {
+    val nTok = TextAnalysis.tokenCounts(spark, d)
+      .select("doc_id", "n_ws_tokens").as[(Long, Int)].collect().toMap
+    val rows = TextAnalysis.repetition(spark, d)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(rows.length === nTok.size)
+    rows.foreach { case (id, nBg, top, ratio, flag) =>
+      assert(nBg === nTok(id) - 1L, s"doc $id: bigrams != tokens-1")
+      assert(top >= 1L && top <= nBg)
+      assert(math.abs(ratio - top.toDouble / nBg) < 1e-6)
+      assert(flag === (top.toDouble / nBg >= TextAnalysis.RepetitionMaxRatio))
+    }
+  }
 }
