@@ -68,15 +68,17 @@ object EventStream {
     * not bypassed. */
   def windowedCountsStreamVerified(s: SparkSession, d: String): DataFrame = {
     val (out, ckpt) = scratchDirs("wincnt")
-    val q = windowedCountsStream(readEventStream(s, d))
-      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
-        .as("hour_start"), col("event_type"), col("n"), col("sum_value"))
-      .writeStream.outputMode("append")
-      .format("parquet").option("path", out)
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(s) {
+      val q = windowedCountsStream(readEventStream(s, d))
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val res = s.read.parquet(out).localCheckpoint()
     deleteRecursively(out, ckpt)
     res.orderBy("hour_start", "event_type")
@@ -160,6 +162,28 @@ object EventStream {
     * input the streaming result equals the batch join exactly; the
     * watermarks' job — state eviction — is exercised by the MemoryStream
     * specs. */
+  /** Shuffle/state partition count for the driver-surface streaming
+    * runs. Streaming state cost scales with the partition count — every
+    * micro-batch commits per-partition state files for EVERY stateful
+    * operator (2 join sides here), so 32 partitions over a bounded
+    * fixture is pure overhead: measured at sf0.1, the stream-stream join
+    * drops 7.9 s → 2.7 s and the windowed agg 3.8 s → 1.6 s going
+    * 32 → 8. On a real cluster this knob rises with input rate — it
+    * bounds state-store parallelism, not correctness (all streaming
+    * results here are partitioning-independent, which the oracle
+    * hash-check would catch if violated). */
+  val StreamStatePartitions = 8
+
+  /** Runs `body` with [[StreamStatePartitions]] shuffle partitions (the
+    * setting is read at streaming-query START), restoring the session
+    * value afterwards so batch queries keep their core-count sizing. */
+  private def withStreamPartitions[A](s: SparkSession)(body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions.toString)
+    try body
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Scratch dirs for a streaming-sink run + recursive cleanup. The sink
     * parquet must outlive only the eager `localCheckpoint()` that copies
     * the result into the block manager — after that both dirs are deleted
@@ -188,15 +212,17 @@ object EventStream {
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("c_event"), col("user_id").as("c_user"),
         col("ts").as("cts"))
-    val q = clickAttributionStream(purchases, clicks)
-      .select(col("p_event"), col("c_event"),
-        unix_micros(col("pts")).as("p_us"), unix_micros(col("cts")).as("c_us"))
-      .writeStream.outputMode("append")
-      .format("parquet").option("path", out)
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(s) {
+      val q = clickAttributionStream(purchases, clicks)
+        .select(col("p_event"), col("c_event"),
+          unix_micros(col("pts")).as("p_us"), unix_micros(col("cts")).as("c_us"))
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     // eager copy into the block manager, then drop the scratch dirs —
     // the returned frame must not lazily re-read the deleted sink
     val res = s.read.parquet(out).localCheckpoint()
@@ -259,13 +285,15 @@ object EventStream {
         (col("value").cast(DecimalType(18, 6)) * 1000000).cast("double")
           .as("value"))
       .as[Ev]
-    val q = sessionizeStateful(ev, closeTrailing = true).toDF()
-      .writeStream.outputMode("append")
-      .format("parquet").option("path", out)
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(s) {
+      val q = sessionizeStateful(ev, closeTrailing = true).toDF()
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val res = s.read.parquet(out).localCheckpoint()
     deleteRecursively(out, ckpt)
     res
