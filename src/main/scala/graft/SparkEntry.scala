@@ -136,6 +136,7 @@ object SparkEntry {
     "text_token_counts" -> (TextAnalysis.tokenCounts _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_repetition" -> (TextAnalysis.repetition _),
+    "text_oov_rate" -> (TextAnalysis.oovRate _),
 
     // --- curation ops (normalization, LM scoring, sampling, pipeline) ---
     "text_top_terms" -> (TextAnalysis.topTerms _),
@@ -652,6 +653,7 @@ object SparkEntry {
     "text_token_counts" -> TextAnalysisOracles.tokenCounts,
     "text_fingerprint" -> TextAnalysisOracles.fingerprint,
     "text_repetition" -> TextAnalysisOracles.repetition,
+    "text_oov_rate" -> TextAnalysisOracles.oovRate,
     "text_normalize" -> CurationOracles.normalize,
     "text_lm_score" -> CurationOracles.lmScore,
     "text_curation_pipeline" -> CurationOracles.curationPipeline,

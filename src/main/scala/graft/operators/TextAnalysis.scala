@@ -226,6 +226,37 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary size for [[oovRate]] — the fixture corpus draws from a
+    * ~31-word list, so a top-20 vocab leaves the rarest tail OOV. */
+  val OovVocabSize = 20
+
+  /** OUT-OF-VOCABULARY rate — the tokenizer-coverage signal of a
+    * training pipeline: the corpus top-[[OovVocabSize]] terms by
+    * frequency (ties broken by term, so the boundary is deterministic)
+    * form the vocabulary; each doc reports the fraction of its token
+    * OCCURRENCES outside it.
+    *
+    * Scale: vocab selection is a hash aggregate + TakeOrderedAndProject
+    * (per-partition heap of V, driver merges V rows — never a global
+    * sort); the membership probe is a broadcast left join at this V. A
+    * BPE-scale vocabulary (10⁵–10⁶ rows) still broadcasts fine; beyond
+    * that the probe becomes a shuffle equi-join on the term — same plan
+    * shape as [[termStats]]' df join. */
+  def oovRate(s: SparkSession, d: String): DataFrame = {
+    val toks = docsWithTokens(s, d).select("doc_id", "w")
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("w")).limit(OovVocabSize)
+      .select(col("w"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6)
+          .as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
   /** Repetition flag threshold: random-word fixture docs land near
     * 1/(n_tokens−1) ≈ 0.01–0.1; a top bigram covering ≥ 5% of a doc's
     * bigram positions marks template/boilerplate-like repetition. */
@@ -400,6 +431,17 @@ object TextAnalysisOracles {
       |  min(substr(md5(s), 1, 16)) AS shingle_min,
       |  count(DISTINCT s) AS n_shingles
       |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val oovRate: String =
+    s"""WITH $toksCte,
+       |vc AS (SELECT w, count(*) AS cnt FROM toks GROUP BY 1),
+       |v AS (SELECT w, 1 AS in_vocab FROM vc
+       |      ORDER BY cnt DESC, w LIMIT ${TextAnalysis.OovVocabSize})
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  round(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS oov_rate
+       |FROM toks LEFT JOIN v USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val repetition: String =
     s"""WITH wl AS (

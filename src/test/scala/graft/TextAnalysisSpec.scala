@@ -49,6 +49,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     qs.foreach(q => assert(q >= 0.0 && q <= 1.0))
   }
 
+  test("oovRate: recomputed exactly from raw tokens") {
+    val toks = graft.Tables.documents(spark, d)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.explode(
+          graft.functions.WordShingles(
+            org.apache.spark.sql.functions.col("text"), 1)).as("w"))
+      .as[(Long, String)].collect()
+    val vocab = toks.groupBy(_._2).view.mapValues(_.length).toSeq
+      .sortBy { case (w, c) => (-c, w) }
+      .take(TextAnalysis.OovVocabSize).map(_._1).toSet
+    val expected = toks.groupBy(_._1).view.mapValues { ws =>
+      (ws.length.toLong, ws.count(t => !vocab(t._2)).toLong)
+    }.toMap
+    val rows = TextAnalysis.oovRate(spark, d)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.length === expected.size)
+    rows.foreach { case (id, nTok, nOov, rate) =>
+      assert((nTok, nOov) === expected(id), s"doc $id mismatch")
+      assert(math.abs(rate - nOov.toDouble / nTok) < 1e-6)
+    }
+  }
+
   test("repetition: bigram multiset invariants hold against tokenCounts") {
     val nTok = TextAnalysis.tokenCounts(spark, d)
       .select("doc_id", "n_ws_tokens").as[(Long, Int)].collect().toMap
