@@ -129,6 +129,7 @@ object SparkEntry {
     "ann_topk_lsh" -> (Similarity.lshTopK _),
     "ann_topk_ivf" -> (Similarity.ivfTopK _),
     "ann_topk_ivf_kmeans" -> (Similarity.ivfKmeansTopK _),
+    "ann_label_purity" -> (Similarity.labelPurity _),
 
     // --- text analysis (curation ops) ---
     "text_langid" -> (TextAnalysis.langId _),
@@ -137,6 +138,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     "text_repetition" -> (TextAnalysis.repetition _),
     "text_oov_rate" -> (TextAnalysis.oovRate _),
+    "text_langid_confusion" -> (TextAnalysis.langIdConfusion _),
 
     // --- curation ops (normalization, LM scoring, sampling, pipeline) ---
     "text_top_terms" -> (TextAnalysis.topTerms _),
@@ -172,6 +174,7 @@ object SparkEntry {
     //     curation stages; see operator scaladocs) ---
     "text_redact_pii" -> (Curation.redactPii _),
     "text_chunks" -> (Curation.chunkDocs _),
+    "text_domain_rebalance" -> (Curation.domainRebalance _),
 
     // --- approximate distinct (HLL sketch). Estimates are engine-
     //     specific, so the cross-engine check is a BOUNDS check: each
@@ -648,12 +651,14 @@ object SparkEntry {
     "ann_topk_lsh" -> SimilarityOracles.lshTopK,
     "ann_topk_ivf" -> SimilarityOracles.ivfTopK,
     "ann_topk_ivf_kmeans" -> SimilarityOracles.ivfKmeansTopK,
+    "ann_label_purity" -> SimilarityOracles.labelPurity,
     "text_langid" -> TextAnalysisOracles.langId,
     "text_quality" -> TextAnalysisOracles.quality,
     "text_token_counts" -> TextAnalysisOracles.tokenCounts,
     "text_fingerprint" -> TextAnalysisOracles.fingerprint,
     "text_repetition" -> TextAnalysisOracles.repetition,
     "text_oov_rate" -> TextAnalysisOracles.oovRate,
+    "text_langid_confusion" -> TextAnalysisOracles.langIdConfusion,
     "text_normalize" -> CurationOracles.normalize,
     "text_lm_score" -> CurationOracles.lmScore,
     "text_curation_pipeline" -> CurationOracles.curationPipeline,
@@ -687,6 +692,7 @@ object SparkEntry {
     "text_contamination" -> CurationOracles.contamination,
     "text_redact_pii" -> CurationOracles.redactPii,
     "text_chunks" -> CurationOracles.chunkDocs,
+    "text_domain_rebalance" -> CurationOracles.domainRebalance,
     // sketch estimates are engine-specific: the checked contract is a
     // bounds predicate — each engine's own sketch must land within the
     // shared tolerance of the exact value, making the boolean (and the

@@ -234,6 +234,34 @@ object Curation {
           .as("first_tok"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** DOMAIN-MIXTURE REBALANCING — downsample every `source` domain to
+    * the minority domain's size, the standard way a training mixture is
+    * flattened: per-source md5-deterministic sampling at rate
+    * `⌊minN·100/nᵢ⌋` percent (exact integer division, identical on both
+    * engines). Emits the per-source audit summary (target rate, achieved
+    * sample size); the sampled doc set itself is the same filter without
+    * the final aggregate.
+    *
+    * Scale: one hash aggregate for the per-source counts, a broadcast
+    * scalar for the minimum, a broadcast rate-table join, then a
+    * map-only filter — the corpus is scanned twice but never shuffled
+    * (both aggregations are partial+final over source, ~#domains rows). */
+  def domainRebalance(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val minN = counts.agg(min("n_docs").as("min_n"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .select(col("source"), col("n_docs"),
+        expr("(min_n * 100) div n_docs").as("rate_pct"))
+    docs.join(broadcast(rates), "source")
+      .filter(pctBucket(col("doc_id")) < col("rate_pct"))
+      .groupBy("source")
+      .agg(first(col("n_docs")).as("n_docs"),
+        first(col("rate_pct")).as("rate_pct"),
+        count(lit(1)).as("n_sampled"))
+      .orderBy("source")
+  }
+
   /** Attach one-pass data-quality metrics to a documents-shaped frame
     * via the Observation API — row count, empty-text count, mean text
     * length are computed as a side effect of whatever action the caller
@@ -370,6 +398,19 @@ object CurationOracles {
        |  coalesce(ov.n_overlap, 0) >= ${Curation.ContaminationMinShingles} AS contaminated
        |FROM sz LEFT JOIN ov USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  val domainRebalance: String =
+    s"""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+       |r AS (
+       |  SELECT source, n_docs,
+       |    ((SELECT min(n_docs) FROM c) * 100) // n_docs AS rate_pct
+       |  FROM c
+       |)
+       |SELECT r.source, r.n_docs, r.rate_pct,
+       |  count(*) AS n_sampled
+       |FROM documents d JOIN r ON d.source = r.source
+       |WHERE ${pctBucketSql("d.doc_id::VARCHAR")} < r.rate_pct
+       |GROUP BY r.source, r.n_docs, r.rate_pct ORDER BY r.source""".stripMargin
 
   val redactPii: String = {
     val e = Curation.EmailRegex

@@ -195,6 +195,33 @@ object Similarity {
     * codebook; pass [[kmeansCentroids]] output for the trained variant. */
   def ivfTopKOn(e: DataFrame): DataFrame = ivfTopKOn(e, defaultCentroids(e))
 
+  /** RETRIEVAL-QUALITY evaluation: label purity of the exact top-k —
+    * for each query, the fraction of its [[K]] nearest neighbors sharing
+    * the query's class label (the fixture's `label` column; a production
+    * pipeline runs this over a labeled audit slice to sanity-check an
+    * embedding space before using it for dedup/search).
+    *
+    * Scale: reuses [[bruteTopKOn]]'s bounded-heap plan; the label
+    * attachment is a broadcast join on the 10-row query side and an
+    * id equi-join on the k·#queries result rows — nothing touches the
+    * corpus a second time. */
+  def labelPurity(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val labels = e.select(col("vec_id"), col("label"))
+    bruteTopKOn(e)
+      .join(broadcast(labels.toDF("query_id", "q_label")), "query_id")
+      .join(labels.toDF("neighbor_id", "n_label"), "neighbor_id")
+      .groupBy("query_id", "q_label")
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("n_label") === col("q_label"), 1L).otherwise(0L))
+          .as("n_same_label"))
+      .select(col("query_id"), col("q_label"), col("k"),
+        col("n_same_label"),
+        round(col("n_same_label").cast("double") / col("k"), 6)
+          .as("purity"))
+      .orderBy("query_id")
+  }
+
   def ivfTopKOn(e: DataFrame, cents: DataFrame): DataFrame = {
     // nearest-centroid ranking per vector; ccos ordering is total because
     // cent_id breaks exact ties
@@ -234,6 +261,18 @@ object SimilarityOracles {
        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
        |  WHERE q.vec_id < $NumQueries
        |) WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  val labelPurity: String =
+    s"""WITH topk AS ($bruteTopK)
+       |SELECT query_id, q.label AS q_label, count(*) AS k,
+       |  CAST(sum(CASE WHEN n.label = q.label THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_same_label,
+       |  round(sum(CASE WHEN n.label = q.label THEN 1 ELSE 0 END) * 1.0
+       |    / count(*), 6) AS purity
+       |FROM topk
+       |JOIN embeddings q ON q.vec_id = query_id
+       |JOIN embeddings n ON n.vec_id = neighbor_id
+       |GROUP BY 1, 2 ORDER BY query_id""".stripMargin
 
   /** Replicates the integer-quantized sign-random-projection bucketing:
     * same md5 plane weights, same floor quantization, same bit packing. */

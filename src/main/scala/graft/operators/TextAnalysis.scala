@@ -226,6 +226,23 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Language-ID EVALUATION — confusion counts of [[langId]]'s
+    * prediction against the corpus's labeled `lang` column (the fixture
+    * carries ground truth; a production pipeline runs this over a
+    * labeled audit sample). One row per (true, predicted) pair.
+    *
+    * Scale: the prediction is a per-doc aggregate, the truth a
+    * projection of the same table; the doc_id equi-join shuffles one
+    * row per doc, then the confusion aggregate is 25 cells max. */
+  def langIdConfusion(s: SparkSession, d: String): DataFrame = {
+    val pred = langId(s, d).select(col("doc_id"), col("pred_lang"))
+    val truth = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    truth.join(pred, "doc_id")
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+  }
+
   /** Vocabulary size for [[oovRate]] — the fixture corpus draws from a
     * ~31-word list, so a top-20 vocab leaves the rarest tail OOV. */
   val OovVocabSize = 20
@@ -431,6 +448,12 @@ object TextAnalysisOracles {
       |  min(substr(md5(s), 1, 16)) AS shingle_min,
       |  count(DISTINCT s) AS n_shingles
       |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val langIdConfusion: String =
+    s"""WITH p AS ($langId)
+       |SELECT d.lang, p.pred_lang, count(*) AS n
+       |FROM p JOIN documents d USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   val oovRate: String =
     s"""WITH $toksCte,

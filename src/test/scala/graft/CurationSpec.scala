@@ -109,6 +109,23 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("domainRebalance: every source downsampled toward the minority") {
+    val rows = Curation.domainRebalance(spark, d)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val minN = rows.map(_._2).min
+    rows.foreach { case (src, nDocs, ratePct, nSampled) =>
+      assert(ratePct === minN * 100 / nDocs, s"$src rate")
+      assert(nSampled <= nDocs)
+      // md5 buckets are ~uniform; sampled size must be in the right
+      // ballpark of the target (loose: within [0, 2*minN + 5])
+      assert(nSampled <= 2 * minN + 5, s"$src oversampled: $nSampled")
+    }
+    // the minority source keeps everything (rate 100)
+    val m = rows.find(_._2 == minN).get
+    assert(m._3 === 100L && m._4 === m._2)
+  }
+
   test("redactPii scrubs exactly the salted PII from every doc") {
     val rows = Curation.redactPii(spark, d)
       .as[(Long, Int, Int, Int, Boolean)].collect()

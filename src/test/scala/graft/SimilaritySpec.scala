@@ -159,4 +159,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(b1.map(_._2).max === LshBuckets.Tables - 1)
     assert(b1.forall { case (_, _, k) => k >= 0 && k < (1L << LshBuckets.Bits) })
   }
+
+  test("labelPurity: one row per query, k of 5, bounded purity") {
+    val rows = Similarity.labelPurity(spark, d)
+      .as[(Long, Int, Long, Long, Double)].collect()
+    assert(rows.length === Similarity.NumQueries)
+    rows.foreach { case (_, _, k, same, purity) =>
+      assert(k === Similarity.K.toLong)
+      assert(same >= 0L && same <= k)
+      assert(math.abs(purity - same.toDouble / k) < 1e-6)
+    }
+  }
 }

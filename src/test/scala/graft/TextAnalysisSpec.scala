@@ -49,6 +49,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     qs.foreach(q => assert(q >= 0.0 && q <= 1.0))
   }
 
+  test("langIdConfusion: totals cover the corpus, labels are valid") {
+    val langs = TextAnalysis.Stopwords.map(_._1).toSet
+    val rows = TextAnalysis.langIdConfusion(spark, d)
+      .as[(String, String, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, p, n) =>
+      // truth labels come from the fixture (may include langs the
+      // stopword model doesn't know, e.g. zh); predictions must come
+      // from the model's own label set
+      assert(t.nonEmpty && langs(p))
+      assert(n > 0)
+    }
+    val total = rows.map(_._3).sum
+    assert(total === graft.Tables.documents(spark, d).count())
+  }
+
   test("oovRate: recomputed exactly from raw tokens") {
     val toks = graft.Tables.documents(spark, d)
       .select(org.apache.spark.sql.functions.col("doc_id"),
