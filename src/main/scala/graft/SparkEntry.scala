@@ -312,6 +312,11 @@ object SparkEntry {
     //     semantics themselves are cross-engine-checked ---
     "events_windowed_stream" ->
       (graft.streaming.EventStream.windowedCountsStreamVerified _),
+
+    // --- streaming dedup under the engine: a self-unioned (2×) stream
+    //     must collapse back to exactly-once via the state store ---
+    "events_dedup_stream" ->
+      (graft.streaming.EventStream.dedupStreamVerified _),
   )
 
   // Shared oracle-SQL fragments (DuckDB dialect), mirroring TextPipeline.
@@ -776,6 +781,10 @@ object SparkEntry {
     // Spark's event-time stats are ms-precision, so the final watermark
     // is floor(max(ts)/1ms) − 30 min and append mode emits windows with
     // end ≤ watermark — the HAVING clause replicates that cutoff exactly
+    // the 2×-duplicated stream must collapse to the plain distinct set
+    "events_dedup_stream" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type
+        |FROM events ORDER BY event_id""".stripMargin,
     "events_windowed_stream" ->
       """WITH wm AS (
         |  SELECT epoch_us(max(ts)) // 1000 - 1800000 AS wm_ms FROM events

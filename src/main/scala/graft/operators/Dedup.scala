@@ -430,19 +430,22 @@ object Dedup {
       val nbrMin = und.join(labels, col("b") === col("v"))
         .groupBy(col("a")).agg(min("lbl").as("nmin"))
         .toDF("hv", "nmin")
+      // the start-of-round label rides along as `prev`, so the
+      // convergence check below is a filter over the checkpointed frame
+      // instead of an extra labels self-join + shuffle per round
+      // (measured: the old join-based check was ~1/3 of CC wall)
       val hooked = labels.join(nbrMin, col("v") === col("hv"), "left")
-        .select(col("v"),
+        .select(col("v"), col("lbl").as("prev"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
       // jump: labels only ever point to SMALLER ids in the same
       // component, so lbl(lbl(v)) is a valid (≤) label for v
-      val byId = hooked.toDF("jv", "jlbl")
+      val byId = hooked.select(col("v").as("jv"), col("lbl").as("jlbl"))
       val jumped = hooked.join(byId, col("lbl") === col("jv"), "left")
-        .select(col("v"), coalesce(col("jlbl"), col("lbl")).as("lbl"))
+        .select(col("v"), col("prev"),
+          coalesce(col("jlbl"), col("lbl")).as("lbl"))
         .localCheckpoint()
-      changed = jumped.toDF("cv", "clbl")
-        .join(labels.toDF("ov", "olbl"), col("cv") === col("ov"))
-        .filter(col("clbl") =!= col("olbl")).count()
-      labels = jumped
+      changed = jumped.filter(col("lbl") =!= col("prev")).count()
+      labels = jumped.select("v", "lbl")
       iter += 1
     }
     labels.select(col("v"), col("lbl").as("cluster_id"))

@@ -131,6 +131,32 @@ object EventStream {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Driver-surface STREAMING DEDUP under the real engine: the event
+    * stream UNIONED WITH ITSELF (two independent file-source reads of the
+    * same parquet — a genuine 2× duplicate load, not a no-op pass) flows
+    * through [[dedupEventsStream]]; the sink must contain every event
+    * exactly once. The oracle is the plain distinct projection of the
+    * events table, so the state-store dedup semantics are checked
+    * end-to-end against a batch engine that never saw duplicates. */
+  def dedupStreamVerified(s: SparkSession, d: String): DataFrame = {
+    val (out, ckpt) = scratchDirs("dedup")
+    withStreamPartitions(s) {
+      val doubled = readEventStream(s, d).union(readEventStream(s, d))
+      val q = dedupEventsStream(doubled)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"))
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val res = s.read.parquet(out).localCheckpoint()
+    deleteRecursively(out, ckpt)
+    res.orderBy("event_id")
+  }
+
   // ------------------------------------------------------------------
   // stream-stream join
   // ------------------------------------------------------------------
