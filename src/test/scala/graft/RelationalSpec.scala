@@ -17,6 +17,32 @@ class RelationalSpec extends AnyFunSuite {
   private def planOf(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("r4 curation/eval operators keep their scale plan shapes") {
+    import graft.operators.{Curation, TextAnalysis}
+    // oovRate: vocab selection is a bounded heap, never a global sort
+    val oov = planOf(TextAnalysis.oovRate(spark, d))
+    assert(oov.contains("TakeOrderedAndProject"), oov)
+    // chunkDocs / redactPii are map-only before the output sort: the
+    // single Exchange in each plan is the final orderBy's range partition
+    Seq(Curation.chunkDocs(spark, d), Curation.redactPii(spark, d))
+      .foreach { q =>
+        val p = planOf(q)
+        assert("Exchange".r.findAllIn(p).length === 1, p)
+        assert(p.contains("rangepartitioning"), p)
+      }
+    // contamination must never fall back to a loop join; rebalance's
+    // only nested-loop is the 1-row scalar broadcast of the minimum
+    // (the standard scalar-broadcast pattern, same as bigram_probs)
+    val cont = planOf(Curation.contamination(spark, d))
+    assert(!cont.contains("CartesianProduct") &&
+      !cont.contains("BroadcastNestedLoopJoin"), cont)
+    assert(!planOf(Curation.domainRebalance(spark, d))
+      .contains("CartesianProduct"))
+    // rebalance joins its ~#domains-row rate table by broadcast
+    assert(planOf(Curation.domainRebalance(spark, d))
+      .contains("BroadcastHashJoin"), "rate table should broadcast")
+  }
+
   test("filter pushdown reaches the parquet scan") {
     val plan = planOf(Relational.filterPushdownScan(spark, d))
     assert(plan.contains("PushedFilters: ["), plan)
