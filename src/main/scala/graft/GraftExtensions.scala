@@ -58,6 +58,10 @@ object GraftFunctions {
     ("cms_agg", classOf[CountMinAgg].getName,
       args => CountMinAgg(args.head,
         intArg(args(1), "cms_agg"), intArg(args(2), "cms_agg"))
+        .toAggregateExpression()),
+    ("bloom_agg", classOf[BloomAgg].getName,
+      args => BloomAgg(args.head,
+        intArg(args(1), "bloom_agg"), intArg(args(2), "bloom_agg"))
         .toAggregateExpression()))
 
   /** Register on a live session (temp functions). */

@@ -39,6 +39,15 @@ object SparkEntry {
   val CmsWidth = 64
   val CmsTopN = 20
 
+  /** Bloom semi-join parameters for `rel_bloom_semijoin` (shared with
+    * the generated oracle): 1024 bits × 3 hashes over ~150 selected
+    * customer keys at sf0.01 — deliberately undersized (~45% fill) so
+    * false positives are actually exercised and counted in the output
+    * rather than being a theoretical note. */
+  val BloomBits = 1024
+  val BloomK = 3
+  val BloomAcctMin = 9000.0
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's full `main`-mode output: sorted bigram → count →
     * probability over the word corpus (SURVEY.md §7 step 1). */
@@ -286,6 +295,49 @@ object SparkEntry {
         .groupBy("user_id", "exact_cnt").agg(min(col("c")).as("cms_est"))
         .select(col("user_id"), col("exact_cnt"), col("cms_est"))
         .orderBy("user_id")
+    }),
+
+    // --- Bloom-filter semi-join pre-filter (custom UDAF): build a
+    //     deterministic md5 Bloom filter over the SELECTIVE dim-key set
+    //     (customers with acctbal > 9000), broadcast its 16 words, and
+    //     bit-test every order BEFORE any join — the 100 TB move that
+    //     drops non-joining fact rows at scan time. Output audits the
+    //     filter per order status: passes, true matches, false
+    //     positives (the filter is undersized so they exist), and a
+    //     zero-false-negative boolean. The oracle rebuilds the filter
+    //     position-for-position in SQL ---
+    "rel_bloom_semijoin" -> ((s, d) => {
+      import graft.functions.BloomAgg
+      val selC = Tables.customer(s, d)
+        .filter(col("c_acctbal") > BloomAcctMin)
+        .select(col("c_custkey"))
+      val bloom = selC
+        .agg(BloomAgg(col("c_custkey").cast("string"), BloomBits, BloomK)
+          .as("bloom"))
+      val orders = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderstatus"))
+      var probed = orders.crossJoin(broadcast(bloom))
+      for (i <- 0 until BloomK) probed = probed.withColumn(s"pos$i",
+        expr(s"cast(conv(substr(md5(concat('$i', ':', " +
+          s"cast(o_custkey as string))), 1, 15), 16, 10) as bigint) " +
+          s"% $BloomBits"))
+      val passPred = (0 until BloomK).map(i =>
+        s"((shiftright(element_at(bloom, cast(pos$i div 64 as int) + 1), " +
+          s"cast(pos$i % 64 as int)) & 1) = 1)").mkString(" AND ")
+      val selKeys = selC.distinct().withColumn("is_match", lit(1))
+      probed.withColumn("bloom_pass", expr(passPred))
+        .join(broadcast(selKeys), col("o_custkey") === col("c_custkey"),
+          "left")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("n_pass"),
+          sum(when(col("is_match").isNotNull, 1L).otherwise(0L))
+            .as("n_match"),
+          sum(when(col("bloom_pass") && col("is_match").isNull, 1L)
+            .otherwise(0L)).as("n_false_pos"),
+          (sum(when(col("is_match").isNotNull && !col("bloom_pass"), 1L)
+            .otherwise(0L)) === 0).as("no_false_neg"))
+        .orderBy("o_orderstatus")
     }),
 
     // --- multimodal plumbing (stubbed decode; see Multimodal scaladoc) ---
@@ -762,6 +814,43 @@ object SparkEntry {
          |SELECT p.user_id, p.exact_cnt, min(c.c) AS cms_est
          |FROM probes p JOIN counters c ON c.i = p.i AND c.bucket = p.bucket
          |GROUP BY 1, 2 ORDER BY user_id""".stripMargin,
+    // the Bloom filter as a SET of bit positions (provably the same
+    // predicate as the packed-word bit tests on the Spark side: bit p of
+    // word p div 64 is set iff p is in the position set)
+    "rel_bloom_semijoin" -> {
+      val ks = BloomK - 1
+      s"""WITH sel AS (
+         |  SELECT DISTINCT c_custkey FROM customer
+         |  WHERE c_acctbal > $BloomAcctMin
+         |),
+         |pos AS (
+         |  SELECT DISTINCT
+         |    ('0x' || substr(md5(i::VARCHAR || ':' || c_custkey::VARCHAR), 1, 15))::BIGINT
+         |      % $BloomBits AS p
+         |  FROM sel, unnest(generate_series(0, $ks)) t(i)
+         |),
+         |pp AS (
+         |  SELECT o.o_orderkey AS ork,
+         |    ('0x' || substr(md5(i::VARCHAR || ':' || o.o_custkey::VARCHAR), 1, 15))::BIGINT
+         |      % $BloomBits AS p
+         |  FROM orders o, unnest(generate_series(0, $ks)) t(i)
+         |),
+         |hits AS (
+         |  SELECT ork, count(*) AS nhit FROM pp JOIN pos USING (p) GROUP BY 1
+         |),
+         |flag AS (
+         |  SELECT o.o_orderstatus,
+         |    coalesce(h.nhit, 0) = $BloomK AS bloom_pass,
+         |    o.o_custkey IN (SELECT c_custkey FROM sel) AS is_match
+         |  FROM orders o LEFT JOIN hits h ON o.o_orderkey = h.ork
+         |)
+         |SELECT o_orderstatus, count(*) AS n_orders,
+         |  CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |  CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+         |  CAST(sum(CASE WHEN bloom_pass AND NOT is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+         |  sum(CASE WHEN is_match AND NOT bloom_pass THEN 1 ELSE 0 END) = 0 AS no_false_neg
+         |FROM flag GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+    },
     "mm_decode_features" -> MultimodalOracles.decodeFeatures,
     "mm_frame_sample" -> MultimodalOracles.frameSample,
     "mm_resize" -> MultimodalOracles.resize,

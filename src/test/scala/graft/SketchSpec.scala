@@ -134,4 +134,38 @@ class SketchSpec extends AnyFunSuite {
       spark.table("cms_in"))
     assert(viaSql === direct)
   }
+
+  private def bloomOf(df: org.apache.spark.sql.DataFrame,
+      bits: Int = 256, k: Int = 3): Seq[Long] =
+    df.agg(graft.functions.BloomAgg(col("k"), bits, k))
+      .head().getSeq[Long](0)
+
+  test("bloom: no false negatives, partitioning-independent, OR-merge") {
+    val keys = (1 to 200).map(i => s"key$i")
+    val df = keys.toDF("k")
+    val sk = bloomOf(df)
+    // bit-identical under any partitioning (OR is commutative/assoc/idem)
+    assert(bloomOf(df.repartition(7)) === sk)
+    assert(bloomOf(df.union(df)) === sk) // idempotent under duplicates
+    def member(s: String): Boolean = (0 until 3).forall { i =>
+      val p = CountMinAgg.bucket(i, s, 256)
+      ((sk(p >>> 6) >>> (p & 63)) & 1L) == 1L
+    }
+    // every inserted key MUST test positive
+    keys.foreach(s => assert(member(s), s"false negative for $s"))
+    // 256 bits over 200 keys is saturated enough that some absent keys
+    // collide — and far from all: the filter must discriminate
+    val absent = (1 to 200).map(i => s"other$i")
+    val fp = absent.count(member)
+    assert(fp > 0, "no false positives at 256 bits — filter not exercised")
+    assert(fp < absent.size, "filter passes everything — useless")
+  }
+
+  test("bloom: SQL-registered bloom_agg builds the same filter") {
+    GraftFunctions.register(spark)
+    (1 to 50).map(i => s"k$i").toDF("k").createOrReplaceTempView("bloom_in")
+    val viaSql = spark.sql("SELECT bloom_agg(k, 256, 3) FROM bloom_in")
+      .head().getSeq[Long](0)
+    assert(viaSql === bloomOf(spark.table("bloom_in")))
+  }
 }
