@@ -184,6 +184,9 @@ object SparkEntry {
     "text_redact_pii" -> (Curation.redactPii _),
     "text_chunks" -> (Curation.chunkDocs _),
     "text_domain_rebalance" -> (Curation.domainRebalance _),
+    // --- damped quality propagation over the near-dup graph (exact
+    //     integer rounds; oracle unrolls them like the k-means one) ---
+    "text_quality_propagation" -> (Curation.qualityPropagation _),
 
     // --- approximate distinct (HLL sketch). Estimates are engine-
     //     specific, so the cross-engine check is a BOUNDS check: each
@@ -750,6 +753,7 @@ object SparkEntry {
     "text_redact_pii" -> CurationOracles.redactPii,
     "text_chunks" -> CurationOracles.chunkDocs,
     "text_domain_rebalance" -> CurationOracles.domainRebalance,
+    "text_quality_propagation" -> CurationOracles.qualityPropagation,
     // sketch estimates are engine-specific: the checked contract is a
     // bounds predicate — each engine's own sketch must land within the
     // shared tolerance of the exact value, making the boolean (and the

@@ -262,6 +262,60 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Damping (percent) and iteration count for [[qualityPropagation]],
+    * shared with the generated oracle (which unrolls the iterations). */
+  val PropagationDampPct = 85
+  val PropagationIters = 2
+
+  /** QUALITY PROPAGATION over the near-dup graph — PageRank-style
+    * smoothing of per-doc quality across near-duplicates: a document
+    * surrounded by low-quality near-copies is itself suspect even if its
+    * own heuristics score well (and vice versa). Fixed
+    * [[PropagationIters]] damped rounds over
+    * [[Dedup.nearDupEdges]]'s graph:
+    *
+    *   q′(v) = (85 · ⌊Σ_{u∈N(v)} q(u) / deg(v)⌋ + 15 · q₀(v)) div 100
+    *
+    * in EXACT integer micro-units (quality floor-quantized ×10⁶, integer
+    * division throughout — Spark `div` ≡ DuckDB `//`), so the oracle
+    * replicates every round bit-for-bit. Output covers graph members
+    * (isolated docs keep their base score by definition).
+    *
+    * Scale: per round one equi-join of the edge list against the 1-row-
+    * per-node score frame + a hash aggregate — the CC cost model
+    * ([[Dedup.connectedComponents]]); `localCheckpoint` truncates the
+    * per-round lineage. */
+  def qualityPropagation(s: SparkSession, d: String): DataFrame = {
+    val edges = Dedup.nearDupEdges(s, d)
+    val und = edges
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    val nodes = und.select(col("a").as("doc_id")).distinct()
+    val q0 = TextAnalysis.quality(s, d)
+      .select(col("doc_id"),
+        floor(col("quality") * 1000000).cast("long").as("q0"))
+    var scores = q0.join(nodes, "doc_id")
+      .select(col("doc_id"), col("q0"), col("q0").as("q"))
+      .localCheckpoint()
+    for (_ <- 1 to PropagationIters) {
+      // every graph node has ≥1 neighbor (und holds both directions),
+      // so the neighbor aggregate inner-joins back without loss
+      val nbr = und
+        .join(scores.select(col("doc_id").as("nb"), col("q")),
+          col("b") === col("nb"))
+        .groupBy(col("a"))
+        .agg(expr("sum(q) div count(1)").as("avgq"))
+      scores = scores.drop("q")
+        .join(nbr, col("doc_id") === col("a"))
+        .select(col("doc_id"), col("q0"),
+          expr(s"($PropagationDampPct * avgq + " +
+            s"${100 - PropagationDampPct} * q0) div 100").as("q"))
+        .localCheckpoint()
+    }
+    scores.select(col("doc_id"), col("q0"), col("q").as("q_prop"))
+      .orderBy("doc_id")
+  }
+
   /** Attach one-pass data-quality metrics to a documents-shaped frame
     * via the Observation API — row count, empty-text count, mean text
     * length are computed as a side effect of whatever action the caller
@@ -449,6 +503,57 @@ object CurationOracles {
        |  ws[i * $ct + 1] AS first_tok
        |FROM wl, unnest(generate_series(0, (n_tokens - 1) // $ct)) t(i)
        |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
+  /** Unrolls [[Curation.qualityPropagation]]'s damped integer rounds in
+    * SQL (same move as the k-means oracle): the edge CTEs mirror the
+    * dedup_clusters oracle, the base score reuses the quality oracle. */
+  val qualityPropagation: String = {
+    val damp = Curation.PropagationDampPct
+    val rest = 100 - damp
+    val iters = (1 to Curation.PropagationIters).map { i =>
+      s"""n$i AS (
+         |  SELECT u.a AS doc_id,
+         |    (sum(s${i - 1}.q) // count(*))::BIGINT AS avgq
+         |  FROM und u JOIN s${i - 1} ON u.b = s${i - 1}.doc_id
+         |  GROUP BY 1
+         |),
+         |s$i AS (
+         |  SELECT s${i - 1}.doc_id, s${i - 1}.q0,
+         |    (($damp * n$i.avgq + $rest * s${i - 1}.q0) // 100)::BIGINT AS q
+         |  FROM s${i - 1} JOIN n$i USING (doc_id)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wl AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+       |  FROM documents
+       |),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+       |  FROM wl, unnest(generate_series(1, len(ws) - 2)) t(i)
+       |),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |),
+       |edges AS (
+       |  SELECT i, j FROM inter
+       |  JOIN sizes sa ON i = sa.doc_id JOIN sizes sb ON j = sb.doc_id
+       |  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= ${graft.operators.Dedup.ClusterJaccardThreshold}
+       |),
+       |und AS (SELECT i AS a, j AS b FROM edges UNION SELECT j, i FROM edges),
+       |qq AS (${TextAnalysisOracles.qualityCore}),
+       |s0 AS (
+       |  SELECT qq.doc_id, floor(qq.quality * 1000000)::BIGINT AS q0,
+       |    floor(qq.quality * 1000000)::BIGINT AS q
+       |  FROM qq JOIN (SELECT DISTINCT a FROM und) g ON qq.doc_id = g.a
+       |),
+       |$iters
+       |SELECT doc_id, q0, q AS q_prop
+       |FROM s${Curation.PropagationIters}
+       |ORDER BY doc_id""".stripMargin
   }
 
   val curationPipeline: String =

@@ -458,20 +458,25 @@ object Dedup {
     * "collapse each near-dup cluster to one document" curation step.
     * Docs with no near-dup edge are implicitly their own singleton
     * cluster and are omitted (at corpus scale they are ~all rows). */
-  def nearDupClusters(s: SparkSession, d: String): DataFrame = {
-    // edge generation through the SCALE path (r4): prefix-filtered
-    // candidates at rational t = 3/100 + candidate-restricted verify,
-    // replacing the guarded naive jaccardAll whose df-guard would refuse
-    // corpus-scale inputs. Prefix filtering is lossless (complete
-    // recall), so the oracle — a pure threshold over exact Jaccard,
-    // blind to candidate generation — must produce the identical graph.
+  /** The near-dup edge list at [[ClusterJaccardThreshold]], generated
+    * through the SCALE path (r4): prefix-filtered candidates at rational
+    * t = 3/100 + candidate-restricted verify, replacing the guarded
+    * naive jaccardAll whose df-guard would refuse corpus-scale inputs.
+    * Prefix filtering is lossless (complete recall), so oracles that
+    * threshold exact Jaccard — blind to candidate generation — see the
+    * identical graph. Shared by [[nearDupClusters]] and the
+    * quality-propagation operator. */
+  def nearDupEdges(s: SparkSession, d: String): DataFrame = {
     assert(ClusterJaccardThreshold == 3.0 / 100,
       "constants drifted: cluster edge prefix arithmetic assumes t = 3/100")
     val sh = shinglesCached(s, d)
-    val edges =
-      verifyJaccardPairs(sh, prefixCandidates(sh, 3, 100),
+    verifyJaccardPairs(sh, prefixCandidates(sh, 3, 100),
         ClusterJaccardThreshold)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
+  }
+
+  def nearDupClusters(s: SparkSession, d: String): DataFrame = {
+    val edges = nearDupEdges(s, d)
     val labels = connectedComponents(edges)
     val sizes = labels.groupBy("cluster_id")
       .agg(count(lit(1)).as("cluster_size"))

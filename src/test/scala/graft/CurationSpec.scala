@@ -126,6 +126,26 @@ class CurationSpec extends AnyFunSuite {
     assert(m._3 === 100L && m._4 === m._2)
   }
 
+  test("qualityPropagation stays within its component's base-score range") {
+    import graft.operators.Dedup
+    val prop = Curation.qualityPropagation(spark, d)
+      .as[(Long, Long, Long)].collect()
+    val clusters = Dedup.nearDupClusters(spark, d)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    // exactly the graph members, i.e. the same doc set as the clusters
+    assert(prop.map(_._1).toSet === clusters.keySet)
+    val q0ByCluster = prop.groupBy(r => clusters(r._1))
+      .view.mapValues(rs => (rs.map(_._2).min, rs.map(_._2).max)).toMap
+    prop.foreach { case (id, q0, qp) =>
+      val (lo, hi) = q0ByCluster(clusters(id))
+      // each round is a damped convex combination of neighbor average
+      // and own base (with integer truncation, allow 1-unit slack)
+      assert(qp >= lo - 1 && qp <= hi + 1,
+        s"doc $id: q_prop $qp outside component base range [$lo, $hi]")
+      assert(q0 >= 0 && qp >= 0)
+    }
+  }
+
   test("redactPii scrubs exactly the salted PII from every doc") {
     val rows = Curation.redactPii(spark, d)
       .as[(Long, Int, Int, Int, Boolean)].collect()
