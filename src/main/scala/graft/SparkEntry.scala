@@ -352,6 +352,8 @@ object SparkEntry {
     //     under the actual streaming engine; both checked against ONE
     //     oracle) ---
     "events_sessionized" -> (graft.streaming.EventStream.sessionizeBatch _),
+    "events_sessionized_native" ->
+      (graft.streaming.EventStream.sessionizeNative _),
     "events_sessionized_stream" ->
       (graft.streaming.EventStream.sessionizeStreamVerified _),
 
@@ -859,6 +861,8 @@ object SparkEntry {
     "mm_frame_sample" -> MultimodalOracles.frameSample,
     "mm_resize" -> MultimodalOracles.resize,
     "events_sessionized" -> sessionizedOracle,
+    // Spark's built-in session_window must reproduce the same sessions
+    "events_sessionized_native" -> sessionizedOracle,
     "events_range_join_stream" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
         |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
