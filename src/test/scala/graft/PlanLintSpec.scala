@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Suite-wide physical-plan lint: every `SparkEntry` query is planned
+  * (not executed) and checked against the scale anti-patterns SCALE.md
+  * bans. A new operator that accidentally plans a Cartesian product or
+  * funnels all rows through one unpartitioned window fails here before
+  * it ever reaches a fixture large enough to hurt.
+  *
+  * Streaming-sink queries are excluded: they EXECUTE on invocation
+  * (their plan is the read-back of the sink, checked by their own
+  * specs + the driver oracle). */
+class PlanLintSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val d = "/root/testdata/sf0.001"
+
+  /** Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
+    * 1-row scalar broadcasts (grand totals, minima, codebook counts) and
+    * deliberately guarded brute-force baselines. CartesianProduct —
+    * the unbroadcast, shuffle-everything form — is never allowed. */
+  private val scalarBnlj = Set(
+    "bigram_probs", "bigram_probs_onlyone", // grand-total scalar
+    "dedup_embedding_pairs",                // guarded brute pair join
+    "ann_topk_brute",                       // broadcast query side, i<j
+    "ann_topk_ivf", "ann_topk_ivf_kmeans",  // broadcast codebook score
+    "ann_label_purity",                     // reuses brute top-k
+    "dedup_clusters", "text_quality_propagation", // scalar min/convergence
+    "text_domain_rebalance",                // 1-row min broadcast
+    "rel_bloom_semijoin",                   // 16-word filter broadcast
+    "rel_cms_freq", "rel_hll_sketch_union", // sketch-as-scalar probes
+    "rel_stats_summary", "rel_scalar_funcs", "text_bm25", // corpus scalars
+    "text_doc_similarity", "text_top_terms", // n_docs scalar
+    "rel_exists_subquery",                  // uncorrelated exists → BNLJ
+    "text_lm_score")                        // ≤676-row bigram-LM broadcast
+
+  test("no query plans a CartesianProduct or an unpartitioned Window") {
+    val skip = SparkEntry.queries.keySet.filter(_.endsWith("_stream"))
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => skip(n) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, d).queryExecution.executedPlan.toString
+        val problems = Seq(
+          "CartesianProduct" -> plan.contains("CartesianProduct"),
+          "unpartitioned Window" ->
+            plan.contains("windowspecdefinition(,"),
+          "unexpected BNLJ" -> (!scalarBnlj(name) &&
+            plan.contains("BroadcastNestedLoopJoin"))
+        ).collect { case (what, true) => what }
+        if (problems.isEmpty) None else Some(s"$name: ${problems.mkString(", ")}")
+      }
+    assert(offenders.isEmpty,
+      s"plan lint failures:\n${offenders.mkString("\n")}")
+  }
+}
