@@ -132,6 +132,8 @@ object SparkEntry {
     // connected components over the near-dup pair graph (iterative
     // hook+jump min-label; oracle = recursive-CTE transitive closure)
     "dedup_clusters" -> (Dedup.nearDupClusters _),
+    // the at-scale variant: LSH band-join edges at t=0.8 into the same CC
+    "dedup_clusters_lsh" -> (Dedup.nearDupClustersLsh _),
 
     // --- similarity search (ANN over embeddings) ---
     "ann_topk_brute" -> (Similarity.bruteTopK _),
@@ -709,6 +711,7 @@ object SparkEntry {
     "dedup_embedding_pairs" -> DedupOracles.embeddingPairs,
     "dedup_embedding_lsh" -> DedupOracles.embeddingLshPairs,
     "dedup_clusters" -> DedupOracles.clusters,
+    "dedup_clusters_lsh" -> DedupOracles.clustersLsh,
     "ann_topk_brute" -> SimilarityOracles.bruteTopK,
     "ann_topk_lsh" -> SimilarityOracles.lshTopK,
     "ann_topk_ivf" -> SimilarityOracles.ivfTopK,

@@ -475,8 +475,26 @@ object Dedup {
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
   }
 
-  def nearDupClusters(s: SparkSession, d: String): DataFrame = {
-    val edges = nearDupEdges(s, d)
+  def nearDupClusters(s: SparkSession, d: String): DataFrame =
+    clustersFromEdges(nearDupEdges(s, d))
+
+  /** Near-dup clusters over the MinHash-LSH pair graph — the production
+    * 100 TB clustering path. [[nearDupClusters]] is EXACT (lossless
+    * prefix edges at t = 3/100) but pays full intersection counts for
+    * every co-occurring pair, which at a 3% threshold approaches the
+    * all-co-occurrence join no matter how candidates are generated —
+    * exact recall at very low thresholds is intrinsically expensive.
+    * The at-scale default inverts the trade: band-bucket equi-join
+    * edges at the HIGH threshold ([[JaccardThreshold]] = 0.8, LSH
+    * recall bounded by the banding), then the same O(log d) CC. The
+    * oracle replicates the full LSH edge pipeline + transitive closure,
+    * so the approximation itself is checked exactly. */
+  def nearDupClustersLsh(s: SparkSession, d: String): DataFrame =
+    clustersFromEdges(
+      minhashLsh(s, d).select(col("doc_a").as("a"), col("doc_b").as("b")))
+
+  /** Shared tail: CC labels → cluster sizes → representative flag. */
+  private def clustersFromEdges(edges: DataFrame): DataFrame = {
     val labels = connectedComponents(edges)
     val sizes = labels.groupBy("cluster_id")
       .agg(count(lit(1)).as("cluster_size"))

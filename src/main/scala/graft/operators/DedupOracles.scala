@@ -134,6 +134,27 @@ object DedupOracles {
        |FROM lab l JOIN csz USING (cluster_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Clusters over the MinHash-LSH pair graph: the full LSH edge
+    * pipeline ([[minhashLsh]]'s oracle verbatim, as a CTE) followed by
+    * the same transitive-closure labeling as [[clusters]]. */
+  val clustersLsh: String =
+    s"""WITH RECURSIVE lshp AS ($minhashLsh),
+       |und AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM lshp
+       |  UNION SELECT doc_b, doc_a FROM lshp
+       |),
+       |reach AS (
+       |  SELECT a AS node, a AS r FROM und
+       |  UNION
+       |  SELECT u.a, re.r FROM und u JOIN reach re ON u.b = re.node
+       |),
+       |lab AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+       |csz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+       |SELECT l.doc_id, l.cluster_id, csz.cluster_size,
+       |  l.doc_id = l.cluster_id AS keep
+       |FROM lab l JOIN csz USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** Replicates the FULL LSH pair pipeline: the same integer-quantized
     * sign-random-projection bucketing as `graft.functions.LshBuckets`
     * (md5 plane weights, floor quantization, bit packing — identical to

@@ -146,4 +146,21 @@ class DedupSpec extends AnyFunSuite {
       assert(rows.length >= 2, s"cluster $cid: singletons must be omitted")
     }
   }
+
+  test("LSH clusters: same invariants; members must pair at t=0.8") {
+    val out = Dedup.nearDupClustersLsh(spark, d)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._2).foreach { case (cid, rows) =>
+      assert(rows.map(_._1).min === cid)
+      assert(rows.count(_._4) === 1 && rows.find(_._4).get._1 === cid)
+      assert(rows.forall(_._3 === rows.length) && rows.length >= 2)
+    }
+    // every LSH-cluster member appears in the verified pair list (the
+    // graph IS the minhashLsh output, so endpoints must come from it)
+    val pairDocs = Dedup.minhashLsh(spark, d)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .flatMap(p => Seq(p._1, p._2)).toSet
+    assert(out.map(_._1).toSet === pairDocs)
+  }
 }
