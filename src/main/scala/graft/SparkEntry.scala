@@ -371,6 +371,8 @@ object SparkEntry {
     //     semantics themselves are cross-engine-checked ---
     "events_windowed_stream" ->
       (graft.streaming.EventStream.windowedCountsStreamVerified _),
+    "events_hopping_stream" ->
+      (graft.streaming.EventStream.hoppingCountsStreamVerified _),
 
     // --- streaming dedup under the engine: a self-unioned (2×) stream
     //     must collapse back to exactly-once via the state store ---
@@ -885,6 +887,22 @@ object SparkEntry {
     "events_dedup_stream" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type
         |FROM events ORDER BY event_id""".stripMargin,
+    // the hopping twin: same finalization cutoff over overlapping hops
+    "events_hopping_stream" ->
+      """WITH wm AS (
+        |  SELECT epoch_us(max(ts)) // 1000 - 1800000 AS wm_ms FROM events
+        |),
+        |hops AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v,
+        |    make_timestamp(((epoch_us(ts) // 1800000000) - i) * 1800000000) AS hop_ts
+        |  FROM events, unnest(generate_series(0, 1)) t(i)
+        |)
+        |SELECT strftime(hop_ts, '%Y-%m-%d %H:%M:%S') AS hop_start,
+        |  event_type, count(*) AS n, CAST(sum(v) AS DOUBLE) AS sum_value
+        |FROM hops GROUP BY 1, 2
+        |HAVING epoch_us(min(hop_ts) + INTERVAL 1 HOUR) // 1000
+        |  <= (SELECT wm_ms FROM wm)
+        |ORDER BY 1, 2""".stripMargin,
     "events_windowed_stream" ->
       """WITH wm AS (
         |  SELECT epoch_us(max(ts)) // 1000 - 1800000 AS wm_ms FROM events

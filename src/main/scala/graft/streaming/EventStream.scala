@@ -84,6 +84,36 @@ object EventStream {
     res.orderBy("hour_start", "event_type")
   }
 
+  /** Driver-surface HOPPING (sliding) windowed aggregation under the
+    * streaming engine — [[windowedCountsStreamVerified]]'s overlapping-
+    * window sibling: 1-hour windows every 30 minutes, so each event
+    * lands in two windows and the state store tracks overlapping
+    * entries. Same append-mode finalization contract, same ms-precision
+    * oracle cutoff. */
+  def hoppingCountsStreamVerified(s: SparkSession, d: String): DataFrame = {
+    val (out, ckpt) = scratchDirs("hopcnt")
+    withStreamPartitions(s) {
+      val q = readEventStream(s, d)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double")
+            .as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("hop_start"), col("event_type"), col("n"), col("sum_value"))
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val res = s.read.parquet(out).localCheckpoint()
+    deleteRecursively(out, ckpt)
+    res.orderBy("hop_start", "event_type")
+  }
+
   /** File-based streaming source over the events parquet (nanos→micros
     * conversion matching [[graft.Tables.events]]). The streaming file
     * source monitors a DIRECTORY; `pathGlobFilter` narrows it to the
