@@ -181,4 +181,39 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.toSet === Set((0, 2, 3.0), (1, 1, 5.0)))
     } finally q.stop()
   }
+
+  test("foreachBatch sink: batchId keys make replays idempotent") {
+    // the production exactly-once pattern for sinks without
+    // transactional commit: key writes by (batchId), so a micro-batch
+    // replayed after a failure overwrites instead of double-counting
+    implicit val sqlCtx = spark.sqlContext
+    import java.util.concurrent.ConcurrentHashMap
+    val store = new ConcurrentHashMap[Long, Map[String, Long]]()
+    def commit(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+      val counts = df.groupBy("event_type").count()
+        .as[(String, Long)](org.apache.spark.sql.Encoders.product)
+        .collect().toMap
+      store.put(batchId, counts) // idempotent: same key overwrites
+    }
+    val mem = MemoryStream[(String, Double)]
+    val q = mem.toDF().toDF("event_type", "value")
+      .writeStream.foreachBatch(commit _).start()
+    try {
+      mem.addData(("click", 1.0), ("click", 2.0), ("view", 3.0))
+      q.processAllAvailable()
+      mem.addData(("view", 4.0))
+      q.processAllAvailable()
+      val firstTotal = store.values.stream.mapToLong(
+        m => m.values.sum).sum
+      assert(firstTotal === 4L)
+      // simulate a replay of batch 0 (failure recovery re-delivers it):
+      // the keyed put must leave totals unchanged
+      commit(Seq(("click", 1.0), ("click", 2.0), ("view", 3.0))
+        .toDF("event_type", "value"), 0L)
+      val afterReplay = store.values.stream.mapToLong(
+        m => m.values.sum).sum
+      assert(afterReplay === firstTotal,
+        "replayed micro-batch double-counted — sink not idempotent")
+    } finally q.stop()
+  }
 }
