@@ -141,6 +141,9 @@ object SparkEntry {
     "ann_topk_ivf" -> (Similarity.ivfTopK _),
     "ann_topk_ivf_kmeans" -> (Similarity.ivfKmeansTopK _),
     "ann_label_purity" -> (Similarity.labelPurity _),
+    // recall@K of each approximate index vs the exact brute baseline —
+    // all pipelines deterministic, so recall itself is hash-checked
+    "ann_recall_at_k" -> (Similarity.recallAtK _),
 
     // --- text analysis (curation ops) ---
     "text_langid" -> (TextAnalysis.langId _),
@@ -719,6 +722,7 @@ object SparkEntry {
     "ann_topk_ivf" -> SimilarityOracles.ivfTopK,
     "ann_topk_ivf_kmeans" -> SimilarityOracles.ivfKmeansTopK,
     "ann_label_purity" -> SimilarityOracles.labelPurity,
+    "ann_recall_at_k" -> SimilarityOracles.recallAtK,
     "text_langid" -> TextAnalysisOracles.langId,
     "text_quality" -> TextAnalysisOracles.quality,
     "text_token_counts" -> TextAnalysisOracles.tokenCounts,

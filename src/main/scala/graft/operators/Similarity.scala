@@ -222,6 +222,48 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** RETRIEVAL-RECALL evaluation of every approximate ANN path against
+    * the exact brute-force baseline: per query and method, what fraction
+    * of the TRUE top-[[K]] neighbors ([[bruteTopK]]) the approximate
+    * search returned — recall@K, the standard ANN quality metric (label
+    * purity in [[labelPurity]] grades the embedding space; this grades
+    * the INDEX). All four pipelines are deterministic, so the DuckDB
+    * oracle replicates each one end-to-end and the recall numbers are
+    * hash-exact, not a bounds check.
+    *
+    * Scale: the brute baseline runs over the audit slice only (queries ×
+    * corpus, bounded-heap aggregated — and at a real 100 TB scale the
+    * baseline is computed once per index build, on a sampled query set);
+    * the joins are (query_id, neighbor_id) equi-joins over ≤ #queries×K
+    * rows per method. */
+  def recallAtK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, d)
+    // consumed once per method + once for the per-query denominator
+    val brute = bruteTopKOn(e).select("query_id", "neighbor_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val approx = Seq(
+      "ivf" -> ivfTopKOn(e),
+      "ivf_kmeans" -> ivfTopKOn(e, kmeansCentroids(e, KmeansIters)),
+      "lsh" -> lshTopKOn(e))
+    val unioned = approx.map { case (m, df) =>
+      df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
+    }.reduce(_ union _)
+    val base = brute.groupBy("query_id").agg(count(lit(1)).as("k"))
+    val hits = unioned.join(brute, Seq("query_id", "neighbor_id"))
+      .groupBy("method", "query_id").agg(count(lit(1)).as("n_hit"))
+    // method × query scaffold so zero-hit (or zero-candidate) queries
+    // still emit a recall row — an approximate index that returns
+    // nothing must score 0, not vanish from the report
+    approx.map(_._1).toDF("method").crossJoin(base)
+      .join(hits, Seq("method", "query_id"), "left")
+      .select(col("method"), col("query_id"), col("k"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("k"), 6)
+          .as("recall"))
+      .orderBy("method", "query_id")
+  }
+
   def ivfTopKOn(e: DataFrame, cents: DataFrame): DataFrame = {
     // nearest-centroid ranking per vector; ccos ordering is total because
     // cent_id breaks exact ties
@@ -385,6 +427,38 @@ object SimilarityOracles {
        |SELECT query_id, neighbor_id, rank, cosine FROM rr
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
+
+  /** Recall@K of each approximate path vs the brute baseline — composes
+    * the four full pipeline oracles (each already replicating its Spark
+    * twin bit-for-bit) as CTE-wrapped subqueries, so the recall numbers
+    * are hash-exact. DuckDB permits a WITH inside a derived table, which
+    * keeps the per-pipeline CTE namespaces isolated. */
+  lazy val recallAtK: String =
+    s"""WITH brute AS (SELECT * FROM ($bruteTopK) b),
+       |lsh AS (SELECT * FROM ($lshTopK) l),
+       |ivf AS (SELECT * FROM ($ivfTopK) i),
+       |ivfk AS (SELECT * FROM ($ivfKmeansTopK) ik),
+       |m AS (
+       |  SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf
+       |  UNION ALL
+       |  SELECT 'ivf_kmeans', query_id, neighbor_id FROM ivfk
+       |  UNION ALL
+       |  SELECT 'lsh', query_id, neighbor_id FROM lsh
+       |),
+       |base AS (SELECT query_id, count(*) AS k FROM brute GROUP BY 1),
+       |hits AS (
+       |  SELECT m.method, m.query_id, count(*) AS n_hit
+       |  FROM m JOIN brute b
+       |    ON m.query_id = b.query_id AND m.neighbor_id = b.neighbor_id
+       |  GROUP BY 1, 2
+       |),
+       |methods AS (SELECT unnest(['ivf', 'ivf_kmeans', 'lsh']) AS method)
+       |SELECT mm.method AS method, base.query_id, base.k,
+       |  coalesce(h.n_hit, 0) AS n_hit,
+       |  round(coalesce(h.n_hit, 0) * 1.0 / base.k, 6) AS recall
+       |FROM methods mm CROSS JOIN base
+       |LEFT JOIN hits h ON h.method = mm.method AND h.query_id = base.query_id
+       |ORDER BY 1, 2""".stripMargin
 
   /** Replicates the deterministic IVF pipeline: same centroid selection,
     * same assignment/probe windows, same exact rerank. */
