@@ -71,13 +71,27 @@ object Bench {
     def elapsed: Double = (System.nanoTime() - benchStart) / 1e9
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // Self-contained artifact (VERDICT r4 item 3): the driver's log
+    // capture keeps only a tail, which front-truncates the (>2000 char)
+    // final cumulative line — so the SAME line is also rewritten to a
+    // file after every query. The committed BENCH_LOCAL.json is therefore
+    // always one complete, parseable JSON object regardless of how the
+    // stdout capture was sliced, and still timeout-proof (any prefix of
+    // the run leaves the last fully-written file state).
+    val outFile = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
     def emit(): Unit = {
-      val qs = results.map { case (k, v) => s""""$k":$v""" }
+      def fmt(v: Double): String = // 4dp: 0.1 ms grain, keeps lines short
+        BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+      val qs = results.map { case (k, v) => s""""$k":${fmt(v)}""" }
         .mkString("{", ",", "}")
       val total = results.valuesIterator.filter(_ >= 0).sum
       // cumulative: every printed line is a complete artifact so far
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      val line =
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      println(line)
       Console.out.flush()
+      java.nio.file.Files.writeString(outFile, line + "\n")
     }
 
     for (name <- names) {

@@ -15,6 +15,32 @@ class StreamingSpec extends AnyFunSuite {
 
   private val d = "/root/testdata/sf0.001"
 
+  test("no fixture gap sits exactly on the 10-minute session boundary") {
+    // events_sessionized_native shares the gaps-and-islands oracle even
+    // though session_window's boundary convention differs: the built-in
+    // EXTENDS a session when the next event is strictly inside
+    // last_ts + gap, while the window SQL BREAKS on gap > 10 min — they
+    // diverge only for a gap of exactly 10 minutes to the microsecond.
+    // The shared-oracle assumption must be CHECKED, not assumed (ADVICE
+    // r4): pin that no fixture the driver runs against contains such a
+    // gap, so a regenerated fixture that violates it fails loudly here
+    // instead of spuriously in the oracle compare.
+    val gapUs = EventStream.SessionGapMinutes * 60L * 1000000L
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val boundaryGaps = Tables.events(spark, dir)
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("gap_us") === gapUs)
+        .count()
+      assert(boundaryGaps === 0L,
+        s"$dir has $boundaryGaps exact-10-min gaps: events_sessionized_" +
+          "native and the gaps-and-islands oracle would disagree there")
+    }
+  }
+
   test("stateful sessionization (batch mode) ≡ gaps-and-islands SQL") {
     val evs = Tables.events(spark, d)
       .select(col("user_id"), col("ts"), col("value")).as[Ev]
