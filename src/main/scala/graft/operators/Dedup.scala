@@ -117,7 +117,7 @@ object Dedup {
     * join emits df² rows per shingle regardless of t (the threshold only
     * post-filters). Shared by [[jaccardPairs]] and the cluster-edge
     * generator in [[nearDupClusters]]. */
-  private def jaccardAll(sh: DataFrame, t: Double): DataFrame = {
+  private[graft] def jaccardAll(sh: DataFrame, t: Double): DataFrame = {
     // eager guard: one aggregate over the (persisted) shingle frame; its
     // materialization is reused by every branch of the pair plan below
     val maxDf = sh.groupBy("s").agg(count(lit(1)).as("df"))
@@ -185,7 +185,7 @@ object Dedup {
     * inverted index to candidate docs, compute |A∩B| by co-shingle join,
     * emit pairs with jaccard ≥ `t`. Shared tail of every candidate-
     * generation strategy (LSH banding, prefix filtering). */
-  private def verifyJaccardPairs(
+  private[graft] def verifyJaccardPairs(
       sh: DataFrame, cands0: DataFrame,
       t: Double = JaccardThreshold): DataFrame = {
     // cands is consumed three times (both legs of the doc restriction and
@@ -240,7 +240,7 @@ object Dedup {
     * prefix filtering, but the df-ASCENDING order still evicts exactly
     * the hyper-frequent shingles whose df² fan-out kills the naive join,
     * so the candidate join stays bounded where [[jaccardAll]] detonates. */
-  private def prefixCandidates(sh: DataFrame, num: Int, den: Int): DataFrame = {
+  private[graft] def prefixCandidates(sh: DataFrame, num: Int, den: Int): DataFrame = {
     require(num > 0 && num < den, s"threshold $num/$den not in (0,1)")
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy("doc_id").orderBy(asc("df"), asc("s"))
