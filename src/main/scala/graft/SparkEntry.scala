@@ -134,6 +134,12 @@ object SparkEntry {
     "dedup_clusters" -> (Dedup.nearDupClusters _),
     // the at-scale variant: LSH band-join edges at t=0.8 into the same CC
     "dedup_clusters_lsh" -> (Dedup.nearDupClustersLsh _),
+    // asymmetric containment |A∩B|/min(|A|,|B|): short-doc-inside-long
+    // subset duplication that Jaccard dilutes away
+    "dedup_containment_pairs" -> (Dedup.containmentPairs _),
+    // CC over the embedding-LSH graph: paraphrase-style duplicate groups
+    // sharing no lexical shingles (semantic complement to the lexical CC)
+    "dedup_semantic_clusters" -> (Dedup.semanticClusters _),
 
     // --- similarity search (ANN over embeddings) ---
     "ann_topk_brute" -> (Similarity.bruteTopK _),
@@ -717,6 +723,8 @@ object SparkEntry {
     "dedup_embedding_lsh" -> DedupOracles.embeddingLshPairs,
     "dedup_clusters" -> DedupOracles.clusters,
     "dedup_clusters_lsh" -> DedupOracles.clustersLsh,
+    "dedup_containment_pairs" -> DedupOracles.containmentPairs,
+    "dedup_semantic_clusters" -> DedupOracles.semanticClusters,
     "ann_topk_brute" -> SimilarityOracles.bruteTopK,
     "ann_topk_lsh" -> SimilarityOracles.lshTopK,
     "ann_topk_ivf" -> SimilarityOracles.ivfTopK,

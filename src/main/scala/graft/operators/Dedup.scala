@@ -146,6 +146,46 @@ object Dedup {
         round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
 
+  /** Containment threshold for [[containmentPairs]] — |A∩B| / min(|A|,|B|)
+    * ≥ 0.6 flags a pair where the smaller doc is mostly embedded in the
+    * larger one. Shared with the generated oracle. */
+  val ContainmentThreshold = 0.6
+
+  /** Asymmetric CONTAINMENT pairs — |A∩B| / min(|A|,|B|): the
+    * subset-duplication detector. Jaccard misses the classic curation
+    * case of a short document wholly quoted inside a much longer one
+    * (|A∩B|/|A∪B| is diluted by the long doc's size; containment is
+    * not), which is exactly how boilerplate, quoted articles and
+    * scraped-page wrappers show up in a training corpus.
+    *
+    * Same guarded inverted-index shape as [[jaccardPairs]] (the
+    * [[MaxNaiveShingleDf]] hot-shingle guard applies — containment has
+    * no lossless prefix trick at low thresholds because the SMALL side's
+    * size bounds the match, so the scale path is MinHash banding first,
+    * then containment-verify the candidates). */
+  def containmentPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shinglesCached(s, d)
+    val maxDf = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .agg(max("df")).head().getLong(0)
+    require(maxDf <= MaxNaiveShingleDf,
+      s"containment join refused: max per-shingle df $maxDf > " +
+        s"$MaxNaiveShingleDf (quadratic fan-out); generate candidates " +
+        "with minhashLsh banding first")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.toDF("i", "sa")
+      .join(sh.toDF("j", "sb"), col("sa") === col("sb") && col("i") < col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.toDF("i", "sz_i"), "i")
+      .join(sizes.toDF("j", "sz_j"), "j")
+      .withColumn("containment",
+        col("c").cast("double") / least(col("sz_i"), col("sz_j")))
+      .filter(col("containment") >= ContainmentThreshold)
+      .select(col("i").as("doc_a"), col("j").as("doc_b"),
+        round(col("containment"), 6).as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   // ------------------------------------------------------------------
   // 3. MinHash + LSH
   // ------------------------------------------------------------------
@@ -541,14 +581,30 @@ object Dedup {
     clustersFromEdges(
       minhashLsh(s, d).select(col("doc_a").as("a"), col("doc_b").as("b")))
 
+  /** SEMANTIC dedup clusters — connected components over the
+    * EMBEDDING-space near-dup graph ([[embeddingLshPairs]]'s
+    * sign-random-projection bucketed edges at cosine ≥
+    * [[CosineLshThreshold]]): collapses paraphrase/translation-style
+    * duplicate groups that share no lexical shingles at all, the
+    * semantic complement to [[nearDupClustersLsh]]'s lexical clustering.
+    * Same O(log d) CC; the whole pipeline (bucketing, cosine verify,
+    * transitive closure) is deterministic, so the oracle replicates it
+    * end-to-end. */
+  def semanticClusters(s: SparkSession, d: String): DataFrame =
+    clustersFromEdges(
+      embeddingLshPairs(s, d).select(col("vec_a").as("a"),
+        col("vec_b").as("b")),
+      idCol = "vec_id")
+
   /** Shared tail: CC labels → cluster sizes → representative flag. */
-  private def clustersFromEdges(edges: DataFrame): DataFrame = {
+  private def clustersFromEdges(
+      edges: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val labels = connectedComponents(edges)
     val sizes = labels.groupBy("cluster_id")
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "cluster_id")
-      .select(col("v").as("doc_id"), col("cluster_id"), col("cluster_size"),
+      .select(col("v").as(idCol), col("cluster_id"), col("cluster_size"),
         (col("v") === col("cluster_id")).as("keep"))
-      .orderBy("doc_id")
+      .orderBy(idCol)
   }
 }

@@ -39,6 +39,14 @@ object DedupOracles {
        |WHERE c * 1.0 / (sa.sz + sb.sz - c) >= ${Dedup.JaccardThreshold}
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  val containmentPairs: String =
+    s"""WITH $wordsCtes, $shinglesCte, $sizesCte, $interCte
+       |SELECT i AS doc_a, j AS doc_b,
+       |  round(c * 1.0 / least(sa.sz, sb.sz), 6) AS containment
+       |FROM inter JOIN sizes sa ON i = sa.doc_id JOIN sizes sb ON j = sb.doc_id
+       |WHERE c * 1.0 / least(sa.sz, sb.sz) >= ${Dedup.ContainmentThreshold}
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val minhashLsh: String = {
     import Dedup.MinHashParams._
     val P = Dedup.P
@@ -154,6 +162,28 @@ object DedupOracles {
        |  l.doc_id = l.cluster_id AS keep
        |FROM lab l JOIN csz USING (cluster_id)
        |ORDER BY doc_id""".stripMargin
+
+  /** Transitive closure over the embedding-LSH pair graph — the FULL
+    * [[embeddingLshPairs]] pipeline as a CTE (bucketing replicated
+    * bit-for-bit), then the same recursive-CTE labeling as [[clusters]],
+    * keyed by vec_id. */
+  lazy val semanticClusters: String =
+    s"""WITH RECURSIVE ep AS ($embeddingLshPairs),
+       |und AS (
+       |  SELECT vec_a AS a, vec_b AS b FROM ep
+       |  UNION SELECT vec_b, vec_a FROM ep
+       |),
+       |reach AS (
+       |  SELECT a AS node, a AS r FROM und
+       |  UNION
+       |  SELECT u.a, re.r FROM und u JOIN reach re ON u.b = re.node
+       |),
+       |lab AS (SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+       |csz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+       |SELECT l.vec_id, l.cluster_id, csz.cluster_size,
+       |  l.vec_id = l.cluster_id AS keep
+       |FROM lab l JOIN csz USING (cluster_id)
+       |ORDER BY vec_id""".stripMargin
 
   /** Replicates the FULL LSH pair pipeline: the same integer-quantized
     * sign-random-projection bucketing as `graft.functions.LshBuckets`

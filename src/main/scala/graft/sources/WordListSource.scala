@@ -28,6 +28,11 @@ object WordListSource {
     if (!referenceQuirk || endsWithNewline(spark, path)) lines.toDF("w")
     else {
       // Drop exactly the final line (the element after the last \n).
+      // zipWithIndex is an RDD hop that runs an extra job to count
+      // per-partition sizes — acceptable because this branch exists ONLY
+      // on the reference-parity read path (quirk mode, file not
+      // newline-terminated); no driver query ever takes it, and the
+      // default mode above is a plain zero-extra-work text scan.
       val indexed = lines.rdd.zipWithIndex()
       val last = indexed.map(_._2).max()
       import spark.implicits._

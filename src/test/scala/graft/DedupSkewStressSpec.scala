@@ -46,6 +46,29 @@ class DedupSkewStressSpec extends AnyFunSuite {
     assert(e.getMessage.contains("1500"))
   }
 
+  test("containment flags a short doc embedded in a long one; jaccard does not") {
+    import spark.implicits._
+    // doc 1 = 30 words, doc 2 = those same 30 words + 170 more:
+    // every shingle of doc 1 appears in doc 2 → containment = 1.0,
+    // while jaccard = 28/198 ≈ 0.14 — far below the 0.8 pair threshold.
+    val words = (0 until 200).map(i => s"w$i")
+    val docs = Seq(
+      (1L, words.take(30).mkString(" ")),
+      (2L, words.mkString(" "))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-containment").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val cont = Dedup.containmentPairs(spark, dir).collect()
+      assert(cont.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq === Seq((1L, 2L, 1.0)))
+      assert(Dedup.jaccardPairs(spark, dir).count() === 0L)
+    } finally {
+      spark.catalog.clearCache() // drop the per-dir shingle persist
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("prefix candidates stay df-bounded under boilerplate skew") {
     // sz = 3, t = 4/5 → prefix length = 3 − ⌈0.8·3⌉ + 1 = 1: each doc
     // indexes ONLY its rarest shingle. The boilerplate shingle (df 1500,

@@ -33,7 +33,9 @@ class PlanLintSpec extends AnyFunSuite {
     "rel_stats_summary", "rel_scalar_funcs", "text_bm25", // corpus scalars
     "text_doc_similarity", "text_top_terms", // n_docs scalar
     "rel_exists_subquery",                  // uncorrelated exists → BNLJ
-    "text_lm_score")                        // ≤676-row bigram-LM broadcast
+    "text_lm_score",                        // ≤676-row bigram-LM broadcast
+    "ann_recall_at_k")                      // 3-row method × #queries scaffold
+                                            // (reuses brute/ivf broadcasts)
 
   test("no query plans a CartesianProduct or an unpartitioned Window") {
     val skip = SparkEntry.queries.keySet.filter(_.endsWith("_stream"))
