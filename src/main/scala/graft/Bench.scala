@@ -12,10 +12,15 @@ import org.apache.spark.sql.SparkSession
   * lose all per-query numbers to an rc=124 (BENCH_r03 failure mode).
   * Consumers should take the LAST matching line.
   *
-  * Pass policy (r4, after BENCH_r03 blew the driver wall-clock budget):
-  *   - streaming-sink queries (`*_stream`): ONE timed pass, no warmup.
-  *     Their cost is fixed micro-batch/checkpoint engine overhead, not
-  *     JIT-sensitive compute, so repeat passes buy nothing.
+  * Pass policy (r4, after BENCH_r03 blew the driver wall-clock budget;
+  * streaming revised r5):
+  *   - streaming-sink queries (`*_stream`): TWO timed passes, min.
+  *     r4 assumed their cost was pure engine overhead and ran one pass;
+  *     measured r5, the FIRST streaming invocation in a JVM pays
+  *     ~1.5-1.7 s of micro-batch-planner/state-store/sink JIT on top
+  *     (3.6 s vs 1.95 s steady for the dedup stream), so a single pass
+  *     systematically overstates the first stream queries. Two passes
+  *     add ~10 s wall against the 1500 s budget.
   *   - batch queries: one warmup (JIT + whole-stage-codegen compilation
   *     dominate cold runs), then a first timed pass. If that pass
   *     exceeds [[SlowPassSec]], ONE more timed pass runs and the min of
@@ -98,8 +103,11 @@ object Bench {
       val qStart = elapsed
       val overBudget = qStart > budgetSec
       val best =
-        if (streaming(name) || overBudget) runOnce(name)
-        else {
+        if (overBudget) runOnce(name)
+        else if (streaming(name)) {
+          val first = runOnce(name)
+          if (first < 0) first else Seq(first, runOnce(name)).filter(_ >= 0).min
+        } else {
           runOnce(name) // warmup
           val first = runOnce(name)
           if (first < 0) first
@@ -109,8 +117,8 @@ object Bench {
         }
       results(name) = best
       val mode =
-        if (streaming(name)) "stream-1pass"
-        else if (overBudget) "budget-1pass"
+        if (overBudget) "budget-1pass"
+        else if (streaming(name)) "stream-2pass"
         else if (best > SlowPassSec) "slow-2pass"
         else "min-of-3"
       System.err.println(
