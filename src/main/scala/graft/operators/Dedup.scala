@@ -535,11 +535,28 @@ object Dedup {
     * parquet intermediate ([[graft.sources.Bucketing]]-style) — the
     * memoization here is the single-JVM analog. */
   private val sharedEdgeCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  private def sharedEdges(s: SparkSession, d: String, kind: String)
+      (build: => DataFrame): DataFrame =
+    sharedEdgeCache.computeIfAbsent((s, d, kind), _ => build.localCheckpoint())
 
   def nearDupEdgesShared(s: SparkSession, d: String): DataFrame =
-    sharedEdgeCache.computeIfAbsent((s, d),
-      _ => nearDupEdges(s, d).localCheckpoint())
+    sharedEdges(s, d, "prefix")(nearDupEdges(s, d))
+
+  /** The MinHash-LSH pair graph as a shared materialized edge frame —
+    * same move as [[nearDupEdgesShared]] for the production clustering
+    * path: the band-join pipeline runs once per (session, corpus); the
+    * clustering consumer sees materialized blocks. */
+  def minhashEdgesShared(s: SparkSession, d: String): DataFrame =
+    sharedEdges(s, d, "minhash")(
+      minhashLsh(s, d).select(col("doc_a").as("a"), col("doc_b").as("b")))
+
+  /** The embedding-LSH pair graph, shared — feeds [[semanticClusters]]. */
+  def embeddingEdgesShared(s: SparkSession, d: String): DataFrame =
+    sharedEdges(s, d, "embedding")(
+      embeddingLshPairs(s, d).select(col("vec_a").as("a"),
+        col("vec_b").as("b")))
 
   /** Corpus-size guard for [[nearDupClusters]]: EXACT clustering at the
     * low [[ClusterJaccardThreshold]] forces the prefix index to keep
@@ -578,8 +595,7 @@ object Dedup {
     * oracle replicates the full LSH edge pipeline + transitive closure,
     * so the approximation itself is checked exactly. */
   def nearDupClustersLsh(s: SparkSession, d: String): DataFrame =
-    clustersFromEdges(
-      minhashLsh(s, d).select(col("doc_a").as("a"), col("doc_b").as("b")))
+    clustersFromEdges(minhashEdgesShared(s, d))
 
   /** SEMANTIC dedup clusters — connected components over the
     * EMBEDDING-space near-dup graph ([[embeddingLshPairs]]'s
@@ -591,10 +607,7 @@ object Dedup {
     * transitive closure) is deterministic, so the oracle replicates it
     * end-to-end. */
   def semanticClusters(s: SparkSession, d: String): DataFrame =
-    clustersFromEdges(
-      embeddingLshPairs(s, d).select(col("vec_a").as("a"),
-        col("vec_b").as("b")),
-      idCol = "vec_id")
+    clustersFromEdges(embeddingEdgesShared(s, d), idCol = "vec_id")
 
   /** Shared tail: CC labels → cluster sizes → representative flag. */
   private def clustersFromEdges(
