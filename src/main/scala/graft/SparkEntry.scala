@@ -387,6 +387,12 @@ object SparkEntry {
     //     must collapse back to exactly-once via the state store ---
     "events_dedup_stream" ->
       (graft.streaming.EventStream.dedupStreamVerified _),
+
+    // --- stream-static dimension enrichment: stateless broadcast join
+    //     of the event stream against the customer dim, oracle = the
+    //     plain batch left join ---
+    "events_enriched_stream" ->
+      (graft.streaming.EventStream.enrichedStreamVerified _),
   )
 
   // Shared oracle-SQL fragments (DuckDB dialect), mirroring TextPipeline.
@@ -899,6 +905,12 @@ object SparkEntry {
     "events_dedup_stream" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type
         |FROM events ORDER BY event_id""".stripMargin,
+    // stream-static broadcast enrichment ≡ the plain batch left join
+    "events_enriched_stream" ->
+      """SELECT e.event_id, e.user_id, e.event_type,
+        |  coalesce(c.c_mktsegment, 'none') AS segment
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
     // the hopping twin: same finalization cutoff over overlapping hops
     "events_hopping_stream" ->
       """WITH wm AS (

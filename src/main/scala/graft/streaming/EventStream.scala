@@ -197,6 +197,41 @@ object EventStream {
   }
 
   // ------------------------------------------------------------------
+  // stream-static dimension enrichment
+  // ------------------------------------------------------------------
+
+  /** STREAM-STATIC dimension enrichment — the most common production
+    * streaming shape: each event left-joined to a STATIC dimension table
+    * (customer → market segment) via a broadcast hash join. Stateless:
+    * no watermark, no state store — the static side is planned as a
+    * broadcast and each micro-batch probes it, which is exactly how a
+    * 100 TB/day stream enriches against a small dimension (the static
+    * side is re-read per batch only if its files change).
+    *
+    * The oracle is the plain batch left join, so the streaming engine's
+    * static-side broadcast semantics are checked end-to-end. */
+  def enrichedStreamVerified(s: SparkSession, d: String): DataFrame = {
+    val (out, ckpt) = scratchDirs("enrich")
+    val ss = streamSession(s)
+    val dim = graft.Tables.customer(ss, d)
+      .select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment"))
+    val q = readEventStream(ss, d)
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        coalesce(col("segment"), lit("none")).as("segment"))
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val res = s.read.parquet(out).localCheckpoint()
+    deleteRecursively(out, ckpt)
+    res.orderBy("event_id")
+  }
+
+  // ------------------------------------------------------------------
   // stream-stream join
   // ------------------------------------------------------------------
 

@@ -15,6 +15,48 @@ class StreamingSpec extends AnyFunSuite {
 
   private val d = "/root/testdata/sf0.001"
 
+  test("streaming restart resumes from checkpoint with exactly-once sink") {
+    // The production recovery contract: a streaming query stopped
+    // mid-run and restarted on the SAME checkpoint + sink must emit
+    // every input row exactly once — the offset log replays the
+    // in-flight batch and the file-sink metadata log excludes files
+    // from uncommitted batches, so neither gaps nor duplicates appear.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-restart")
+    val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val events = Tables.events(spark, d)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    events.repartition(8).write.parquet(src) // 8 files → 8 micro-batches
+    val sch = spark.read.parquet(src).schema
+    def start() = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      val q1 = start()
+      // stop as soon as ≥2 data batches committed (mid-run, more remain)
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (q1.isActive &&
+          q1.recentProgress.count(_.numInputRows > 0) < 2 &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+      q1.stop()
+      val batches1 = q1.recentProgress.count(_.numInputRows > 0)
+      val q2 = start() // resume from the same checkpoint
+      q2.awaitTermination()
+      info(s"run1 committed $batches1 data batches before stop; " +
+        s"run2 resumed ${q2.recentProgress.count(_.numInputRows > 0)}")
+      val got = spark.read.parquet(out).groupBy("event_id")
+        .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = events.select("event_id").as[Long].collect().toSet
+      assert(got.keySet === want)           // no gaps
+      assert(got.values.forall(_ == 1L))    // no duplicates
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
+
   test("no fixture gap sits exactly on the 10-minute session boundary") {
     // events_sessionized_native shares the gaps-and-islands oracle even
     // though session_window's boundary convention differs: the built-in
