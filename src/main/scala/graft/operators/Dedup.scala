@@ -537,6 +537,14 @@ object Dedup {
   private val sharedEdgeCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
+  /** Memoization contract: the edge frame is bound to the (session, dir)
+    * that built it — a frame cached for a STOPPED session references
+    * dead block-manager RDDs (a restarted session is a new key, so the
+    * stale entry is only a few-hundred-row leak, never served), and a
+    * corpus dir REWRITTEN mid-session would serve pre-rewrite edges.
+    * Both are non-events for the driver harnesses (one session per JVM,
+    * immutable fixture dirs); a long-lived application should treat the
+    * materialized edge parquet, not this memo, as the shared artifact. */
   private def sharedEdges(s: SparkSession, d: String, kind: String)
       (build: => DataFrame): DataFrame =
     sharedEdgeCache.computeIfAbsent((s, d, kind), _ => build.localCheckpoint())
