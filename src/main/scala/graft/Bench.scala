@@ -57,7 +57,11 @@ object Bench {
 
     def runOnce(name: String): Double = {
       // operators may persist shared subtrees within a query; drop those
-      // caches so every timed run recomputes from the source
+      // caches so every timed run recomputes from the source. EXCEPTION:
+      // Dedup's sharedEdges memo (localCheckpoint, not SQL cache)
+      // survives deliberately — clustering/propagation timed passes
+      // measure CONSUMER cost over the once-materialized graph, the
+      // documented shared-intermediate design (SCALE.md)
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
@@ -96,7 +100,19 @@ object Bench {
         s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
       println(line)
       Console.out.flush()
-      java.nio.file.Files.writeString(outFile, line + "\n")
+      // atomic replace (write temp + move) so a kill mid-write can never
+      // leave a truncated artifact, and guarded so an unwritable cwd
+      // degrades to the stdout protocol instead of aborting the suite
+      try {
+        val tmp = outFile.resolveSibling(outFile.getFileName.toString + ".tmp")
+        java.nio.file.Files.writeString(tmp, line + "\n")
+        java.nio.file.Files.move(tmp, outFile,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
+      }
     }
 
     for (name <- names) {

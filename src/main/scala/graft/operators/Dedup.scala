@@ -117,26 +117,33 @@ object Dedup {
     * join emits df² rows per shingle regardless of t (the threshold only
     * post-filters). Shared by [[jaccardPairs]] and the cluster-edge
     * generator in [[nearDupClusters]]. */
-  private[graft] def jaccardAll(sh: DataFrame, t: Double): DataFrame = {
-    // eager guard: one aggregate over the (persisted) shingle frame; its
-    // materialization is reused by every branch of the pair plan below
+  /** Guarded co-shingle intersection — the shared core of every naive
+    * inverted-index strategy: refuses hyper-frequent shingles
+    * ([[MaxNaiveShingleDf]], `hint` names the caller's scale path), then
+    * returns (i, j, c, sz_i, sz_j) — intersection count + both doc
+    * sizes — for the caller's similarity arithmetic.
+    * The eager guard is one aggregate over the (persisted) shingle
+    * frame; its materialization is reused by every branch below. */
+  private def guardedIntersection(sh: DataFrame,
+      what: String, hint: String): DataFrame = {
     val maxDf = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .agg(max("df")).head().getLong(0)
     require(maxDf <= MaxNaiveShingleDf,
-      s"naive jaccard join refused: max per-shingle df $maxDf > " +
-        s"$MaxNaiveShingleDf (quadratic fan-out); use jaccardPrefixPairs")
+      s"$what refused: max per-shingle df $maxDf > " +
+        s"$MaxNaiveShingleDf (quadratic fan-out); $hint")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val a = sh.toDF("i", "sa")
-    val b = sh.toDF("j", "sb")
-    val inter = a.join(b, col("sa") === col("sb") && col("i") < col("j"))
+    sh.toDF("i", "sa")
+      .join(sh.toDF("j", "sb"), col("sa") === col("sb") && col("i") < col("j"))
       .groupBy("i", "j").agg(count(lit(1)).as("c"))
-    inter
       .join(sizes.toDF("i", "sz_i"), "i")
       .join(sizes.toDF("j", "sz_j"), "j")
+  }
+
+  private[graft] def jaccardAll(sh: DataFrame, t: Double): DataFrame =
+    guardedIntersection(sh, "naive jaccard join", "use jaccardPrefixPairs")
       .withColumn("jaccard",
         col("c").cast("double") / (col("sz_i") + col("sz_j") - col("c")))
       .filter(col("jaccard") >= t)
-  }
 
   /** Exact Jaccard ≥ 0.8 pairs via inverted-index self-join on shingles:
     * |A∩B| from the equi-join, |A∪B| = |A|+|B|−|A∩B|. */
@@ -163,28 +170,15 @@ object Dedup {
     * no lossless prefix trick at low thresholds because the SMALL side's
     * size bounds the match, so the scale path is MinHash banding first,
     * then containment-verify the candidates). */
-  def containmentPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = shinglesCached(s, d)
-    val maxDf = sh.groupBy("s").agg(count(lit(1)).as("df"))
-      .agg(max("df")).head().getLong(0)
-    require(maxDf <= MaxNaiveShingleDf,
-      s"containment join refused: max per-shingle df $maxDf > " +
-        s"$MaxNaiveShingleDf (quadratic fan-out); generate candidates " +
-        "with minhashLsh banding first")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = sh.toDF("i", "sa")
-      .join(sh.toDF("j", "sb"), col("sa") === col("sb") && col("i") < col("j"))
-      .groupBy("i", "j").agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.toDF("i", "sz_i"), "i")
-      .join(sizes.toDF("j", "sz_j"), "j")
+  def containmentPairs(s: SparkSession, d: String): DataFrame =
+    guardedIntersection(shinglesCached(s, d), "containment join",
+        "generate candidates with minhashLsh banding first")
       .withColumn("containment",
         col("c").cast("double") / least(col("sz_i"), col("sz_j")))
       .filter(col("containment") >= ContainmentThreshold)
       .select(col("i").as("doc_a"), col("j").as("doc_b"),
         round(col("containment"), 6).as("containment"))
       .orderBy("doc_a", "doc_b")
-  }
 
   // ------------------------------------------------------------------
   // 3. MinHash + LSH

@@ -186,13 +186,16 @@ object EventStream {
     // r4). AvailableNow over the single fixture file yields one data
     // batch; assert that instead of assuming it.
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-    require(dataBatches == 1,
-      s"dedup stream ran $dataBatches data micro-batches; the distinct " +
-        "oracle is only exact for a single-batch run — widen the dedup " +
-        "watermark to cover the fixture's event-time span if the source " +
-        "is ever split across batches")
-    val res = s.read.parquet(out).localCheckpoint()
-    deleteRecursively(out, ckpt)
+    // cleanup in finally: a failed assertion must not strand the scratch
+    // dirs (full event copies) under /tmp — the ADVICE r3 accumulation
+    val res = try {
+      require(dataBatches == 1,
+        s"dedup stream ran $dataBatches data micro-batches; the distinct " +
+          "oracle is only exact for a single-batch run — widen the dedup " +
+          "watermark to cover the fixture's event-time span if the source " +
+          "is ever split across batches")
+      s.read.parquet(out).localCheckpoint()
+    } finally deleteRecursively(out, ckpt)
     res.orderBy("event_id")
   }
 
@@ -291,6 +294,12 @@ object EventStream {
     // bookkeeping on every micro-batch
     ss.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
     ss.conf.set(graft.Tables.NanosConf, "true")
+    // newSession() resets SESSION-level conf to SparkConf defaults — a
+    // caller that set its timezone via session.conf.set (not at builder
+    // time) would otherwise silently stream in the JVM-default zone and
+    // shift every date_format'd window label; inherit it explicitly
+    ss.conf.set("spark.sql.session.timeZone",
+      s.conf.get("spark.sql.session.timeZone"))
     ss
   }
 

@@ -25,9 +25,6 @@ class CcJobCountSpec extends AnyFunSuite {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
       (6L, 7L), (7L, 8L), (10L, 11L)).toDF("a", "b")
 
-    // warm once: JIT/codegen and any lazy Spark init outside the count
-    Dedup.connectedComponents(edges).count()
-
     val execs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new SparkListener {
       override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent)
@@ -36,12 +33,9 @@ class CcJobCountSpec extends AnyFunSuite {
         case _ => ()
       }
     }
-    spark.sparkContext.addSparkListener(listener)
-    try {
-      val labels = Dedup.connectedComponents(edges)
-      val rows = labels.collect()
-      // listener events are async (listenerBus is private[spark]): poll
-      // until the counter is stable for 500 ms
+    // listener events are async (listenerBus is private[spark]): poll
+    // until the counter is stable for 500 ms
+    def stableCount(): Int = {
       var n = execs.get()
       var stableSince = System.nanoTime()
       while (System.nanoTime() - stableSince < 500L * 1000 * 1000) {
@@ -49,6 +43,19 @@ class CcJobCountSpec extends AnyFunSuite {
         val cur = execs.get()
         if (cur != n) { n = cur; stableSince = System.nanoTime() }
       }
+      n
+    }
+    // register BEFORE the warmup and snapshot-subtract: registering
+    // after it would still receive the warmup's queued async events and
+    // inflate the measured count
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // warm once: JIT/codegen and any lazy Spark init outside the count
+      Dedup.connectedComponents(edges).count()
+      val before = stableCount()
+      val labels = Dedup.connectedComponents(edges)
+      val rows = labels.collect()
+      val n = stableCount() - before
 
       // correctness: one component {1..8} labeled 1, one {10,11} labeled 10
       assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap ===
