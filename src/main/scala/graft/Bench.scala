@@ -124,12 +124,18 @@ object Bench {
           val first = runOnce(name)
           if (first < 0) first else Seq(first, runOnce(name)).filter(_ >= 0).min
         } else {
-          runOnce(name) // warmup
+          // the warmup is a fully-timed pass over cleared caches — folding
+          // it into the min is a free extra storm-escape sample (a deopt
+          // storm can contaminate EVERY post-warmup pass of one query:
+          // measured r5, ann_topk_lsh min-of-3 read 15.2 s vs 0.35 s
+          // steady). min() with a JIT-cold pass can only improve.
+          val warm = runOnce(name)
           val first = runOnce(name)
           if (first < 0) first
           else if (first > SlowPassSec)
-            Seq(first, runOnce(name)).filter(_ >= 0).min
-          else Seq(first, runOnce(name), runOnce(name)).filter(_ >= 0).min
+            Seq(warm, first, runOnce(name)).filter(_ >= 0).min
+          else
+            Seq(warm, first, runOnce(name), runOnce(name)).filter(_ >= 0).min
         }
       results(name) = best
       val mode =
