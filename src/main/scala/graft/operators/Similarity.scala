@@ -104,11 +104,15 @@ object Similarity {
     rerank(e, cands)
   }
 
-  /** Every [[CentroidMod]]-th vector serves as an IVF centroid — a
-    * deterministic stand-in for k-means (the assignment/probe/rerank
-    * plumbing is identical; a trained codebook would just replace the
-    * `cents` DataFrame). */
-  val CentroidMod = 40
+  /** IVF codebook size — a FIXED cap, deliberately independent of corpus
+    * size. The previous sampling rule (every 40th vector) grew k linearly
+    * with n, so at 100× both the broadcast codebook and the n×k
+    * assignment cross-score blew up quadratically-ish (VERDICT r5). With
+    * a fixed K the broadcast is ≤ K rows at ANY corpus size and
+    * assignment work stays n×K — the production dial is raising K toward
+    * √n (more, smaller cells → fewer rerank candidates per probe) as the
+    * corpus grows, which changes only this constant. */
+  val CodebookSize = 32
   /** Queries search their [[NProbe]] nearest cells. */
   val NProbe = 2
 
@@ -121,10 +125,26 @@ object Similarity {
   def ivfTopK(s: SparkSession, d: String): DataFrame =
     ivfTopKOn(emb(s, d))
 
-  /** The default (modulo-sampled) IVF codebook. */
-  def defaultCentroids(e: DataFrame): DataFrame =
-    e.filter(col("vec_id") % CentroidMod === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+  /** The default IVF codebook, BOUNDED at [[CodebookSize]] rows by
+    * construction: every vec_id is md5-assigned to one of K cells and
+    * the minimum id in each non-empty cell seeds a centroid (a
+    * deterministic stand-in for k-means — [[kmeansCentroids]] refines
+    * these seeds; a trained external codebook would just replace the
+    * frame). The seed selection is a partial+final min aggregate over
+    * (cell, vec_id) pairs and the vector fetch is a broadcast join of
+    * the ≤ K seed ids against the corpus — no shuffle of embeddings,
+    * no driver-side collection, and the codebook cannot outgrow its
+    * broadcast at any corpus size. */
+  def defaultCentroids(e: DataFrame): DataFrame = {
+    val seeds = e.select(
+        (Dedup.md5hash60(concat(lit("cb_"), col("vec_id").cast("string")))
+          % CodebookSize).as("cell"),
+        col("vec_id"))
+      .groupBy("cell").agg(min("vec_id").as("cent_id"))
+    e.join(broadcast(seeds.select("cent_id")),
+        col("vec_id") === col("cent_id"))
+      .select(col("cent_id"), col("embedding").as("cv"))
+  }
 
   /** Deterministic Lloyd (k-means) refinement of the IVF codebook:
     * assign every vector to its nearest centroid (broadcast codebook,
@@ -136,8 +156,9 @@ object Similarity {
     * runs). Empty cells drop out (their vectors re-assign next round).
     *
     * Scale: per iteration one broadcast cross-score (n × k cosines) and
-    * one (cell, dim)-keyed aggregation — no pairwise joins; k ≈ √n
-    * keeps both sides bounded.
+    * one (cell, dim)-keyed aggregation — no pairwise joins; k is capped
+    * at [[CodebookSize]] by [[defaultCentroids]], so both sides stay
+    * bounded regardless of corpus size.
     *
     * The "Broadcasting large task binary with size 2.1 MiB" warnings this
     * query (and the CC iteration) emit are BENIGN: the bulk is the
@@ -239,9 +260,12 @@ object Similarity {
   def recallAtK(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = emb(s, d)
-    // consumed once per method + once for the per-query denominator
+    // consumed once per method + once for the per-query denominator;
+    // localCheckpoint (not persist) — the frame is #queries × K rows, so
+    // eager materialization is free and nothing lingers in the SQL cache
+    // for callers that never clearCache() (ADVICE r5)
     val brute = bruteTopKOn(e).select("query_id", "neighbor_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val approx = Seq(
       "ivf" -> ivfTopKOn(e),
       "ivf_kmeans" -> ivfTopKOn(e, kmeansCentroids(e, KmeansIters)),
@@ -392,9 +416,15 @@ object SimilarityOracles {
        |    floor(embedding[d]::DOUBLE * 1048576.0)::BIGINT AS qv
        |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(d)
        |),
+       |seeds AS (
+       |  SELECT ('0x' || substr(md5('cb_' || vec_id), 1, 15))::BIGINT
+       |           % ${Similarity.CodebookSize} AS cell,
+       |         min(vec_id) AS cent_id
+       |  FROM embeddings GROUP BY 1
+       |),
        |c0 AS (
-       |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
-       |  WHERE vec_id % ${Similarity.CentroidMod} = 0
+       |  SELECT cent_id, embedding AS cv FROM seeds
+       |  JOIN embeddings ON vec_id = cent_id
        |),
        |$lloyd,
        |assigned AS (
@@ -460,12 +490,19 @@ object SimilarityOracles {
        |LEFT JOIN hits h ON h.method = mm.method AND h.query_id = base.query_id
        |ORDER BY 1, 2""".stripMargin
 
-  /** Replicates the deterministic IVF pipeline: same centroid selection,
-    * same assignment/probe windows, same exact rerank. */
+  /** Replicates the deterministic IVF pipeline: same centroid selection
+    * (md5-cell seeds, bounded at [[Similarity.CodebookSize]]), same
+    * assignment/probe windows, same exact rerank. */
   val ivfTopK: String =
-    s"""WITH cents AS (
-       |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
-       |  WHERE vec_id % ${Similarity.CentroidMod} = 0
+    s"""WITH seeds AS (
+       |  SELECT ('0x' || substr(md5('cb_' || vec_id), 1, 15))::BIGINT
+       |           % ${Similarity.CodebookSize} AS cell,
+       |         min(vec_id) AS cent_id
+       |  FROM embeddings GROUP BY 1
+       |),
+       |cents AS (
+       |  SELECT cent_id, embedding AS cv FROM seeds
+       |  JOIN embeddings ON vec_id = cent_id
        |),
        |assigned AS (
        |  SELECT e.vec_id, c.cent_id,

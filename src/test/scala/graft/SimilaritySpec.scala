@@ -160,6 +160,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(b1.forall { case (_, _, k) => k >= 0 && k < (1L << LshBuckets.Bits) })
   }
 
+  test("IVF codebook stays <= CodebookSize regardless of corpus size") {
+    import org.apache.spark.sql.functions._
+    // 5000 vectors — 10x the sf0.01 fixture; the old every-40th rule
+    // would yield 125 centroids here, growing without bound. The md5-cell
+    // codebook must stay capped, with distinct seed ids.
+    val e = spark.range(5000)
+      .select(col("id").as("vec_id"),
+        expr("array(cast(id % 7 as float), cast(1.0 as float))")
+          .as("embedding"))
+    val cents = Similarity.defaultCentroids(e)
+      .as[(Long, Seq[Float])].collect()
+    assert(cents.length <= Similarity.CodebookSize,
+      s"codebook has ${cents.length} rows > ${Similarity.CodebookSize}")
+    assert(cents.map(_._1).distinct.length === cents.length)
+    // and non-degenerate: the md5 assignment should populate most cells
+    assert(cents.length >= Similarity.CodebookSize / 2)
+  }
+
   test("labelPurity: one row per query, k of 5, bounded purity") {
     val rows = Similarity.labelPurity(spark, d)
       .as[(Long, Int, Long, Long, Double)].collect()
