@@ -137,6 +137,9 @@ object SparkEntry {
     // asymmetric containment |A∩B|/min(|A|,|B|): short-doc-inside-long
     // subset duplication that Jaccard dilutes away
     "dedup_containment_pairs" -> (Dedup.containmentPairs _),
+    // the containment SCALE path: minhash band candidates, then
+    // containment verify — the guarded naive form's escape hatch
+    "dedup_containment_lsh" -> (Dedup.containmentLshPairs _),
     // CC over the embedding-LSH graph: paraphrase-style duplicate groups
     // sharing no lexical shingles (semantic complement to the lexical CC)
     "dedup_semantic_clusters" -> (Dedup.semanticClusters _),
@@ -730,6 +733,7 @@ object SparkEntry {
     "dedup_clusters" -> DedupOracles.clusters,
     "dedup_clusters_lsh" -> DedupOracles.clustersLsh,
     "dedup_containment_pairs" -> DedupOracles.containmentPairs,
+    "dedup_containment_lsh" -> DedupOracles.containmentLsh,
     "dedup_semantic_clusters" -> DedupOracles.semanticClusters,
     "ann_topk_brute" -> SimilarityOracles.bruteTopK,
     "ann_topk_lsh" -> SimilarityOracles.lshTopK,

@@ -47,7 +47,11 @@ object DedupOracles {
        |WHERE c * 1.0 / least(sa.sz, sb.sz) >= ${Dedup.ContainmentThreshold}
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  val minhashLsh: String = {
+  /** The minhash band-candidate CTE chain (h → sig → bands → cand),
+    * generated from the SAME coefficients as the Spark pipeline — shared
+    * by the Jaccard-verified [[minhashLsh]] and the containment-verified
+    * [[containmentLsh]] oracles, mirroring `Dedup.minhashCandidates`. */
+  private val minhashCandCtes: String = {
     import Dedup.MinHashParams._
     val P = Dedup.P
     val minExprs = (0 until K).map(i =>
@@ -55,8 +59,7 @@ object DedupOracles {
     val bandSelects = (0 until Bands).map(b =>
       s"SELECT doc_id, $b AS band, mh${2 * b} * $P + mh${2 * b + 1} AS bkey FROM sig")
       .mkString("\n  UNION ALL ")
-    s"""WITH $wordsCtes, $shinglesCte,
-       |h AS (
+    s"""h AS (
        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % $P AS hv FROM sh
        |),
        |sig AS (
@@ -71,7 +74,12 @@ object DedupOracles {
        |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-       |),
+       |)""".stripMargin
+  }
+
+  val minhashLsh: String =
+    s"""WITH $wordsCtes, $shinglesCte,
+       |$minhashCandCtes,
        |$sizesCte, $interCte
        |SELECT cand.i AS doc_a, cand.j AS doc_b,
        |  round(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard
@@ -80,7 +88,21 @@ object DedupOracles {
        |JOIN sizes sa ON cand.i = sa.doc_id JOIN sizes sb ON cand.j = sb.doc_id
        |WHERE c * 1.0 / (sa.sz + sb.sz - c) >= ${Dedup.JaccardThreshold}
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
+
+  /** Banding-first containment: the same band-candidate CTEs as
+    * [[minhashLsh]], with the |A∩B| / min(|A|,|B|) verify — replicates
+    * `Dedup.containmentLshPairs` end-to-end. */
+  val containmentLsh: String =
+    s"""WITH $wordsCtes, $shinglesCte,
+       |$minhashCandCtes,
+       |$sizesCte, $interCte
+       |SELECT cand.i AS doc_a, cand.j AS doc_b,
+       |  round(c * 1.0 / least(sa.sz, sb.sz), 6) AS containment
+       |FROM cand
+       |JOIN inter ON cand.i = inter.i AND cand.j = inter.j
+       |JOIN sizes sa ON cand.i = sa.doc_id JOIN sizes sb ON cand.j = sb.doc_id
+       |WHERE c * 1.0 / least(sa.sz, sb.sz) >= ${Dedup.ContainmentThreshold}
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   val simhashPairs: String = {
     val bits = Dedup.SimHashBits

@@ -69,6 +69,39 @@ class DedupSkewStressSpec extends AnyFunSuite {
     }
   }
 
+  test("containment-LSH candidates stay bucket-bounded under boilerplate skew") {
+    import spark.implicits._
+    // Realistic doc shape for banding: every doc carries the shared
+    // boilerplate shingle plus 15 unique ones (the naive containment
+    // join would still pay the df=1500 boilerplate fan-out — 1.1M rows;
+    // this is exactly the corpus its guard refuses). The last 10 docs
+    // are full twins of docs 0..9 — the only true containment pairs.
+    val n = NDocs
+    val shLsh = (0 until n).flatMap { i =>
+      val base = if (i >= n - Pairs) i - (n - Pairs) else i
+      ("the same footer boilerplate on every page" +:
+        (0 until 15).map(k => s"unique content $base token $k")).map(s =>
+        (i.toLong, s))
+    }.toDF("doc_id", "s")
+    val cands = Dedup.minhashCandidatesOn(shLsh)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nc = cands.count()
+      val quad = n.toLong * (n - 1) / 2
+      info(s"band candidates: $nc of $quad possible pairs")
+      // bucket-bounded: the boilerplate shingle influences a band key
+      // only when it minhashes BOTH rows of the band, so candidates stay
+      // orders of magnitude below the df² fan-out the naive join pays
+      assert(nc < quad / 20, s"candidate set not bucket-bounded: $nc")
+      // and the verify stage returns exactly the planted twins at 1.0 —
+      // identical shingle sets band-collide with certainty
+      val cont = Dedup.verifyContainmentPairs(shLsh, cands)
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+      assert(cont === (0 until Pairs)
+        .map(b => (b.toLong, (n - Pairs + b).toLong, 1.0)))
+    } finally cands.unpersist()
+  }
+
   test("prefix candidates stay df-bounded under boilerplate skew") {
     // sz = 3, t = 4/5 → prefix length = 3 − ⌈0.8·3⌉ + 1 = 1: each doc
     // indexes ONLY its rarest shingle. The boilerplate shingle (df 1500,
