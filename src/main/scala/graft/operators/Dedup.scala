@@ -377,23 +377,53 @@ object Dedup {
     * [[graft.functions.SimHashAgg]] — the equivalent 60-column
     * `sum(when(...))` formulation overflows codegen method limits and
     * falls back to interpreted evaluation (5-28s vs sub-second at sf0.1). */
-  def simhashSignatures(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
+  def simhashSignatures(s: SparkSession, d: String): DataFrame =
+    simhashSignaturesOn(Tables.documents(s, d))
+
+  /** [[simhashSignatures]] over any (doc_id, text) frame. */
+  private[graft] def simhashSignaturesOn(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), explode(WordShingles(col("text"), 1)).as("w"))
     val h = toks.select(col("doc_id"), md5hash60(col("w")).as("hv"))
     h.groupBy("doc_id")
       .agg(graft.functions.SimHashAgg(col("hv")).as("simhash"))
   }
 
+  /** Band-bucket occupancy guard for [[simhashPairs]]: each 12-bit band
+    * has only 4096 buckets, so bucket occupancy grows LINEARLY with the
+    * corpus and the band self-join emits occ² pairs per bucket — the
+    * SimHash twin of the [[MaxNaiveShingleDf]] hazard (VERDICT r5).
+    * Refuse rather than detonate. Production dials: WIDER bands (e.g.
+    * 4 × 15-bit — still complete for hamming ≤ 3, 32k buckets per band),
+    * pre-splitting hot buckets on extra signature bits, or switching to
+    * [[minhashLsh]] whose band keys are drawn from the full shingle
+    * space rather than a fixed 4096-bucket range. */
+  val MaxSimHashBandBucket = 1000L
+
   /** Near-dup pairs with hamming(simhash) ≤ 4. Candidates from 5 × 12-bit
     * pigeonhole bands (≤ 4 differing bits can't touch all 5 bands, so
-    * recall is COMPLETE, not probabilistic), then exact bit_count verify. */
-  def simhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = simhashSignatures(s, d)
+    * recall is COMPLETE, not probabilistic), then exact bit_count verify.
+    * Guarded by [[MaxSimHashBandBucket]]. */
+  def simhashPairs(s: SparkSession, d: String): DataFrame =
+    simhashPairsOn(simhashSignaturesOn(Tables.documents(s, d)))
+
+  /** [[simhashPairs]] over a precomputed (doc_id, simhash) frame. */
+  private[graft] def simhashPairsOn(sig0: DataFrame): DataFrame = {
+    // the signature frame feeds the occupancy guard plus both legs of the
+    // band self-join; one row per doc, so caching it is nearly free
+    val sig = sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = (0 until SimHashBands).map(b =>
       shiftright(col("simhash"), 12 * b).bitwiseAND(0xFFF))
     val bands = sig.select(col("doc_id"), col("simhash"),
       posexplode(array(chunks: _*)).as(Seq("band", "bkey")))
+    val maxOcc = bands.groupBy("band", "bkey").agg(count(lit(1)).as("occ"))
+      .agg(max("occ")).head().getLong(0)
+    if (maxOcc > MaxSimHashBandBucket) sig.unpersist() // refusal must not leak the cache entry
+    require(maxOcc <= MaxSimHashBandBucket,
+      s"simhashPairs refused: max band-bucket occupancy $maxOcc > " +
+        s"$MaxSimHashBandBucket (occupancy² fan-out per bucket); widen the " +
+        "bands (4 x 15-bit) or use minhashLsh, whose band keys are not " +
+        "confined to 4096 buckets")
     bands.toDF("i", "sim_i", "band", "bkey")
       .join(bands.toDF("j", "sim_j", "band2", "bkey2"),
         col("band") === col("band2") && col("bkey") === col("bkey2") &&

@@ -102,6 +102,20 @@ class DedupSkewStressSpec extends AnyFunSuite {
     } finally cands.unpersist()
   }
 
+  test("simhash band join refuses a hot 12-bit band bucket") {
+    import spark.implicits._
+    // 1100 docs with one shared simhash: every 12-bit band bucket holds
+    // all 1100 — the linear-occupancy shape a 100x corpus forces on a
+    // 4096-bucket band space (occupancy² join fan-out; VERDICT r5)
+    val sig = (0 until 1100).map(i => (i.toLong, 0x123456789ABCDEL))
+      .toDF("doc_id", "simhash")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashPairsOn(sig).count()
+    }
+    assert(e.getMessage.contains("1100"))
+    assert(e.getMessage.contains("minhashLsh"))
+  }
+
   test("prefix candidates stay df-bounded under boilerplate skew") {
     // sz = 3, t = 4/5 → prefix length = 3 − ⌈0.8·3⌉ + 1 = 1: each doc
     // indexes ONLY its rarest shingle. The boilerplate shingle (df 1500,
