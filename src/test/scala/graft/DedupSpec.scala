@@ -147,6 +147,42 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("edge graphs round-trip through a parquet intermediate") {
+    // With an edge scratch dir set, the shared edge memo writes the
+    // graph to parquet once and every consumer reads it back — the
+    // cluster-grade shared-intermediate path. Fresh sessions force new
+    // memo keys, so each step below actually exercises the scratch dir.
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-edge-scratch").toString
+    val before = Dedup.edgeScratchDir
+    try {
+      val expected = Dedup.nearDupClusters(spark, d)
+        .as[(Long, Long, Long, Boolean)].collect().toSeq.sorted
+
+      Dedup.edgeScratchDir = Some(tmp)
+      val ss1 = spark.newSession()
+      val viaWrite = Dedup.nearDupClusters(ss1, d)
+        .as[(Long, Long, Long, Boolean)].collect().toSeq.sorted
+      assert(viaWrite === expected)
+      val edgeDirs = new java.io.File(tmp).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("edges_prefix_"))
+      assert(edgeDirs.length === 1, "edge parquet intermediate not written")
+      val writtenAt = edgeDirs.head.lastModified()
+
+      // a SECOND session must consume the same parquet, not rebuild it
+      val ss2 = spark.newSession()
+      val viaRead = Dedup.nearDupClusters(ss2, d)
+        .as[(Long, Long, Long, Boolean)].collect().toSeq.sorted
+      assert(viaRead === expected)
+      assert(edgeDirs.head.lastModified() === writtenAt,
+        "second consumer rewrote the intermediate instead of reading it")
+    } finally {
+      Dedup.edgeScratchDir = before
+      spark.catalog.clearCache()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("LSH clusters: same invariants; members must pair at t=0.8") {
     val out = Dedup.nearDupClustersLsh(spark, d)
       .as[(Long, Long, Long, Boolean)].collect()
