@@ -100,6 +100,49 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming dedup stays exactly-once across multiple micro-batches") {
+    // The driver-surface dedup query asserts its single-batch premise;
+    // the interesting state-store semantics are MULTI-batch (VERDICT r5
+    // item 6): duplicates split across micro-batches must still dedup,
+    // which exercises cross-batch keyed state rather than within-batch
+    // distinct. Doubled load scattered over 8 files + maxFilesPerTrigger=1
+    // puts an id's two copies in different batches with near-certainty;
+    // the watermark is sized past the fixture's ~30-day event-time span,
+    // so no id's state can be evicted before its duplicate arrives and
+    // exactly-once must hold across the WHOLE run.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dedup-mb")
+    val src = s"$tmp/src"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val ev = Tables.events(spark, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    ev.union(ev).repartition(8).write.parquet(src)
+    val sch = spark.read.parquet(src).schema
+    val q = EventStream.dedupEventsStream(
+        spark.readStream.schema(sch)
+          .option("maxFilesPerTrigger", "1").parquet(src),
+        "45000 minutes") // 31.25 days > fixture span
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      info(s"dedup ran across $dataBatches data micro-batches")
+      assert(dataBatches >= 2,
+        s"expected >= 2 data batches, got $dataBatches — the multi-batch " +
+          "claim needs maxFilesPerTrigger to actually split the source")
+      val got = spark.read.parquet(out).groupBy("event_id").count()
+        .as[(Long, Long)].collect().toMap
+      val want = ev.select("event_id").as[Long].collect().toSet
+      assert(got.keySet === want)        // no gaps
+      assert(got.values.forall(_ == 1L)) // no duplicates across batches
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
+
   test("no fixture gap sits exactly on the 10-minute session boundary") {
     // events_sessionized_native shares the gaps-and-islands oracle even
     // though session_window's boundary convention differs: the built-in
