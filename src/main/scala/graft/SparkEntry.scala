@@ -137,9 +137,11 @@ object SparkEntry {
     // asymmetric containment |A∩B|/min(|A|,|B|): short-doc-inside-long
     // subset duplication that Jaccard dilutes away
     "dedup_containment_pairs" -> (Dedup.containmentPairs _),
-    // the containment SCALE path: minhash band candidates, then
-    // containment verify — the guarded naive form's escape hatch
+    // the containment SCALE paths: minhash band candidates + containment
+    // verify (cheap, banding-bounded recall), and asymmetric prefix
+    // filtering (LOSSLESS — its oracle is the plain containment SQL)
     "dedup_containment_lsh" -> (Dedup.containmentLshPairs _),
+    "dedup_containment_prefix" -> (Dedup.containmentPrefixPairs _),
     // CC over the embedding-LSH graph: paraphrase-style duplicate groups
     // sharing no lexical shingles (semantic complement to the lexical CC)
     "dedup_semantic_clusters" -> (Dedup.semanticClusters _),
@@ -734,6 +736,8 @@ object SparkEntry {
     "dedup_clusters_lsh" -> DedupOracles.clustersLsh,
     "dedup_containment_pairs" -> DedupOracles.containmentPairs,
     "dedup_containment_lsh" -> DedupOracles.containmentLsh,
+    // lossless prefix filtering: oracle = the PLAIN containment SQL
+    "dedup_containment_prefix" -> DedupOracles.containmentPairs,
     "dedup_semantic_clusters" -> DedupOracles.semanticClusters,
     "ann_topk_brute" -> SimilarityOracles.bruteTopK,
     "ann_topk_lsh" -> SimilarityOracles.lshTopK,

@@ -166,14 +166,15 @@ object Dedup {
     * scraped-page wrappers show up in a training corpus.
     *
     * Same guarded inverted-index shape as [[jaccardPairs]] (the
-    * [[MaxNaiveShingleDf]] hot-shingle guard applies — containment has
-    * no lossless prefix trick at low thresholds because the SMALL side's
-    * size bounds the match, so the scale path is
-    * [[containmentLshPairs]]: MinHash banding first, then
-    * containment-verify the candidates). */
+    * [[MaxNaiveShingleDf]] hot-shingle guard applies). TWO scale paths
+    * replace it beyond the guard: [[containmentPrefixPairs]] (asymmetric
+    * prefix filtering — LOSSLESS at the operating threshold) and
+    * [[containmentLshPairs]] (minhash banding — cheaper candidates,
+    * banding-bounded recall). */
   def containmentPairs(s: SparkSession, d: String): DataFrame =
     guardedIntersection(shinglesCached(s, d), "containment join",
-        "use containmentLshPairs (minhash banding + containment verify)")
+        "use containmentPrefixPairs (lossless) or containmentLshPairs " +
+          "(banding + containment verify)")
       .withColumn("containment",
         col("c").cast("double") / least(col("sz_i"), col("sz_j")))
       .filter(col("containment") >= ContainmentThreshold)
@@ -311,6 +312,24 @@ object Dedup {
   def containmentLshPairs(s: SparkSession, d: String): DataFrame =
     verifyContainmentPairs(shingles(s, d), minhashCandidates(s, d))
 
+  /** LOSSLESS containment at scale — asymmetric prefix filtering
+    * ([[containmentPrefixCandidates]]: each doc's df-rarest
+    * `sz − ⌈t·sz⌉ + 1` shingles probed against the FULL inverted index;
+    * pigeonhole on the smaller doc makes recall COMPLETE at
+    * t = [[ContainmentThreshold]]), then the same candidate-restricted
+    * containment verify. Result equals [[containmentPairs]] exactly, so
+    * the oracle is literally the plain containment SQL — the same
+    * strongest-form losslessness check as [[jaccardPrefixPairs]]. Use
+    * this when recall matters (boilerplate/quote auditing);
+    * [[containmentLshPairs]] when banding-bounded recall is acceptable
+    * and candidates must be cheapest. */
+  def containmentPrefixPairs(s: SparkSession, d: String): DataFrame = {
+    assert(ContainmentThreshold == 3.0 / 5,
+      "constants drifted: containment prefix arithmetic assumes t = 3/5")
+    val sh = shinglesCached(s, d)
+    verifyContainmentPairs(sh, containmentPrefixCandidates(sh, 3, 5))
+  }
+
   /** Prefix-filtered candidate pairs for a RATIONAL Jaccard threshold
     * t = num/den — the generalization of the t = 4/5 arithmetic that
     * [[jaccardPrefixPairs]] shipped with (VERDICT r3 item 2).
@@ -329,7 +348,11 @@ object Dedup {
     * prefix filtering, but the df-ASCENDING order still evicts exactly
     * the hyper-frequent shingles whose df² fan-out kills the naive join,
     * so the candidate join stays bounded where [[jaccardAll]] detonates. */
-  private[graft] def prefixCandidates(sh: DataFrame, num: Int, den: Int): DataFrame = {
+  /** The df-ascending prefix index shared by the prefix-filtered
+    * candidate generators: each doc's first `sz − ⌈t·sz⌉ + 1` shingles
+    * in (global document frequency, shingle) order — t = num/den in
+    * exact integer arithmetic (see [[prefixCandidates]]). */
+  private def prefixIndex(sh: DataFrame, num: Int, den: Int): DataFrame = {
     require(num > 0 && num < den, s"threshold $num/$den not in (0,1)")
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy("doc_id").orderBy(asc("df"), asc("s"))
@@ -338,15 +361,43 @@ object Dedup {
     val ranked = sh.join(dfreq, "s")
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
       .withColumn("pos", row_number().over(wDoc))
-    val prefix = ranked
+    ranked
       .filter(col("pos") <=
         expr(s"sz - (($num * sz + ${den - 1}) div $den) + 1"))
       .select("doc_id", "s")
+  }
+
+  private[graft] def prefixCandidates(sh: DataFrame, num: Int, den: Int): DataFrame = {
+    val prefix = prefixIndex(sh, num, den)
     prefix.toDF("i", "sa")
       .join(prefix.toDF("j", "sb"),
         col("sa") === col("sb") && col("i") < col("j"))
       .select("i", "j").distinct()
   }
+
+  /** ASYMMETRIC prefix-filtered candidates for CONTAINMENT ≥ num/den —
+    * complete recall, unlike banding. Pigeonhole on the SMALLER doc S of
+    * a qualifying pair: containment ≥ t means at most
+    * |S| − ⌈t·|S|⌉ of S's shingles miss the other doc, so among any
+    * |S| − ⌈t·|S|⌉ + 1 of them at least one is shared — S's df-rarest
+    * prefix must collide with the other doc's FULL shingle set. Joining
+    * every doc's prefix against the full inverted index (both roles, so
+    * whichever side is smaller is covered) therefore finds every
+    * qualifying pair. The df-ascending order keeps hyper-frequent
+    * shingles out of every prefix, so the join's OUTPUT fan-out per
+    * shingle is prefix_df(s) × df(s) — zero for the boilerplate
+    * shingles that detonate the naive join (they are never the rarest);
+    * the full side still shuffles hot keys, but scanning unmatched rows
+    * is linear, not quadratic. At LOW thresholds the prefix approaches
+    * the whole doc and this degrades toward the naive join — the same
+    * inherent dial as Jaccard prefix filtering. */
+  private[graft] def containmentPrefixCandidates(
+      sh: DataFrame, num: Int, den: Int): DataFrame =
+    prefixIndex(sh, num, den).toDF("x", "sa")
+      .join(sh.toDF("y", "sb"), col("sa") === col("sb") && col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("i"),
+        greatest(col("x"), col("y")).as("j"))
+      .distinct()
 
   /** Exact Jaccard ≥ 0.8 pairs via PREFIX FILTERING — the 100 TB path
     * for exact near-dup joins (the plain inverted-index join in

@@ -116,6 +116,21 @@ class DedupSkewStressSpec extends AnyFunSuite {
     assert(e.getMessage.contains("minhashLsh"))
   }
 
+  test("containment prefix candidates stay df-bounded under boilerplate skew") {
+    // sz = 3, t = 3/5 → prefix length = 3 − ⌈1.8⌉ + 1 = 2: each doc
+    // indexes its two unique shingles; the boilerplate shingle (most
+    // frequent) is evicted from EVERY prefix, so probing the full
+    // inverted index — which still contains the df=1500 hot key — emits
+    // candidates only where a unique shingle collides: exactly the
+    // planted twins. Recall stays complete (pigeonhole on the smaller
+    // doc), where the naive containment join refuses this corpus.
+    val cands = Dedup.containmentPrefixCandidates(sh, 3, 5)
+    assert(cands.count() === Pairs.toLong)
+    val pairs = Dedup.verifyContainmentPairs(sh, cands)
+    assert(pairs.count() === Pairs.toLong)
+    assert(pairs.agg(min("containment")).head().getDouble(0) === 1.0)
+  }
+
   test("prefix candidates stay df-bounded under boilerplate skew") {
     // sz = 3, t = 4/5 → prefix length = 3 − ⌈0.8·3⌉ + 1 = 1: each doc
     // indexes ONLY its rarest shingle. The boilerplate shingle (df 1500,

@@ -88,6 +88,15 @@ class DedupSpec extends AnyFunSuite {
     assert(prefix === plain)
   }
 
+  test("asymmetric prefix containment ≡ plain containment (lossless)") {
+    val plain = Dedup.containmentPairs(spark, d)
+      .as[(Long, Long, Double)].collect().toSet
+    val prefix = Dedup.containmentPrefixPairs(spark, d)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(plain.nonEmpty, "fixture should contain containment pairs")
+    assert(prefix === plain)
+  }
+
   test("simhash banding ≡ brute-force hamming pairs (pigeonhole complete)") {
     // NB: iterate a Seq, not the Map — a for-comprehension over a Map
     // yielding pairs rebuilds a Map and silently collapses duplicate keys
