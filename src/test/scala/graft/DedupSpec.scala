@@ -97,6 +97,53 @@ class DedupSpec extends AnyFunSuite {
     assert(prefix === plain)
   }
 
+  test("prefix filtering is lossless on randomized corpora (jaccard + containment)") {
+    // The pigeonhole arguments rest on exact integer ceilings — a float
+    // t*sz (or an off-by-one in sz − ⌈t·sz⌉ + 1) silently loses pairs
+    // only at specific size/threshold alignments, which one fixture
+    // cannot sweep. Randomized small-vocab corpora force heavy shingle
+    // overlap across many doc sizes; both prefix paths must equal a
+    // plain Scala brute-force over the same shingle sets.
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 3) {
+      val nDocs = 60
+      val base: Map[Long, Set[String]] = (0 until nDocs).map { i =>
+        val sz = 3 + rnd.nextInt(10)
+        i.toLong -> rnd.shuffle((0 until 40).toList).take(sz)
+          .map(w => s"w$w").toSet
+      }.toMap
+      // random corpora rarely reach J >= 0.8 — plant twins (J = 1) and
+      // drop-one copies (J = (sz-1)/sz >= 0.8 for sz >= 5) so the
+      // jaccard leg is exercised, not vacuous
+      val planted: Map[Long, Set[String]] = (0 until 6).map { k =>
+        val src = base(k.toLong)
+        val copy = if (k % 2 == 0 || src.size < 5) src else src.tail
+        (1000L + k) -> copy
+      }.toMap
+      val sets = base ++ planted
+      val sh = sets.toSeq.flatMap { case (i, ss) => ss.map(s => (i, s)) }
+        .toDF("doc_id", "s")
+      def brute(score: (Int, Int, Int) => Double, t: Double) = (for {
+        i <- sets.keys; j <- sets.keys if i < j
+        c = sets(i).intersect(sets(j)).size
+        v = score(c, sets(i).size, sets(j).size) if v >= t
+      } yield (i, j)).toSet
+      val bruteJac = brute((c, a, b) => c.toDouble / (a + b - c),
+        Dedup.JaccardThreshold)
+      val bruteCont = brute((c, a, b) => c.toDouble / math.min(a, b),
+        Dedup.ContainmentThreshold)
+      val gotJac = Dedup.verifyJaccardPairs(sh, Dedup.prefixCandidates(sh, 4, 5))
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val gotCont = Dedup.verifyContainmentPairs(sh,
+          Dedup.containmentPrefixCandidates(sh, 3, 5))
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(gotJac === bruteJac, s"jaccard prefix lost pairs (trial $trial)")
+      assert(gotCont === bruteCont, s"containment prefix lost pairs (trial $trial)")
+      info(s"trial $trial: ${bruteJac.size} jaccard pairs, " +
+        s"${bruteCont.size} containment pairs")
+    }
+  }
+
   test("simhash banding ≡ brute-force hamming pairs (pigeonhole complete)") {
     // NB: iterate a Seq, not the Map — a for-comprehension over a Map
     // yielding pairs rebuilds a Map and silently collapses duplicate keys
