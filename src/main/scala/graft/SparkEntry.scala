@@ -142,6 +142,9 @@ object SparkEntry {
     // filtering (LOSSLESS — its oracle is the plain containment SQL)
     "dedup_containment_lsh" -> (Dedup.containmentLshPairs _),
     "dedup_containment_prefix" -> (Dedup.containmentPrefixPairs _),
+    // NEW batch deduped AGAINST the existing corpus (parity split):
+    // asymmetric band join + verify + best-corpus-match per new doc
+    "dedup_incremental" -> (Dedup.incrementalDedup _),
     // CC over the embedding-LSH graph: paraphrase-style duplicate groups
     // sharing no lexical shingles (semantic complement to the lexical CC)
     "dedup_semantic_clusters" -> (Dedup.semanticClusters _),
@@ -738,6 +741,7 @@ object SparkEntry {
     "dedup_containment_lsh" -> DedupOracles.containmentLsh,
     // lossless prefix filtering: oracle = the PLAIN containment SQL
     "dedup_containment_prefix" -> DedupOracles.containmentPairs,
+    "dedup_incremental" -> DedupOracles.incrementalDedup,
     "dedup_semantic_clusters" -> DedupOracles.semanticClusters,
     "ann_topk_brute" -> SimilarityOracles.bruteTopK,
     "ann_topk_lsh" -> SimilarityOracles.lshTopK,

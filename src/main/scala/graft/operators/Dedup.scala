@@ -208,19 +208,70 @@ object Dedup {
   def minhashCandidates(s: SparkSession, d: String): DataFrame =
     minhashCandidatesOn(shingles(s, d))
 
-  /** [[minhashCandidates]] over any (doc_id, s) shingle frame. */
-  private[graft] def minhashCandidatesOn(sh: DataFrame): DataFrame = {
+  /** doc_id → (band, bkey) LSH band keys from the minhash signatures —
+    * the shared band frame for the symmetric ([[minhashCandidatesOn]])
+    * and asymmetric ([[incrementalDedup]]) band joins. */
+  private[graft] def minhashBandsOn(sh: DataFrame): DataFrame = {
     import MinHashParams._
     val sig = minhashSignaturesOn(sh)
     val bandKeys = (0 until Bands).map(b =>
       col(s"mh${2 * b}") * P + col(s"mh${2 * b + 1}"))
-    val bands = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+  }
+
+  /** [[minhashCandidates]] over any (doc_id, s) shingle frame. */
+  private[graft] def minhashCandidatesOn(sh: DataFrame): DataFrame = {
+    val bands = minhashBandsOn(sh)
     bands.toDF("i", "band", "bkey")
       .join(bands.toDF("j", "band2", "bkey2"),
         col("band") === col("band2") && col("bkey") === col("bkey2") &&
           col("i") < col("j"))
       .select("i", "j").distinct()
+  }
+
+  /** INCREMENTAL dedup — a NEW batch of documents deduplicated AGAINST
+    * the existing corpus: the production arrival shape ("dedup today's
+    * crawl against the 100 TB corpus") that none of the symmetric
+    * operators express. The fixture stands in for the split with doc_id
+    * parity (odd = new batch, even = existing corpus; a real pipeline
+    * keys this on ingestion date/source). Candidates come from an
+    * ASYMMETRIC band join — new-batch bands against corpus bands only,
+    * so within-batch and within-corpus pairs are never generated
+    * (within-batch dedup is the symmetric [[minhashLsh]]); verification
+    * is the shared candidate-restricted exact Jaccard; each matched new
+    * doc keeps its BEST corpus match (highest Jaccard, smallest corpus
+    * id on ties — a total order over the 6-dp values both engines
+    * round to).
+    *
+    * Scale: the new batch is tiny next to the corpus, so the band
+    * join's probe side is small and bucket-bounded; the corpus-side
+    * signatures/bands are precomputable ONCE and stored as a parquet
+    * intermediate (the [[edgeScratchDir]] pattern) rather than
+    * re-derived per arriving batch — only the new batch's shingling and
+    * signatures are per-batch work. */
+  def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val bands = minhashBandsOn(sh)
+    val cands = bands.filter(col("doc_id") % 2 === 1).toDF("n", "band", "bkey")
+      .join(bands.filter(col("doc_id") % 2 === 0).toDF("o", "band2", "bkey2"),
+        col("band") === col("band2") && col("bkey") === col("bkey2"))
+      .select(least(col("n"), col("o")).as("i"),
+        greatest(col("n"), col("o")).as("j"))
+      .distinct()
+    val best = Window.partitionBy("doc_id")
+      .orderBy(desc("jaccard"), asc("dup_of"))
+    verifyJaccardPairs(sh, cands)
+      .select(
+        when(col("doc_a") % 2 === 1, col("doc_a")).otherwise(col("doc_b"))
+          .as("doc_id"),
+        when(col("doc_a") % 2 === 1, col("doc_b")).otherwise(col("doc_a"))
+          .as("dup_of"),
+        col("jaccard"))
+      .withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select("doc_id", "dup_of", "jaccard")
+      .orderBy("doc_id")
   }
 
   /** Candidate pairs whose exact Jaccard ≥ 0.8, found via LSH banding

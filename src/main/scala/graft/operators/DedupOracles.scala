@@ -47,11 +47,12 @@ object DedupOracles {
        |WHERE c * 1.0 / least(sa.sz, sb.sz) >= ${Dedup.ContainmentThreshold}
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** The minhash band-candidate CTE chain (h → sig → bands → cand),
-    * generated from the SAME coefficients as the Spark pipeline — shared
-    * by the Jaccard-verified [[minhashLsh]] and the containment-verified
-    * [[containmentLsh]] oracles, mirroring `Dedup.minhashCandidates`. */
-  private val minhashCandCtes: String = {
+  /** The minhash band CTE chain (h → sig → bands), generated from the
+    * SAME coefficients as the Spark pipeline — shared by every
+    * banding-first oracle; each appends its own `cand` CTE (symmetric
+    * for [[minhashLsh]]/[[containmentLsh]], parity-asymmetric for
+    * [[incrementalDedup]]), mirroring `Dedup.minhashBandsOn`. */
+  private val minhashBandCtes: String = {
     import Dedup.MinHashParams._
     val P = Dedup.P
     val minExprs = (0 until K).map(i =>
@@ -69,13 +70,16 @@ object DedupOracles {
        |),
        |bands AS (
        |  $bandSelects
-       |),
+       |)""".stripMargin
+  }
+
+  private val minhashCandCtes: String =
+    s"""$minhashBandCtes,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
        |)""".stripMargin
-  }
 
   val minhashLsh: String =
     s"""WITH $wordsCtes, $shinglesCte,
@@ -88,6 +92,39 @@ object DedupOracles {
        |JOIN sizes sa ON cand.i = sa.doc_id JOIN sizes sb ON cand.j = sb.doc_id
        |WHERE c * 1.0 / (sa.sz + sb.sz - c) >= ${Dedup.JaccardThreshold}
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Asymmetric banding (new batch × existing corpus on doc_id parity)
+    * + exact-Jaccard verify + best-match window — replicates
+    * `Dedup.incrementalDedup` end-to-end, including the rank over the
+    * 6-dp-rounded jaccard both engines compute. */
+  val incrementalDedup: String =
+    s"""WITH $wordsCtes, $shinglesCte,
+       |$minhashBandCtes,
+       |cand AS (
+       |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS i,
+       |                  greatest(a.doc_id, b.doc_id) AS j
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey
+       |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+       |),
+       |$sizesCte, $interCte,
+       |matched AS (
+       |  SELECT CASE WHEN cand.i % 2 = 1 THEN cand.i ELSE cand.j END AS doc_id,
+       |         CASE WHEN cand.i % 2 = 1 THEN cand.j ELSE cand.i END AS dup_of,
+       |         round(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard
+       |  FROM cand
+       |  JOIN inter ON cand.i = inter.i AND cand.j = inter.j
+       |  JOIN sizes sa ON cand.i = sa.doc_id JOIN sizes sb ON cand.j = sb.doc_id
+       |  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= ${Dedup.JaccardThreshold}
+       |),
+       |ranked AS (
+       |  SELECT doc_id, dup_of, jaccard,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY jaccard DESC, dup_of) AS rn
+       |  FROM matched
+       |)
+       |SELECT doc_id, dup_of, jaccard FROM ranked WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
 
   /** Banding-first containment: the same band-candidate CTEs as
     * [[minhashLsh]], with the |A∩B| / min(|A|,|B|) verify — replicates

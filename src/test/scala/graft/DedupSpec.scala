@@ -159,6 +159,30 @@ class DedupSpec extends AnyFunSuite {
     assert(banded.nonEmpty, "fixture should contain simhash near-dups")
   }
 
+  test("incremental dedup: best mixed-parity match per new doc") {
+    // The asymmetric band join must agree with the symmetric LSH pair
+    // list restricted to mixed-parity pairs: every output row is a new
+    // (odd) doc matched to its best existing (even) doc, and the best
+    // jaccard equals the max over that doc's mixed-parity minhash pairs.
+    val inc = Dedup.incrementalDedup(spark, d)
+      .as[(Long, Long, Double)].collect()
+    assert(inc.nonEmpty)
+    assert(inc.forall { case (n, o, j) =>
+      n % 2 == 1 && o % 2 == 0 && j >= Dedup.JaccardThreshold })
+    assert(inc.map(_._1).distinct.length === inc.length,
+      "one best match per new doc")
+    val mixed = Dedup.minhashLsh(spark, d)
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => a % 2 != b % 2 }
+      .map { case (a, b, j) =>
+        if (a % 2 == 1) (a, b, j) else (b, a, j) }
+    val bestByNew = mixed.groupBy(_._1).view
+      .mapValues(_.map(_._3).max).toMap
+    assert(inc.map(_._1).toSet === bestByNew.keySet)
+    inc.foreach { case (n, _, j) =>
+      assert(j === bestByNew(n), s"doc $n best-match jaccard") }
+  }
+
   test("exact dedup covers every doc exactly once") {
     val total = Dedup.exact(spark, d).agg(sum("n_copies")).as[Long].head()
     assert(total === Tables.documents(spark, d).count())
