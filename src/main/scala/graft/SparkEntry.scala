@@ -380,6 +380,10 @@ object SparkEntry {
     //     oracle-checked against the plain SQL interval join ---
     "events_range_join_stream" ->
       (graft.streaming.EventStream.clickAttributionStreamVerified _),
+    // stream-stream LEFT SEMI interval join: converting purchases kept
+    // once each, no pair blow-up; oracle = plain EXISTS interval query
+    "events_semi_join_stream" ->
+      (graft.streaming.EventStream.semiJoinStreamVerified _),
 
     // --- watermarked windowed aggregation under the streaming engine:
     //     append mode emits exactly the watermark-finalized windows
@@ -906,6 +910,14 @@ object SparkEntry {
         |FROM p JOIN c ON c.user_id = p.user_id
         |  AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
         |ORDER BY p_event, c_event""".stripMargin,
+    // the streaming semi join must equal the batch EXISTS interval query
+    "events_semi_join_stream" ->
+      """SELECT p.event_id AS p_event, p.user_id, epoch_us(p.ts) AS p_us
+        |FROM events p WHERE p.event_type = 'purchase' AND EXISTS (
+        |  SELECT 1 FROM events c WHERE c.event_type = 'click'
+        |    AND c.user_id = p.user_id
+        |    AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts)
+        |ORDER BY p_event""".stripMargin,
     // the streaming run of the stateful sessionizer must reproduce the
     // batch gaps-and-islands result bit-for-bit — one oracle, both forms
     "events_sessionized_stream" -> sessionizedOracle,

@@ -345,6 +345,43 @@ object EventStream {
     }
   }
 
+  /** Stream-stream LEFT SEMI interval join under the engine: purchases
+    * that had at least one same-user click in the preceding 10 minutes —
+    * emitted ONCE per matched purchase, however many clicks matched
+    * (the attribution-filter shape: "keep converting purchases", without
+    * materializing the pair blow-up of the inner join). Semi joins emit
+    * a left row when its first match arrives — unlike OUTER stream-stream
+    * joins there is no watermark-timed null emission, so a bounded run
+    * equals the batch semi join exactly and the oracle is a plain EXISTS
+    * query. Watermarks still bound both buffers (left rows that matched
+    * are dropped immediately; unmatched ones evict once they can no
+    * longer match). */
+  def semiJoinStreamVerified(s: SparkSession, d: String): DataFrame = {
+    val (out, ckpt) = scratchDirs("semij")
+    val ss = streamSession(s)
+    val ev = readEventStream(ss, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event"), col("user_id"),
+        col("ts").as("pts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("cts"))
+    val q = purchases.withWatermark("pts", "10 minutes")
+      .join(clicks.withWatermark("cts", "10 minutes"),
+        expr("""user_id = c_user AND
+                cts >= pts - interval 10 minutes AND cts <= pts"""),
+        "left_semi")
+      .select(col("p_event"), col("user_id"), unix_micros(col("pts")).as("p_us"))
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val res = s.read.parquet(out).localCheckpoint()
+    deleteRecursively(out, ckpt)
+    res.orderBy("p_event")
+  }
+
   def clickAttributionStreamVerified(s: SparkSession, d: String): DataFrame = {
     val (out, ckpt) = scratchDirs("attr")
     val ss = streamSession(s)
