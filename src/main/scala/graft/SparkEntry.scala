@@ -202,6 +202,9 @@ object SparkEntry {
     //     curation stages; see operator scaladocs) ---
     "text_redact_pii" -> (Curation.redactPii _),
     "text_chunks" -> (Curation.chunkDocs _),
+    // repeated-boilerplate detection at chunk granularity: duplicated
+    // 32-token chunk contents across (and within) documents
+    "text_chunk_dedup" -> (Curation.chunkDedup _),
     "text_domain_rebalance" -> (Curation.domainRebalance _),
     // --- damped quality propagation over the near-dup graph (exact
     //     integer rounds; oracle unrolls them like the k-means one) ---
@@ -793,6 +796,7 @@ object SparkEntry {
     "text_contamination" -> CurationOracles.contamination,
     "text_redact_pii" -> CurationOracles.redactPii,
     "text_chunks" -> CurationOracles.chunkDocs,
+    "text_chunk_dedup" -> CurationOracles.chunkDedup,
     "text_domain_rebalance" -> CurationOracles.domainRebalance,
     "text_quality_propagation" -> CurationOracles.qualityPropagation,
     // sketch estimates are engine-specific: the checked contract is a

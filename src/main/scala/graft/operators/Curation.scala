@@ -240,6 +240,43 @@ object Curation {
           .as("first_tok"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** CHUNK-LEVEL exact dedup — the repeated-boilerplate detector run at
+    * [[ChunkTokens]]-token granularity: chunk contents that recur
+    * anywhere in the corpus (page footers, navigation bars, license
+    * blocks render as repeated chunks even when their parent documents
+    * differ, which document-level dedup cannot see). One row per
+    * DUPLICATED chunk content: its portable 60-bit md5 fingerprint,
+    * total occurrences, distinct parent docs (separates intra-doc
+    * repetition from cross-doc boilerplate) and the minimum containing
+    * doc. Singleton chunks are omitted — at corpus scale they are ~all
+    * chunks. Detects EXACT chunk-ALIGNED repeats only (the inherent
+    * fixed-window trade; unaligned/near overlap is the shingle and
+    * minhash operators' job).
+    *
+    * Scale: map-only chunk hashing (a slice of the in-row token array —
+    * the chunk text itself never shuffles, only 60-bit hashes) into a
+    * partial+final hash aggregate: [[Dedup.exact]]'s shape at chunk
+    * granularity. */
+  def chunkDedup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.WordShingles(col("text"), 1).as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("n_tokens"), col("ws"))
+      .filter(col("n_tokens") > 0) // zero-token docs: see chunkDocs
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, (n_tokens - 1) div $ChunkTokens)"))
+          .as("chunk_idx"),
+        col("ws"))
+      .select(col("doc_id"), Dedup.md5hash60(
+          expr(s"array_join(slice(ws, chunk_idx * $ChunkTokens + 1, " +
+            s"$ChunkTokens), ' ')")).as("chunk_hash"))
+      .groupBy("chunk_hash")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct("doc_id").as("n_docs"),
+        min("doc_id").as("keep_doc"))
+      .filter(col("n_occurrences") > 1)
+      .orderBy("chunk_hash")
+
   /** DOMAIN-MIXTURE REBALANCING — downsample every `source` domain to
     * the minority domain's size, the standard way a training mixture is
     * flattened: per-source md5-deterministic sampling at rate
@@ -518,6 +555,31 @@ object CurationOracles {
        |  ws[i * $ct + 1] AS first_tok
        |FROM wl, unnest(generate_series(0, (n_tokens - 1) // $ct)) t(i)
        |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
+  /** Replicates the chunk construction (same slicing arithmetic as
+    * [[chunkDocs]]) and the portable md5 chunk fingerprint, then the
+    * same duplicate-only aggregate. */
+  val chunkDedup: String = {
+    val ct = Curation.ChunkTokens
+    s"""WITH wl AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+       |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+       |  FROM documents
+       |),
+       |ch AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(array_to_string(
+       |       ws[i * $ct + 1 : least(n_tokens, (i + 1) * $ct)], ' ')), 1, 15))::BIGINT
+       |      AS chunk_hash
+       |  FROM wl, unnest(generate_series(0, (n_tokens - 1) // $ct)) t(i)
+       |  WHERE n_tokens > 0
+       |)
+       |SELECT chunk_hash, count(*) AS n_occurrences,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  min(doc_id) AS keep_doc
+       |FROM ch GROUP BY 1 HAVING count(*) > 1
+       |ORDER BY chunk_hash""".stripMargin
   }
 
   /** Unrolls [[Curation.qualityPropagation]]'s damped integer rounds in

@@ -178,4 +178,36 @@ class CurationSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("chunk dedup flags aligned boilerplate across and within docs") {
+    import spark.implicits._
+    val ct = Curation.ChunkTokens
+    val boiler = (0 until 2 * ct).map(i => s"b$i") // 2 full aligned chunks
+    // docs 1-3 open with the same 64-token boilerplate, then unique
+    // tails; doc 4 repeats ITS OWN first chunk at an aligned offset;
+    // doc 5 contains the boilerplate UNALIGNED (off by one token) —
+    // exact chunk dedup must not see it (that's the shingle ops' job)
+    val docs = Seq(
+      (1L, (boiler ++ (0 until 10).map(i => s"t1x$i")).mkString(" ")),
+      (2L, (boiler ++ (0 until 10).map(i => s"t2x$i")).mkString(" ")),
+      (3L, (boiler ++ (0 until 10).map(i => s"t3x$i")).mkString(" ")),
+      (4L, (boiler.take(ct) ++ boiler.take(ct)).mkString(" ")),
+      (5L, ("pad" +: boiler).mkString(" "))
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunkdd").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val out = Curation.chunkDedup(spark, dir)
+        .as[(Long, Long, Long, Long)].collect()
+      // chunk 0 of the boilerplate: docs 1,2,3 + TWICE in doc 4 → 5
+      // occurrences over 4 docs; chunk 1: docs 1,2,3 → 3 over 3.
+      // doc 5's shifted copy contributes to neither.
+      assert(out.length === 2)
+      val byOcc = out.sortBy(-_._2)
+      assert(byOcc(0)._2 === 5L && byOcc(0)._3 === 4L && byOcc(0)._4 === 1L)
+      assert(byOcc(1)._2 === 3L && byOcc(1)._3 === 3L && byOcc(1)._4 === 1L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
