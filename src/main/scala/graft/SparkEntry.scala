@@ -205,6 +205,9 @@ object SparkEntry {
     // repeated-boilerplate detection at chunk granularity: duplicated
     // 32-token chunk contents across (and within) documents
     "text_chunk_dedup" -> (Curation.chunkDedup _),
+    // score -> sketch-threshold -> filter: keep the top 20% by quality
+    // (threshold from the deterministic histogram quantile sketch)
+    "text_select_quality" -> (Curation.selectTopQuality _),
     "text_domain_rebalance" -> (Curation.domainRebalance _),
     // --- damped quality propagation over the near-dup graph (exact
     //     integer rounds; oracle unrolls them like the k-means one) ---
@@ -797,6 +800,7 @@ object SparkEntry {
     "text_redact_pii" -> CurationOracles.redactPii,
     "text_chunks" -> CurationOracles.chunkDocs,
     "text_chunk_dedup" -> CurationOracles.chunkDedup,
+    "text_select_quality" -> CurationOracles.selectTopQuality,
     "text_domain_rebalance" -> CurationOracles.domainRebalance,
     "text_quality_propagation" -> CurationOracles.qualityPropagation,
     // sketch estimates are engine-specific: the checked contract is a

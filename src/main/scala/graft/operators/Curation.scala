@@ -277,6 +277,43 @@ object Curation {
       .filter(col("n_occurrences") > 1)
       .orderBy("chunk_hash")
 
+  /** Selection quantile for [[selectTopQuality]]: keep the top 20% of
+    * documents by quality score. Shared with the generated oracle. */
+  val SelectQuantile = 0.8
+  /** Histogram bins for the selection threshold sketch — quality ∈
+    * [0, 1], so value error ≤ 0.001. */
+  val SelectBins = 1000
+
+  /** SCORE-BASED DATA SELECTION — keep the documents whose quality
+    * score clears the corpus's [[SelectQuantile]] percentile: the
+    * standard post-scoring selection step of a training pipeline
+    * (score → threshold → filter). The threshold comes from the
+    * deterministic histogram quantile sketch
+    * ([[graft.functions.HistQuantileAgg]]): merge-order-independent,
+    * so the estimate is stable under any partitioning AND replicated
+    * bit-exactly by the oracle — the filter comparison uses the
+    * UNROUNDED threshold on both engines, which is safe because the
+    * interpolation arithmetic is identical double operation order
+    * (pinned hash-exact by rel_hist_quantiles).
+    *
+    * Scale: the quality pipeline is one token aggregate; the sketch is
+    * a partial+final aggregate carrying a bins-long buffer; the
+    * threshold joins back as a 1-row broadcast (the grand-total move)
+    * and the filter is map-only. A production pipeline materializes the
+    * score table once and reuses it; here it is persisted for the two
+    * consumers (sketch + filter) within the query. */
+  def selectTopQuality(s: SparkSession, d: String): DataFrame = {
+    val q = TextAnalysis.quality(s, d).select(col("doc_id"), col("quality"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val thr = q.agg(graft.functions.HistQuantileAgg(
+      col("quality"), 0.0, 1.0, SelectBins, SelectQuantile).as("thr"))
+    q.crossJoin(broadcast(thr))
+      .filter(col("quality") >= col("thr"))
+      .select(col("doc_id"), col("quality"),
+        round(col("thr"), 9).as("threshold"))
+      .orderBy("doc_id")
+  }
+
   /** DOMAIN-MIXTURE REBALANCING — downsample every `source` domain to
     * the minority domain's size, the standard way a training mixture is
     * flattened: per-source md5-deterministic sampling at rate
@@ -555,6 +592,45 @@ object CurationOracles {
        |  ws[i * $ct + 1] AS first_tok
        |FROM wl, unnest(generate_series(0, (n_tokens - 1) // $ct)) t(i)
        |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
+  /** Replicates the histogram-threshold selection end-to-end: the
+    * quality CTE, the same uniform bins / cumulative ranks / linear
+    * interpolation as the rel_hist_quantiles oracle (identical double
+    * operation order → the unrounded threshold is bit-equal), then the
+    * filter. */
+  val selectTopQuality: String = {
+    val bins = Curation.SelectBins
+    val sq = Curation.SelectQuantile
+    val w = 1.0 / bins
+    s"""WITH q AS (
+       |  SELECT doc_id, quality FROM (${TextAnalysisOracles.qualityCore}) t
+       |),
+       |b AS (
+       |  SELECT least(greatest(floor((quality - 0.0) / $w)::BIGINT, 0),
+       |    ${bins - 1}) AS bin
+       |  FROM q
+       |),
+       |c AS (SELECT bin, count(*) AS n FROM b GROUP BY 1),
+       |cum AS (
+       |  SELECT bin, n, sum(n) OVER (ORDER BY bin) AS cum,
+       |    sum(n) OVER () AS tot
+       |  FROM c
+       |),
+       |pick AS (
+       |  SELECT bin, n, cum - n AS cumbefore,
+       |    greatest(ceil($sq * tot)::BIGINT, 1) AS r,
+       |    row_number() OVER (ORDER BY bin) AS rn
+       |  FROM cum WHERE cum >= greatest(ceil($sq * tot)::BIGINT, 1)
+       |),
+       |thr AS (
+       |  SELECT 0.0 + $w * bin + $w * ((r - cumbefore)::DOUBLE / n::DOUBLE)
+       |    AS thrv
+       |  FROM pick WHERE rn = 1
+       |)
+       |SELECT doc_id, quality, round(thrv, 9) AS threshold
+       |FROM q, thr WHERE quality >= thrv
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** Replicates the chunk construction (same slicing arithmetic as

@@ -179,6 +179,26 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("quality selection keeps exactly the top scores above the sketch threshold") {
+    import spark.implicits._
+    val selected = Curation.selectTopQuality(spark, d)
+      .as[(Long, Double, Double)].collect()
+    val all = graft.operators.TextAnalysis.quality(spark, d)
+      .select("doc_id", "quality").as[(Long, Double)].collect()
+    assert(selected.nonEmpty && selected.length < all.length)
+    val thr = selected.head._3
+    assert(selected.forall(_._3 === thr), "one global threshold")
+    // the selected set is exactly the docs at-or-above the threshold:
+    // nothing below it selected, nothing at/above it left out
+    val selIds = selected.map(_._1).toSet
+    all.foreach { case (id, q) =>
+      assert(selIds.contains(id) === (q >= thr), s"doc $id at q=$q thr=$thr")
+    }
+    // and the fraction lands near 1 − SelectQuantile (bin error + ties)
+    val frac = selected.length.toDouble / all.length
+    assert(frac > 0.1 && frac < 0.35, s"selected fraction $frac")
+  }
+
   test("chunk dedup flags aligned boilerplate across and within docs") {
     import spark.implicits._
     val ct = Curation.ChunkTokens

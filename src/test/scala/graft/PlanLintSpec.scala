@@ -34,6 +34,7 @@ class PlanLintSpec extends AnyFunSuite {
     "text_doc_similarity", "text_top_terms", // n_docs scalar
     "rel_exists_subquery",                  // uncorrelated exists → BNLJ
     "text_lm_score",                        // ≤676-row bigram-LM broadcast
+    "text_select_quality",                  // 1-row sketch-threshold broadcast
     "ann_recall_at_k")                      // 3-row method × #queries scaffold
                                             // (reuses brute/ivf broadcasts)
 
