@@ -305,6 +305,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch === Seq("in"))
   }
 
+  test("stream-stream SEMI join: one emission per matched purchase; state evicts") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(minutes: Long) = new Timestamp(1700000000000L + minutes * 60000L)
+    def semi(p: org.apache.spark.sql.DataFrame,
+        c: org.apache.spark.sql.DataFrame) =
+      p.withWatermark("pts", "10 minutes")
+        .join(c.withWatermark("cts", "10 minutes"),
+          expr("""user_id = c_user AND
+                  cts >= pts - interval 10 minutes AND cts <= pts"""),
+          "left_semi")
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp, String)]
+    val q = semi(purchases.toDF().toDF("user_id", "pts", "p_name"),
+        clicks.toDF().toDF("c_user", "cts"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("semi_out").start()
+    try {
+      // user 1 has TWO in-range clicks: the semi join must emit the
+      // purchase ONCE, not once per match (that's the inner join)
+      clicks.addData((1L, ts(0)), (1L, ts(2)), (2L, ts(1)))
+      purchases.addData(
+        (1L, ts(5), "two-clicks"),
+        (2L, ts(20), "out-of-range"),
+        (3L, ts(6), "no-click"))
+      q.processAllAvailable()
+      clicks.addData((9L, ts(120)))
+      purchases.addData((9L, ts(121), "wm-driver"))
+      q.processAllAvailable()
+      val got = spark.table("semi_out").select("p_name")
+        .as[String].collect().toSeq
+      assert(got.count(_ == "two-clicks") === 1, s"got $got")
+      assert(!got.contains("out-of-range") && !got.contains("no-click"))
+      // watermark-bounded buffers: the final watermark (~ts 111) must
+      // have evicted every batch-1 row from the join state — of the 8
+      // rows fed in, only the recent pair can remain buffered
+      val state = q.lastProgress.stateOperators
+      assert(state.nonEmpty)
+      assert(state.map(_.numRowsTotal).sum <= 3,
+        s"join state not evicted: ${state.map(_.numRowsTotal).mkString(",")}")
+    } finally q.stop()
+
+    // the same transform on batch inputs = a plain EXISTS interval filter
+    val bp = Seq((1L, ts(5), "in"), (1L, ts(20), "out"))
+      .toDF("user_id", "pts", "p_name")
+    val bc = Seq((1L, ts(0))).toDF("c_user", "cts")
+    assert(semi(bp, bc).select("p_name").as[String].collect().toSeq === Seq("in"))
+  }
+
   test("streaming sessionization emits a session once the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     def ts(minutes: Long) = new Timestamp(1700000000000L + minutes * 60000L)
