@@ -148,6 +148,9 @@ object SparkEntry {
     // CC over the embedding-LSH graph: paraphrase-style duplicate groups
     // sharing no lexical shingles (semantic complement to the lexical CC)
     "dedup_semantic_clusters" -> (Dedup.semanticClusters _),
+    // banding-quality audit: recall/precision of the band-collision
+    // candidates vs the lossless prefix-filtered truth set
+    "dedup_lsh_eval" -> (Dedup.lshEval _),
 
     // --- similarity search (ANN over embeddings) ---
     "ann_topk_brute" -> (Similarity.bruteTopK _),
@@ -390,6 +393,10 @@ object SparkEntry {
     // once each, no pair blow-up; oracle = plain EXISTS interval query
     "events_semi_join_stream" ->
       (graft.streaming.EventStream.semiJoinStreamVerified _),
+    // LEFT OUTER stream-stream join: matches emit eagerly; null rows
+    // emit only for purchases the final watermark proved unmatchable
+    "events_outer_join_stream" ->
+      (graft.streaming.EventStream.outerJoinStreamVerified _),
 
     // --- watermarked windowed aggregation under the streaming engine:
     //     append mode emits exactly the watermark-finalized windows
@@ -753,6 +760,7 @@ object SparkEntry {
     "dedup_containment_prefix" -> DedupOracles.containmentPairs,
     "dedup_incremental" -> DedupOracles.incrementalDedup,
     "dedup_semantic_clusters" -> DedupOracles.semanticClusters,
+    "dedup_lsh_eval" -> DedupOracles.lshEval,
     "ann_topk_brute" -> SimilarityOracles.bruteTopK,
     "ann_topk_lsh" -> SimilarityOracles.lshTopK,
     "ann_topk_ivf" -> SimilarityOracles.ivfTopK,
@@ -926,6 +934,34 @@ object SparkEntry {
         |    AND c.user_id = p.user_id
         |    AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts)
         |ORDER BY p_event""".stripMargin,
+    // outer stream-stream join: matched pairs ∪ null rows for exactly
+    // the unmatched purchases below the final watermark — the watermark
+    // arithmetic (ms-precision event-time stats, min across both sides,
+    // strict <) is replicated in SQL, so the watermark-timed null
+    // emission itself is cross-engine-checked
+    "events_outer_join_stream" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |wm AS (
+        |  SELECT (least((SELECT epoch_us(max(ts)) // 1000 FROM p),
+        |                (SELECT epoch_us(max(ts)) // 1000 FROM c))
+        |          - 600000) * 1000 AS wm_us
+        |),
+        |matched AS (
+        |  SELECT p.event_id AS p_event, p.user_id, epoch_us(p.ts) AS p_us,
+        |    c.event_id AS c_event, epoch_us(c.ts) AS c_us
+        |  FROM p JOIN c ON c.user_id = p.user_id
+        |    AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+        |),
+        |unmatched AS (
+        |  SELECT p.event_id AS p_event, p.user_id, epoch_us(p.ts) AS p_us,
+        |    NULL::BIGINT AS c_event, NULL::BIGINT AS c_us
+        |  FROM p, wm WHERE epoch_us(p.ts) < wm.wm_us AND NOT EXISTS (
+        |    SELECT 1 FROM c WHERE c.user_id = p.user_id
+        |      AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts)
+        |)
+        |SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+        |ORDER BY p_event, c_event NULLS FIRST""".stripMargin,
     // the streaming run of the stateful sessionizer must reproduce the
     // batch gaps-and-islands result bit-for-bit — one oracle, both forms
     "events_sessionized_stream" -> sessionizedOracle,

@@ -470,6 +470,40 @@ object Dedup {
     verifyJaccardPairs(sh, prefixCandidates(sh, 4, 5))
   }
 
+  /** Banding-quality AUDIT — the dedup twin of
+    * [[Similarity.recallAtK]]: measures how much of the EXACT
+    * near-dup pair set the MinHash band join actually surfaces, and how
+    * selective its candidates are. Ground truth is the LOSSLESS
+    * prefix-filtered Jaccard join (provably equal to the naive join, so
+    * the truth side itself scales); candidates are the same band
+    * collisions [[minhashLsh]] verifies. One summary row:
+    * `pair_recall` = found/true (the banding miss rate is 1 − this) and
+    * `cand_precision` = true/candidate (how much verify work the
+    * banding wastes). This is the number a pipeline owner watches when
+    * tuning bands×rows — recall too low means missed duplicates leak
+    * into training; precision too low means the verify stage pays for
+    * the banding's false positives.
+    *
+    * All three inputs are pair-set aggregates of scale-safe joins; the
+    * combine is three singleton frames broadcast-joined — no data-sized
+    * shuffle beyond the underlying joins themselves. */
+  def lshEval(s: SparkSession, d: String): DataFrame = {
+    val sh = shinglesCached(s, d)
+    val truth = verifyJaccardPairs(sh, prefixCandidates(sh, 4, 5))
+      .select(col("doc_a").as("i"), col("doc_b").as("j"))
+    val cands = minhashCandidatesOn(sh)
+    val t = truth.agg(count(lit(1)).as("n_true"))
+    val c = cands.agg(count(lit(1)).as("n_cand"))
+    val h = truth.join(cands, Seq("i", "j"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    t.crossJoin(broadcast(c)).crossJoin(broadcast(h))
+      .select(col("n_true"), col("n_cand"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_true"), 6)
+          .as("pair_recall"),
+        round(col("n_hit").cast("double") / col("n_cand"), 6)
+          .as("cand_precision"))
+  }
+
   // ------------------------------------------------------------------
   // 4. SimHash
   // ------------------------------------------------------------------

@@ -141,6 +141,31 @@ object DedupOracles {
        |WHERE c * 1.0 / least(sa.sz, sb.sz) >= ${Dedup.ContainmentThreshold}
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Banding-quality audit: exact-Jaccard truth pairs (the plain
+    * inverted-index SQL — provably equal to the Spark side's lossless
+    * prefix-filtered join) vs the band-collision candidate set, reduced
+    * to one recall/precision row — replicates `Dedup.lshEval`. */
+  val lshEval: String =
+    s"""WITH $wordsCtes, $shinglesCte,
+       |$minhashCandCtes,
+       |$sizesCte, $interCte,
+       |truth AS (
+       |  SELECT i, j FROM inter
+       |  JOIN sizes sa ON i = sa.doc_id JOIN sizes sb ON j = sb.doc_id
+       |  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= ${Dedup.JaccardThreshold}
+       |),
+       |t AS (SELECT count(*) AS n_true FROM truth),
+       |m AS (SELECT count(*) AS n_cand FROM cand),
+       |hits AS (
+       |  SELECT count(*) AS n_hit FROM truth
+       |  WHERE EXISTS (SELECT 1 FROM cand
+       |                WHERE cand.i = truth.i AND cand.j = truth.j)
+       |)
+       |SELECT n_true, n_cand, n_hit,
+       |  round(n_hit * 1.0 / n_true, 6) AS pair_recall,
+       |  round(n_hit * 1.0 / n_cand, 6) AS cand_precision
+       |FROM t, m, hits""".stripMargin
+
   val simhashPairs: String = {
     val bits = Dedup.SimHashBits
     val bitSums = (0 until bits).map(j =>

@@ -382,6 +382,53 @@ object EventStream {
     res.orderBy("p_event")
   }
 
+  /** Stream-stream LEFT OUTER interval join under the engine — the one
+    * stream-stream form whose semantics are genuinely WATERMARK-TIMED:
+    * matched (purchase, click) pairs emit eagerly like the inner join,
+    * but an UNMATCHED purchase can only emit its null-padded row once
+    * the watermark proves no future click can still match it (cts ≤ pts
+    * and late clicks below the watermark are dropped ⇒ safe when
+    * wm > pts). The engine runs those evictions in the no-data batch
+    * after the last file batch, so on a bounded fixture the result is
+    * deterministic: all matched pairs, plus null rows for exactly the
+    * unmatched purchases with pts strictly below the final global
+    * watermark min(max pts, max cts)@ms − 10 min. Purchases inside the
+    * final watermark window stay buffered forever — that tail is the
+    * honest price of outer streaming joins, and the oracle replicates
+    * the cutoff rather than pretending the batch LEFT JOIN is
+    * reachable. State on each side is bounded by rate × (delay +
+    * range), exactly as in [[clickAttributionStream]]. */
+  def outerJoinStreamVerified(s: SparkSession, d: String): DataFrame = {
+    val (out, ckpt) = scratchDirs("outerj")
+    val ss = streamSession(s)
+    val ev = readEventStream(ss, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event"), col("user_id"),
+        col("ts").as("pts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_event"), col("user_id").as("c_user"),
+        col("ts").as("cts"))
+    val q = purchases.withWatermark("pts", "10 minutes")
+      .join(clicks.withWatermark("cts", "10 minutes"),
+        expr("""user_id = c_user AND
+                cts >= pts - interval 10 minutes AND cts <= pts"""),
+        "left_outer")
+      .select(col("p_event"), col("user_id"), unix_micros(col("pts")).as("p_us"),
+        col("c_event"), unix_micros(col("cts")).as("c_us"))
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val res = s.read.parquet(out).localCheckpoint()
+    deleteRecursively(out, ckpt)
+    // c_event is null on the watermark-emitted rows: sort nulls FIRST
+    // explicitly (Spark's ASC default) so the oracle can mirror it with
+    // NULLS FIRST rather than relying on either engine's default
+    res.orderBy(col("p_event").asc, col("c_event").asc_nulls_first)
+  }
+
   def clickAttributionStreamVerified(s: SparkSession, d: String): DataFrame = {
     val (out, ckpt) = scratchDirs("attr")
     val ss = streamSession(s)
