@@ -167,6 +167,8 @@ object SparkEntry {
     "text_quality" -> (TextAnalysis.quality _),
     "text_token_counts" -> (TextAnalysis.tokenCounts _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    // BPE merge-candidate pair statistics (tokenizer induction step)
+    "text_bpe_pair_stats" -> (TextAnalysis.bpePairStats _),
     "text_repetition" -> (TextAnalysis.repetition _),
     "text_oov_rate" -> (TextAnalysis.oovRate _),
     "text_langid_confusion" -> (TextAnalysis.langIdConfusion _),
@@ -180,6 +182,8 @@ object SparkEntry {
     "text_curation_pipeline" -> (Curation.curationPipeline _),
     "events_stratified_sample" -> (Curation.stratifiedSample _),
     "events_bottomk_sample" -> (Curation.bottomKSample _),
+    // weighted sampling without replacement (priority sampling, DLT'07)
+    "events_priority_sample" -> (Curation.prioritySample _),
 
     // --- as-of join: composed (union+window) AND native (custom
     //     LogicalPlan + SparkStrategy + merge executor) — same oracle ---
@@ -771,6 +775,7 @@ object SparkEntry {
     "text_quality" -> TextAnalysisOracles.quality,
     "text_token_counts" -> TextAnalysisOracles.tokenCounts,
     "text_fingerprint" -> TextAnalysisOracles.fingerprint,
+    "text_bpe_pair_stats" -> TextAnalysisOracles.bpePairStats,
     "text_repetition" -> TextAnalysisOracles.repetition,
     "text_oov_rate" -> TextAnalysisOracles.oovRate,
     "text_langid_confusion" -> TextAnalysisOracles.langIdConfusion,
@@ -779,6 +784,7 @@ object SparkEntry {
     "text_curation_pipeline" -> CurationOracles.curationPipeline,
     "events_stratified_sample" -> CurationOracles.stratifiedSample,
     "events_bottomk_sample" -> CurationOracles.bottomKSample,
+    "events_priority_sample" -> CurationOracles.prioritySample,
     "rel_asof_click_purchase" -> asofOracle,
     // the native custom-plan as-of join must produce byte-identical
     // results to the composed one — one oracle checks both

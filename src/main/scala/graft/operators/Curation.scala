@@ -112,6 +112,49 @@ object Curation {
       .limit(BottomK)
       .orderBy("event_id")
 
+  /** Sample size for [[prioritySample]]. */
+  val PriorityK = 100
+
+  /** WEIGHTED sampling without replacement via PRIORITY SAMPLING
+    * (Duffield, Lund & Thorup, JACM '07): each event draws a
+    * deterministic md5-uniform u ∈ (0, 1] and gets priority
+    * q = w / u; the K largest priorities are the sample, and with
+    * τ = the (K+1)-th priority, est_weight = max(w, τ) is the unbiased
+    * subset-sum estimator (Σ est_weight over the sample estimates
+    * Σ w over the population within 1/(K−1) relative variance). This
+    * is the principled "keep high-value rows but stay unbiased" dial a
+    * training-data pipeline uses to downsample by quality score.
+    *
+    * Deterministic (no RNG state): u = (md5₄₈(event_id) + 1) / 2⁴⁸, so
+    * runs and engines agree bit-for-bit — the priority arithmetic is
+    * written in the exact operation order the oracle uses (one IEEE
+    * multiply then one divide), keeping doubles identical.
+    *
+    * Scale: both top-(K+1) selections plan as TakeOrderedAndProject
+    * (per-partition bounded heap + driver merge of K+1 rows — never a
+    * global sort); τ is an aggregate of that K+1-row frame broadcast
+    * back. No window, no shuffle of the input. */
+  def prioritySample(s: SparkSession, d: String): DataFrame = {
+    val hv = conv(substring(md5(col("event_id").cast("string")
+      .cast("binary")), 1, 12), 16, 10).cast("long")
+    val pr = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"),
+        (col("value") * lit(281474976710656.0) / (hv + lit(1L)))
+          .as("priority"))
+    // K+1 rows: tiny — persist so tau and the K-row re-sort share one
+    // TakeOrdered pass over the input instead of scanning events twice
+    val top = pr.orderBy(desc("priority"), asc("event_id"))
+      .limit(PriorityK + 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tau = top.agg(min("priority").as("tau"))
+    top.orderBy(desc("priority"), asc("event_id")).limit(PriorityK)
+      .crossJoin(broadcast(tau))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("priority"), 6).as("priority"),
+        round(greatest(col("value"), col("tau")), 6).as("est_weight"))
+      .orderBy("event_id")
+  }
+
   /** The train/val/test split label for a bucket column (80/10/10). */
   def splitCol(bucket: Column): Column =
     when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
@@ -506,6 +549,27 @@ object CurationOracles {
        |    substr(md5(event_id::VARCHAR), 1, 16) AS h
        |  FROM events ORDER BY h, event_id LIMIT ${Curation.BottomK}
        |) ORDER BY event_id""".stripMargin
+
+  /** Priority sampling: same u = (md5₄₈+1)/2⁴⁸ draw, same IEEE
+    * operation order (multiply, then divide), same (K+1)-row τ —
+    * replicates `Curation.prioritySample` exactly. */
+  val prioritySample: String =
+    s"""WITH pr AS (
+       |  SELECT event_id, event_type, value,
+       |    value * 281474976710656.0 /
+       |      (('0x' || substr(md5(event_id::VARCHAR), 1, 12))::BIGINT + 1)
+       |      AS priority
+       |  FROM events
+       |),
+       |top1 AS (SELECT * FROM pr
+       |         ORDER BY priority DESC, event_id LIMIT ${Curation.PriorityK + 1}),
+       |tau AS (SELECT min(priority) AS tau FROM top1),
+       |sel AS (SELECT * FROM top1
+       |        ORDER BY priority DESC, event_id LIMIT ${Curation.PriorityK})
+       |SELECT event_id, event_type, value,
+       |  round(priority, 6) AS priority,
+       |  round(greatest(value, tau.tau), 6) AS est_weight
+       |FROM sel, tau ORDER BY event_id""".stripMargin
 
   val splitAssign: String =
     s"""SELECT doc_id,

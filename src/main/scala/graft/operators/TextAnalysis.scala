@@ -287,6 +287,42 @@ object TextAnalysis {
     *
     * Scale: one explode + one (doc, bigram) hash aggregate + one per-doc
     * max — all partial-aggregatable, no joins, no windows. */
+  /** Top pairs returned by [[bpePairStats]]. */
+  val BpeTopPairs = 50
+
+  /** TOKENIZER INDUCTION statistics — the merge-candidate table that
+    * drives a BPE (byte-pair encoding) training step: for every
+    * adjacent character pair inside every distinct word, the
+    * frequency-weighted corpus occurrence count (`n_occ` — what BPE
+    * maximizes when picking the next merge) and the distinct-word
+    * support (`n_words`). The top row IS the first BPE merge; re-running
+    * after applying a merge yields the next, so this operator is the
+    * per-iteration workhorse of vocab induction over a corpus.
+    *
+    * Scale: pair generation runs over the DISTINCT-word frame (vocab),
+    * not the corpus — the corpus-sized work is one word-count
+    * aggregation with map-side combine; the pair explosion is
+    * vocab × word-length, aggregated again with partial combine, and
+    * the top-[[BpeTopPairs]] plans as TakeOrderedAndProject (bounded
+    * heap, no global sort). This is exactly how production BPE trainers
+    * structure the count step. Words shorter than 2 chars are dropped
+    * BEFORE the position explode — Spark's `sequence(1, 0)` counts
+    * DOWN ([1, 0]) where DuckDB's `generate_series(1, 0)` is empty, so
+    * the guard is also a cross-engine parity requirement. */
+  def bpePairStats(s: SparkSession, d: String): DataFrame = {
+    val wf = Tables.documents(s, d)
+      .select(explode(WordShingles(col("text"), 1)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .filter(length(col("w")) >= 2)
+    wf.select(col("w"), col("f"),
+        explode(expr("sequence(1, length(w) - 1)")).as("i"))
+      .select(col("w"), col("f"), expr("substr(w, i, 2)").as("pair"))
+      .groupBy("pair")
+      .agg(sum("f").as("n_occ"), countDistinct("w").as("n_words"))
+      .orderBy(desc("n_occ"), asc("pair")).limit(BpeTopPairs)
+      .orderBy(desc("n_occ"), asc("pair"))
+  }
+
   def repetition(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
@@ -465,6 +501,24 @@ object TextAnalysisOracles {
        |  round(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS oov_rate
        |FROM toks LEFT JOIN v USING (w)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** BPE merge-candidate stats: distinct-word frequencies, adjacent
+    * char pairs by position, frequency-weighted counts — replicates
+    * [[TextAnalysis.bpePairStats]] (DuckDB's empty `generate_series(1,0)`
+    * matches the Spark side's explicit length ≥ 2 guard). */
+  val bpePairStats: String =
+    s"""WITH $toksCte,
+       |wf AS (
+       |  SELECT w, count(*) AS f FROM toks GROUP BY w HAVING length(w) >= 2
+       |),
+       |prs AS (
+       |  SELECT substr(w, i, 2) AS pair, w, f
+       |  FROM wf, unnest(generate_series(1, length(w) - 1)) t(i)
+       |)
+       |SELECT pair, CAST(sum(f) AS BIGINT) AS n_occ,
+       |  count(DISTINCT w) AS n_words
+       |FROM prs GROUP BY pair
+       |ORDER BY n_occ DESC, pair LIMIT ${TextAnalysis.BpeTopPairs}""".stripMargin
 
   val repetition: String =
     s"""WITH wl AS (

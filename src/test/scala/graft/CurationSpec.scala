@@ -55,6 +55,31 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("priority sample: exact size, estimator floor, near-unbiased total") {
+    val s1 = Curation.prioritySample(spark, d)
+      .as[(Long, String, Double, Double, Double)].collect()
+    val s2 = Curation.prioritySample(spark, d)
+      .as[(Long, String, Double, Double, Double)].collect()
+    assert(s1.toSeq === s2.toSeq, "sampling must be reproducible")
+    assert(s1.length === Curation.PriorityK)
+    // est_weight = max(w, τ) ≥ w, with one shared τ: every below-τ row
+    // reports exactly τ and every above-τ row reports its own weight
+    val taus = s1.collect { case (_, _, w, _, est) if est > w => est }.toSet
+    assert(taus.size <= 1, s"multiple thresholds: $taus")
+    s1.foreach { case (id, _, w, pri, est) =>
+      assert(est >= w, s"event $id est $est < weight $w")
+      assert(pri >= est, s"event $id priority $pri below threshold $est")
+    }
+    // DLT unbiasedness: Σ est_weight over the sample estimates the
+    // population Σ value with relative sd ≈ 1/√(K−1) ≈ 10%; 40% is
+    // 4× headroom on the fixed fixture
+    val total = Tables.events(spark, d).agg(sum("value"))
+      .as[Double].collect().head
+    val estTotal = s1.map(_._5).sum
+    assert(math.abs(estTotal - total) / total < 0.4,
+      f"estimated $estTotal%.1f vs true $total%.1f")
+  }
+
   test("quality observation reports metrics from the same single pass") {
     val docs = Tables.documents(spark, d)
     val (observed, obs) = Curation.withQualityObservation(docs)

@@ -279,4 +279,27 @@ class DedupSpec extends AnyFunSuite {
       .flatMap(p => Seq(p._1, p._2)).toSet
     assert(out.map(_._1).toSet === pairDocs)
   }
+
+  test("lshEval agrees with the pair sets it audits") {
+    val Array((nTrue, nCand, nHit, recall, precision)) =
+      Dedup.lshEval(spark, d)
+        .as[(Long, Long, Long, Double, Double)].collect()
+    val truth = Dedup.jaccardPrefixPairs(spark, d)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val cands = Dedup.minhashCandidates(spark, d)
+      .as[(Long, Long)].collect().toSet
+    assert(nTrue === truth.size && nCand === cands.size)
+    assert(nHit === (truth intersect cands).size)
+    assert(recall ===
+      BigDecimal(nHit.toDouble / nTrue)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(precision ===
+      BigDecimal(nHit.toDouble / nCand)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // verified LSH output ⊆ truth, and |it| = n_hit: what the banding
+    // found and verified is exactly the audited hit set
+    val lsh = Dedup.minhashLsh(spark, d)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(truth) && lsh.size === nHit)
+  }
 }

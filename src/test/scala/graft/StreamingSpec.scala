@@ -353,6 +353,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(semi(bp, bc).select("p_name").as[String].collect().toSeq === Seq("in"))
   }
 
+  test("stream-stream LEFT OUTER join: null rows emit exactly when the watermark proves no match") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(minutes: Long) = new Timestamp(1700000000000L + minutes * 60000L)
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp, String)]
+    val q = purchases.toDF().toDF("user_id", "pts", "p_name")
+      .withWatermark("pts", "10 minutes")
+      .join(clicks.toDF().toDF("c_user", "cts")
+          .withWatermark("cts", "10 minutes"),
+        expr("""user_id = c_user AND
+                cts >= pts - interval 10 minutes AND cts <= pts"""),
+        "left_outer")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("outer_out").start()
+    try {
+      clicks.addData((1L, ts(0)), (9L, ts(100)))
+      purchases.addData(
+        (1L, ts(5), "matched"),
+        (3L, ts(6), "null-early"),
+        (2L, ts(95), "null-mid"),
+        (9L, ts(101), "matched-late"))
+      q.processAllAvailable()
+      // watermark after batch 1 = min(101, 100) − 10 = 90: "null-mid"
+      // (95) must still be buffered, whatever else has emitted
+      val after1 = spark.table("outer_out")
+        .select("p_name", "c_user").as[(String, Option[Long])].collect()
+      assert(!after1.exists(r => r._1 == "null-mid" && r._2.isEmpty))
+      // advance both sides: wm = min(201, 200) − 10 = 190 > both
+      // unmatched purchases → they flush with nulls; "tail-buffered"
+      // (199 > wm, no matching click) must NOT emit — the honest
+      // outer-join tail the driver-surface oracle models with its
+      // watermark cutoff
+      clicks.addData((8L, ts(200)))
+      purchases.addData((8L, ts(201), "wm-driver"),
+        (7L, ts(199), "tail-buffered"))
+      q.processAllAvailable()
+      val rows = spark.table("outer_out")
+        .select("p_name", "c_user").as[(String, Option[Long])].collect()
+      assert(rows.count(_ == (("matched", Some(1L)))) === 1)
+      assert(rows.count(_ == (("matched-late", Some(9L)))) === 1)
+      assert(rows.count(_ == (("wm-driver", Some(8L)))) === 1)
+      assert(rows.count(_ == (("null-early", None))) === 1)
+      assert(rows.count(_ == (("null-mid", None))) === 1)
+      // matched rows never also emit a null-padded duplicate; the
+      // inside-watermark unmatched tail stays buffered
+      assert(!rows.contains(("matched", None)) &&
+        !rows.contains(("matched-late", None)) &&
+        !rows.exists(_._1 == "tail-buffered"))
+    } finally q.stop()
+  }
+
   test("streaming sessionization emits a session once the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     def ts(minutes: Long) = new Timestamp(1700000000000L + minutes * 60000L)

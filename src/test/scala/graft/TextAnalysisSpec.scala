@@ -12,6 +12,29 @@ class TextAnalysisSpec extends AnyFunSuite {
 
   private val d = "/root/testdata/sf0.001"
 
+  test("bpePairStats: full re-derivation from raw text in plain Scala") {
+    val got = TextAnalysis.bpePairStats(spark, d)
+      .as[(String, Long, Long)].collect().toSeq
+    // independent re-derivation: word freqs over the corpus, adjacent
+    // char pairs per distinct word, weighted counts, top-K
+    val texts = Tables.documents(spark, d)
+      .select("text").as[String].collect()
+    val wf = texts.flatMap(_.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+      .filter(_._1.length >= 2)
+    val pairs = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    wf.foreach { case (w, f) =>
+      val inWord = (0 until w.length - 1).map(i => w.substring(i, i + 2))
+      inWord.groupBy(identity).foreach { case (p, os) =>
+        val (occ, words) = pairs.getOrElse(p, (0L, 0L))
+        pairs(p) = (occ + f * os.length, words + 1)
+      }
+    }
+    val want = pairs.toSeq.map { case (p, (o, nw)) => (p, o, nw) }
+      .sortBy { case (p, o, _) => (-o, p) }.take(TextAnalysis.BpeTopPairs)
+    assert(got === want)
+  }
+
   test("token counts: ws tokens <= bpe tokens, every doc covered") {
     val rows = TextAnalysis.tokenCounts(spark, d)
       .as[(Long, Int, Int, Int)].collect()
