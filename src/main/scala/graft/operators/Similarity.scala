@@ -269,7 +269,8 @@ object Similarity {
     val approx = Seq(
       "ivf" -> ivfTopKOn(e),
       "ivf_kmeans" -> ivfTopKOn(e, kmeansCentroids(e, KmeansIters)),
-      "lsh" -> lshTopKOn(e))
+      "lsh" -> lshTopKOn(e),
+      "pq" -> pqTopKOn(e))
     val unioned = approx.map { case (m, df) =>
       df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
     }.reduce(_ union _)
@@ -286,6 +287,101 @@ object Similarity {
         round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("k"), 6)
           .as("recall"))
       .orderBy("method", "query_id")
+  }
+
+  /** Product-quantization parameters: [[M]] subspaces of [[SubDim]]
+    * dims each (M·SubDim = the embedding dim), [[Codes]] codebook
+    * entries per subspace. A vector compresses to M 4-bit codes —
+    * 2 bytes instead of 256 bytes of float32 — which is the whole
+    * point at 100 TB: the CODES table fits in memory when the raw
+    * embeddings cannot. */
+  object PqParams {
+    val M = 4
+    val SubDim = 16
+    val Codes = 16
+  }
+
+  /** ANN via PRODUCT QUANTIZATION (Jégou et al., TPAMI'11) — the
+    * memory-compression complement to the IVF and LSH paths: each
+    * vector is split into [[PqParams.M]] subvectors, each encoded as
+    * its nearest per-subspace centroid (argmin exact L2², min cell id
+    * on ties), and queries score the ENTIRE corpus through an
+    * asymmetric-distance (ADC) lookup table — Σ_m ⟨q_m, cent[m, code]⟩
+    * — without touching a single corpus vector. The top-[[K]] by
+    * (adc DESC, vec_id) then get one exact cosine each.
+    *
+    * Everything runs on the SAME floor(x·2²⁰) integer quantization
+    * [[graft.functions.LshBuckets]] uses, so every distance and dot is
+    * exact integer arithmetic — order-free, hence bit-identical in the
+    * DuckDB oracle, which replicates codebook seeding, encoding and
+    * ADC end-to-end. Codebooks are md5-seeded min-id-per-cell frames
+    * (the [[defaultCentroids]] rule per subspace), bounded at
+    * M × Codes rows by construction; a trained external codebook would
+    * replace the same frame.
+    *
+    * Scale: encoding is n×M×Codes subvector distances (linear in n,
+    * broadcast codebook); the LUT is #queries × M × Codes integer dots
+    * (broadcast); scoring joins the n×M code rows to the LUT and sums
+    * M partials per (query, vector) — linear in n with map-side
+    * combine, no pairwise vector math, no shuffle of embeddings. */
+  def pqTopK(s: SparkSession, d: String): DataFrame = pqTopKOn(emb(s, d))
+
+  /** [[pqTopK]] over any (vec_id, embedding) DataFrame. */
+  def pqTopKOn(e: DataFrame): DataFrame = {
+    import PqParams._
+    val qvec = e.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * LshBuckets.QuantScale)).as("qv"))
+    // (vec_id, m, sub): the M quantized subvectors of every vector
+    val subs = qvec.select(col("vec_id"), posexplode(array(
+        (0 until M).map(m => slice(col("qv"), m * SubDim + 1, SubDim)): _*))
+      .as(Seq("m", "sub")))
+    // md5-seeded per-subspace codebooks: cell = md5₆₀("pq_<m>_<id>") %
+    // Codes, min vec_id per (m, cell) seeds that cell's centroid
+    val seeds = e.select(col("vec_id"),
+        explode(sequence(lit(0), lit(M - 1))).as("m"))
+      .select(col("m"), col("vec_id"),
+        (Dedup.md5hash60(concat(lit("pq_"), col("m").cast("string"),
+          lit("_"), col("vec_id").cast("string"))) % Codes).as("cell"))
+      .groupBy("m", "cell").agg(min("vec_id").as("cent_vec"))
+    val cb = seeds.join(
+        subs.select(col("vec_id").as("cent_vec"), col("m"),
+          col("sub").as("cv")),
+        Seq("cent_vec", "m"))
+      .select("m", "cell", "cv")
+    // encode: nearest codebook entry per (vector, subspace), exact
+    // integer L2², ties to the smallest cell id
+    val wEnc = Window.partitionBy("vec_id", "m").orderBy(asc("d2"), asc("cell"))
+    val codes = subs.join(broadcast(cb), Seq("m"))
+      .select(col("vec_id"), col("m"), col("cell"),
+        aggregate(zip_with(col("sub"), col("cv"),
+          (x, y) => (x - y) * (x - y)), lit(0L), _ + _).as("d2"))
+      .withColumn("rn", row_number().over(wEnc)).filter(col("rn") === 1)
+      .select("vec_id", "m", "cell")
+    // ADC lookup table: query subvector · centroid, integer dot
+    val luts = subs.filter(col("vec_id") < NumQueries)
+      .toDF("query_id", "m", "qsub")
+      .join(broadcast(cb), Seq("m"))
+      .select(col("query_id"), col("m"), col("cell"),
+        aggregate(zip_with(col("qsub"), col("cv"), (x, y) => x * y),
+          lit(0L), _ + _).as("pdot"))
+    val wTop = Window.partitionBy("query_id").orderBy(desc("adc"), asc("vec_id"))
+    val top = codes.join(broadcast(luts), Seq("m", "cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy("query_id", "vec_id").agg(sum("pdot").as("adc"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= K)
+    // one exact cosine per surfaced neighbor — the verify step a real
+    // pipeline runs on the PQ winners (K rows/query, nearly free)
+    top.join(broadcast(e.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"))), "query_id")
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce")),
+        col("neighbor_id") === col("vec_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("int").as("rank"), col("adc"),
+        round(CosineSimilarity(col("qe"), col("ce")), 6).as("cosine"))
+      .orderBy("query_id", "rank")
   }
 
   def ivfTopKOn(e: DataFrame, cents: DataFrame): DataFrame = {
@@ -339,6 +435,72 @@ object SimilarityOracles {
        |JOIN embeddings q ON q.vec_id = query_id
        |JOIN embeddings n ON n.vec_id = neighbor_id
        |GROUP BY 1, 2 ORDER BY query_id""".stripMargin
+
+  /** Replicates the FULL product-quantization pipeline — md5-seeded
+    * per-subspace codebooks, integer-L2² encoding with min-cell
+    * tie-break, integer ADC lookup-table scoring — exactly as
+    * [[Similarity.pqTopKOn]] computes it (all sums are integer, so
+    * float association order cannot diverge), then the same exact
+    * cosine on the winners. */
+  val pqTopK: String = {
+    import Similarity.PqParams.{M, SubDim, Codes}
+    s"""WITH dims AS (
+       |  SELECT vec_id, d, floor(embedding[d]::DOUBLE * $QuantScale)::BIGINT AS qv
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(d)
+       |),
+       |sdims AS (
+       |  SELECT vec_id, (d - 1) // $SubDim AS m, (d - 1) % $SubDim AS dd, qv
+       |  FROM dims
+       |),
+       |seeds AS (
+       |  SELECT m, cell, min(vec_id) AS cent_vec FROM (
+       |    SELECT v.vec_id, t.m,
+       |      ('0x' || substr(md5('pq_' || t.m || '_' || v.vec_id), 1, 15))::BIGINT
+       |        % $Codes AS cell
+       |    FROM embeddings v, unnest(generate_series(0, ${M - 1})) t(m)
+       |  ) GROUP BY 1, 2
+       |),
+       |cb AS (
+       |  SELECT s.m, s.cell, sd.dd, sd.qv AS cv
+       |  FROM seeds s JOIN sdims sd ON sd.vec_id = s.cent_vec AND sd.m = s.m
+       |),
+       |codes AS (
+       |  SELECT vec_id, m, cell FROM (
+       |    SELECT sd.vec_id, sd.m, cb.cell,
+       |      row_number() OVER (PARTITION BY sd.vec_id, sd.m
+       |        ORDER BY sum((sd.qv - cb.cv) * (sd.qv - cb.cv)), cb.cell) AS rn
+       |    FROM sdims sd JOIN cb ON cb.m = sd.m AND cb.dd = sd.dd
+       |    GROUP BY sd.vec_id, sd.m, cb.cell
+       |  ) WHERE rn = 1
+       |),
+       |luts AS (
+       |  SELECT sd.vec_id AS query_id, sd.m, cb.cell,
+       |    CAST(sum(sd.qv * cb.cv) AS BIGINT) AS pdot
+       |  FROM sdims sd JOIN cb ON cb.m = sd.m AND cb.dd = sd.dd
+       |  WHERE sd.vec_id < $NumQueries
+       |  GROUP BY 1, 2, 3
+       |),
+       |adcs AS (
+       |  SELECT l.query_id, c.vec_id, CAST(sum(l.pdot) AS BIGINT) AS adc
+       |  FROM codes c JOIN luts l ON l.m = c.m AND l.cell = c.cell
+       |  WHERE l.query_id <> c.vec_id
+       |  GROUP BY 1, 2
+       |),
+       |top AS (
+       |  SELECT query_id, vec_id AS neighbor_id, adc,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc DESC, vec_id) AS INTEGER) AS rank
+       |  FROM adcs
+       |)
+       |SELECT t.query_id, t.neighbor_id, t.rank, t.adc,
+       |  round(list_cosine_similarity(q.embedding::DOUBLE[],
+       |    n.embedding::DOUBLE[]), 6) AS cosine
+       |FROM top t
+       |JOIN embeddings q ON q.vec_id = t.query_id
+       |JOIN embeddings n ON n.vec_id = t.neighbor_id
+       |WHERE t.rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   /** Replicates the integer-quantized sign-random-projection bucketing:
     * same md5 plane weights, same floor quantization, same bit packing. */
@@ -468,12 +630,15 @@ object SimilarityOracles {
        |lsh AS (SELECT * FROM ($lshTopK) l),
        |ivf AS (SELECT * FROM ($ivfTopK) i),
        |ivfk AS (SELECT * FROM ($ivfKmeansTopK) ik),
+       |pq AS (SELECT * FROM ($pqTopK) p),
        |m AS (
        |  SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf
        |  UNION ALL
        |  SELECT 'ivf_kmeans', query_id, neighbor_id FROM ivfk
        |  UNION ALL
        |  SELECT 'lsh', query_id, neighbor_id FROM lsh
+       |  UNION ALL
+       |  SELECT 'pq', query_id, neighbor_id FROM pq
        |),
        |base AS (SELECT query_id, count(*) AS k FROM brute GROUP BY 1),
        |hits AS (
@@ -482,7 +647,7 @@ object SimilarityOracles {
        |    ON m.query_id = b.query_id AND m.neighbor_id = b.neighbor_id
        |  GROUP BY 1, 2
        |),
-       |methods AS (SELECT unnest(['ivf', 'ivf_kmeans', 'lsh']) AS method)
+       |methods AS (SELECT unnest(['ivf', 'ivf_kmeans', 'lsh', 'pq']) AS method)
        |SELECT mm.method AS method, base.query_id, base.k,
        |  coalesce(h.n_hit, 0) AS n_hit,
        |  round(coalesce(h.n_hit, 0) * 1.0 / base.k, 6) AS recall

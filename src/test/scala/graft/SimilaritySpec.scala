@@ -101,6 +101,48 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.9, f"planted near-dup recall $mean%.2f too low")
   }
 
+  test("PQ top-k: full re-derivation in plain Scala (codebooks, codes, ADC)") {
+    import graft.operators.Similarity.PqParams._
+    import graft.operators.Similarity.{K, NumQueries}
+    val got = Similarity.pqTopK(spark, d)
+      .as[(Long, Long, Int, Long, Double)].collect().toSeq
+    val emb = Tables.embeddings(spark, d).select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val S = graft.functions.LshBuckets.QuantScale
+    def md5h(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15),
+      16)
+    val qv: Map[Long, Array[Long]] = emb.map { case (id, e) =>
+      id -> e.map(x => math.floor(x.toDouble * S).toLong).toArray
+    }.toMap
+    val cb: Map[(Int, Long), Array[Long]] =
+      (for {
+        m <- 0 until M
+        (cell, ids) <- emb.map(_._1).groupBy(id => md5h(s"pq_${m}_$id") % Codes)
+      } yield (m, cell) -> qv(ids.min).slice(m * SubDim, (m + 1) * SubDim)).toMap
+    def sub(id: Long, m: Int) = qv(id).slice(m * SubDim, (m + 1) * SubDim)
+    def code(id: Long, m: Int): Long =
+      (0L until Codes).filter(c => cb.contains((m, c))).minBy { c =>
+        val cv = cb((m, c))
+        (sub(id, m).zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+      }
+    val want = (0 until NumQueries).map(_.toLong).flatMap { q =>
+      emb.map(_._1).filter(_ != q).map { v =>
+        val adc = (0 until M).map { m =>
+          sub(q, m).zip(cb((m, code(v, m)))).map { case (a, b) => a * b }.sum
+        }.sum
+        (v, adc)
+      }.sortBy { case (v, adc) => (-adc, v) }.take(K).zipWithIndex.map {
+        case ((v, adc), i) => (q, v, i + 1, adc)
+      }
+    }
+    assert(got.map(t => (t._1, t._2, t._3, t._4)) === want)
+    // the cosine column re-scores the winners exactly (oracle-checked
+    // for values); here pin the contract that it is bounded
+    got.foreach { case (_, _, _, _, c) => assert(c >= -1.0 && c <= 1.0) }
+  }
+
   test("IVF on the fixture emits ranked rows with exact cosines") {
     val rows = Similarity.ivfTopK(spark, d)
       .as[(Long, Long, Int, Double)].collect()
