@@ -151,6 +151,8 @@ object SparkEntry {
     // banding-quality audit: recall/precision of the band-collision
     // candidates vs the lossless prefix-filtered truth set
     "dedup_lsh_eval" -> (Dedup.lshEval _),
+    // per-source corpus audit: exact + near-dup loss, disjoint categories
+    "dedup_report" -> (Dedup.dedupReport _),
 
     // --- similarity search (ANN over embeddings) ---
     "ann_topk_brute" -> (Similarity.bruteTopK _),
@@ -767,6 +769,7 @@ object SparkEntry {
     "dedup_incremental" -> DedupOracles.incrementalDedup,
     "dedup_semantic_clusters" -> DedupOracles.semanticClusters,
     "dedup_lsh_eval" -> DedupOracles.lshEval,
+    "dedup_report" -> DedupOracles.dedupReport,
     "ann_topk_brute" -> SimilarityOracles.bruteTopK,
     "ann_topk_lsh" -> SimilarityOracles.lshTopK,
     "ann_topk_ivf" -> SimilarityOracles.ivfTopK,

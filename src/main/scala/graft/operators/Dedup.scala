@@ -859,6 +859,45 @@ object Dedup {
   def nearDupClustersLsh(s: SparkSession, d: String): DataFrame =
     clustersFromEdges(minhashEdgesShared(s, d))
 
+  /** CORPUS DEDUP AUDIT — the per-source report a pipeline owner reads
+    * before a training run: how many documents each source contributes,
+    * how many are non-surviving EXACT copies (same text, higher
+    * doc_id), how many more fall to NEAR-dup clustering (non-keeper
+    * members of the LSH cluster graph that are not already exact
+    * copies), and the resulting dup rate. Categories are disjoint by
+    * construction — exact wins, near-dup counts only the remainder —
+    * so n_kept = n_docs − n_exact_dup − n_near_dup.
+    *
+    * Composes the two production paths ([[exact]]'s hash-agg and
+    * [[nearDupClustersLsh]]'s banded edge graph + CC) — both
+    * scale-safe, both independently oracle-checked; the per-doc flags
+    * are equi-joins on doc_id and the report is one partial+final
+    * aggregation by source. */
+  def dedupReport(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+    val exactLosers = docs
+      .join(docs.groupBy("text").agg(min("doc_id").as("keep_id")), "text")
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"), lit(1).as("is_exact"))
+    val nearLosers = nearDupClustersLsh(s, d)
+      .filter(!col("keep"))
+      .select(col("doc_id"), lit(1).as("is_near"))
+    docs.join(exactLosers, Seq("doc_id"), "left")
+      .join(nearLosers, Seq("doc_id"), "left")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        count(col("is_exact")).as("n_exact_dup"),
+        count(when(col("is_near").isNotNull && col("is_exact").isNull, 1))
+          .as("n_near_dup"))
+      .select(col("source"), col("n_docs"), col("n_exact_dup"),
+        col("n_near_dup"),
+        (col("n_docs") - col("n_exact_dup") - col("n_near_dup"))
+          .as("n_kept"),
+        round((col("n_exact_dup") + col("n_near_dup")).cast("double") /
+          col("n_docs"), 6).as("dup_rate"))
+      .orderBy("source")
+  }
+
   /** SEMANTIC dedup clusters — connected components over the
     * EMBEDDING-space near-dup graph ([[embeddingLshPairs]]'s
     * sign-random-projection bucketed edges at cosine ≥

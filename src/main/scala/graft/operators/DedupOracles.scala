@@ -247,6 +247,41 @@ object DedupOracles {
        |FROM lab l JOIN csz USING (cluster_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Per-source dedup audit: exact-copy losers from the text hash-agg,
+    * near-dup losers from the full [[clustersLsh]] pipeline (embedded
+    * as a derived table), disjoint categories with exact precedence —
+    * replicates `Dedup.dedupReport`. */
+  lazy val dedupReport: String =
+    s"""WITH clus AS (SELECT * FROM ($clustersLsh) t),
+       |exact_losers AS (
+       |  SELECT d.doc_id FROM documents d
+       |  JOIN (SELECT text, min(doc_id) AS keep_id
+       |        FROM documents GROUP BY text) g ON d.text = g.text
+       |  WHERE d.doc_id <> g.keep_id
+       |),
+       |near_losers AS (SELECT doc_id FROM clus WHERE NOT keep),
+       |base AS (
+       |  SELECT d.source,
+       |    (el.doc_id IS NOT NULL) AS is_exact,
+       |    (nl.doc_id IS NOT NULL) AS is_near
+       |  FROM documents d
+       |  LEFT JOIN exact_losers el ON el.doc_id = d.doc_id
+       |  LEFT JOIN near_losers nl ON nl.doc_id = d.doc_id
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN is_exact THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_exact_dup,
+       |  CAST(sum(CASE WHEN is_near AND NOT is_exact THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_near_dup,
+       |  CAST(count(*)
+       |    - sum(CASE WHEN is_exact THEN 1 ELSE 0 END)
+       |    - sum(CASE WHEN is_near AND NOT is_exact THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_kept,
+       |  round((sum(CASE WHEN is_exact THEN 1 ELSE 0 END)
+       |    + sum(CASE WHEN is_near AND NOT is_exact THEN 1 ELSE 0 END))
+       |    * 1.0 / count(*), 6) AS dup_rate
+       |FROM base GROUP BY source ORDER BY source""".stripMargin
+
   /** Transitive closure over the embedding-LSH pair graph — the FULL
     * [[embeddingLshPairs]] pipeline as a CTE (bucketing replicated
     * bit-for-bit), then the same recursive-CTE labeling as [[clusters]],

@@ -280,6 +280,29 @@ class DedupSpec extends AnyFunSuite {
     assert(out.map(_._1).toSet === pairDocs)
   }
 
+  test("dedupReport totals reconcile with the ops it composes") {
+    val rep = Dedup.dedupReport(spark, d)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    rep.foreach { case (src, n, ex, near, kept, rate) =>
+      assert(kept === n - ex - near, s"source $src arithmetic")
+      assert(rate ===
+        BigDecimal((ex + near).toDouble / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val nDocs = Tables.documents(spark, d).count()
+    assert(rep.map(_._2).sum === nDocs)
+    // corpus-wide exact losers = Σ (n_copies − 1) over the exact groups
+    val exactLosers = Dedup.exact(spark, d)
+      .as[(Long, Long)].collect().map(_._2 - 1).sum
+    assert(rep.map(_._3).sum === exactLosers)
+    // near+exact losers together = the non-keeper members of the LSH
+    // cluster graph ∪ exact losers (overlap counted once)
+    val nonKeep = Dedup.nearDupClustersLsh(spark, d)
+      .filter(!col("keep")).count()
+    assert(rep.map(r => r._3 + r._4).sum >= nonKeep)
+    assert(rep.map(_._4).sum <= nonKeep)
+  }
+
   test("lshEval agrees with the pair sets it audits") {
     val Array((nTrue, nCand, nHit, recall, precision)) =
       Dedup.lshEval(spark, d)

@@ -35,8 +35,10 @@ class PlanLintSpec extends AnyFunSuite {
     "rel_exists_subquery",                  // uncorrelated exists → BNLJ
     "text_lm_score",                        // ≤676-row bigram-LM broadcast
     "text_select_quality",                  // 1-row sketch-threshold broadcast
-    "ann_recall_at_k")                      // 3-row method × #queries scaffold
+    "ann_recall_at_k",                      // 4-row method × #queries scaffold
                                             // (reuses brute/ivf broadcasts)
+    "dedup_lsh_eval",                       // three 1-row count aggregates
+    "events_priority_sample")               // 1-row τ-threshold broadcast
 
   test("no query plans a CartesianProduct or an unpartitioned Window") {
     val skip = SparkEntry.queries.keySet.filter(_.endsWith("_stream"))
