@@ -382,6 +382,8 @@ object SparkEntry {
     // --- multimodal plumbing (stubbed decode; see Multimodal scaladoc) ---
     "mm_decode_features" -> (Multimodal.decodeFeatures _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
+    // perceptual (average-hash) image near-dup: banded, hamming-verified
+    "mm_phash_pairs" -> (Multimodal.phashPairs _),
     "mm_resize" -> (Multimodal.resize _),
 
     // --- sessionization (batch window form + the stateful variant run
@@ -926,6 +928,7 @@ object SparkEntry {
     },
     "mm_decode_features" -> MultimodalOracles.decodeFeatures,
     "mm_frame_sample" -> MultimodalOracles.frameSample,
+    "mm_phash_pairs" -> MultimodalOracles.phashPairs,
     "mm_resize" -> MultimodalOracles.resize,
     "events_sessionized" -> sessionizedOracle,
     // Spark's built-in session_window must reproduce the same sessions

@@ -108,6 +108,72 @@ object Multimodal {
       .orderBy("media_id", "j")
   }
 
+  /** [[phashPairs]] signature width (bits) and max hamming distance. */
+  val PhashSamples = 32
+  val PhashMaxHamming = 3
+  /** Band-bucket occupancy guard, mirroring `Dedup.MaxSimHashBandBucket`:
+    * each 8-bit band has 256 buckets, so occupancy grows linearly with
+    * the catalog and the band self-join emits occ² pairs per bucket. */
+  val MaxPhashBandBucket = 1000L
+
+  /** PERCEPTUAL near-dup pairs for image rows — the multimodal twin of
+    * the text-side SimHash dedup: each image resamples to
+    * [[PhashSamples]] grid bytes (the same nearest-neighbor grid as
+    * [[resize]]; a codec would decode pixels first), each sample
+    * thresholds against the image mean (exact integer compare,
+    * sample·S ≥ Σ samples — no float division), and the bits pack into
+    * a 32-bit AVERAGE HASH. Pairs within hamming ≤ [[PhashMaxHamming]]
+    * are near-duplicate images (re-encodes, crops of boilerplate art,
+    * resolution variants).
+    *
+    * Candidates come from 4 × 8-bit pigeonhole bands — complete recall
+    * at hamming ≤ 3 (4 bands cannot all differ), so the plain-join
+    * DuckDB oracle checks the banded path losslessly. The band
+    * self-join is guarded by [[MaxPhashBandBucket]] occupancy, exactly
+    * like the text SimHash operator; production dials are wider bands
+    * or pre-split hot buckets. */
+  def phashPairs(s: SparkSession, d: String): DataFrame = {
+    val S = PhashSamples
+    val smp = catalog(s, d).filter(col("kind") === "image")
+      .withColumn("n_bytes", length(col("bytes")))
+      .filter(col("n_bytes") > 0)
+      .select(col("media_id"), col("n_bytes"), col("bytes"),
+        posexplode(sequence(lit(0), lit(S - 1))).as(Seq("_p", "j")))
+      .withColumn("sample_off",
+        floor(col("j") * (col("n_bytes") - 1) / (S - 1)).cast("long"))
+      .select(col("media_id"), col("j"),
+        ascii(substring(col("bytes").cast("string"),
+          (col("sample_off") + 1).cast("int"), lit(1))).as("sv"))
+    val tot = smp.groupBy("media_id").agg(sum("sv").as("tot"))
+    val sig = smp.join(tot, "media_id")
+      .groupBy("media_id")
+      .agg(sum(when(col("sv") * S >= col("tot"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
+        .otherwise(lit(0L))).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chunks = (0 until 4).map(b =>
+      shiftright(col("sig"), 8 * b).bitwiseAND(0xFF))
+    val bands = sig.select(col("media_id"), col("sig"),
+      posexplode(array(chunks: _*)).as(Seq("band", "bkey")))
+    val maxOcc = bands.groupBy("band", "bkey").agg(count(lit(1)).as("occ"))
+      .agg(max("occ")).head().getLong(0)
+    if (maxOcc > MaxPhashBandBucket) sig.unpersist()
+    require(maxOcc <= MaxPhashBandBucket,
+      s"phashPairs refused: max band-bucket occupancy $maxOcc > " +
+        s"$MaxPhashBandBucket (occupancy² fan-out); widen the bands or " +
+        "pre-split hot buckets on extra signature bits")
+    bands.toDF("i", "sig_i", "band", "bkey")
+      .join(bands.toDF("j", "sig_j", "band2", "bkey2"),
+        col("band") === col("band2") && col("bkey") === col("bkey2") &&
+          col("i") < col("j"))
+      .select(col("i"), col("j"),
+        bit_count(col("sig_i").bitwiseXOR(col("sig_j"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= PhashMaxHamming)
+      .select(col("i").as("media_a"), col("j").as("media_b"), col("hamming"))
+      .orderBy("media_a", "media_b")
+  }
+
   /** Frame sampling for video rows: up to 8 frame offsets at a fixed
     * 64-byte stride, each with its (stub-decoded) frame byte. The explode
     * is the real plumbing; a codec would seek to `offset` instead. */
@@ -186,6 +252,43 @@ object MultimodalOracles {
        |SELECT media_id, n_bytes, j, sample_off,
        |  ascii(substr(text, sample_off::INTEGER + 1, 1)) AS sample_byte
        |FROM grid ORDER BY media_id, j""".stripMargin
+
+  /** Average-hash near-dup pairs: same resampling grid, same exact
+    * integer mean threshold, same bit packing as
+    * [[Multimodal.phashPairs]]; the plain self-join is lossless against
+    * the Spark side's 4-band pigeonhole (complete at hamming ≤ 3). */
+  val phashPairs: String = {
+    val s = Multimodal.PhashSamples
+    s"""WITH media AS (
+       |  SELECT doc_id AS media_id,
+       |    CASE doc_id % ${Multimodal.Kinds.size} $kinds END AS kind,
+       |    text FROM documents
+       |),
+       |img AS (
+       |  SELECT media_id, text, length(text) AS n_bytes
+       |  FROM media WHERE kind = 'image' AND length(text) > 0
+       |),
+       |smp AS (
+       |  SELECT media_id, j,
+       |    ascii(substr(text,
+       |      floor(j * (n_bytes - 1) / ${s - 1})::INTEGER + 1, 1)) AS sv
+       |  FROM img, unnest(generate_series(0, ${s - 1})) t(j)
+       |),
+       |tot AS (
+       |  SELECT media_id, CAST(sum(sv) AS BIGINT) AS tot FROM smp GROUP BY 1
+       |),
+       |sig AS (
+       |  SELECT s.media_id,
+       |    CAST(sum(CASE WHEN s.sv * $s >= t.tot
+       |      THEN (1::BIGINT << s.j) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM smp s JOIN tot t USING (media_id) GROUP BY 1
+       |)
+       |SELECT a.media_id AS media_a, b.media_id AS media_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+       |FROM sig a JOIN sig b ON a.media_id < b.media_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= ${Multimodal.PhashMaxHamming}
+       |ORDER BY media_a, media_b""".stripMargin
+  }
 
   val frameSample: String =
     s"""WITH media AS (

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+
+/** Invariants + a full Scala re-derivation for the multimodal ops
+  * (value-level correctness is the DuckDB oracle's job). */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("phashPairs: full average-hash re-derivation in plain Scala") {
+    import Multimodal.{PhashSamples => S, PhashMaxHamming}
+    val got = Multimodal.phashPairs(spark, d)
+      .as[(Long, Long, Int)].collect().toSeq
+    // re-derive: image rows are doc_id % 3 == 0 (kind round-robin),
+    // payload is the text bytes; 32-sample nearest-neighbor grid, mean
+    // threshold by exact integer compare, pack, all-pairs hamming
+    val imgs = Tables.documents(spark, d)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .filter { case (id, t) => id % 3 == 0 && t.nonEmpty }
+    val sigs = imgs.map { case (id, t) =>
+      val b = t.getBytes("UTF-8")
+      val sv = (0 until S).map(j => b(((j.toLong * (b.length - 1)) / (S - 1)).toInt) & 0xFF)
+      val tot = sv.map(_.toLong).sum
+      id -> (0 until S).map(j => if (sv(j).toLong * S >= tot) 1L << j else 0L).sum
+    }
+    val want = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb)
+      if h <= PhashMaxHamming
+    } yield (a, b, h)).sortBy(p => (p._1, p._2))
+    assert(got === want)
+  }
+
+  test("phashPairs: identical payloads of image kind always pair at hamming 0") {
+    // exact text copies that both land on the image kind must collide
+    val copies = Tables.documents(spark, d)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .filter { case (id, t) => id % 3 == 0 && t.nonEmpty }
+      .groupBy(_._2).values.filter(_.length >= 2)
+    val got = Multimodal.phashPairs(spark, d)
+      .as[(Long, Long, Int)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    copies.foreach { g =>
+      val ids = g.map(_._1).sorted
+      for (a <- ids; b <- ids if a < b)
+        assert(got.get((a, b)).contains(0), s"copies $a,$b must pair at 0")
+    }
+  }
+}
