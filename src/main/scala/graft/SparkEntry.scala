@@ -107,6 +107,8 @@ object SparkEntry {
     "rel_date_funcs" -> (Relational.dateFuncs _),
     "rel_json_extract_events" -> (Relational.jsonExtractEvents _),
     "rel_event_time_windows" -> (Relational.eventTimeWindows _),
+    // RANGE-frame trailing window: 10-min per-user running aggregates
+    "rel_trailing_window" -> (Relational.trailingWindow _),
     "rel_window_funcs" -> (Relational.windowFuncs _),
     "rel_grouping_sets" -> (Relational.groupingSetsAgg _),
     "rel_array_funcs" -> (Relational.arrayFuncs _),
@@ -153,6 +155,8 @@ object SparkEntry {
     "dedup_lsh_eval" -> (Dedup.lshEval _),
     // per-source corpus audit: exact + near-dup loss, disjoint categories
     "dedup_report" -> (Dedup.dedupReport _),
+    // exact similarity histogram at t>=1/2: the threshold-picking audit
+    "dedup_threshold_sweep" -> (Dedup.thresholdSweep _),
 
     // --- similarity search (ANN over embeddings) ---
     "ann_topk_brute" -> (Similarity.bruteTopK _),
@@ -620,6 +624,16 @@ object SparkEntry {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // RANGE frames close over same-timestamp peers in both engines, so
+    // no within-ts tiebreak is needed for determinism
+    "rel_trailing_window" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS us,
+        |  count(*) OVER w AS n_10m,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_10m
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "rel_window_funcs" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  lag(o_totalprice, 1) OVER wt AS prev_price,
@@ -772,6 +786,7 @@ object SparkEntry {
     "dedup_semantic_clusters" -> DedupOracles.semanticClusters,
     "dedup_lsh_eval" -> DedupOracles.lshEval,
     "dedup_report" -> DedupOracles.dedupReport,
+    "dedup_threshold_sweep" -> DedupOracles.thresholdSweep,
     "ann_topk_brute" -> SimilarityOracles.bruteTopK,
     "ann_topk_lsh" -> SimilarityOracles.lshTopK,
     "ann_topk_ivf" -> SimilarityOracles.ivfTopK,

@@ -859,6 +859,31 @@ object Dedup {
   def nearDupClustersLsh(s: SparkSession, d: String): DataFrame =
     clustersFromEdges(minhashEdgesShared(s, d))
 
+  /** Rational threshold (num/den) the sweep audits down to. */
+  val SweepNum = 1
+  val SweepDen = 2
+
+  /** THRESHOLD SWEEP — the similarity histogram a pipeline owner reads
+    * to PICK the dedup threshold: every pair with exact Jaccard ≥ 1/2,
+    * binned by first decimal ([0.5,0.6) … [0.9,1.0]). A threshold is a
+    * recall/precision dial; this shows where the pair mass sits before
+    * committing to one. Candidates come from the LOSSLESS prefix
+    * filter at t = [[SweepNum]]/[[SweepDen]] ([[prefixCandidates]]'s
+    * pigeonhole holds at any rational t), so the histogram is exact —
+    * never banding-biased. Low thresholds index longer prefixes (the
+    * inherent prefix-filtering dial); the df-ascending order still
+    * keeps hyper-frequent shingles out of every prefix, which is what
+    * makes this runnable where the naive join detonates. */
+  def thresholdSweep(s: SparkSession, d: String): DataFrame = {
+    val sh = shinglesCached(s, d)
+    val t = SweepNum.toDouble / SweepDen
+    verifyJaccardPairs(sh, prefixCandidates(sh, SweepNum, SweepDen), t)
+      .select((least(floor(col("jaccard") * 10), lit(9)) / 10.0)
+        .as("bin_lo"))
+      .groupBy("bin_lo").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("bin_lo")
+  }
+
   /** CORPUS DEDUP AUDIT — the per-source report a pipeline owner reads
     * before a training run: how many documents each source contributes,
     * how many are non-surviving EXACT copies (same text, higher

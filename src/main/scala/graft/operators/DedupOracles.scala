@@ -247,6 +247,24 @@ object DedupOracles {
        |FROM lab l JOIN csz USING (cluster_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Threshold-sweep histogram: the plain inverted-index Jaccard at
+    * t = 1/2 (≡ the Spark side's lossless prefix-filtered join),
+    * binned on the shared 6-dp rounding — replicates
+    * `Dedup.thresholdSweep`. */
+  val thresholdSweep: String = {
+    val t = s"${Dedup.SweepNum} * 1.0 / ${Dedup.SweepDen}"
+    s"""WITH $wordsCtes, $shinglesCte, $sizesCte, $interCte,
+       |p AS (
+       |  SELECT round(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jac
+       |  FROM inter JOIN sizes sa ON i = sa.doc_id
+       |  JOIN sizes sb ON j = sb.doc_id
+       |  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= $t
+       |)
+       |SELECT least(floor(jac * 10), 9) / 10.0 AS bin_lo,
+       |  count(*) AS n_pairs
+       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Per-source dedup audit: exact-copy losers from the text hash-agg,
     * near-dup losers from the full [[clustersLsh]] pipeline (embedded
     * as a derived table), disjoint categories with exact precedence —

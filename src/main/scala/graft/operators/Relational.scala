@@ -508,6 +508,33 @@ object Relational {
 
   /** Event-time tumbling windows (batch `window()`; streaming variant in
     * graft.streaming uses the same expression). */
+  /** TIME-RANGE window frames — the per-row trailing aggregate surface
+    * (`RANGE BETWEEN <interval> PRECEDING AND CURRENT ROW`): for every
+    * event, the same user's event count and value sum over the
+    * preceding 10 minutes INCLUDING peers at the same timestamp (RANGE
+    * frames close over ties identically in both engines, so the result
+    * is deterministic without a within-timestamp tiebreak). The value
+    * sum runs in DECIMAL(18,6) — a double sum would be
+    * association-order-sensitive across engines.
+    *
+    * Scale: one window partitioned by user_id (hash-partitioned
+    * Exchange + partition-local sort); state per partition is the
+    * 10-minute frame buffer, independent of history length. This is
+    * the batch twin of what the watermarked streaming interval join
+    * bounds with eviction. */
+  def trailingWindow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-600000000L, 0L)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        col("value").cast(DecimalType(18, 6)).as("dv"))
+      .select(col("event_id"), col("user_id"), col("us"),
+        count(lit(1)).over(w).as("n_10m"),
+        sum(col("dv")).over(w).cast("double").as("sum_10m"))
+      .orderBy("event_id")
+  }
+
   def eventTimeWindows(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))

@@ -280,6 +280,18 @@ class DedupSpec extends AnyFunSuite {
     assert(out.map(_._1).toSet === pairDocs)
   }
 
+  test("thresholdSweep: >=0.8 bin mass equals the t=0.8 pair operator") {
+    val bins = Dedup.thresholdSweep(spark, d).as[(Double, Long)].collect()
+    assert(bins.map(_._1).distinct.length === bins.length)
+    bins.foreach { case (lo, n) =>
+      assert(lo >= 0.5 && lo <= 0.9 && n > 0, s"bin $lo count $n")
+    }
+    // the histogram's upper bins must account for exactly the pairs the
+    // production t=0.8 join finds (same lossless prefix machinery)
+    val at08 = Dedup.jaccardPrefixPairs(spark, d).count()
+    assert(bins.filter(_._1 >= 0.8).map(_._2).sum === at08)
+  }
+
   test("dedupReport totals reconcile with the ops it composes") {
     val rep = Dedup.dedupReport(spark, d)
       .as[(String, Long, Long, Long, Long, Double)].collect()
