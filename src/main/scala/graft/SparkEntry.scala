@@ -109,6 +109,10 @@ object SparkEntry {
     "rel_event_time_windows" -> (Relational.eventTimeWindows _),
     // RANGE-frame trailing window: 10-min per-user running aggregates
     "rel_trailing_window" -> (Relational.trailingWindow _),
+    // ordered signup->click->purchase first-touch conversion funnel
+    "rel_funnel" -> (Relational.funnel _),
+    // first-active-day cohorts with day-1/day-7 return rates
+    "rel_retention" -> (Relational.retention _),
     "rel_window_funcs" -> (Relational.windowFuncs _),
     "rel_grouping_sets" -> (Relational.groupingSetsAgg _),
     "rel_array_funcs" -> (Relational.arrayFuncs _),
@@ -624,6 +628,48 @@ object SparkEntry {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "rel_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s0 AS (SELECT user_id, min(us) - 1 AS prev_us FROM ev GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(e.us) AS prev_us FROM ev e
+        |       JOIN s0 ON e.user_id = s0.user_id
+        |       WHERE e.event_type = 'signup' AND e.us > s0.prev_us GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.us) AS prev_us FROM ev e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.us > s1.prev_us GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.us) AS prev_us FROM ev e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.us > s2.prev_us GROUP BY 1),
+        |counts AS (
+        |  SELECT 0 AS step_idx, 'any' AS step,
+        |    (SELECT count(*) FROM s0) AS n_users
+        |  UNION ALL SELECT 1, 'signup', (SELECT count(*) FROM s1)
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        |)
+        |SELECT c.step_idx, c.step, c.n_users,
+        |  round(c.n_users * 1.0 / coalesce(p.n_users, c.n_users), 6)
+        |    AS conv_rate
+        |FROM counts c LEFT JOIN counts p ON p.step_idx = c.step_idx - 1
+        |ORDER BY c.step_idx""".stripMargin,
+    "rel_retention" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |),
+        |firstd AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY 1),
+        |aged AS (
+        |  SELECT f.cohort, e.user_id, e.day - f.cohort AS age
+        |  FROM ev e JOIN firstd f ON e.user_id = f.user_id
+        |)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+        |  count(DISTINCT user_id) AS n_users,
+        |  count(DISTINCT CASE WHEN age = 1 THEN user_id END) AS n_d1,
+        |  count(DISTINCT CASE WHEN age = 7 THEN user_id END) AS n_d7,
+        |  round(count(DISTINCT CASE WHEN age = 1 THEN user_id END) * 1.0
+        |    / count(DISTINCT user_id), 6) AS rate_d1,
+        |  round(count(DISTINCT CASE WHEN age = 7 THEN user_id END) * 1.0
+        |    / count(DISTINCT user_id), 6) AS rate_d7
+        |FROM aged GROUP BY 1 ORDER BY 1""".stripMargin,
     // RANGE frames close over same-timestamp peers in both engines, so
     // no within-ts tiebreak is needed for determinism
     "rel_trailing_window" ->

@@ -508,6 +508,76 @@ object Relational {
 
   /** Event-time tumbling windows (batch `window()`; streaming variant in
     * graft.streaming uses the same expression). */
+  /** The ordered step sequence [[funnel]] audits. */
+  val FunnelSteps = Seq("signup", "click", "purchase")
+
+  /** FUNNEL analysis — ordered-sequence conversion: how many users
+    * performed signup → click → purchase IN ORDER (each step strictly
+    * after the previous step's FIRST occurrence — the standard
+    * first-touch funnel). One row per step with the users reaching it
+    * and the conversion rate from the previous step.
+    *
+    * Each stage is an equi-join on user_id of the (user, first-ts)
+    * frame from the previous stage against one event-type slice,
+    * followed by a min aggregate — #users-sized frames throughout, no
+    * windows, no self-join of the full event table against itself.
+    * At 100 TB the per-stage frames stay #users rows and every join
+    * partitions by user_id. */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    // stage 0: every active user, with a sentinel "first ts" before time
+    val all = ev.groupBy("user_id").agg((min("us") - 1).as("prev_us"))
+    val stages = FunnelSteps.scanLeft(all) { (prev, step) =>
+      ev.filter(col("event_type") === step)
+        .join(prev, "user_id")
+        .filter(col("us") > col("prev_us"))
+        .groupBy("user_id").agg(min("us").as("prev_us"))
+    }
+    val counts = stages.zip("any" +: FunnelSteps).map { case (df, name) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(name).as("step"), col("n_users"))
+    }
+    val numbered = counts.zipWithIndex.map { case (df, i) =>
+      df.select(lit(i).as("step_idx"), col("step"), col("n_users"))
+    }.reduce(_ union _)
+    // conversion vs the previous step: a tiny (#steps-row) self-join
+    val prevs = numbered.select((col("step_idx") + 1).as("step_idx"),
+      col("n_users").as("prev_users"))
+    numbered.join(prevs, Seq("step_idx"), "left")
+      .select(col("step_idx"), col("step"), col("n_users"),
+        round(col("n_users").cast("double") /
+          coalesce(col("prev_users"), col("n_users")), 6).as("conv_rate"))
+      .orderBy("step_idx")
+  }
+
+  /** COHORT RETENTION — the other half of the product-analytics pair
+    * with [[funnel]]: users cohorted by their FIRST active day, with
+    * day-1 and day-7 return rates per cohort. The distinct
+    * (user, active-day) frame collapses the event volume first (one
+    * partial+final distinct — the only corpus-sized work), the cohort
+    * frame is #users rows, and the report is #days rows. Conditional
+    * `countDistinct(when(age = k))` folds both retention horizons into
+    * ONE aggregation pass instead of one self-join per horizon. */
+  def retention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val first = ev.groupBy("user_id").agg(min("day").as("cohort"))
+    ev.join(first, "user_id")
+      .select(col("cohort"), col("user_id"),
+        datediff(col("day"), col("cohort")).as("age"))
+      .groupBy("cohort").agg(
+        countDistinct("user_id").as("n_users"),
+        countDistinct(when(col("age") === 1, col("user_id"))).as("n_d1"),
+        countDistinct(when(col("age") === 7, col("user_id"))).as("n_d7"))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        col("n_users"), col("n_d1"), col("n_d7"),
+        round(col("n_d1").cast("double") / col("n_users"), 6).as("rate_d1"),
+        round(col("n_d7").cast("double") / col("n_users"), 6).as("rate_d7"))
+      .orderBy("cohort_day")
+  }
+
   /** TIME-RANGE window frames — the per-row trailing aggregate surface
     * (`RANGE BETWEEN <interval> PRECEDING AND CURRENT ROW`): for every
     * event, the same user's event count and value sum over the

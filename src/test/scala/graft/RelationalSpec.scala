@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Relational
@@ -11,6 +12,7 @@ import graft.operators.Relational
   * small dims, partial aggregation before the exchange. */
 class RelationalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
+  import spark.implicits._
 
   private val d = "/root/testdata/sf0.001"
 
@@ -153,6 +155,44 @@ class RelationalSpec extends AnyFunSuite {
       if (n == 0) assert(r.isNullAt(3), s"purchase ${r.getLong(0)}")
       else assert(r.getLong(3) >= 0 &&
         r.getLong(3) <= Relational.RangeJoinWindowUs, s"purchase ${r.getLong(0)}")
+    }
+  }
+
+  test("funnel: monotone step counts, step 0 covers every active user") {
+    val rows = Relational.funnel(spark, d)
+      .as[(Int, String, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._2).toSeq === ("any" +: Relational.FunnelSteps))
+    assert(rows.head._3 ===
+      Tables.events(spark, d).select("user_id").distinct().count())
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3, s"step ${b._2} grew")
+    }
+    rows.foreach { case (_, step, _, rate) =>
+      assert(rate >= 0.0 && rate <= 1.0, s"step $step rate $rate")
+    }
+    // an ordered funnel is at most the unordered intersection: users
+    // reaching 'purchase' all have every step type somewhere
+    val withAll = Tables.events(spark, d)
+      .filter(col("event_type").isin(Relational.FunnelSteps: _*))
+      .groupBy("user_id")
+      .agg(countDistinct("event_type").as("k"))
+      .filter(col("k") === Relational.FunnelSteps.size).count()
+    assert(rows.last._3 <= withAll)
+  }
+
+  test("trailing window: frame contents re-derived per user from raw events") {
+    val got = Relational.trailingWindow(spark, d)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")),
+        col("value")).as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1)
+    got.foreach { case (eid, uid, us, n, sum) =>
+      val frame = ev(uid).filter(e => e._3 >= us - 600000000L && e._3 <= us)
+      assert(n === frame.length, s"event $eid count")
+      val want = frame.map(e => BigDecimal(e._4).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      assert(sum === want, s"event $eid sum")
     }
   }
 }
