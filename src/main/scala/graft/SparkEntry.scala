@@ -161,6 +161,8 @@ object SparkEntry {
     "dedup_report" -> (Dedup.dedupReport _),
     // exact similarity histogram at t>=1/2: the threshold-picking audit
     "dedup_threshold_sweep" -> (Dedup.thresholdSweep _),
+    // cross-modal audit: lexical near-dup pairs vs their embedding cosine
+    "dedup_modality_check" -> (Dedup.modalityCheck _),
 
     // --- similarity search (ANN over embeddings) ---
     "ann_topk_brute" -> (Similarity.bruteTopK _),
@@ -833,6 +835,7 @@ object SparkEntry {
     "dedup_lsh_eval" -> DedupOracles.lshEval,
     "dedup_report" -> DedupOracles.dedupReport,
     "dedup_threshold_sweep" -> DedupOracles.thresholdSweep,
+    "dedup_modality_check" -> DedupOracles.modalityCheck,
     "ann_topk_brute" -> SimilarityOracles.bruteTopK,
     "ann_topk_lsh" -> SimilarityOracles.lshTopK,
     "ann_topk_ivf" -> SimilarityOracles.ivfTopK,

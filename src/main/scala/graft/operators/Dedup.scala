@@ -859,6 +859,33 @@ object Dedup {
   def nearDupClustersLsh(s: SparkSession, d: String): DataFrame =
     clustersFromEdges(minhashEdgesShared(s, d))
 
+  /** CROSS-MODAL consistency audit — every LEXICAL near-dup pair
+    * ([[minhashLsh]]'s verified Jaccard ≥ 0.8 pairs) scored with its
+    * EMBEDDING cosine and flagged `agree` when the vector space also
+    * sees the pair as related (cosine ≥ [[CosineLshThreshold]]). Two
+    * texts that are 80 %+ shingle-identical but embed far apart mean
+    * the embedding pipeline is broken for those rows (truncation,
+    * encoding bugs, stale vectors) — exactly the defect you want
+    * surfaced before vectors drive semantic dedup or retrieval over
+    * the corpus. The id spaces are shared (embeddings.vec_id IS
+    * documents.doc_id).
+    *
+    * Scale: the pair set is LSH-bounded; attaching vectors is two id
+    * equi-joins; one cosine per pair. */
+  def modalityCheck(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    minhashLsh(s, d)
+      .join(e.select(col("vec_id").as("doc_a"), col("embedding").as("ea")),
+        "doc_a")
+      .join(e.select(col("vec_id").as("doc_b"), col("embedding").as("eb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        round(CosineSimilarity(col("ea"), col("eb")), 6).as("cosine"),
+        (CosineSimilarity(col("ea"), col("eb")) >= CosineLshThreshold)
+          .as("agree"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Rational threshold (num/den) the sweep audits down to. */
   val SweepNum = 1
   val SweepDen = 2

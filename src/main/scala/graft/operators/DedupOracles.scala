@@ -247,6 +247,22 @@ object DedupOracles {
        |FROM lab l JOIN csz USING (cluster_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Cross-modal audit: the full [[minhashLsh]] pipeline as a derived
+    * table, each pair scored with the exact embedding cosine and the
+    * same unrounded-threshold agree flag — replicates
+    * `Dedup.modalityCheck`. */
+  lazy val modalityCheck: String =
+    s"""WITH pairs AS (SELECT * FROM ($minhashLsh) t)
+       |SELECT p.doc_a, p.doc_b, p.jaccard,
+       |  round(list_cosine_similarity(a.embedding::DOUBLE[],
+       |    b.embedding::DOUBLE[]), 6) AS cosine,
+       |  list_cosine_similarity(a.embedding::DOUBLE[],
+       |    b.embedding::DOUBLE[]) >= ${Dedup.CosineLshThreshold} AS agree
+       |FROM pairs p
+       |JOIN embeddings a ON a.vec_id = p.doc_a
+       |JOIN embeddings b ON b.vec_id = p.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Threshold-sweep histogram: the plain inverted-index Jaccard at
     * t = 1/2 (≡ the Spark side's lossless prefix-filtered join),
     * binned on the shared 6-dp rounding — replicates

@@ -280,6 +280,30 @@ class DedupSpec extends AnyFunSuite {
     assert(out.map(_._1).toSet === pairDocs)
   }
 
+  test("modalityCheck covers exactly the LSH pair set with a consistent flag") {
+    val rows = Dedup.modalityCheck(spark, d)
+      .as[(Long, Long, Double, Double, Boolean)].collect()
+    val lsh = Dedup.minhashLsh(spark, d)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(rows.map(r => (r._1, r._2)).toSet === lsh)
+    val emb = Tables.embeddings(spark, d).select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    rows.foreach { case (a, b, _, cRounded, agree) =>
+      val c = cos(emb(a), emb(b))
+      assert(math.abs(c - cRounded) < 1e-6, s"pair ($a,$b) cosine")
+      assert(agree === (c >= Dedup.CosineLshThreshold), s"pair ($a,$b) flag")
+    }
+  }
+
   test("thresholdSweep: >=0.8 bin mass equals the t=0.8 pair operator") {
     val bins = Dedup.thresholdSweep(spark, d).as[(Double, Long)].collect()
     assert(bins.map(_._1).distinct.length === bins.length)
