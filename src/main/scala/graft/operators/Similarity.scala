@@ -350,13 +350,16 @@ object Similarity {
         Seq("cent_vec", "m"))
       .select("m", "cell", "cv")
     // encode: nearest codebook entry per (vector, subspace), exact
-    // integer L2², ties to the smallest cell id
-    val wEnc = Window.partitionBy("vec_id", "m").orderBy(asc("d2"), asc("cell"))
+    // integer L2², ties to the smallest cell id. min_by over the
+    // (d2, cell) tuple — unique per group — instead of a window: the
+    // argmin reduces map-side (partial agg) rather than sorting the
+    // n×M×Codes distance frame through a window exchange
     val codes = subs.join(broadcast(cb), Seq("m"))
       .select(col("vec_id"), col("m"), col("cell"),
         aggregate(zip_with(col("sub"), col("cv"),
           (x, y) => (x - y) * (x - y)), lit(0L), _ + _).as("d2"))
-      .withColumn("rn", row_number().over(wEnc)).filter(col("rn") === 1)
+      .groupBy("vec_id", "m")
+      .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
       .select("vec_id", "m", "cell")
     // ADC lookup table: query subvector · centroid, integer dot
     val luts = subs.filter(col("vec_id") < NumQueries)
