@@ -198,6 +198,8 @@ object SparkEntry {
     "events_bottomk_sample" -> (Curation.bottomKSample _),
     // weighted sampling without replacement (priority sampling, DLT'07)
     "events_priority_sample" -> (Curation.prioritySample _),
+    // 3-sigma per-type outliers via exact cross-multiplied arithmetic
+    "events_outliers" -> (Curation.outliers _),
 
     // --- as-of join: composed (union+window) AND native (custom
     //     LogicalPlan + SparkStrategy + merge executor) — same oracle ---
@@ -857,6 +859,7 @@ object SparkEntry {
     "events_stratified_sample" -> CurationOracles.stratifiedSample,
     "events_bottomk_sample" -> CurationOracles.bottomKSample,
     "events_priority_sample" -> CurationOracles.prioritySample,
+    "events_outliers" -> CurationOracles.outliers,
     "rel_asof_click_purchase" -> asofOracle,
     // the native custom-plan as-of join must produce byte-identical
     // results to the composed one — one oracle checks both

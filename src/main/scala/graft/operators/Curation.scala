@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
@@ -111,6 +112,37 @@ object Curation {
       .orderBy("h", "event_id")
       .limit(BottomK)
       .orderBy("event_id")
+
+  /** STATISTICAL OUTLIER detection — events whose value sits more than
+    * 3 population standard deviations from their event-type mean: the
+    * classic numeric-column cleaning pass before training-data use.
+    *
+    * The whole test runs in EXACT integer arithmetic: values scale to
+    * millionths through the proven DECIMAL(18,6) cast, and
+    * |v − μ| > 3σ is cross-multiplied into
+    * (n·v₆ − Σv₆)² > 9·(n·Σv₆² − (Σv₆)²) — no division, no square
+    * root, no float accumulation, so both engines make bit-identical
+    * keep/flag decisions (Spark carries DECIMAL(38,0) ≈ int128, the
+    * oracle HUGEINT; magnitudes stay under 10³⁴ even at 10⁶ rows per
+    * group). Per-type stats are one partial+final aggregation; the
+    * 5-row stats frame broadcasts back — the event table itself never
+    * shuffles. */
+  def outliers(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"),
+        (col("value").cast(DecimalType(18, 6)) * lit(1000000))
+          .cast(DecimalType(38, 0)).as("v6"))
+    val stats = ev.groupBy("event_type").agg(
+      count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+      sum(col("v6")).cast(DecimalType(38, 0)).as("s6"),
+      sum(col("v6") * col("v6")).cast(DecimalType(38, 0)).as("q6"))
+    val dev = col("n") * col("v6") - col("s6")
+    ev.join(broadcast(stats), "event_type")
+      .filter(dev * dev >
+        lit(9) * (col("n") * col("q6") - col("s6") * col("s6")))
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
 
   /** Sample size for [[prioritySample]]. */
   val PriorityK = 100
@@ -549,6 +581,27 @@ object CurationOracles {
        |    substr(md5(event_id::VARCHAR), 1, 16) AS h
        |  FROM events ORDER BY h, event_id LIMIT ${Curation.BottomK}
        |) ORDER BY event_id""".stripMargin
+
+  /** 3σ outliers via the same cross-multiplied exact-integer test —
+    * HUGEINT here, DECIMAL(38,0) on the Spark side; both exact, so the
+    * flag decisions are identical. */
+  val outliers: String =
+    """WITH ev AS (
+      |  SELECT event_id, event_type, value,
+      |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS v6
+      |  FROM events
+      |),
+      |st AS (
+      |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(v6) AS HUGEINT) AS s6,
+      |    CAST(sum(v6 * v6) AS HUGEINT) AS q6
+      |  FROM ev GROUP BY 1
+      |)
+      |SELECT e.event_id, e.event_type, e.value
+      |FROM ev e JOIN st ON e.event_type = st.event_type
+      |WHERE (st.n * e.v6 - st.s6) * (st.n * e.v6 - st.s6)
+      |      > 9 * (st.n * st.q6 - st.s6 * st.s6)
+      |ORDER BY event_id""".stripMargin
 
   /** Priority sampling: same u = (md5₄₈+1)/2⁴⁸ draw, same IEEE
     * operation order (multiply, then divide), same (K+1)-row τ —

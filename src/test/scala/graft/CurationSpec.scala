@@ -55,6 +55,28 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("outliers: exact BigInt re-derivation of the 3-sigma test") {
+    val got = Curation.outliers(spark, d)
+      .as[(Long, String, Double)].collect().map(_._1).toSet
+    val ev = Tables.events(spark, d)
+      .select("event_id", "event_type", "value")
+      .as[(Long, String, Double)].collect()
+    def v6(x: Double): BigInt =
+      (BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        * BigDecimal(1000000)).toBigInt
+    val want = ev.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val vs = rows.map(r => v6(r._3))
+      val n = BigInt(rows.length)
+      val s = vs.sum
+      val q = vs.map(v => v * v).sum
+      rows.zip(vs).collect {
+        case ((id, _, _), v) if (n * v - s).pow(2) > 9 * (n * q - s * s) => id
+      }
+    }.toSet
+    assert(got === want)
+    assert(got.nonEmpty, "fixture should surface some 3-sigma tail")
+  }
+
   test("priority sample: exact size, estimator floor, near-unbiased total") {
     val s1 = Curation.prioritySample(spark, d)
       .as[(Long, String, Double, Double, Double)].collect()
