@@ -419,6 +419,9 @@ object SparkEntry {
     // emit only for purchases the final watermark proved unmatchable
     "events_outer_join_stream" ->
       (graft.streaming.EventStream.outerJoinStreamVerified _),
+    // FULL OUTER: null rows on both sides, asymmetric eviction cutoffs
+    "events_full_outer_stream" ->
+      (graft.streaming.EventStream.fullOuterJoinStreamVerified _),
 
     // --- watermarked windowed aggregation under the streaming engine:
     //     append mode emits exactly the watermark-finalized windows
@@ -1044,6 +1047,44 @@ object SparkEntry {
         |)
         |SELECT * FROM matched UNION ALL SELECT * FROM unmatched
         |ORDER BY p_event, c_event NULLS FIRST""".stripMargin,
+    // full outer: the left cutoff is wm, the right cutoff is wm - 10min
+    // (a click can match purchases up to 10 minutes after it)
+    "events_full_outer_stream" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |wm AS (
+        |  SELECT (least((SELECT epoch_us(max(ts)) // 1000 FROM p),
+        |                (SELECT epoch_us(max(ts)) // 1000 FROM c))
+        |          - 600000) * 1000 AS wm_us
+        |),
+        |matched AS (
+        |  SELECT p.event_id AS p_event, p.user_id AS p_user,
+        |    epoch_us(p.ts) AS p_us, c.event_id AS c_event,
+        |    c.user_id AS c_user, epoch_us(c.ts) AS c_us
+        |  FROM p JOIN c ON c.user_id = p.user_id
+        |    AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+        |),
+        |left_null AS (
+        |  SELECT p.event_id AS p_event, p.user_id AS p_user,
+        |    epoch_us(p.ts) AS p_us, NULL::BIGINT AS c_event,
+        |    NULL::BIGINT AS c_user, NULL::BIGINT AS c_us
+        |  FROM p, wm WHERE epoch_us(p.ts) < wm.wm_us AND NOT EXISTS (
+        |    SELECT 1 FROM c WHERE c.user_id = p.user_id
+        |      AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts)
+        |),
+        |right_null AS (
+        |  SELECT NULL::BIGINT AS p_event, NULL::BIGINT AS p_user,
+        |    NULL::BIGINT AS p_us, c.event_id AS c_event,
+        |    c.user_id AS c_user, epoch_us(c.ts) AS c_us
+        |  FROM c, wm WHERE epoch_us(c.ts) + 600000000 < wm.wm_us
+        |    AND NOT EXISTS (
+        |    SELECT 1 FROM p WHERE p.user_id = c.user_id
+        |      AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts)
+        |)
+        |SELECT * FROM matched
+        |UNION ALL SELECT * FROM left_null
+        |UNION ALL SELECT * FROM right_null
+        |ORDER BY p_event NULLS FIRST, c_event NULLS FIRST""".stripMargin,
     // the streaming run of the stateful sessionizer must reproduce the
     // batch gaps-and-islands result bit-for-bit — one oracle, both forms
     "events_sessionized_stream" -> sessionizedOracle,

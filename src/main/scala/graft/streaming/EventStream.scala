@@ -429,6 +429,46 @@ object EventStream {
     res.orderBy(col("p_event").asc, col("c_event").asc_nulls_first)
   }
 
+  /** Stream-stream FULL OUTER interval join — completes the outer
+    * family: null rows emit on BOTH sides, each on its OWN eviction
+    * cutoff, which is asymmetric because the interval condition is.
+    * A purchase can match clicks with cts ∈ [pts − 10 min, pts], so an
+    * unmatched purchase is provably dead once wm > pts (late clicks
+    * below the watermark are dropped). A click can match purchases
+    * with pts ∈ [cts, cts + 10 min], so an unmatched click lives TEN
+    * MINUTES LONGER: it emits only once wm > cts + 10 min. The oracle
+    * replicates both cutoffs (ms-floored max event time, min across
+    * sides, strict <), so the asymmetry itself is cross-engine-checked
+    * — along with the tail rule that rows inside their own cutoff
+    * window never emit. */
+  def fullOuterJoinStreamVerified(s: SparkSession, d: String): DataFrame = {
+    val (out, ckpt) = scratchDirs("fouterj")
+    val ss = streamSession(s)
+    val ev = readEventStream(ss, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event"), col("user_id").as("p_user"),
+        col("ts").as("pts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_event"), col("user_id").as("c_user"),
+        col("ts").as("cts"))
+    val q = purchases.withWatermark("pts", "10 minutes")
+      .join(clicks.withWatermark("cts", "10 minutes"),
+        expr("""p_user = c_user AND
+                cts >= pts - interval 10 minutes AND cts <= pts"""),
+        "full_outer")
+      .select(col("p_event"), col("p_user"), unix_micros(col("pts")).as("p_us"),
+        col("c_event"), col("c_user"), unix_micros(col("cts")).as("c_us"))
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val res = s.read.parquet(out).localCheckpoint()
+    deleteRecursively(out, ckpt)
+    res.orderBy(col("p_event").asc_nulls_first, col("c_event").asc_nulls_first)
+  }
+
   def clickAttributionStreamVerified(s: SparkSession, d: String): DataFrame = {
     val (out, ckpt) = scratchDirs("attr")
     val ss = streamSession(s)

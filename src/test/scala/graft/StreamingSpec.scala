@@ -404,6 +404,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("FULL OUTER stream-stream join: asymmetric eviction cutoffs per side") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(minutes: Long) = new Timestamp(1700000000000L + minutes * 60000L)
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp)]
+    val q = purchases.toDF().toDF("p_user", "pts")
+      .withWatermark("pts", "10 minutes")
+      .join(clicks.toDF().toDF("c_user", "cts")
+          .withWatermark("cts", "10 minutes"),
+        expr("""p_user = c_user AND
+                cts >= pts - interval 10 minutes AND cts <= pts"""),
+        "full_outer")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("fouter_out").start()
+    try {
+      clicks.addData((1L, ts(0)), (3L, ts(0)), (9L, ts(100)),
+        (7L, ts(185))) // no purchase; inside its reach window at the end
+      purchases.addData((1L, ts(5)), (2L, ts(6)), (9L, ts(101)),
+        (6L, ts(195))) // no click; inside the left cutoff at the end
+      q.processAllAvailable()
+      // advance both sides → final wm = min(201, 200) − 10 = 190
+      clicks.addData((8L, ts(200)))
+      purchases.addData((8L, ts(201)))
+      q.processAllAvailable()
+      val rows = spark.table("fouter_out")
+        .select("p_user", "c_user").as[(Option[Long], Option[Long])].collect()
+      // matches emit once, both sides populated
+      Seq(1L, 9L, 8L).foreach { u =>
+        assert(rows.count(_ == ((Some(u), Some(u)))) === 1, s"user $u")
+      }
+      // LEFT null: unmatched purchase 2 (pts 6 < 190)
+      assert(rows.count(_ == ((Some(2L), None))) === 1)
+      // RIGHT null: unmatched click 3 (cts 0; 0 + 10 < 190)
+      assert(rows.count(_ == ((None, Some(3L)))) === 1)
+      // THE ASYMMETRY: click 7 (cts 185 < wm 190!) can still match a
+      // purchase at pts ∈ [185, 195], so it must NOT have emitted;
+      // purchase 6 (pts 195 > wm) is inside the left cutoff likewise
+      assert(!rows.contains((None, Some(7L))), "click inside reach window leaked")
+      assert(!rows.contains((Some(6L), None)), "purchase inside cutoff leaked")
+    } finally q.stop()
+  }
+
   test("streaming sessionization emits a session once the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     def ts(minutes: Long) = new Timestamp(1700000000000L + minutes * 60000L)
