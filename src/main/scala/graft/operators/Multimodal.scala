@@ -145,11 +145,20 @@ object Multimodal {
         ascii(substring(col("bytes").cast("string"),
           (col("sample_off") + 1).cast("int"), lit(1))).as("sv"))
     val tot = smp.groupBy("media_id").agg(sum("sv").as("tot"))
-    val sig = smp.join(tot, "media_id")
+    val sigs = smp.join(tot, "media_id")
       .groupBy("media_id")
       .agg(sum(when(col("sv") * S >= col("tot"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
         .otherwise(lit(0L))).as("sig"))
+    phashPairsOnSigs(sigs)
+  }
+
+  /** [[phashPairs]]' banded pair join over any (media_id, sig) frame —
+    * the [[MaxPhashBandBucket]]-guarded tail, split out so the guard is
+    * testable on constructed hot-bucket corpora (mirroring
+    * `Dedup.simhashPairsOn`). */
+  private[graft] def phashPairsOnSigs(sig0: DataFrame): DataFrame = {
+    val sig = sig0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = (0 until 4).map(b =>
       shiftright(col("sig"), 8 * b).bitwiseAND(0xFF))

@@ -326,29 +326,41 @@ object Similarity {
     * combine, no pairwise vector math, no shuffle of embeddings. */
   def pqTopK(s: SparkSession, d: String): DataFrame = pqTopKOn(emb(s, d))
 
-  /** [[pqTopK]] over any (vec_id, embedding) DataFrame. */
-  def pqTopKOn(e: DataFrame): DataFrame = {
+  /** The M quantized subvectors of every vector: (vec_id, m, sub). */
+  private[graft] def pqSubvectors(e: DataFrame): DataFrame = {
     import PqParams._
     val qvec = e.select(col("vec_id"),
       transform(col("embedding"),
         x => floor(x.cast("double") * LshBuckets.QuantScale)).as("qv"))
-    // (vec_id, m, sub): the M quantized subvectors of every vector
-    val subs = qvec.select(col("vec_id"), posexplode(array(
+    qvec.select(col("vec_id"), posexplode(array(
         (0 until M).map(m => slice(col("qv"), m * SubDim + 1, SubDim)): _*))
       .as(Seq("m", "sub")))
-    // md5-seeded per-subspace codebooks: cell = md5₆₀("pq_<m>_<id>") %
-    // Codes, min vec_id per (m, cell) seeds that cell's centroid
+  }
+
+  /** The md5-seeded per-subspace PQ codebooks — BOUNDED at
+    * M × Codes rows by construction at any corpus size (each vec_id is
+    * md5-assigned to one cell per subspace; the min id per non-empty
+    * cell seeds it), same rule as [[defaultCentroids]]. */
+  private[graft] def pqCodebook(e: DataFrame, subs: DataFrame): DataFrame = {
+    import PqParams._
     val seeds = e.select(col("vec_id"),
         explode(sequence(lit(0), lit(M - 1))).as("m"))
       .select(col("m"), col("vec_id"),
         (Dedup.md5hash60(concat(lit("pq_"), col("m").cast("string"),
           lit("_"), col("vec_id").cast("string"))) % Codes).as("cell"))
       .groupBy("m", "cell").agg(min("vec_id").as("cent_vec"))
-    val cb = seeds.join(
+    seeds.join(
         subs.select(col("vec_id").as("cent_vec"), col("m"),
           col("sub").as("cv")),
         Seq("cent_vec", "m"))
       .select("m", "cell", "cv")
+  }
+
+  /** [[pqTopK]] over any (vec_id, embedding) DataFrame. */
+  def pqTopKOn(e: DataFrame): DataFrame = {
+    import PqParams._
+    val subs = pqSubvectors(e)
+    val cb = pqCodebook(e, subs)
     // encode: nearest codebook entry per (vector, subspace), exact
     // integer L2², ties to the smallest cell id. min_by over the
     // (d2, cell) tuple — unique per group — instead of a window: the

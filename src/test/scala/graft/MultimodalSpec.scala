@@ -36,6 +36,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("phash band join refuses a hot 8-bit band bucket") {
+    // 1100 identical signatures: every 8-bit band bucket holds all 1100
+    // — the linear-occupancy shape a 100x catalog forces on a
+    // 256-bucket band space (same hazard class as the text SimHash)
+    val sig = (0 until 1100).map(i => (i.toLong, 0x12345678L))
+      .toDF("media_id", "sig")
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.phashPairsOnSigs(sig).count()
+    }
+    assert(e.getMessage.contains("1100"))
+    assert(e.getMessage.contains("widen the bands"))
+  }
+
   test("phashPairs: identical payloads of image kind always pair at hamming 0") {
     // exact text copies that both land on the image kind must collide
     val copies = Tables.documents(spark, d)

@@ -143,6 +143,24 @@ class SimilaritySpec extends AnyFunSuite {
     got.foreach { case (_, _, _, _, c) => assert(c >= -1.0 && c <= 1.0) }
   }
 
+  test("PQ codebook stays <= M x Codes regardless of corpus size") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity.PqParams._
+    // 5000 vectors, 10x the sf0.01 fixture — the codebook must not grow
+    val e = spark.range(5000)
+      .select(col("id").as("vec_id"),
+        expr("transform(sequence(1, 64), i -> cast(id % 7 + i as float))")
+          .as("embedding"))
+    val cb = Similarity.pqCodebook(e, Similarity.pqSubvectors(e))
+      .select("m", "cell").as[(Int, Long)].collect()
+    assert(cb.length <= M * Codes, s"codebook has ${cb.length} rows")
+    assert(cb.distinct.length === cb.length)
+    // non-degenerate: every subspace populates most of its cells
+    (0 until M).foreach { m =>
+      assert(cb.count(_._1 == m) >= Codes / 2, s"subspace $m sparse")
+    }
+  }
+
   test("IVF on the fixture emits ranked rows with exact cosines") {
     val rows = Similarity.ivfTopK(spark, d)
       .as[(Long, Long, Int, Double)].collect()
