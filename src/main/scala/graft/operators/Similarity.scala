@@ -75,20 +75,32 @@ object Similarity {
 
   /** Exact-rerank tail shared by the candidate-generation strategies:
     * join candidate (query_id, neighbor_id) pairs back to their vectors,
-    * score with the exact cosine, rank per query, keep top [[K]]. */
+    * score with the exact cosine, keep top [[K]] per query.
+    *
+    * Ranking is the same bounded-heap aggregate [[bruteTopKOn]] uses —
+    * NOT a `row_number() OVER (PARTITION BY query_id)` window, which
+    * would shuffle every candidate row into #queries partitions. For the
+    * IVF paths the candidate set is ~NProbe·n/|cells| rows per query
+    * (linear in n at a fixed codebook size), so the window variant is a
+    * funnel at 100 TB; the aggregate reduces each input partition to a
+    * k-entry buffer map-side and the shuffle carries only
+    * #partitions × #queries × k entries. Same total tie-break
+    * (cos DESC, neighbor_id ASC), so the window-based oracles are
+    * untouched. */
   private def rerank(e: DataFrame, cands: DataFrame): DataFrame = {
     val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(desc("cos"), asc("neighbor_id"))
     cands
       .join(broadcast(q), "query_id")
       .join(c, "neighbor_id")
-      .withColumn("cos", CosineSimilarity(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cos"), 6).as("cosine"))
+      .select(col("query_id"), col("neighbor_id"),
+        CosineSimilarity(col("qv"), col("cv")).as("cos"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg(col("neighbor_id"), col("cos"), K).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "nb")))
+      .select(col("query_id"), col("nb.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        round(col("nb.score"), 6).as("cosine"))
       .orderBy("query_id", "rank")
   }
 
@@ -380,21 +392,34 @@ object Similarity {
       .select(col("query_id"), col("m"), col("cell"),
         aggregate(zip_with(col("qsub"), col("cv"), (x, y) => x * y),
           lit(0L), _ + _).as("pdot"))
-    val wTop = Window.partitionBy("query_id").orderBy(desc("adc"), asc("vec_id"))
+    // top-K by (adc DESC, vec_id ASC) through the same bounded-heap
+    // aggregate as [[bruteTopKOn]]/[[rerank]] — ADC scores the ENTIRE
+    // corpus per query by design, so a row_number window here would
+    // shuffle n×#queries rows into #queries partitions (the funnel the
+    // brute path's scaladoc warns about). adc is an exact integer with
+    // |adc| ≤ M·SubDim·(2²⁰)² = 2⁴⁶ < 2⁵³, so the double score
+    // round-trips losslessly through the heap and the cast back to
+    // bigint reproduces it bit-exactly; ties cannot collide with real
+    // score gaps, so the (score DESC, id ASC) heap order is the same
+    // total order the oracle's window writes.
     val top = codes.join(broadcast(luts), Seq("m", "cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .groupBy("query_id", "vec_id").agg(sum("pdot").as("adc"))
-      .withColumn("rank", row_number().over(wTop))
-      .filter(col("rank") <= K)
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg(col("vec_id"), col("adc").cast("double"), K)
+        .as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "nb")))
+      .select(col("query_id"), col("nb.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("nb.score").cast("long").as("adc"))
     // one exact cosine per surfaced neighbor — the verify step a real
     // pipeline runs on the PQ winners (K rows/query, nearly free)
     top.join(broadcast(e.select(col("vec_id").as("query_id"),
         col("embedding").as("qe"))), "query_id")
-      .join(e.select(col("vec_id").as("neighbor_id"),
+      .join(e.select(col("vec_id").as("ce_id"),
         col("embedding").as("ce")),
-        col("neighbor_id") === col("vec_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        col("rank").cast("int").as("rank"), col("adc"),
+        col("neighbor_id") === col("ce_id"))
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adc"),
         round(CosineSimilarity(col("qe"), col("ce")), 6).as("cosine"))
       .orderBy("query_id", "rank")
   }

@@ -40,6 +40,33 @@ class PlanLintSpec extends AnyFunSuite {
     "dedup_lsh_eval",                       // three 1-row count aggregates
     "events_priority_sample")               // 1-row τ-threshold broadcast
 
+  test("no ann_* plan ranks through a Window partitioned by query_id") {
+    // VERDICT r6: the shared rerank tail and the PQ ranking once used
+    // row_number() OVER (PARTITION BY query_id) — a funnel of per-query
+    // candidate rows (the FULL corpus per query for PQ's ADC scoring)
+    // into #queries partitions. All ranking now goes through the
+    // bounded-heap TopKAgg; the only windows left in ann_* plans are the
+    // per-VECTOR assignment windows (partition count = corpus size —
+    // scale-safe). Pin that, so a future candidate path can't quietly
+    // reintroduce the funnel.
+    val plans = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(_._1.startsWith("ann_"))
+      .map { case (name, fn) =>
+        name -> fn(spark, d).queryExecution.executedPlan.toString
+      }
+    // self-check against plan-string truncation: the per-vector IVF
+    // assignment windows must be VISIBLE in the same strings, or the
+    // query_id scan below would pass vacuously
+    assert(plans.exists(_._2.contains("windowspecdefinition(vec_id#")),
+      "no vec_id window visible in any ann_* plan string — truncated?")
+    val offenders = plans.collect {
+      case (name, plan) if plan.contains("windowspecdefinition(query_id#") =>
+        name
+    }
+    assert(offenders.isEmpty,
+      s"ann_* plans ranking through a query_id window: ${offenders.mkString(", ")}")
+  }
+
   test("no query plans a CartesianProduct or an unpartitioned Window") {
     val skip = SparkEntry.queries.keySet.filter(_.endsWith("_stream"))
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
