@@ -396,6 +396,8 @@ object SparkEntry {
     "mm_frame_sample" -> (Multimodal.frameSample _),
     // perceptual (average-hash) image near-dup: banded, hamming-verified
     "mm_phash_pairs" -> (Multimodal.phashPairs _),
+    // wide-band variant: 4 x 15-bit bands, the occupancy-guard escape
+    "mm_phash_pairs_wide" -> (Multimodal.phashPairsWide _),
     "mm_resize" -> (Multimodal.resize _),
 
     // --- sessionization (batch window form + the stateful variant run
@@ -999,6 +1001,7 @@ object SparkEntry {
     "mm_decode_features" -> MultimodalOracles.decodeFeatures,
     "mm_frame_sample" -> MultimodalOracles.frameSample,
     "mm_phash_pairs" -> MultimodalOracles.phashPairs,
+    "mm_phash_pairs_wide" -> MultimodalOracles.phashPairsWide,
     "mm_resize" -> MultimodalOracles.resize,
     "events_sessionized" -> sessionizedOracle,
     // Spark's built-in session_window must reproduce the same sessions

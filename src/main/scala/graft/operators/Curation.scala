@@ -127,17 +127,45 @@ object Curation {
     * group). Per-type stats are one partial+final aggregation; the
     * 5-row stats frame broadcasts back — the event table itself never
     * shuffles. */
+  /** [[outliers]] refusal bound on max-per-group n·max|v₆|: the largest
+    * product the cross-multiplied test forms is 9·(n·Σv₆² − (Σv₆)²) ≤
+    * 9·(n·max|v₆|)², so keeping n·max|v₆| ≤ 10¹⁸ bounds every
+    * intermediate at 9·10³⁶ < 10³⁸ — inside DECIMAL(38,0), where
+    * non-ANSI Spark would otherwise return NULL on overflow and
+    * silently DROP rows from the filter while the DuckDB HUGEINT side
+    * errors (ADVICE r6). Refuse-rather-than-detonate, like
+    * [[graft.operators.Dedup.MaxNaiveShingleDf]]; the escape at real
+    * scale is coarser value quantization (fewer fractional digits) or
+    * per-group Welford-style DOUBLE stats with an epsilon band instead
+    * of exact integer flags. */
+  val MaxOutlierGroupScale = 1e18
+
   def outliers(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("event_type"), col("value"),
         (col("value").cast(DecimalType(18, 6)) * lit(1000000))
           .cast(DecimalType(38, 0)).as("v6"))
+    // stats: tiny (#event-type rows); localCheckpoint so the eager
+    // overflow guard below and the broadcast join share one events pass
     val stats = ev.groupBy("event_type").agg(
       count(lit(1)).cast(DecimalType(38, 0)).as("n"),
       sum(col("v6")).cast(DecimalType(38, 0)).as("s6"),
-      sum(col("v6") * col("v6")).cast(DecimalType(38, 0)).as("q6"))
+      sum(col("v6") * col("v6")).cast(DecimalType(38, 0)).as("q6"),
+      max(abs(col("v6"))).as("m6"))
+      .localCheckpoint()
+    // guard in DOUBLE: 16 significant digits against a 10^18 bound with
+    // 10x headroom in the 9·x² analysis — precision loss is irrelevant
+    val worstRow = stats.agg(
+      max(col("n").cast("double") * col("m6").cast("double"))).head()
+    if (!worstRow.isNullAt(0))
+      require(worstRow.getDouble(0) <= MaxOutlierGroupScale,
+        f"outliers refused: max per-group n*max|v6| = ${worstRow.getDouble(0)}%.3g " +
+          f"exceeds $MaxOutlierGroupScale%.1g - the DECIMAL(38,0) " +
+          "cross-multiplied test could overflow to NULL and drop rows; " +
+          "quantize values more coarsely or use double stats with an " +
+          "epsilon band")
     val dev = col("n") * col("v6") - col("s6")
-    ev.join(broadcast(stats), "event_type")
+    ev.join(broadcast(stats.drop("m6")), "event_type")
       .filter(dev * dev >
         lit(9) * (col("n") * col("q6") - col("s6") * col("s6")))
       .select(col("event_id"), col("event_type"), col("value"))

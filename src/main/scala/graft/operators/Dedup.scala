@@ -496,11 +496,16 @@ object Dedup {
     val c = cands.agg(count(lit(1)).as("n_cand"))
     val h = truth.join(cands, Seq("i", "j"), "left_semi")
       .agg(count(lit(1)).as("n_hit"))
+    // degenerate-corpus guard (ADVICE r6): 0/0 is NaN in Spark but NULL
+    // in DuckDB — an empty pair set must yield NULL ratios on BOTH
+    // engines (the oracle wraps its denominators in NULLIF)
     t.crossJoin(broadcast(c)).crossJoin(broadcast(h))
       .select(col("n_true"), col("n_cand"), col("n_hit"),
-        round(col("n_hit").cast("double") / col("n_true"), 6)
+        round(when(col("n_true") === 0, lit(null))
+          .otherwise(col("n_hit").cast("double") / col("n_true")), 6)
           .as("pair_recall"),
-        round(col("n_hit").cast("double") / col("n_cand"), 6)
+        round(when(col("n_cand") === 0, lit(null))
+          .otherwise(col("n_hit").cast("double") / col("n_cand")), 6)
           .as("cand_precision"))
   }
 
@@ -546,15 +551,18 @@ object Dedup {
   /** [[simhashPairs]] over a precomputed (doc_id, simhash) frame. */
   private[graft] def simhashPairsOn(sig0: DataFrame): DataFrame = {
     // the signature frame feeds the occupancy guard plus both legs of the
-    // band self-join; one row per doc, so caching it is nearly free
-    val sig = sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // band self-join; one row per doc, so materializing it is nearly
+    // free. localCheckpoint, NOT persist: a persist entry would outlive
+    // the call in the SQL cache for any library caller that never
+    // clearCache()s (ADVICE r6) — checkpoint blocks are released with
+    // the frame by the context cleaner
+    val sig = sig0.localCheckpoint()
     val chunks = (0 until SimHashBands).map(b =>
       shiftright(col("simhash"), 12 * b).bitwiseAND(0xFFF))
     val bands = sig.select(col("doc_id"), col("simhash"),
       posexplode(array(chunks: _*)).as(Seq("band", "bkey")))
     val maxOcc = bands.groupBy("band", "bkey").agg(count(lit(1)).as("occ"))
       .agg(max("occ")).head().getLong(0)
-    if (maxOcc > MaxSimHashBandBucket) sig.unpersist() // refusal must not leak the cache entry
     require(maxOcc <= MaxSimHashBandBucket,
       s"simhashPairs refused: max band-bucket occupancy $maxOcc > " +
         s"$MaxSimHashBandBucket (occupancy² fan-out per bucket); widen the " +
@@ -793,13 +801,36 @@ object Dedup {
   /** Write-once/read-many edge intermediate: build + write the edge
     * parquet if absent, then return a reader over it. The existence
     * check and write go through the Hadoop FileSystem API, so the same
-    * code addresses HDFS/S3A scratch roots on a cluster. */
+    * code addresses HDFS/S3A scratch roots on a cluster.
+    *
+    * Completeness protocol (ADVICE r6): a bare `exists(dir)` cannot
+    * tell a finished write from the debris of a crashed or concurrent
+    * writer, so the gate is the `_SUCCESS` marker Spark's committer
+    * drops only after ALL part files land — and the write goes to a
+    * temp sibling first, renamed into place, so the final path only
+    * ever appears in its complete form. If a concurrent writer wins
+    * the rename race we serve its (equally complete) output. */
   private def readEdges(s: SparkSession, root: String, d: String,
       kind: String)(build: => DataFrame): DataFrame = {
     val path = edgePath(root, d, kind)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) build.write.mode("overwrite").parquet(path)
+    val done = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+    if (!fs.exists(done)) {
+      val tmp = new org.apache.hadoop.fs.Path(
+        path + ".inprogress-" +
+          java.util.UUID.randomUUID().toString.take(8))
+      build.write.mode("overwrite").parquet(tmp.toString)
+      if (fs.exists(p)) fs.delete(p, true) // partial debris: no _SUCCESS
+      if (!fs.rename(tmp, p)) {
+        // lost a rename race — a concurrent writer just published; use
+        // theirs, but only if it carries the completeness marker
+        fs.delete(tmp, true)
+        require(fs.exists(done),
+          s"edge intermediate $path exists without _SUCCESS after " +
+            "rename race — clear the scratch dir and retry")
+      }
+    }
     s.read.parquet(path)
   }
 

@@ -162,8 +162,8 @@ object DedupOracles {
        |                WHERE cand.i = truth.i AND cand.j = truth.j)
        |)
        |SELECT n_true, n_cand, n_hit,
-       |  round(n_hit * 1.0 / n_true, 6) AS pair_recall,
-       |  round(n_hit * 1.0 / n_cand, 6) AS cand_precision
+       |  round(n_hit * 1.0 / NULLIF(n_true, 0), 6) AS pair_recall,
+       |  round(n_hit * 1.0 / NULLIF(n_cand, 0), 6) AS cand_precision
        |FROM t, m, hits""".stripMargin
 
   val simhashPairs: String = {

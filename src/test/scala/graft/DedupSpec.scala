@@ -263,6 +263,37 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("a partial edge intermediate without _SUCCESS is rebuilt, not served") {
+    // ADVICE r6: a crashed writer leaves a directory with part files but
+    // no _SUCCESS marker — serving it would silently hand a truncated
+    // edge graph to every consumer. The protocol must rebuild it.
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-edge-partial").toString
+    val before = Dedup.edgeScratchDir
+    try {
+      // plant crashed-writer debris at the exact path the memo will use
+      val dirHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val partial = new java.io.File(s"$tmp/edges_minhash_$dirHash")
+      assert(partial.mkdirs())
+      java.nio.file.Files.writeString(
+        partial.toPath.resolve("part-00000-dead.snappy.parquet"), "junk")
+
+      Dedup.edgeScratchDir = Some(tmp)
+      val ss = spark.newSession()
+      val got = Dedup.minhashEdgesShared(ss, d).count()
+      assert(got > 0, "rebuilt edge graph must be non-empty")
+      assert(new java.io.File(partial, "_SUCCESS").exists(),
+        "rebuild must leave a complete (_SUCCESS-marked) intermediate")
+      assert(!new java.io.File(partial, "part-00000-dead.snappy.parquet")
+        .exists(), "crashed-writer debris must be replaced")
+    } finally {
+      Dedup.edgeScratchDir = before
+      spark.catalog.clearCache()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("LSH clusters: same invariants; members must pair at t=0.8") {
     val out = Dedup.nearDupClustersLsh(spark, d)
       .as[(Long, Long, Long, Boolean)].collect()

@@ -47,6 +47,34 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("1100"))
     assert(e.getMessage.contains("widen the bands"))
+    // the refusal must name an EXECUTABLE escape (VERDICT r6 item 5)
+    assert(e.getMessage.contains("phashPairsWide"))
+  }
+
+  test("wide 4 x 15-bit banding is complete at hamming <= 3") {
+    // worst case for the pigeonhole: 3 flipped bits spread across 3
+    // DIFFERENT bands — the 4th band must still collide; and a 4-bit
+    // difference (one flip per band) must be excluded
+    val base = 0x0F0F0F0F0F0F0FL
+    val three = base ^ (1L << 0) ^ (1L << 15) ^ (1L << 30)
+    val four = three ^ (1L << 45)
+    val sig = Seq((1L, base), (2L, three), (3L, four))
+      .toDF("media_id", "sig")
+    val got = Multimodal.phashPairsOnSigs(sig, nBands = 4, bandBits = 15)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === Set((1L, 2L, 3), (2L, 3L, 1)))
+  }
+
+  test("wide phash band join refuses a hot 15-bit band bucket too") {
+    // identical 60-bit signatures saturate every 15-bit bucket as well —
+    // the guard covers the escape hatch, not just the narrow bands
+    val sig = (0 until 1100).map(i => (i.toLong, 0xABCDEF987654321L))
+      .toDF("media_id", "sig")
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.phashPairsOnSigs(sig, nBands = 4, bandBits = 15).count()
+    }
+    assert(e.getMessage.contains("1100"))
+    assert(e.getMessage.contains("15-bit"))
   }
 
   test("phashPairs: identical payloads of image kind always pair at hamming 0") {
