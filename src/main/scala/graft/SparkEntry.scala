@@ -171,6 +171,8 @@ object SparkEntry {
     "ann_topk_ivf_kmeans" -> (Similarity.ivfKmeansTopK _),
     // product quantization: 2-byte codes + integer ADC lookup scoring
     "ann_topk_pq" -> (Similarity.pqTopK _),
+    // trained product quantization: per-subspace Lloyd-refined codebooks
+    "ann_topk_pq_trained" -> (Similarity.pqTrainedTopK _),
     "ann_label_purity" -> (Similarity.labelPurity _),
     // recall@K of each approximate index vs the exact brute baseline —
     // all pipelines deterministic, so recall itself is hash-checked
@@ -848,6 +850,7 @@ object SparkEntry {
     "ann_topk_ivf" -> SimilarityOracles.ivfTopK,
     "ann_topk_ivf_kmeans" -> SimilarityOracles.ivfKmeansTopK,
     "ann_topk_pq" -> SimilarityOracles.pqTopK,
+    "ann_topk_pq_trained" -> SimilarityOracles.pqTrainedTopK,
     "ann_label_purity" -> SimilarityOracles.labelPurity,
     "ann_recall_at_k" -> SimilarityOracles.recallAtK,
     "text_langid" -> TextAnalysisOracles.langId,

@@ -143,6 +143,65 @@ class SimilaritySpec extends AnyFunSuite {
     got.foreach { case (_, _, _, _, c) => assert(c >= -1.0 && c <= 1.0) }
   }
 
+  test("Lloyd-trained PQ: distortion never increases, planted recall intact") {
+    import org.apache.spark.sql.functions._
+    // dim-64 planted corpus (PQ needs M*SubDim = 64): 200 random base
+    // vectors + 3 noisy copies of each query
+    val rnd = new scala.util.Random(41)
+    val dim = 64
+    val base = Seq.tabulate(200)(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() - 0.5f)))
+    val planted = for {
+      (i, v) <- base.take(Similarity.NumQueries)
+      c <- 0 until 3
+    } yield (1000L + i * 10 + c,
+      v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f))
+    val e = (base ++ planted).map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+
+    val subs = Similarity.pqSubvectors(e)
+    // total quantization distortion Σ min-cell L2² — THE quantity Lloyd
+    // descends; integer-truncated means can perturb the textbook
+    // monotonicity by ≤ SubDim/4 per (vec, m), noise at the 2^40 scale
+    // of these distances
+    def distortion(cb: org.apache.spark.sql.DataFrame): Long =
+      subs.join(broadcast(cb), Seq("m"))
+        .select(col("vec_id"), col("m"),
+          aggregate(zip_with(col("sub"), col("cv"),
+            (x, y) => (x - y) * (x - y)), lit(0L), _ + _).as("d2"))
+        .groupBy("vec_id", "m").agg(min("d2").as("d2"))
+        .agg(sum("d2")).head().getLong(0)
+    val seeded = distortion(Similarity.pqCodebook(e, subs))
+    val trained = distortion(Similarity.pqCodebookTrained(e, subs,
+      Similarity.PqIters))
+    info(f"PQ distortion seeded=$seeded%d trained=$trained%d " +
+      f"(${100.0 * (seeded - trained) / seeded}%.1f%% lower)")
+    assert(trained <= seeded,
+      s"Lloyd training increased distortion: $trained > $seeded")
+
+    // retrieval: planted near-copies quantize onto their query's codes,
+    // so trained ADC must surface them
+    val brute = Similarity.bruteTopKOn(e)
+      .as[(Long, Long, Int, Double)].collect()
+    val bruteTop3 = brute.filter(_._3 <= 3)
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall(rows: Array[(Long, Long, Int, Long, Double)]): Double = {
+      val byQ = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rs = bruteTop3.map { case (q, top3) =>
+        byQ.getOrElse(q, Set.empty).intersect(top3).size.toDouble / 3 }
+      rs.sum / rs.size
+    }
+    val rSeeded = recall(Similarity.pqTopKOn(e)
+      .as[(Long, Long, Int, Long, Double)].collect())
+    val rTrained = recall(Similarity.pqTrainedTopKOn(e)
+      .as[(Long, Long, Int, Long, Double)].collect())
+    info(f"PQ planted recall@3 seeded=$rSeeded%.2f trained=$rTrained%.2f")
+    assert(rTrained >= rSeeded,
+      f"training lost planted recall: $rTrained%.2f < $rSeeded%.2f")
+    assert(rTrained >= 0.9, f"trained planted recall $rTrained%.2f too low")
+  }
+
   test("PQ codebook stays <= M x Codes regardless of corpus size") {
     import org.apache.spark.sql.functions._
     import graft.operators.Similarity.PqParams._
