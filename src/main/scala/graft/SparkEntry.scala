@@ -185,6 +185,8 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     // BPE merge-candidate pair statistics (tokenizer induction step)
     "text_bpe_pair_stats" -> (TextAnalysis.bpePairStats _),
+    // iterative BPE merge loop: first N merges over the vocab frame
+    "text_bpe_vocab" -> (TextAnalysis.bpeVocab _),
     "text_repetition" -> (TextAnalysis.repetition _),
     "text_oov_rate" -> (TextAnalysis.oovRate _),
     "text_langid_confusion" -> (TextAnalysis.langIdConfusion _),
@@ -858,6 +860,7 @@ object SparkEntry {
     "text_token_counts" -> TextAnalysisOracles.tokenCounts,
     "text_fingerprint" -> TextAnalysisOracles.fingerprint,
     "text_bpe_pair_stats" -> TextAnalysisOracles.bpePairStats,
+    "text_bpe_vocab" -> TextAnalysisOracles.bpeVocab,
     "text_repetition" -> TextAnalysisOracles.repetition,
     "text_oov_rate" -> TextAnalysisOracles.oovRate,
     "text_langid_confusion" -> TextAnalysisOracles.langIdConfusion,

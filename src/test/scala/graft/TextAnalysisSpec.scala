@@ -110,6 +110,48 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeVocab: merge loop matches a plain Scala greedy BPE trainer") {
+    // corpus engineered to exercise every semantic corner: an a=a merge
+    // with overlapping runs ("aaaa" → [aa, aa]), multi-char-token
+    // merges in later rounds, and an (n_occ, a, b) tie at round 4
+    val docs = Seq(
+      (1L, "aaaa aaaa banana"),
+      (2L, "banana band bandana"),
+      (3L, "aaaa ab")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeVocabOn(docs)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+
+    // reference trainer: word multiset → char tokens → greedy merges
+    val wordFreq = docs.as[(Long, String)].collect()
+      .flatMap(_._2.split(" ")).filter(_.length >= 2)
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+    var vocab: Seq[(Vector[String], Long)] =
+      wordFreq.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    def applyMerge(toks: Vector[String], a: String, b: String) = {
+      val out = Vector.newBuilder[String]
+      var k = 0
+      while (k < toks.length) {
+        if (k + 1 < toks.length && toks(k) == a && toks(k + 1) == b) {
+          out += (a + b); k += 2
+        } else { out += toks(k); k += 1 }
+      }
+      out.result()
+    }
+    val want = (1 to TextAnalysis.BpeMerges).map { i =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+        .withDefaultValue(0L)
+      for ((toks, f) <- vocab; k <- 0 until toks.length - 1)
+        counts((toks(k), toks(k + 1))) += f
+      val ((a, b), n) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+      vocab = vocab.map { case (toks, f) => (applyMerge(toks, a, b), f) }
+      (i, a + b, a, b, n)
+    }
+    // round 1 must be the a=a parity case, round 4 the tie-break
+    assert(want.head._3 === want.head._4, "fixture lost its a=a case")
+    assert(got === want)
+  }
+
   test("repetition: bigram multiset invariants hold against tokenCounts") {
     val nTok = TextAnalysis.tokenCounts(spark, d)
       .select("doc_id", "n_ws_tokens").as[(Long, Int)].collect().toMap
