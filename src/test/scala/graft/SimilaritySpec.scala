@@ -279,6 +279,54 @@ class SimilaritySpec extends AnyFunSuite {
     assert(b1.forall { case (_, _, k) => k >= 0 && k < (1L << LshBuckets.Bits) })
   }
 
+  test("IVF candidates per query stay ~NProbe*n/K on a 10x corpus") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // VERDICT r6 item 7: at the FIXED CodebookSize the per-query
+    // candidate set is ~NProbe*n/K — linear in n. Pin that contract on
+    // a 10x random corpus (5000 vectors vs sf0.01's 500): every query's
+    // candidates must stay within a small constant of NProbe*n/K —
+    // i.e. bounded by cell balance, never corpus-sized. The documented
+    // production dial for growing n is raising K toward sqrt(n), which
+    // changes only the CodebookSize constant.
+    val rnd = new scala.util.Random(53)
+    val n = 5000
+    val e = Seq.tabulate(n)(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    // mirror ivfTopKOn's assignment: nearest default centroid per vector
+    val cents = Similarity.defaultCentroids(e)
+    val ranked = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        graft.functions.CosineSimilarity(col("embedding"), col("cv"))
+          .as("ccos"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cent_id"))))
+    val cellSizes = ranked.filter(col("crn") === 1)
+      .groupBy("cent_id").agg(count(lit(1)).as("sz"))
+    val perQuery = ranked
+      .filter(col("crn") <= Similarity.NProbe &&
+        col("vec_id") < Similarity.NumQueries)
+      .join(cellSizes, "cent_id")
+      .groupBy("vec_id").agg(sum("sz").as("cands"))
+      .as[(Long, Long)].collect()
+    assert(perQuery.length === Similarity.NumQueries)
+    val perCell = n.toDouble / Similarity.CodebookSize
+    val worst = perQuery.map(_._2).max
+    info(f"10x corpus: worst candidates/query = $worst%d, " +
+      f"NProbe*n/K = ${Similarity.NProbe * perCell}%.0f")
+    perQuery.foreach { case (q, c) =>
+      assert(c <= Similarity.NProbe * perCell * 4,
+        s"query $q: $c candidates > 4x the NProbe*n/K bound " +
+          s"(${Similarity.NProbe * perCell}) — cell balance broken")
+    }
+    // and the average must sit near the nominal bound, not the slack
+    val avg = perQuery.map(_._2).sum.toDouble / perQuery.length
+    assert(avg <= Similarity.NProbe * perCell * 2,
+      f"avg candidates/query $avg%.0f > 2x NProbe*n/K")
+  }
+
   test("IVF codebook stays <= CodebookSize regardless of corpus size") {
     import org.apache.spark.sql.functions._
     // 5000 vectors — 10x the sf0.01 fixture; the old every-40th rule
