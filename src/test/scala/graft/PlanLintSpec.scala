@@ -24,7 +24,9 @@ class PlanLintSpec extends AnyFunSuite {
     "bigram_probs", "bigram_probs_onlyone", // grand-total scalar
     "dedup_embedding_pairs",                // guarded brute pair join
     "ann_topk_brute",                       // broadcast query side, i<j
+    "ann_knn_classify",                     // reuses brute top-k stage
     "ann_topk_ivf", "ann_topk_ivf_kmeans",  // broadcast codebook score
+    "ann_topk_ivfpq",                       // broadcast coarse-cell score
     "ann_label_purity",                     // reuses brute top-k
     "dedup_clusters", "text_quality_propagation", // scalar min/convergence
     "text_domain_rebalance",                // 1-row min broadcast

@@ -143,6 +143,54 @@ class SimilaritySpec extends AnyFunSuite {
     got.foreach { case (_, _, _, _, c) => assert(c >= -1.0 && c <= 1.0) }
   }
 
+  test("knnClassify = majority vote over bruteTopK with smaller-label ties") {
+    val labels = spark.read.parquet(s"$d/embeddings.parquet")
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val topk = Similarity.bruteTopK(spark, d)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    val expected = topk.groupBy(_._1).map { case (q, nbs) =>
+      val votes = nbs.map(n => labels(n._2))
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val (lbl, n) = votes.toSeq.minBy { case (l, v) => (-v, l) }
+      q -> ((labels(q), lbl, n, labels(q) == lbl))
+    }
+    val got = Similarity.knnClassify(spark, d)
+      .as[(Long, Int, Int, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got === expected)
+  }
+
+  test("IVFADC recall is high on a corpus with planted near-neighbors") {
+    // dim-64 corpus (the PQ subspace constraint): a planted copy lands
+    // in its query's coarse cell AND its residual quantizes onto the
+    // query's residual codes, so the composed index must surface it
+    val rnd = new scala.util.Random(67)
+    val dim = 64
+    val base = Seq.tabulate(200)(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() - 0.5f)))
+    val planted = for {
+      (i, v) <- base.take(Similarity.NumQueries)
+      c <- 0 until 3
+    } yield (1000L + i * 10 + c,
+      v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f))
+    val e = (base ++ planted).map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val brute = Similarity.bruteTopKOn(e)
+      .as[(Long, Long, Int, Double)].collect()
+    val bruteTop3 = brute.filter(_._3 <= 3)
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = Similarity.ivfPqTopKOn(e)
+      .as[(Long, Long, Int, Double)].collect()
+    val byQ = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = bruteTop3.map { case (q, top3) =>
+      byQ.getOrElse(q, Set.empty).intersect(top3).size.toDouble / 3
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean IVFADC recall@3 (planted) = $mean%.2f")
+    assert(mean >= 0.9, f"planted near-dup recall $mean%.2f too low")
+  }
+
   test("Lloyd-trained PQ: distortion never increases, planted recall intact") {
     import org.apache.spark.sql.functions._
     // dim-64 planted corpus (PQ needs M*SubDim = 64): 200 random base
