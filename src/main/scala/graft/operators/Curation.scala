@@ -380,6 +380,55 @@ object Curation {
       .filter(col("n_occurrences") > 1)
       .orderBy("chunk_hash")
 
+  /** Token budget of one packed training sequence (shared with the
+    * generated oracle). Real pipelines use the model context (2k-8k);
+    * 256 exercises multi-doc packing on the 10-100-word fixture docs. */
+  val PackSeqLen = 256L
+
+  /** Pack shards: documents are md5-bucketed into this many independent
+    * packing streams. At cluster scale this is the parallelism dial —
+    * one shard ≈ one output file / task; raise it with the corpus so
+    * each shard's window stays executor-sized. */
+  val PackShards = 16L
+
+  /** SEQUENCE PACKING — the concat-then-split step that turns variable
+    * -length documents into fixed-[[PackSeqLen]] training rows: docs are
+    * deterministically md5-sharded, concatenated in doc_id order within
+    * their shard, and the running token offset places each doc at
+    * (seq_id, seq_offset) of the packed stream. `crosses_boundary` marks
+    * docs split across two training sequences — the packing-loss metric
+    * a pipeline owner tracks when choosing padding vs splitting.
+    *
+    * Scale: one map-only projection (token count + shard), then a
+    * cumulative-sum window PARTITIONED BY shard — no global order, no
+    * funnel; shard count scales with the corpus ([[PackShards]] is the
+    * dial), and each shard's pack is a single streaming pass. This is
+    * the reference's static 26-way letter partitioner
+    * (`mapreduce.erl:156-170`) re-aimed at token budgets: a fixed
+    * deterministic key routes work to independent streams. */
+  def sequencePack(s: SparkSession, d: String): DataFrame =
+    sequencePackOn(Tables.documents(s, d))
+
+  /** [[sequencePack]] over any (doc_id, text) DataFrame. */
+  def sequencePackOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.select(col("doc_id"),
+      size(graft.functions.WordShingles(col("text"), 1)).cast("long")
+        .as("n_tokens"),
+      (Dedup.md5hash60(col("doc_id").cast("string")) % PackShards)
+        .as("shard"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"),
+        expr(s"cum_before div $PackSeqLen").as("seq_id"),
+        (col("cum_before") % PackSeqLen).as("seq_offset"),
+        col("n_tokens"),
+        (col("cum_before") % PackSeqLen + col("n_tokens") > PackSeqLen)
+          .as("crosses_boundary"))
+      .orderBy("doc_id")
+  }
+
   /** Selection quantile for [[selectTopQuality]]: keep the top 20% of
     * documents by quality score. Shared with the generated oracle. */
   val SelectQuantile = 0.8
@@ -801,6 +850,31 @@ object CurationOracles {
        |  min(doc_id) AS keep_doc
        |FROM ch GROUP BY 1 HAVING count(*) > 1
        |ORDER BY chunk_hash""".stripMargin
+  }
+
+  /** Replicates [[Curation.sequencePackOn]]: md5 doc shard, per-shard
+    * doc_id-ordered running token sum (exclusive), integer div/mod
+    * placement — all BIGINT, bit-identical. */
+  val sequencePack: String = {
+    import Curation.{PackSeqLen => L, PackShards => S}
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+       |      AS n_tokens,
+       |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % $S AS shard
+       |  FROM documents
+       |),
+       |c AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+       |      AS cum_before
+       |  FROM t
+       |)
+       |SELECT doc_id, shard, cum_before // $L AS seq_id,
+       |  cum_before % $L AS seq_offset, n_tokens,
+       |  (cum_before % $L + n_tokens > $L) AS crosses_boundary
+       |FROM c ORDER BY doc_id""".stripMargin
   }
 
   /** Unrolls [[Curation.qualityPropagation]]'s damped integer rounds in

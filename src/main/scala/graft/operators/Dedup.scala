@@ -1024,4 +1024,62 @@ object Dedup {
         (col("v") === col("cluster_id")).as("keep"))
       .orderBy(idCol)
   }
+
+  // ------------------------------------------------------------------
+  // 10. duplicated-span extraction (exact-substring dedup)
+  // ------------------------------------------------------------------
+
+  /** Width (words) of the positional shingles that seed span detection. */
+  val SpanShingleWords = 5
+
+  /** Minimum merged-span length (words) worth reporting: islands of
+    * ≥ 4 consecutive duplicated 5-shingles, i.e. ≥ 8 shared words. */
+  val MinDupSpanWords = 8
+
+  /** Duplicated-SPAN extraction — the exact-substring flavor of training
+    * -data dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL'22): document-level dedup misses long
+    * verbatim passages embedded in otherwise-distinct pages (quotes,
+    * licenses, syndicated paragraphs). For every doc, find word
+    * positions whose [[SpanShingleWords]]-shingle occurs in ≥ 2 DISTINCT
+    * docs, merge consecutive positions into maximal islands
+    * (gaps-and-islands: `pos − row_number` is constant within a run) and
+    * report spans of ≥ [[MinDupSpanWords]] words with how many docs
+    * share their widest shingle. Downstream, these spans are what a
+    * pipeline CUTS from kept documents — the remove-substring
+    * counterpart to dropping whole near-dup docs.
+    *
+    * Scale: positional shingles are map-only (only 60-bit hashes + an
+    * int position shuffle — never shingle text); the duplicated-shingle
+    * set is one partial+final agg by hash; the membership probe is a
+    * hash equi-join; the island merge is a window PARTITIONED BY doc_id
+    * — per-doc state, embarrassingly parallel. The reference's analog is
+    * the shared-key shuffle of `countCombos` pairs
+    * (`mapreduce.erl:275-282`); here the "key" is the span shingle. */
+  def dupSpans(s: SparkSession, d: String): DataFrame =
+    dupSpansOn(Tables.documents(s, d))
+
+  /** [[dupSpans]] over any (doc_id, text) DataFrame. */
+  def dupSpansOn(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+        posexplode(graft.functions.WordShingles(col("text"), SpanShingleWords))
+          .as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos"), md5hash60(col("s")).as("h"))
+    val dup = sh.groupBy("h")
+      .agg(countDistinct("doc_id").as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    sh.join(dup, "h")
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy(col("doc_id"), (col("pos") - col("rn")).as("isl"))
+      .agg(min("pos").as("span_start"),
+        (max(col("pos")) - min(col("pos")) + lit(SpanShingleWords))
+          .as("span_words"),
+        count(lit(1)).as("n_shingles"),
+        max("n_docs").as("max_docs"))
+      .filter(col("span_words") >= MinDupSpanWords)
+      .select(col("doc_id"), col("span_start"), col("span_words"),
+        col("n_shingles"), col("max_docs"))
+      .orderBy("doc_id", "span_start")
+  }
 }

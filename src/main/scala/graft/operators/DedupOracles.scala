@@ -379,4 +379,39 @@ object DedupOracles {
        |WHERE list_cosine_similarity(va.embedding::DOUBLE[], vb.embedding::DOUBLE[]) >= ${Dedup.CosineLshThreshold}
        |ORDER BY vec_a, vec_b""".stripMargin
   }
+
+  /** Replicates [[Dedup.dupSpansOn]]: positional 5-word shingles hashed
+    * with the portable 60-bit md5, cross-doc duplicated set, membership
+    * probe, gaps-and-islands merge (`pos − row_number` run key), span
+    * length filter — all integer arithmetic, so the island boundaries
+    * are bit-identical. */
+  val dupSpans: String = {
+    import Dedup.{SpanShingleWords => W, MinDupSpanWords => MinW}
+    val shingle = (1 to W).map(k => s"ws[i+${k - 1}]").mkString(" || ' ' || ")
+    s"""WITH $wordsCtes,
+       |psh AS (
+       |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+       |    ('0x' || substr(md5($shingle), 1, 15))::BIGINT AS h
+       |  FROM wl, unnest(generate_series(1, len(ws) - ${W - 1})) t(i)
+       |),
+       |dup AS (
+       |  SELECT h, count(DISTINCT doc_id) AS n_docs
+       |  FROM psh GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+       |),
+       |marked AS (
+       |  SELECT p.doc_id, p.pos, d.n_docs,
+       |    row_number() OVER (PARTITION BY p.doc_id ORDER BY p.pos) AS rn
+       |  FROM psh p JOIN dup d USING (h)
+       |),
+       |isl AS (
+       |  SELECT doc_id,
+       |    CAST(min(pos) AS INTEGER) AS span_start,
+       |    CAST(max(pos) - min(pos) + $W AS INTEGER) AS span_words,
+       |    count(*) AS n_shingles, max(n_docs) AS max_docs
+       |  FROM marked GROUP BY doc_id, pos - rn
+       |)
+       |SELECT doc_id, span_start, span_words, n_shingles, max_docs
+       |FROM isl WHERE span_words >= $MinW
+       |ORDER BY doc_id, span_start""".stripMargin
+  }
 }

@@ -277,4 +277,27 @@ class CurationSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("sequencePack: per-shard offsets are the exact running token sums") {
+    val got = Curation.sequencePack(spark, d)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(got.nonEmpty)
+    val L = Curation.PackSeqLen
+    // every doc appears exactly once
+    assert(got.map(_._1).distinct.length === got.length)
+    got.groupBy(_._2).foreach { case (_, docs) =>
+      var cum = 0L
+      docs.sortBy(_._1).foreach {
+        case (id, _, seqId, seqOff, nTok, crosses) =>
+          assert(seqId === cum / L, s"doc $id seq_id")
+          assert(seqOff === cum % L, s"doc $id seq_offset")
+          assert(crosses === (cum % L + nTok > L), s"doc $id crosses")
+          cum += nTok
+      }
+    }
+    // the fixture packs multiple docs per sequence AND splits some doc
+    // across a boundary — both packing regimes exercised
+    assert(got.count(_._6) > 0)
+    assert(got.groupBy(t => (t._2, t._3)).exists(_._2.length > 1))
+  }
 }

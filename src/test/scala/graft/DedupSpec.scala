@@ -424,4 +424,34 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(lsh.subsetOf(truth) && lsh.size === nHit)
   }
+
+  test("dupSpans finds exactly the planted cross-doc passages, merged maximally") {
+    // shared 12-word passage "s0..s11" planted in docs 1 and 2 at
+    // different offsets; doc 3 carries TWO 8-word shared runs ("p0..p7"
+    // also in doc 4) separated by unique filler; doc 5 is all-unique.
+    // Filler vocab is disjoint per doc, so no accidental 5-gram dups.
+    val passage = (0 until 12).map("s" + _).mkString(" ")
+    val run = (0 until 8).map("p" + _).mkString(" ")
+    val docs = Seq(
+      (1L, s"a0 a1 a2 $passage a3 a4"),                 // span at pos 3
+      (2L, s"$passage b0 b1"),                          // span at pos 0
+      (3L, s"$run c0 c1 c2 c3 c4 $run"),                // spans at 0 and 13
+      (4L, s"d0 $run d1 $run d2"),                      // spans at 1 and 10
+      (5L, "e0 e1 e2 e3 e4 e5 e6 e7 e8 e9")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpansOn(docs)
+      .as[(Long, Int, Int, Long, Long)].collect().toSet
+    // 12-word passage: 8 shingles, span_words 12; 8-word run: 4 shingles,
+    // span_words 8 (exactly MinDupSpanWords). All shingles shared by 2 docs.
+    assert(got === Set(
+      (1L, 3, 12, 8L, 2L), (2L, 0, 12, 8L, 2L),
+      (3L, 0, 8, 4L, 2L), (3L, 13, 8, 4L, 2L),
+      (4L, 1, 8, 4L, 2L), (4L, 10, 8, 4L, 2L)))
+    // sub-threshold spans are dropped: a 7-word shared run (3 shingles,
+    // span_words 7 < 8) must not appear
+    val short = Seq(
+      (10L, "f0 f1 q0 q1 q2 q3 q4 q5 q6 f2"),
+      (11L, "g0 q0 q1 q2 q3 q4 q5 q6 g1 g2")).toDF("doc_id", "text")
+    assert(Dedup.dupSpansOn(short).count() === 0)
+  }
 }
