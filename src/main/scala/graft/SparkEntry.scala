@@ -126,6 +126,10 @@ object SparkEntry {
     "rel_salted_join" -> (Relational.saltedJoin _),
     "rel_exists_subquery" -> (Relational.existsSubquery _),
     "rel_minmax_by" -> (Relational.minMaxBy _),
+    // type-2 SCD build: run-length versioned validity intervals per user
+    "rel_scd2" -> (Relational.scd2 _),
+    // per-customer period-over-period diff: added/removed/changed
+    "rel_snapshot_diff" -> (Relational.snapshotDiff _),
 
     // --- dedup suite (LLM-data-pipeline operators; north star) ---
     "dedup_exact" -> (Dedup.exact _),
@@ -166,6 +170,9 @@ object SparkEntry {
     // exact-substring dedup: maximal cross-doc duplicated word spans
     // (gaps-and-islands merge of duplicated positional shingles)
     "dedup_spans" -> (Dedup.dupSpans _),
+    // quality-aware cluster representative: keep the longest member of
+    // each near-dup cluster (min doc_id on ties), not the min-id one
+    "dedup_keep_best" -> (Dedup.keepBest _),
 
     // --- similarity search (ANN over embeddings) ---
     "ann_topk_brute" -> (Similarity.bruteTopK _),
@@ -178,6 +185,9 @@ object SparkEntry {
     "ann_topk_pq_trained" -> (Similarity.pqTrainedTopK _),
     // IVFADC: coarse cells bound the search, PQ residual codes the memory
     "ann_topk_ivfpq" -> (Similarity.ivfPqTopK _),
+    // radius search: every neighbor within cosine >= t (data-dependent
+    // result size), SRP bucket candidates, no ranking stage at all
+    "ann_range_search" -> (Similarity.rangeSearch _),
     "ann_label_purity" -> (Similarity.labelPurity _),
     // majority-vote kNN classifier over the exact top-K (ties -> smaller
     // label): the embedding-space quality probe as a decision, per query
@@ -197,6 +207,9 @@ object SparkEntry {
     "text_bpe_vocab" -> (TextAnalysis.bpeVocab _),
     "text_repetition" -> (TextAnalysis.repetition _),
     "text_oov_rate" -> (TextAnalysis.oovRate _),
+    // per-doc marginal contribution: fraction of a doc's shingles whose
+    // global first occurrence is this doc (what a source still BUYS)
+    "text_ngram_novelty" -> (TextAnalysis.ngramNovelty _),
     "text_langid_confusion" -> (TextAnalysis.langIdConfusion _),
 
     // --- curation ops (normalization, LM scoring, sampling, pipeline) ---
@@ -676,6 +689,54 @@ object SparkEntry {
         |    AS conv_rate
         |FROM counts c LEFT JOIN counts p ON p.step_idx = c.step_idx - 1
         |ORDER BY c.step_idx""".stripMargin,
+    "rel_scd2" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+        |),
+        |ch AS (
+        |  SELECT user_id, event_type, us, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS prev_type
+        |  FROM ev
+        |)
+        |SELECT user_id,
+        |  CAST(row_number() OVER w AS INTEGER) AS version,
+        |  event_type, us AS valid_from,
+        |  lead(us) OVER w AS valid_to,
+        |  lead(us) OVER w IS NULL AS is_current
+        |FROM ch
+        |WHERE prev_type IS NULL OR prev_type <> event_type
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+    "rel_snapshot_diff" ->
+      s"""WITH old AS (
+         |  SELECT o_custkey, count(*) AS n_old,
+         |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS t_old
+         |  FROM orders
+         |  WHERE o_orderdate < TIMESTAMP '${Relational.DiffPeriodSplit}'
+         |  GROUP BY 1
+         |),
+         |nw AS (
+         |  SELECT o_custkey, count(*) AS n_new,
+         |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS t_new
+         |  FROM orders
+         |  WHERE o_orderdate >= TIMESTAMP '${Relational.DiffPeriodSplit}'
+         |    AND o_orderdate < TIMESTAMP '${Relational.DiffPeriodEnd}'
+         |  GROUP BY 1
+         |)
+         |SELECT coalesce(old.o_custkey, nw.o_custkey) AS o_custkey,
+         |  CASE WHEN old.o_custkey IS NULL THEN 'added'
+         |       WHEN nw.o_custkey IS NULL THEN 'removed'
+         |       ELSE 'changed' END AS status,
+         |  coalesce(n_new, 0) AS n_orders,
+         |  coalesce(n_new, 0) - coalesce(n_old, 0) AS delta_orders,
+         |  CAST(coalesce(t_new, 0) AS DOUBLE) AS total,
+         |  CAST(coalesce(t_new, 0) - coalesce(t_old, 0) AS DOUBLE)
+         |    AS delta_total
+         |FROM old FULL OUTER JOIN nw ON old.o_custkey = nw.o_custkey
+         |WHERE old.o_custkey IS NULL OR nw.o_custkey IS NULL
+         |   OR n_old <> n_new OR t_old <> t_new
+         |ORDER BY o_custkey""".stripMargin,
     "rel_retention" ->
       """WITH ev AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
@@ -859,8 +920,10 @@ object SparkEntry {
     "dedup_threshold_sweep" -> DedupOracles.thresholdSweep,
     "dedup_modality_check" -> DedupOracles.modalityCheck,
     "dedup_spans" -> DedupOracles.dupSpans,
+    "dedup_keep_best" -> DedupOracles.keepBest,
     "ann_topk_brute" -> SimilarityOracles.bruteTopK,
     "ann_topk_lsh" -> SimilarityOracles.lshTopK,
+    "ann_range_search" -> SimilarityOracles.rangeSearch,
     "ann_topk_ivf" -> SimilarityOracles.ivfTopK,
     "ann_topk_ivf_kmeans" -> SimilarityOracles.ivfKmeansTopK,
     "ann_topk_pq" -> SimilarityOracles.pqTopK,
@@ -877,6 +940,7 @@ object SparkEntry {
     "text_bpe_vocab" -> TextAnalysisOracles.bpeVocab,
     "text_repetition" -> TextAnalysisOracles.repetition,
     "text_oov_rate" -> TextAnalysisOracles.oovRate,
+    "text_ngram_novelty" -> TextAnalysisOracles.ngramNovelty,
     "text_langid_confusion" -> TextAnalysisOracles.langIdConfusion,
     "text_normalize" -> CurationOracles.normalize,
     "text_lm_score" -> CurationOracles.lmScore,

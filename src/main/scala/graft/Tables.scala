@@ -24,17 +24,34 @@ object Tables {
     * elsewhere (e.g. the external driver harness). */
   val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
-    * Read nanos as long (legacy conf, see [[NanosConf]]) and convert to a
-    * micros timestamp with integer division (a double division would lose
-    * precision — epoch-nanos exceed 2^53). Source data is
-    * micro-resolution, so the conversion is exact. */
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+    * generations and plain TIMESTAMP(MICROS) in others — normalize both
+    * to one session-tz TIMESTAMP column so every operator downstream
+    * sees a single type. Nanos arrive as long (legacy conf, see
+    * [[NanosConf]]) and convert with integer division (a double
+    * division would lose precision — epoch-nanos exceed 2^53; source
+    * data is micro-resolution, so the conversion is exact). Micros
+    * arrive as TIMESTAMP_NTZ; the session timezone is pinned to UTC by
+    * every graft main/test, so the NTZ→LTZ cast preserves the epoch
+    * value and `unix_micros` equals DuckDB's `epoch_us`. */
   def events(s: SparkSession, d: String): DataFrame = {
     if (!s.conf.getOption(NanosConf).contains("true"))
       s.conf.set(NanosConf, "true")
-    load(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventTs(load(s, d, "events"))
+  }
+
+  /** See [[events]]; shared with the streaming file source, which reads
+    * with the batch loader's schema and needs the same conversion. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -1025,6 +1025,38 @@ object Dedup {
       .orderBy(idCol)
   }
 
+  /** CLUSTER-REPRESENTATIVE selection — for every lexical near-dup
+    * cluster ([[nearDupClustersLsh]]'s production graph), pick the
+    * member a pipeline should KEEP by content quality rather than by
+    * arrival order: the longest document (max `n_chars`), minimum
+    * doc_id on ties. The CC tail's `keep` flag marks the min-id member
+    * — fine for exact copies, but near-dup clusters usually hold one
+    * full page plus truncated/boilerplate variants, and min-id keeps
+    * whichever crawled first. This operator is the quality-aware
+    * replacement: per cluster, the keeper, its length, and how many
+    * members are dropped.
+    *
+    * Scale: membership is one equi-join of the cluster frame with the
+    * (doc_id, n_chars) projection; the argmax is two bounded
+    * partial+final aggs by cluster_id (max length, then min id among
+    * ties) — no window over members, no text shuffled. Deterministic
+    * by the (n_chars, doc_id) total order, so the oracle replicates it
+    * with plain SQL over the same cluster pipeline. */
+  def keepBest(s: SparkSession, d: String): DataFrame = {
+    val members = nearDupClustersLsh(s, d)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .join(Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id")
+    val best = members.groupBy("cluster_id")
+      .agg(max("n_chars").as("keep_chars"))
+    members.join(best, "cluster_id")
+      .filter(col("n_chars") === col("keep_chars"))
+      .groupBy("cluster_id", "cluster_size", "keep_chars")
+      .agg(min("doc_id").as("keep_id"))
+      .select(col("cluster_id"), col("keep_id"), col("cluster_size"),
+        col("keep_chars"), (col("cluster_size") - 1).as("n_dropped"))
+      .orderBy("cluster_id")
+  }
+
   // ------------------------------------------------------------------
   // 10. duplicated-span extraction (exact-substring dedup)
   // ------------------------------------------------------------------

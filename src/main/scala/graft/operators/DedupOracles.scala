@@ -316,6 +316,25 @@ object DedupOracles {
        |    * 1.0 / count(*), 6) AS dup_rate
        |FROM base GROUP BY source ORDER BY source""".stripMargin
 
+  /** Quality-aware cluster representative: the full [[clustersLsh]]
+    * pipeline as a derived table, each cluster reduced to its longest
+    * member (min doc_id on ties) — replicates `Dedup.keepBest`'s
+    * two-step argmax exactly. */
+  lazy val keepBest: String =
+    s"""WITH clus AS (SELECT * FROM ($clustersLsh) t),
+       |m AS (
+       |  SELECT c.cluster_id, c.cluster_size, c.doc_id, d.n_chars
+       |  FROM clus c JOIN documents d USING (doc_id)
+       |),
+       |best AS (SELECT cluster_id, max(n_chars) AS keep_chars FROM m GROUP BY 1)
+       |SELECT m.cluster_id, min(m.doc_id) AS keep_id,
+       |  m.cluster_size, best.keep_chars,
+       |  m.cluster_size - 1 AS n_dropped
+       |FROM m JOIN best ON m.cluster_id = best.cluster_id
+       |  AND m.n_chars = best.keep_chars
+       |GROUP BY m.cluster_id, m.cluster_size, best.keep_chars
+       |ORDER BY m.cluster_id""".stripMargin
+
   /** Transitive closure over the embedding-LSH pair graph — the FULL
     * [[embeddingLshPairs]] pipeline as a CTE (bucketing replicated
     * bit-for-bit), then the same recursive-CTE labeling as [[clusters]],

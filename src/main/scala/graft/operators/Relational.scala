@@ -614,4 +614,83 @@ object Relational {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
         .as("hour_start"), col("event_type"), col("n"), col("sum_value"))
       .orderBy("hour_start", "event_type")
+
+  /** TYPE-2 SLOWLY-CHANGING DIMENSION build — collapse each user's
+    * event history into versioned validity intervals of the tracked
+    * attribute (`event_type` here): a new version opens whenever the
+    * attribute CHANGES (run-length encoding of the ordered history),
+    * `valid_from`/`valid_to` bound it half-open, the last version per
+    * user is current (`valid_to` NULL). This is the standard
+    * changelog→dimension materialization every warehouse load runs.
+    *
+    * Scale: both windows partition by user_id — per-user bounded state,
+    * embarrassingly parallel across users; the emitted SCD frame is
+    * #changes rows, far below event volume. Ordering is (us, event_id)
+    * so ties are total and both engines agree. */
+  def scd2(s: SparkSession, d: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy("us", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(wOrd))
+      .filter(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"))
+      .select(col("user_id"),
+        row_number().over(wOrd).cast("int").as("version"),
+        col("event_type"), col("us").as("valid_from"),
+        lead(col("us"), 1).over(wOrd).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy("user_id", "version")
+  }
+
+  /** Period boundaries for [[snapshotDiff]] (orders span 1995–2001). */
+  val DiffPeriodSplit = "1998-01-01"
+  val DiffPeriodEnd   = "2001-01-01"
+
+  /** SNAPSHOT DIFF — per-customer order activity compared across two
+    * ingest periods (before/after [[DiffPeriodSplit]], bounded by
+    * [[DiffPeriodEnd]]), labeling each changed customer `added` (new
+    * in the later period), `removed` (went silent), or `changed`
+    * (different volume); unchanged customers are suppressed. The diff
+    * shape every incremental pipeline audits between loads — "what
+    * moved since the last snapshot" without replaying either period.
+    *
+    * Scale: two predicate-pushed scans (the date filters reach the
+    * parquet reader), partial+final aggs by custkey, one full-outer
+    * equi-join of two #customers-sized frames partitioned the same
+    * way. Money stays DECIMAL(18,2) until the final cast so the
+    * deltas are exact in both engines. */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    def period(lo: Option[String], hi: String) = {
+      val base = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit(hi).cast("timestamp"))
+      lo.fold(base)(v =>
+          base.filter(col("o_orderdate") >= lit(v).cast("timestamp")))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total"))
+    }
+    val zero = lit(0).cast(DecimalType(18, 2))
+    val old = period(None, DiffPeriodSplit)
+      .select(col("o_custkey"), col("n_orders").as("n_old"),
+        col("total").as("t_old"))
+    val nw = period(Some(DiffPeriodSplit), DiffPeriodEnd)
+      .select(col("o_custkey"), col("n_orders").as("n_new"),
+        col("total").as("t_new"))
+    old.join(nw, Seq("o_custkey"), "full_outer")
+      .withColumn("status",
+        when(col("n_old").isNull, "added")
+          .when(col("n_new").isNull, "removed")
+          .otherwise("changed"))
+      .filter(col("n_old").isNull || col("n_new").isNull ||
+        col("n_old") =!= col("n_new") || col("t_old") =!= col("t_new"))
+      .select(col("o_custkey"), col("status"),
+        coalesce(col("n_new"), lit(0L)).as("n_orders"),
+        (coalesce(col("n_new"), lit(0L)) - coalesce(col("n_old"), lit(0L)))
+          .as("delta_orders"),
+        coalesce(col("t_new"), zero).cast("double").as("total"),
+        (coalesce(col("t_new"), zero) - coalesce(col("t_old"), zero))
+          .cast("double").as("delta_total"))
+      .orderBy("o_custkey")
+  }
 }

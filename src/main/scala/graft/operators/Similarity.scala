@@ -116,6 +116,45 @@ object Similarity {
     rerank(e, cands)
   }
 
+  /** Cosine radius for [[rangeSearch]] (fixture embeddings are
+    * near-orthogonal, max pair cosine ~0.51; 0.25 keeps a meaningful,
+    * data-dependent result shell through the bucket-recall filter). */
+  val RangeThreshold = 0.25
+
+  /** [[rangeSearch]] audits a wider query slice than the top-k ops —
+    * radius results are sparse on near-orthogonal fixtures, so 10
+    * queries would exercise almost nothing of the bucket join. */
+  val RangeQueries = 100
+
+  /** RADIUS (range) search — ALL corpus vectors within cosine ≥
+    * [[RangeThreshold]] of each query, not just the K nearest: the
+    * retrieval shape for "everything similar enough" (recall-oriented
+    * retrieval filters, per-query dedup sweeps) where the result size
+    * is data-dependent. Candidates come from the same deterministic
+    * SRP bucket equi-join as [[lshTopK]]; only bucket-sharing pairs
+    * get an exact cosine, and there is no per-query ranking at all —
+    * no window, no top-k heap, the output stays partitioned by the
+    * (query, neighbor) join keys end to end. */
+  def rangeSearch(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val b = buckets(e)
+    val qb = b.filter(col("vec_id") < RangeQueries)
+      .toDF("query_id", "t", "bucket")
+    val cands = qb.join(b.toDF("neighbor_id", "t2", "bucket2"),
+        col("t") === col("t2") && col("bucket") === col("bucket2") &&
+          col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    cands.join(broadcast(q), "query_id").join(c, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        CosineSimilarity(col("qv"), col("cv")).as("cos"))
+      .filter(col("cos") >= RangeThreshold)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
   /** IVF codebook size — a FIXED cap, deliberately independent of corpus
     * size. The previous sampling rule (every 40th vector) grew k linearly
     * with n, so at 100× both the broadcast codebook and the n×k
@@ -922,7 +961,10 @@ object SimilarityOracles {
 
   /** Replicates the integer-quantized sign-random-projection bucketing:
     * same md5 plane weights, same floor quantization, same bit packing. */
-  val lshTopK: String =
+  /** The SRP bucket-candidate CTE chain (dims → planes → dots → buckets
+    * → cands), shared by [[lshTopK]] and [[rangeSearch]]; `nq` is the
+    * audited query-slice width. */
+  private def lshCandCtes(nq: Int): String =
     s"""WITH dims AS (
        |  SELECT vec_id, d, floor(embedding[d]::DOUBLE * $QuantScale)::BIGINT AS qv
        |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(d)
@@ -950,8 +992,24 @@ object SimilarityOracles {
        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
        |  FROM buckets q JOIN buckets c
        |    ON q.t = c.t AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
-       |  WHERE q.vec_id < $NumQueries
-       |),
+       |  WHERE q.vec_id < $nq
+       |)""".stripMargin
+
+  /** Replicates [[Similarity.rangeSearch]]: the same SRP bucket CTEs as
+    * [[lshTopK]] over the wider radius query slice, then an
+    * exact-cosine radius filter instead of a rank. */
+  val rangeSearch: String =
+    s"""${lshCandCtes(Similarity.RangeQueries)}
+       |SELECT query_id, neighbor_id,
+       |  round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+       |FROM cands
+       |JOIN embeddings q ON q.vec_id = query_id
+       |JOIN embeddings c ON c.vec_id = neighbor_id
+       |WHERE list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) >= ${Similarity.RangeThreshold}
+       |ORDER BY query_id, neighbor_id""".stripMargin
+
+  val lshTopK: String =
+    s"""${lshCandCtes(NumQueries)},
        |ranked AS (
        |  SELECT query_id, neighbor_id,
        |    CAST(row_number() OVER (PARTITION BY query_id

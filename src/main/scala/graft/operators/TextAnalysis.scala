@@ -405,6 +405,43 @@ object TextAnalysis {
     merges.reduce(_ union _).orderBy("merge_idx")
   }
 
+  /** Width (words) of the shingles that carry novelty attribution. */
+  val NoveltyShingleWords = 3
+
+  /** N-GRAM NOVELTY — per-document fraction of its distinct
+    * [[NoveltyShingleWords]]-shingles whose GLOBAL first occurrence
+    * (minimum doc_id over the corpus) is this document. In arrival
+    * order, novelty ≈ how much genuinely new text a document adds
+    * beyond everything already ingested — the marginal-contribution
+    * metric a pipeline owner reads when deciding whether a source is
+    * still worth crawling (dedup tells you what to DROP; novelty tells
+    * you what a source still BUYS). Docs shorter than the shingle
+    * width carry no shingles and are naturally absent.
+    *
+    * Scale: shingles are hashed to 60-bit ids at the mapper
+    * ([[Dedup.md5hash60]]) so the shuffle carries (hash, doc_id) longs,
+    * never shingle text; first-occurrence is one partial+final min-agg
+    * by hash; attribution is a hash equi-join back to the per-doc
+    * shingle frame and one count-agg by doc — two shuffles total,
+    * both on bounded-width keys. The reference analog is the shared-key
+    * routing of `countCombos` pairs (`mapreduce.erl:216-229`). */
+  def ngramNovelty(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(WordShingles(col("text"), NoveltyShingleWords)).as("sg"))
+      .select(col("doc_id"), Dedup.md5hash60(col("sg")).as("h"))
+      .distinct()
+    val first = sh.groupBy("h").agg(min("doc_id").as("first_doc"))
+    sh.join(first, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_shingles"), 6)
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
   def repetition(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
@@ -434,6 +471,31 @@ object TextAnalysisOracles {
 
   private def inList(words: Seq[String]) =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Replicates [[TextAnalysis.ngramNovelty]]: distinct hashed
+    * 3-word shingles per doc, global first-occurrence min-agg, per-doc
+    * novel fraction — the same 60-bit md5 hash on both engines. */
+  val ngramNovelty: String = {
+    val W = TextAnalysis.NoveltyShingleWords
+    val shingle = (0 until W).map(k => s"ws[i+$k]").mkString(" || ' ' || ")
+    s"""WITH wl AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+       |  FROM documents
+       |),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    ('0x' || substr(md5($shingle), 1, 15))::BIGINT AS h
+       |  FROM wl, unnest(generate_series(1, len(ws) - ${W - 1})) t(i)
+       |),
+       |fo AS (SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+       |SELECT s.doc_id, count(*) AS n_shingles,
+       |  CAST(sum(CASE WHEN fo.first_doc = s.doc_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_novel,
+       |  round(sum(CASE WHEN fo.first_doc = s.doc_id THEN 1 ELSE 0 END)
+       |    * 1.0 / count(*), 6) AS novelty
+       |FROM sh s JOIN fo USING (h)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   val langId: String = {
     val langs = Stopwords.map(_._1)

@@ -112,18 +112,18 @@ object EventStream {
     res.orderBy("hop_start", "event_type")
   }
 
-  /** File-based streaming source over the events parquet (nanos→micros
-    * conversion matching [[graft.Tables.events]]). The streaming file
-    * source monitors a DIRECTORY; `pathGlobFilter` narrows it to the
-    * events table. */
+  /** File-based streaming source over the events parquet (ts
+    * normalization matching [[graft.Tables.events]] — handles both the
+    * nanos-as-long and the TIMESTAMP_NTZ micros testdata layouts). The
+    * streaming file source monitors a DIRECTORY; `pathGlobFilter`
+    * narrows it to the events table. */
   def readEventStream(s: SparkSession, dir: String): DataFrame = {
     if (!s.conf.getOption(Tables.NanosConf).contains("true"))
       s.conf.set(Tables.NanosConf, "true")
-    s.readStream
+    Tables.normalizeEventTs(s.readStream
       .schema(Tables.load(s, dir, "events").schema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(dir))
   }
 
   /** Streaming CSV source. Streaming file sources cannot infer schemas

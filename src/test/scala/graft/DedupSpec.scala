@@ -454,4 +454,24 @@ class DedupSpec extends AnyFunSuite {
       (11L, "g0 q0 q1 q2 q3 q4 q5 q6 g1 g2")).toDF("doc_id", "text")
     assert(Dedup.dupSpansOn(short).count() === 0)
   }
+
+  test("keepBest: longest member (min id on ties) represents each cluster") {
+    val members = Dedup.nearDupClustersLsh(spark, d)
+      .join(graft.Tables.documents(spark, d).select("doc_id", "n_chars"),
+        "doc_id")
+      .select("cluster_id", "cluster_size", "doc_id", "n_chars")
+      .as[(Long, Long, Long, Long)].collect()
+    val byCluster = members.groupBy(_._1)
+    val best = Dedup.keepBest(spark, d)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(best.map(_._1).toSet === byCluster.keySet)
+    best.foreach { case (cid, keepId, size, keepChars, nDropped) =>
+      val ms = byCluster(cid)
+      assert(size === ms.head._2 && size === ms.length.toLong)
+      assert(nDropped === size - 1)
+      val maxChars = ms.map(_._4).max
+      assert(keepChars === maxChars)
+      assert(keepId === ms.filter(_._4 == maxChars).map(_._3).min)
+    }
+  }
 }

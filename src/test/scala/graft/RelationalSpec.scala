@@ -195,4 +195,83 @@ class RelationalSpec extends AnyFunSuite {
       assert(sum === want, s"event $eid sum")
     }
   }
+
+  test("scd2: contiguous versions, chained validity, one current per user") {
+    val rows = Relational.scd2(spark, d)
+      .as[(Long, Int, String, Long, Option[Long], Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (u, vs0) =>
+      val vs = vs0.sortBy(_._2)
+      assert(vs.map(_._2).toSeq === (1 to vs.length), s"user $u versions")
+      vs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5.contains(b._4), s"user $u validity chain")
+          assert(a._3 !== b._3, s"user $u consecutive versions must differ")
+        case _ =>
+      }
+      assert(vs.count(_._6) === 1 && vs.last._6 && vs.last._5.isEmpty,
+        s"user $u current-row invariant")
+      vs.foreach(v => v._5.foreach(to =>
+        assert(v._4 < to, s"user $u interval must be non-empty")))
+    }
+    // versions partition the user's history: total rows = #type changes
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type")).as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1)
+    val wantChanges: Int = ev.values.map { es =>
+      val types = es.sortBy(e => (e._2, e._3)).map(_._4).toList
+      1 + types.zip(types.tail).count { case (a, b) => a != b }
+    }.sum
+    assert(rows.length === wantChanges)
+  }
+
+  test("snapshotDiff ≡ an independent Scala period recompute") {
+    val orders = Tables.orders(spark, d)
+      .select(col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+        col("o_totalprice"))
+      .as[(Long, String, Double)].collect()
+    def agg(lo: Option[String], hi: String) = orders
+      .filter(o => o._2 < hi && lo.forall(o._2 >= _))
+      .groupBy(_._1).map { case (ck, os) =>
+        ck -> (os.length.toLong, os.map(o => BigDecimal(o._3)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum)
+      }
+    val old = agg(None, Relational.DiffPeriodSplit)
+    val nw = agg(Some(Relational.DiffPeriodSplit), Relational.DiffPeriodEnd)
+    val want = (old.keySet ++ nw.keySet).flatMap { ck =>
+      (old.get(ck), nw.get(ck)) match {
+        case (None, Some((n, t))) =>
+          Some((ck, "added", n, n, t.toDouble, t.toDouble))
+        case (Some((n, t)), None) =>
+          Some((ck, "removed", 0L, -n, 0.0, (-t).toDouble))
+        case (Some((no, to)), Some((nn, tn))) if no != nn || to != tn =>
+          Some((ck, "changed", nn, nn - no, tn.toDouble, (tn - to).toDouble))
+        case _ => None
+      }
+    }
+    val got = Relational.snapshotDiff(spark, d)
+      .as[(Long, String, Long, Long, Double, Double)].collect().toSet
+    assert(got === want)
+  }
+
+  test("normalizeEventTs handles both nanos-long and TIMESTAMP_NTZ ts") {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val us = 1700000000123456L
+    val fromLong = Tables.normalizeEventTs(
+      Seq((1L, us * 1000L)).toDF("event_id", "ts"))
+    assert(fromLong.schema("ts").dataType === TimestampType)
+    assert(fromLong.select(unix_micros(col("ts"))).as[Long].head() === us)
+    val fromNtz = Tables.normalizeEventTs(
+      Seq((1L, us)).toDF("event_id", "u")
+        .select(col("event_id"),
+          timestamp_micros(col("u")).cast(TimestampNTZType).as("ts")))
+    assert(fromNtz.schema("ts").dataType === TimestampType)
+    assert(fromNtz.select(unix_micros(col("ts"))).as[Long].head() === us)
+    val already = Seq((1L, us)).toDF("event_id", "u")
+      .select(col("event_id"), timestamp_micros(col("u")).as("ts"))
+    assert(Tables.normalizeEventTs(already).schema("ts").dataType ===
+      TimestampType)
+  }
 }

@@ -403,4 +403,29 @@ class SimilaritySpec extends AnyFunSuite {
       assert(math.abs(purity - same.toDouble / k) < 1e-6)
     }
   }
+
+  test("rangeSearch: radius semantics, slice bound, exact cosines") {
+    val rows = Similarity.rangeSearch(spark, d)
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val vecs = graft.Tables.embeddings(spark, d)
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (k <- a.indices) {
+        dot += a(k).toDouble * b(k); na += a(k).toDouble * a(k)
+        nb += b(k).toDouble * b(k)
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    rows.foreach { case (q, n, cos) =>
+      assert(q < Similarity.RangeQueries && q != n)
+      val exact = cosine(vecs(q), vecs(n))
+      assert(exact >= Similarity.RangeThreshold, s"pair $q,$n below radius")
+      assert(math.abs(cos - exact) < 1e-6, s"pair $q,$n cosine mismatch")
+    }
+    // no per-query cap: result size is data-dependent, dupes impossible
+    assert(rows.map(r => (r._1, r._2)).distinct.length === rows.length)
+  }
 }

@@ -152,6 +152,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("ngramNovelty ≡ an independent Scala first-occurrence recompute") {
+    val docs = graft.Tables.documents(spark, d).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    def h60(sx: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(sx.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val w = TextAnalysis.NoveltyShingleWords
+    val docSh: Map[Long, Set[Long]] = docs.map { case (id, t) =>
+      val ws = t.split(" +").filter(_.nonEmpty)
+      id -> (if (ws.length < w) Set.empty[Long]
+             else ws.sliding(w).map(_.mkString(" ")).map(h60).toSet)
+    }.toMap
+    val firstDoc = docSh.toSeq
+      .flatMap { case (id, ss) => ss.map(_ -> id) }
+      .groupMapReduce(_._1)(_._2)(math.min)
+    val got = TextAnalysis.ngramNovelty(spark, d)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.map(_._1).toSet === docSh.filter(_._2.nonEmpty).keySet)
+    got.foreach { case (id, nSh, nNov, nov) =>
+      val ss = docSh(id)
+      assert(nSh === ss.size.toLong, s"doc $id shingle count")
+      val novel = ss.count(h => firstDoc(h) == id)
+      assert(nNov === novel.toLong, s"doc $id novel count")
+      assert(math.abs(nov - novel.toDouble / ss.size) < 5e-7, s"doc $id")
+    }
+    // every distinct shingle is attributed to exactly one doc
+    assert(got.map(_._3).sum === firstDoc.size.toLong)
+  }
+
   test("repetition: bigram multiset invariants hold against tokenCounts") {
     val nTok = TextAnalysis.tokenCounts(spark, d)
       .select("doc_id", "n_ws_tokens").as[(Long, Int)].collect().toMap
