@@ -173,6 +173,7 @@ object SparkEntry {
     // quality-aware cluster representative: keep the longest member of
     // each near-dup cluster (min doc_id on ties), not the min-id one
     "dedup_keep_best" -> (Dedup.keepBest _),
+    "dedup_pagerank" -> (Dedup.pageRank _),
 
     // --- similarity search (ANN over embeddings) ---
     "ann_topk_brute" -> (Similarity.bruteTopK _),
@@ -921,6 +922,7 @@ object SparkEntry {
     "dedup_modality_check" -> DedupOracles.modalityCheck,
     "dedup_spans" -> DedupOracles.dupSpans,
     "dedup_keep_best" -> DedupOracles.keepBest,
+    "dedup_pagerank" -> DedupOracles.pageRank,
     "ann_topk_brute" -> SimilarityOracles.bruteTopK,
     "ann_topk_lsh" -> SimilarityOracles.lshTopK,
     "ann_range_search" -> SimilarityOracles.rangeSearch,

@@ -1114,4 +1114,93 @@ object Dedup {
         col("n_shingles"), col("max_docs"))
       .orderBy("doc_id", "span_start")
   }
+
+  // ------------------------------------------------------------------
+  // 11. PageRank authority over the near-dup graph
+  // ------------------------------------------------------------------
+
+  /** Power-iteration rounds — FIXED so the oracle can unroll them. */
+  val PageRankIters = 5
+
+  /** Rank fixed point: ranks live in [0, PageRankScale] as BIGINTs, so
+    * every per-iteration sum is exact integer arithmetic — additions
+    * commute, partition order can't change a bit, and the DuckDB oracle
+    * reproduces the ranks exactly (the same move as `kmeansCentroids`'
+    * integer means and `events_outliers`' cross-multiplied sigma test).
+    * Headroom: damp·sum(contrib) ≤ 85 × 1e12 ≪ 2^63. */
+  val PageRankScale = 1000000000000L // 1e12
+
+  /** Damping 0.85 as a rational, so each step stays in BIGINT. */
+  val PageRankDampNum = 85L
+  val PageRankDampDen = 100L
+
+  /** PageRank over the MinHash-LSH near-dup graph — duplicate-cluster
+    * AUTHORITY scoring: within a near-dup cluster the doc most connected
+    * to other copies (the canonical/most-syndicated version) ranks
+    * highest, a quality signal [[keepBest]]'s length heuristic can't
+    * see. The classic power iteration (Page et al. 1999), restricted to
+    * nodes with ≥1 edge (isolated docs keep the uniform teleport rank by
+    * definition and are omitted, like [[nearDupClusters]]' singleton
+    * convention).
+    *
+    * r_{k+1}(v) = base + damp · Σ_{u~v} (r_k(u) div deg(u)), with base =
+    * (1−damp)·(S div n) — all BIGINT with truncating `div`, so both
+    * engines compute bit-identical ranks (Spark `div` and DuckDB `//`
+    * truncate alike). The node count attaches via a 1-row broadcast
+    * (never a driver scalar); n is the EDGE-BEARING node count, matching
+    * the restricted graph.
+    *
+    * Scale: state per round is ONE row per node; each round = one
+    * equi-join (edges × ranks) + one partial+final sum by destination +
+    * a map — shuffle-partitionable, the [[connectedComponents]] shape.
+    * `localCheckpoint` per round truncates the doubling lineage. The
+    * edge frame is the shared materialized LSH graph
+    * ([[minhashEdgesShared]]), built once per session. Reference analog:
+    * iterated shared-key shuffles of `countCombos` pairs
+    * (`mapreduce.erl:275-282`). */
+  def pageRank(s: SparkSession, d: String): DataFrame =
+    pageRankOn(minhashEdgesShared(s, d))
+
+  /** [[pageRank]] over any (a, b) undirected edge list (a < b, no dups). */
+  private[graft] def pageRankOn(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+    val deg = und.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      .select(col("a").as("v"), col("deg"))
+    // (source, dest, deg(source)) — the join scaffold every round reuses;
+    // checkpointed once so candidate generation never re-runs
+    val undeg = und.join(deg, und("a") === deg("v"))
+      .select(col("a"), col("b"), col("deg"))
+      .localCheckpoint()
+    val nOne = deg.agg(count(lit(1)).as("n"))
+    // per-node constants: initial rank S div n and the teleport base,
+    // attached via a 1-row broadcast cross join
+    val nodeStat = deg.crossJoin(broadcast(nOne))
+      .select(col("v"), col("deg"),
+        expr(s"$PageRankScale div n").as("r0"),
+        expr(s"((${PageRankDampDen - PageRankDampNum}) * " +
+          s"($PageRankScale div n)) div $PageRankDampDen").as("base"))
+      .localCheckpoint()
+    var ranks = nodeStat.select(col("v"), col("r0").as("r"))
+    for (_ <- 1 to PageRankIters) {
+      val contribs = undeg
+        .join(ranks.select(col("v").as("src"), col("r")),
+          col("a") === col("src"))
+        .select(col("b"), expr("r div deg").as("c"))
+        .groupBy(col("b")).agg(sum("c").as("cs"))
+      // every node has deg ≥ 1 in an undirected edge-bearing graph, so
+      // the inner join drops nothing
+      ranks = nodeStat.select(col("v"), col("base"))
+        .join(contribs, col("v") === col("b"))
+        .select(col("v"),
+          expr(s"base + ($PageRankDampNum * cs) div $PageRankDampDen")
+            .as("r"))
+        .localCheckpoint()
+    }
+    ranks.join(nodeStat.select(col("v"), col("deg")), Seq("v"))
+      .select(col("v").as("doc_id"), col("deg"),
+        col("r").as("pr_scaled"),
+        round(col("r") / lit(PageRankScale.toDouble), 12).as("pr"))
+      .orderBy("doc_id")
+  }
 }

@@ -433,4 +433,41 @@ object DedupOracles {
        |FROM isl WHERE span_words >= $MinW
        |ORDER BY doc_id, span_start""".stripMargin
   }
+
+  /** PageRank over the LSH pair graph — the FULL [[minhashLsh]] pipeline
+    * as a CTE, then `Dedup.PageRankIters` unrolled power-iteration
+    * rounds in the same truncating BIGINT arithmetic as
+    * `Dedup.pageRankOn` (DuckDB `//` and Spark `div` both truncate
+    * toward zero; all values non-negative). HUGEINT sums are cast back
+    * to BIGINT at each round. */
+  lazy val pageRank: String = {
+    import Dedup.{PageRankIters, PageRankScale => S,
+      PageRankDampNum => DN, PageRankDampDen => DD}
+    val rounds = (1 to PageRankIters).map { k =>
+      s"""r$k AS (
+         |  SELECT ns.v, CAST(ns.base + ($DN * c.cs) // $DD AS BIGINT) AS r
+         |  FROM ns JOIN (
+         |    SELECT u.b, sum(p.r // u.deg) AS cs
+         |    FROM undeg u JOIN r${k - 1} p ON u.a = p.v
+         |    GROUP BY u.b
+         |  ) c ON ns.v = c.b
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT doc_a AS a, doc_b AS b FROM ($minhashLsh) t),
+       |und AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+       |deg AS (SELECT a AS v, count(*) AS deg FROM und GROUP BY 1),
+       |undeg AS (SELECT und.a, und.b, deg.deg FROM und JOIN deg ON und.a = deg.v),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |ns AS (
+       |  SELECT v, deg, CAST($S // n AS BIGINT) AS r,
+       |    CAST(((${DD - DN}) * ($S // n)) // $DD AS BIGINT) AS base
+       |  FROM deg, nn
+       |),
+       |r0 AS (SELECT v, r FROM ns),
+       |$rounds
+       |SELECT ns.v AS doc_id, ns.deg, r$PageRankIters.r AS pr_scaled,
+       |  round(r$PageRankIters.r / $S.0, 12) AS pr
+       |FROM r$PageRankIters JOIN ns ON r$PageRankIters.v = ns.v
+       |ORDER BY doc_id""".stripMargin
+  }
 }

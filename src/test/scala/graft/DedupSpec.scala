@@ -474,4 +474,41 @@ class DedupSpec extends AnyFunSuite {
       assert(keepId === ms.filter(_._4 == maxChars).map(_._3).min)
     }
   }
+
+  test("pageRank matches an independent integer power iteration") {
+    // path 1-2-3 (degrees 1,2,1), a disconnected pair 10-11, and a
+    // star 20-{21,22,23}: mixed degrees across components
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L),
+      (20L, 22L), (20L, 23L)).toDF("a", "b")
+    val got = graft.operators.Dedup.pageRankOn(edges)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+    // independent recompute: same truncating-Long recurrence
+    import graft.operators.Dedup.{PageRankIters, PageRankScale,
+      PageRankDampNum, PageRankDampDen}
+    val und = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L),
+        (20L, 22L), (20L, 23L)).flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = und.groupBy(_._1).map { case (v, es) => v -> es.length.toLong }
+    val n = deg.size.toLong
+    val r0 = PageRankScale / n
+    val base = ((PageRankDampDen - PageRankDampNum) * r0) / PageRankDampDen
+    var r = deg.keys.map(_ -> r0).toMap
+    for (_ <- 1 to PageRankIters) {
+      val in = und.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => r(u) / deg(u) }.sum
+      }
+      r = r.keys.map(v => v -> (base + PageRankDampNum * in(v) / PageRankDampDen)).toMap
+    }
+    assert(got.keySet === deg.keySet)
+    deg.keys.foreach { v =>
+      assert(got(v) === ((deg(v), r(v))), s"node $v")
+    }
+    // hub of the star out-ranks its leaves; total mass is conserved up
+    // to per-node truncation loss (< n per round)
+    assert(got(20L)._2 > got(21L)._2)
+    val mass = got.values.map(_._2).sum
+    assert(mass <= PageRankScale &&
+      mass > PageRankScale - n * (PageRankIters + 1) * 100)
+  }
 }
