@@ -226,6 +226,7 @@ object SparkEntry {
     "events_priority_sample" -> (Curation.prioritySample _),
     // 3-sigma per-type outliers via exact cross-multiplied arithmetic
     "events_outliers" -> (Curation.outliers _),
+    "events_cusum" -> (Curation.cusum _),
 
     // --- as-of join: composed (union+window) AND native (custom
     //     LogicalPlan + SparkStrategy + merge executor) — same oracle ---
@@ -951,6 +952,7 @@ object SparkEntry {
     "events_bottomk_sample" -> CurationOracles.bottomKSample,
     "events_priority_sample" -> CurationOracles.prioritySample,
     "events_outliers" -> CurationOracles.outliers,
+    "events_cusum" -> CurationOracles.cusum,
     "rel_asof_click_purchase" -> asofOracle,
     // the native custom-plan as-of join must produce byte-identical
     // results to the composed one — one oracle checks both

@@ -215,6 +215,44 @@ object Curation {
       .orderBy("event_id")
   }
 
+  /** CUSUM drift term, scaled ×10⁶: the "acceptable mean" k. Values
+    * average ≈ 50, so k = 80 keeps the statistic near zero until a
+    * genuinely elevated run arrives. */
+  val CusumDriftScaled = 80000000L
+  /** CUSUM alarm threshold h (×10⁶): flag when S exceeds 200. */
+  val CusumThresholdScaled = 200000000L
+
+  /** One-sided CUSUM changepoint detection per user (Page 1954) — the
+    * classic "has this metric drifted upward" sequential test: S_i =
+    * max(0, S_{i−1} + x_i − k), alarm while S_i > h. The recurrence
+    * looks inherently sequential, but unrolls to prefix sums:
+    * S_i = P_i − min(0, min_{j≤i} P_j) with P the running sum of
+    * (x − k) — two stacked running windows BOTH engines support, so the
+    * oracle is plain window SQL (no recursion). Values are floor-scaled
+    * to ×10⁶ BIGINTs first: window sums are exact integers, flags
+    * bit-identical cross-engine.
+    *
+    * Scale: both windows PARTITION BY user_id — per-key state,
+    * embarrassingly parallel after one hash shuffle; nothing global.
+    * The same shape as [[Relational.trailingWindow]]'s RANGE frames. */
+  def cusum(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (floor(col("value") * lit(1000000.0)).cast("long")
+          - lit(CusumDriftScaled)).as("d"))
+    e.withColumn("p", sum("d").over(w))
+      .withColumn("cusum_scaled",
+        col("p") - least(min("p").over(w), lit(0L)))
+      .filter(col("cusum_scaled") > CusumThresholdScaled)
+      .select(col("user_id"), col("event_id"), col("cusum_scaled"),
+        round(col("cusum_scaled") / lit(1000000.0), 6).as("cusum"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** The train/val/test split label for a bucket column (80/10/10). */
   def splitCol(bucket: Column): Column =
     when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
@@ -679,6 +717,33 @@ object CurationOracles {
       |WHERE (st.n * e.v6 - st.s6) * (st.n * e.v6 - st.s6)
       |      > 9 * (st.n * st.q6 - st.s6 * st.s6)
       |ORDER BY event_id""".stripMargin
+
+  /** CUSUM via the same prefix-sum unrolling as `Curation.cusum`:
+    * running sum + running min per user, exact ×10⁶ BIGINTs (window
+    * HUGEINT sums cast back), identical (ts, event_id) total order. */
+  val cusum: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, ts,
+       |    CAST(floor(value * 1000000.0) AS BIGINT)
+       |      - ${Curation.CusumDriftScaled} AS d
+       |  FROM events
+       |),
+       |p AS (
+       |  SELECT user_id, event_id, ts,
+       |    CAST(sum(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+       |  FROM e
+       |),
+       |c AS (
+       |  SELECT user_id, event_id,
+       |    p - least(min(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS cusum_scaled
+       |  FROM p
+       |)
+       |SELECT user_id, event_id, cusum_scaled,
+       |  round(cusum_scaled / 1000000.0, 6) AS cusum
+       |FROM c WHERE cusum_scaled > ${Curation.CusumThresholdScaled}
+       |ORDER BY user_id, event_id""".stripMargin
 
   /** Priority sampling: same u = (md5₄₈+1)/2⁴⁸ draw, same IEEE
     * operation order (multiply, then divide), same (K+1)-row τ —

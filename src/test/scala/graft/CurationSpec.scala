@@ -300,4 +300,26 @@ class CurationSpec extends AnyFunSuite {
     assert(got.count(_._6) > 0)
     assert(got.groupBy(t => (t._2, t._3)).exists(_._2.length > 1))
   }
+
+  test("cusum equals the sequential max(0, S+d) recurrence per user") {
+    // independent recompute: run Page's recurrence directly over the
+    // per-user (ts, event_id)-ordered stream — the operator's
+    // prefix-sum-minus-running-min form must agree exactly
+    val events = graft.Tables.events(spark, d)
+      .select($"user_id", $"event_id", $"ts".cast("long").as("tl"), $"value")
+      .as[(Long, Long, Long, Double)].collect()
+    val expected = events.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      var s = 0L
+      es.sortBy(e => (e._3, e._2)).toSeq.flatMap { case (_, id, _, v) =>
+        val d6 = math.floor(v * 1000000.0).toLong - Curation.CusumDriftScaled
+        s = math.max(0L, s + d6)
+        if (s > Curation.CusumThresholdScaled) Some((u, id, s)) else None
+      }
+    }.toSet
+    val got = Curation.cusum(spark, d)
+      .select($"user_id", $"event_id", $"cusum_scaled")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty) // fixture actually exercises the alarm path
+  }
 }
