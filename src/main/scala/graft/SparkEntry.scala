@@ -118,6 +118,7 @@ object SparkEntry {
     "rel_array_funcs" -> (Relational.arrayFuncs _),
     "rel_hopping_windows" -> (Relational.hoppingWindows _),
     "rel_range_join" -> (Relational.rangeJoin _),
+    "rel_skyline" -> (Relational.skyline _),
     "rel_outer_joins" -> (Relational.outerJoins _),
     "rel_set_ops_all" -> (Relational.setOpsAll _),
     "rel_unpivot_user_events" -> (Relational.unpivotUserEvents _),
@@ -813,6 +814,15 @@ object SparkEntry {
          |  AND c.c_us >= p.p_us - ${Relational.RangeJoinWindowUs}
          |  AND c.c_us <= p.p_us
          |GROUP BY 1, 2 ORDER BY event_id""".stripMargin,
+    "rel_skyline" ->
+      """SELECT m.p_partkey, m.p_retailprice, m.p_size
+        |FROM part m
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= m.p_retailprice
+        |    AND q.p_size >= m.p_size
+        |    AND (q.p_retailprice < m.p_retailprice OR q.p_size > m.p_size))
+        |ORDER BY m.p_partkey""".stripMargin,
     // unpivot(pivot(x)) minus the null/zero fill-in == the plain groupBy
     "rel_unpivot_user_events" ->
       """SELECT user_id, event_type, count(*) AS n

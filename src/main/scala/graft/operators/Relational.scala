@@ -506,6 +506,63 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Deterministic bucket fan-out for [[skyline]]'s local pre-filter. */
+  val SkylineBuckets = 64
+  /** Refusal bound on the candidate set feeding [[skyline]]'s exact
+    * final dominance pass. */
+  val MaxSkylineCandidates = 100000L
+
+  /** SKYLINE (Pareto frontier, Börzsönyi et al. ICDE'01): the parts no
+    * other part beats on BOTH dimensions — cheaper-or-equal price AND
+    * larger-or-equal size, strictly better in one. The OLAP
+    * "best trade-offs" operator (price/quality, latency/cost, …).
+    *
+    * Two phases. (1) LOCAL pre-filter: parts bucket by partkey mod
+    * [[SkylineBuckets]]; within each bucket a window ordered by
+    * (price ASC, size DESC) keeps rows whose size equals the running
+    * max — every preceding row has price ≤ current, so a larger earlier
+    * size proves dominance. SOUND: a globally non-dominated row is
+    * never dropped (its dominator would have to sort before it in its
+    * own bucket); ties survive to keep duplicates-both-undominated
+    * semantics. (2) EXACT final pass: a dominance LEFT ANTI self-join
+    * over the pre-filtered candidates — quadratic, so it runs behind an
+    * eager guard ([[MaxSkylineCandidates]]): for uniform data local
+    * skylines are ~O(log rows/bucket), collapsing even 100 TB inputs to
+    * a broadcastable candidate set; adversarially correlated data
+    * (price rising with size) refuses with the bound named rather than
+    * detonating — the [[Dedup.jaccardPairs]] convention.
+    *
+    * The window is PARTITIONED (never one global sort) and the anti-join
+    * broadcasts the guarded-small candidate set (expected BNLJ,
+    * PlanLint-listed). */
+  def skyline(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"),
+        pmod(col("p_partkey"), lit(SkylineBuckets)).as("bkt"))
+    val w = Window.partitionBy("bkt")
+      .orderBy(col("p_retailprice").asc, col("p_size").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cand = p.withColumn("mx", max("p_size").over(w))
+      .filter(col("p_size") >= col("mx"))
+      .select("p_partkey", "p_retailprice", "p_size")
+      .localCheckpoint() // both sides of the final pass reuse one build
+    val nCand = cand.agg(count(lit(1))).head().getLong(0)
+    require(nCand <= MaxSkylineCandidates,
+      s"skyline refused: $nCand pre-filtered candidates exceed " +
+        s"$MaxSkylineCandidates - the exact dominance pass is quadratic; " +
+        "raise SkylineBuckets or add a second pre-filter round " +
+        "(skyline(skyline(x)) is idempotent) before the final join")
+    val q = cand.select(col("p_partkey").as("q_key"),
+      col("p_retailprice").as("q_price"), col("p_size").as("q_size"))
+    cand.join(broadcast(q),
+        col("q_price") <= col("p_retailprice") &&
+          col("q_size") >= col("p_size") &&
+          (col("q_price") < col("p_retailprice") ||
+            col("q_size") > col("p_size")),
+        "left_anti")
+      .orderBy("p_partkey")
+  }
+
   /** Event-time tumbling windows (batch `window()`; streaming variant in
     * graft.streaming uses the same expression). */
   /** The ordered step sequence [[funnel]] audits. */

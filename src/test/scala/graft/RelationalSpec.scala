@@ -274,4 +274,19 @@ class RelationalSpec extends AnyFunSuite {
     assert(Tables.normalizeEventTs(already).schema("ts").dataType ===
       TimestampType)
   }
+
+  test("skyline equals brute-force dominance over part") {
+    val pts = Tables.part(spark, d)
+      .select($"p_partkey", $"p_retailprice", $"p_size")
+      .as[(Long, Double, Int)].collect()
+    val expected = pts.filter { case (_, pr, sz) =>
+      !pts.exists { case (_, qr, qz) =>
+        qr <= pr && qz >= sz && (qr < pr || qz > sz)
+      }
+    }.map(_._1).toSet
+    val got = Relational.skyline(spark, d)
+      .select($"p_partkey").as[Long].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
 }
