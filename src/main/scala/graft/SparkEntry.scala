@@ -119,6 +119,7 @@ object SparkEntry {
     "rel_hopping_windows" -> (Relational.hoppingWindows _),
     "rel_range_join" -> (Relational.rangeJoin _),
     "rel_skyline" -> (Relational.skyline _),
+    "rel_zorder_layout" -> (Relational.zorderLayout _),
     "rel_outer_joins" -> (Relational.outerJoins _),
     "rel_set_ops_all" -> (Relational.setOpsAll _),
     "rel_unpivot_user_events" -> (Relational.unpivotUserEvents _),
@@ -823,6 +824,7 @@ object SparkEntry {
         |    AND q.p_size >= m.p_size
         |    AND (q.p_retailprice < m.p_retailprice OR q.p_size > m.p_size))
         |ORDER BY m.p_partkey""".stripMargin,
+    "rel_zorder_layout" -> Relational.zorderLayoutOracle,
     // unpivot(pivot(x)) minus the null/zero fill-in == the plain groupBy
     "rel_unpivot_user_events" ->
       """SELECT user_id, event_type, count(*) AS n

@@ -563,6 +563,71 @@ object Relational {
       .orderBy("p_partkey")
   }
 
+  /** Bits per dimension in the [[zorderLayout]] interleave. */
+  val ZOrderBits = 16
+  /** Low bits dropped when bucketing z-values: 12 → 6 bits per dim, so
+    * any bucket spans < 2⁶ distinct values of EACH dimension. */
+  val ZOrderBucketShift = 12
+
+  /** The Morton/z-value bit-interleave as a SQL expression, generated
+    * from one loop per engine so the arithmetic is shared by
+    * construction. Spark spells shifts as functions, DuckDB as
+    * operators; both sum the same 2·[[ZOrderBits]] single-bit terms. */
+  private def zvalSpark(x: String, y: String): String =
+    (0 until ZOrderBits).map(i =>
+      s"shiftleft(shiftright($x, $i) & 1, ${2 * i}) + " +
+        s"shiftleft(shiftright($y, $i) & 1, ${2 * i + 1})")
+      .mkString(" + ")
+  private[graft] def zvalDuck(x: String, y: String): String =
+    (0 until ZOrderBits).map(i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+
+  /** Z-ORDER layout audit — the data-layout side of 100 TB scan
+    * performance: interleaving the bits of two filter dimensions
+    * (customer, order day) into one Morton key and sorting/bucketing by
+    * it bounds BOTH dimensions inside every contiguous key range. A
+    * table laid out in z-order gets tight parquet row-group min/max
+    * stats on both columns at once, so `WHERE o_custkey = … AND
+    * o_orderdate BETWEEN …` prunes row groups on either predicate —
+    * single-column sort gives that for one dimension only. This query
+    * REPORTS exactly those would-be row-group stats: per z-bucket
+    * (low [[ZOrderBucketShift]] bits dropped), the row count and each
+    * dimension's min/max — every bucket provably spans < 2⁶ values per
+    * dimension (pinned by spec).
+    *
+    * Scale: the z-value is 32 codegen'd shift/mask terms, map-only;
+    * the report is one partial+final agg by bucket. Writing the layout
+    * itself is `df.repartitionByRange(zval).sortWithinPartitions(zval)`
+    * — same expression, no new machinery. */
+  def zorderLayout(s: SparkSession, d: String): DataFrame = {
+    val b = Tables.orders(s, d).select(
+      pmod(col("o_custkey"), lit(65536L)).as("x"),
+      pmod(expr(
+        "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"),
+        lit(65536L)).as("y"))
+    b.withColumn("zval", expr(zvalSpark("x", "y")))
+      .groupBy(expr(s"zval div ${1 << ZOrderBucketShift}").as("zbucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min("x").as("min_cust"), max("x").as("max_cust"),
+        min("y").as("min_day"), max("y").as("max_day"))
+      .orderBy("zbucket")
+  }
+
+  /** DuckDB twin of [[zorderLayout]] — same generated interleave. */
+  private[graft] def zorderLayoutOracle: String =
+    s"""WITH b AS (
+       |  SELECT o_custkey % 65536 AS x,
+       |    (epoch_us(o_orderdate) // 86400000000) % 65536 AS y
+       |  FROM orders
+       |),
+       |z AS (SELECT x, y, ${zvalDuck("x", "y")} AS zval FROM b)
+       |SELECT zval // ${1 << ZOrderBucketShift} AS zbucket,
+       |  count(*) AS n_orders,
+       |  min(x) AS min_cust, max(x) AS max_cust,
+       |  min(y) AS min_day, max(y) AS max_day
+       |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin
+
   /** Event-time tumbling windows (batch `window()`; streaming variant in
     * graft.streaming uses the same expression). */
   /** The ordered step sequence [[funnel]] audits. */

@@ -275,6 +275,32 @@ class RelationalSpec extends AnyFunSuite {
       TimestampType)
   }
 
+  test("zorderLayout: every bucket bounds BOTH dims; zval matches Scala interleave") {
+    val rows = Relational.zorderLayout(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val span = 1L << (Relational.ZOrderBucketShift / 2)
+    rows.foreach { case (zb, n, minC, maxC, minD, maxD) =>
+      assert(n > 0)
+      // the pruning property: a z-bucket confines each dimension to a
+      // 2^(shift/2)-wide cell — this is what makes row-group stats tight
+      assert(maxC - minC < span, s"bucket $zb cust span")
+      assert(maxD - minD < span, s"bucket $zb day span")
+    }
+    // independent Scala bit interleave: the bucket id is a function of
+    // (x >> 6, y >> 6) alone, which every member shares — so the morton
+    // code of (min_cust, min_day) must land in the same bucket even
+    // though the two minima may come from different rows
+    def morton(x: Long, y: Long): Long =
+      (0 until Relational.ZOrderBits).map(i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+        .sum
+    rows.foreach { case (zb, _, minC, _, minD, _) =>
+      assert((morton(minC, minD) >> Relational.ZOrderBucketShift) === zb,
+        s"bucket $zb morton mismatch")
+    }
+  }
+
   test("skyline equals brute-force dominance over part") {
     val pts = Tables.part(spark, d)
       .select($"p_partkey", $"p_retailprice", $"p_size")
