@@ -229,6 +229,8 @@ object SparkEntry {
     // 3-sigma per-type outliers via exact cross-multiplied arithmetic
     "events_outliers" -> (Curation.outliers _),
     "events_cusum" -> (Curation.cusum _),
+    "events_cusum_stream" ->
+      (graft.streaming.EventStream.cusumStreamVerified _),
 
     // --- as-of join: composed (union+window) AND native (custom
     //     LogicalPlan + SparkStrategy + merge executor) — same oracle ---
@@ -965,6 +967,7 @@ object SparkEntry {
     "events_priority_sample" -> CurationOracles.prioritySample,
     "events_outliers" -> CurationOracles.outliers,
     "events_cusum" -> CurationOracles.cusum,
+    "events_cusum_stream" -> CurationOracles.cusum,
     "rel_asof_click_purchase" -> asofOracle,
     // the native custom-plan as-of join must produce byte-identical
     // results to the composed one — one oracle checks both

@@ -616,8 +616,9 @@ object EventStream {
   private def toOut(uid: Long, s: SessState): SessionOut =
     SessionOut(uid, s.idx, s.startUs, s.endUs, s.n, s.sum)
 
-  private def tsMicros(e: Ev): Long =
-    e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000 + (t.getNanos / 1000) % 1000
+  private def tsMicros(e: Ev): Long = tsMicros(e.ts)
 
   /** Stateful sessionization via flatMapGroupsWithState — the SAME
     * function runs in batch (`closeTrailing = true`: one call per key,
@@ -668,5 +669,76 @@ object EventStream {
             closed.iterator
           }
       }
+  }
+
+  // ------------------------------------------------------------------
+  // streaming CUSUM changepoint detection
+  // ------------------------------------------------------------------
+
+  case class CusumEv(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, value: Double)
+  case class CusumOut(user_id: Long, event_id: Long, cusum_scaled: Long)
+
+  /** Stateful streaming twin of `Curation.cusum` — Page's one-sided
+    * CUSUM as keyed state: per user the ENTIRE carried state is one
+    * Long (the current statistic S), updated event-by-event in
+    * (ts, event_id) order within each micro-batch and persisted across
+    * batches. The same ×10⁶ floor-scaling as the batch operator keeps
+    * every update exact integer arithmetic, so batch window SQL,
+    * DuckDB, and the state store agree bit-for-bit.
+    *
+    * Ordering contract: within a micro-batch events sort per user;
+    * ACROSS batches the source must deliver time-ordered files (true
+    * of the driver fixture — one file — and of date-partitioned
+    * ingestion; a late event would need a watermark-buffered variant,
+    * the [[sessionizeStateful]] timeout pattern).
+    *
+    * Scale: state is 8 bytes/user in a hash-partitioned store; output
+    * is append-only flagged events — the alarm stream a monitor
+    * subscribes to. */
+  def cusumStateful(events: Dataset[CusumEv]): Dataset[CusumOut] = {
+    import events.sparkSession.implicits._
+    import graft.operators.Curation.{CusumDriftScaled, CusumThresholdScaled}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, CusumOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[CusumEv], state: GroupState[Long]) =>
+          var s = state.getOption.getOrElse(0L)
+          val out = it.map(e => (tsMicros(e.ts), e.event_id, e.value))
+            .toSeq.sortBy(t => (t._1, t._2))
+            .flatMap { case (_, id, v) =>
+              val d = math.floor(v * 1000000.0).toLong - CusumDriftScaled
+              s = math.max(0L, s + d)
+              if (s > CusumThresholdScaled) Some(CusumOut(uid, id, s))
+              else None
+            }
+          state.update(s)
+          out.iterator
+      }
+  }
+
+  /** Driver-surface STREAMING CUSUM under the real engine (file source →
+    * keyed state → parquet sink, AvailableNow), checked against the SAME
+    * DuckDB oracle as the batch `events_cusum` window query: one oracle,
+    * two execution models. */
+  def cusumStreamVerified(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (out, ckpt) = scratchDirs("cusum")
+    val ss = streamSession(s)
+    val ev = readEventStream(ss, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[CusumEv]
+    val q = cusumStateful(ev).toDF()
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val res = s.read.parquet(out).localCheckpoint()
+    deleteRecursively(out, ckpt)
+    res.select(col("user_id"), col("event_id"), col("cusum_scaled"),
+        round(col("cusum_scaled") / lit(1000000.0), 6).as("cusum"))
+      .orderBy("user_id", "event_id")
   }
 }

@@ -511,4 +511,41 @@ class StreamingSpec extends AnyFunSuite {
         "replayed micro-batch double-counted — sink not idempotent")
     } finally q.stop()
   }
+
+  test("streaming cusum carries S across micro-batches and matches batch") {
+    import graft.streaming.EventStream.{CusumEv, CusumOut}
+    import graft.operators.Curation
+    // split one user's time-ordered stream across TWO micro-batches in
+    // the middle of an elevated run: the statistic S must persist in
+    // keyed state so alarms continue seamlessly in batch 2
+    val base = 1700000000000L
+    def ev(id: Long, v: Double) =
+      CusumEv(7L, id, new Timestamp(base + id * 1000), v)
+    val all = Seq(ev(1, 300.0), ev(2, 250.0), ev(3, 10.0), ev(4, 400.0),
+      ev(5, 20.0), ev(6, 350.0))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[CusumEv]
+    val q = EventStream.cusumStateful(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cusum_out").start()
+    try {
+      mem.addData(all.take(3))
+      q.processAllAvailable()
+      mem.addData(all.drop(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cusum_out").as[CusumOut].collect()
+      .map(o => o.event_id -> o.cusum_scaled).toMap
+    // independent sequential recompute over the UNSPLIT stream
+    var s = 0L
+    val expected = all.flatMap { e =>
+      val d6 = math.floor(e.value * 1000000.0).toLong - Curation.CusumDriftScaled
+      s = math.max(0L, s + d6)
+      if (s > Curation.CusumThresholdScaled) Some(e.event_id -> s) else None
+    }.toMap
+    assert(got === expected)
+    // the alarm set must span both micro-batches, or the split proved
+    // nothing
+    assert(expected.keySet.exists(_ <= 3) && expected.keySet.exists(_ > 3))
+  }
 }
