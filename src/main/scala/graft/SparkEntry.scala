@@ -176,6 +176,7 @@ object SparkEntry {
     // each near-dup cluster (min doc_id on ties), not the min-id one
     "dedup_keep_best" -> (Dedup.keepBest _),
     "dedup_pagerank" -> (Dedup.pageRank _),
+    "dedup_triangles" -> (Dedup.triangles _),
 
     // --- similarity search (ANN over embeddings) ---
     "ann_topk_brute" -> (Similarity.bruteTopK _),
@@ -938,6 +939,7 @@ object SparkEntry {
     "dedup_spans" -> DedupOracles.dupSpans,
     "dedup_keep_best" -> DedupOracles.keepBest,
     "dedup_pagerank" -> DedupOracles.pageRank,
+    "dedup_triangles" -> DedupOracles.triangles,
     "ann_topk_brute" -> SimilarityOracles.bruteTopK,
     "ann_topk_lsh" -> SimilarityOracles.lshTopK,
     "ann_range_search" -> SimilarityOracles.rangeSearch,

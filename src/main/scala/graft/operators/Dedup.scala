@@ -1161,6 +1161,61 @@ object Dedup {
   def pageRank(s: SparkSession, d: String): DataFrame =
     pageRankOn(minhashEdgesShared(s, d))
 
+  /** Triangle counting + local clustering coefficient over the LSH
+    * near-dup graph — the graph-motif audit of a dedup pipeline: a
+    * near-dup relation should be near-transitive, so nodes whose
+    * neighborhoods DON'T close into triangles (low coefficient) mark
+    * borderline/chained similarity (A~B~C with A≁C) — exactly the
+    * clusters a single-linkage collapse ([[nearDupClusters]]) merges
+    * most aggressively and a reviewer should eyeball first.
+    *
+    * Algorithm: DEGREE ORIENTATION (Suri & Vassilvitskii, WWW'11) —
+    * orient every edge from the ((deg, id)-)smaller endpoint to the
+    * larger, count each triangle once at its smallest vertex via a
+    * wedge equi-join closed by one oriented-edge probe. Out-degrees
+    * under this orientation are O(√m) for ANY graph, so wedge fan-out
+    * is bounded by m^1.5 total — the "curse of the last reducer"
+    * mitigation; all joins are key-equi on node ids.
+    *
+    * Coefficient = 2·T_v / (deg_v·(deg_v−1)), one IEEE multiply+divide
+    * in both engines (NULL for deg-1 nodes). */
+  def triangles(s: SparkSession, d: String): DataFrame =
+    trianglesOn(minhashEdgesShared(s, d))
+
+  /** [[triangles]] over any (a, b) undirected edge list (a < b). */
+  private[graft] def trianglesOn(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+    val deg = und.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      .select(col("a").as("v"), col("deg"))
+    val e = edges.select(col("a"), col("b"))
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    val fwd = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = e.select(
+        when(fwd, col("a")).otherwise(col("b")).as("src"),
+        when(fwd, col("b")).otherwise(col("a")).as("dst"))
+      .localCheckpoint() // consumed three times below
+    val wedges = oriented.select(col("src"), col("dst").as("x"))
+      .join(oriented.select(col("src"), col("dst").as("y")), Seq("src"))
+      .filter(col("x") =!= col("y"))
+    val tri = wedges.join(
+      oriented.select(col("src").as("x"), col("dst").as("y")),
+      Seq("x", "y"))
+    val perNode = tri.select(col("src").as("node"))
+      .union(tri.select(col("x").as("node")))
+      .union(tri.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("t"))
+    deg.join(perNode, col("v") === col("node"), "left")
+      .select(col("v").as("doc_id"), col("deg"),
+        coalesce(col("t"), lit(0L)).as("n_triangles"),
+        when(col("deg") > 1,
+          round(lit(2.0) * coalesce(col("t"), lit(0L)) /
+            (col("deg") * (col("deg") - 1)), 6)).as("clustering_coeff"))
+      .orderBy("doc_id")
+  }
+
   /** [[pageRank]] over any (a, b) undirected edge list (a < b, no dups). */
   private[graft] def pageRankOn(edges: DataFrame): DataFrame = {
     val und = edges.select(col("a"), col("b"))

@@ -434,6 +434,42 @@ object DedupOracles {
        |ORDER BY doc_id, span_start""".stripMargin
   }
 
+  /** Degree-oriented triangle counting over the LSH pair graph — the
+    * same orientation, wedge join, and single-probe closure as
+    * `Dedup.trianglesOn`; coefficient division written in the identical
+    * IEEE order (one multiply, one divide). */
+  lazy val triangles: String =
+    s"""WITH pairs AS (SELECT doc_a AS a, doc_b AS b FROM ($minhashLsh) t),
+       |und AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+       |deg AS (SELECT a AS v, count(*) AS deg FROM und GROUP BY 1),
+       |orient AS (
+       |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+       |              THEN e.a ELSE e.b END AS src,
+       |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+       |              THEN e.b ELSE e.a END AS dst
+       |  FROM pairs e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v
+       |),
+       |tri AS (
+       |  SELECT o1.src AS u, o1.dst AS x, o2.dst AS y
+       |  FROM orient o1
+       |  JOIN orient o2 ON o1.src = o2.src AND o1.dst <> o2.dst
+       |  JOIN orient o3 ON o3.src = o1.dst AND o3.dst = o2.dst
+       |),
+       |tn AS (
+       |  SELECT node, count(*) AS t FROM (
+       |    SELECT u AS node FROM tri
+       |    UNION ALL SELECT x AS node FROM tri
+       |    UNION ALL SELECT y AS node FROM tri
+       |  ) GROUP BY 1
+       |)
+       |SELECT deg.v AS doc_id, deg.deg,
+       |  COALESCE(tn.t, 0) AS n_triangles,
+       |  CASE WHEN deg.deg > 1
+       |       THEN round(2.0 * COALESCE(tn.t, 0) / (deg.deg * (deg.deg - 1)), 6)
+       |  END AS clustering_coeff
+       |FROM deg LEFT JOIN tn ON deg.v = tn.node
+       |ORDER BY doc_id""".stripMargin
+
   /** PageRank over the LSH pair graph — the FULL [[minhashLsh]] pipeline
     * as a CTE, then `Dedup.PageRankIters` unrolled power-iteration
     * rounds in the same truncating BIGINT arithmetic as

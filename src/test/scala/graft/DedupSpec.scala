@@ -475,6 +475,47 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("triangles match a brute-force motif count on a mixed graph") {
+    // K4 on 1-4 (each node in 3 triangles, coeff 1.0), a triangle with
+    // a pendant (5-6-7 + 7-8), and a 4-path (no triangles)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (5L, 7L), (6L, 7L), (7L, 8L),
+      (10L, 11L), (11L, 12L), (12L, 13L)).toDF("a", "b")
+    val got = graft.operators.Dedup.trianglesOn(edges)
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+    val es = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (5L, 7L), (6L, 7L), (7L, 8L),
+      (10L, 11L), (11L, 12L), (12L, 13L))
+    val adj = (es ++ es.map(_.swap)).groupBy(_._1)
+      .map { case (v, xs) => v -> xs.map(_._2).toSet }
+    val nodes = adj.keySet
+    val triCount = nodes.map { v =>
+      val nb = adj(v).toSeq
+      v -> nb.combinations(2).count {
+        case Seq(x, y) => adj(x)(y)
+        case _         => false
+      }.toLong
+    }.toMap
+    assert(got.keySet === nodes)
+    nodes.foreach { v =>
+      val (deg, t, coeff) = got(v)
+      assert(deg === adj(v).size.toLong, s"node $v deg")
+      assert(t === triCount(v), s"node $v triangles")
+      if (deg > 1)
+        assert(coeff.get ===
+          BigDecimal(2.0 * triCount(v) / (deg * (deg - 1)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          s"node $v coeff")
+      else assert(coeff.isEmpty, s"node $v deg-1 coeff must be null")
+    }
+    assert(got(1L)._3.contains(1.0)) // K4 member: perfectly closed
+    assert(got(8L)._2 === 0L)        // pendant: no triangles
+  }
+
   test("pageRank matches an independent integer power iteration") {
     // path 1-2-3 (degrees 1,2,1), a disconnected pair 10-11, and a
     // star 20-{21,22,23}: mixed degrees across components
