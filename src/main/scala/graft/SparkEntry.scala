@@ -230,6 +230,7 @@ object SparkEntry {
     // 3-sigma per-type outliers via exact cross-multiplied arithmetic
     "events_outliers" -> (Curation.outliers _),
     "events_cusum" -> (Curation.cusum _),
+    "events_outliers_mad" -> (Curation.outliersMad _),
     "events_cusum_stream" ->
       (graft.streaming.EventStream.cusumStreamVerified _),
 
@@ -969,6 +970,7 @@ object SparkEntry {
     "events_priority_sample" -> CurationOracles.prioritySample,
     "events_outliers" -> CurationOracles.outliers,
     "events_cusum" -> CurationOracles.cusum,
+    "events_outliers_mad" -> CurationOracles.outliersMad,
     "events_cusum_stream" -> CurationOracles.cusum,
     "rel_asof_click_purchase" -> asofOracle,
     // the native custom-plan as-of join must produce byte-identical

@@ -215,6 +215,50 @@ object Curation {
       .orderBy("event_id")
   }
 
+  /** Histogram-sketch range for [[outliersMad]]'s medians: value ∈
+    * (0, 490] → [0, 512] over 2048 bins, 0.25-wide. Shared with the
+    * generated oracle. */
+  val MadHistLo = 0.0
+  val MadHistHi = 512.0
+  val MadHistBins = 2048
+  /** Flag when |value − med| exceeds this many MADs (≈ 4σ-equivalent
+    * under normality via the 1.4826 consistency factor; the driver
+    * fixture's value tail is heavy, so 6 keeps flags selective). */
+  val MadCut = 6.0
+
+  /** ROBUST outlier detection via MAD (median absolute deviation) —
+    * the breakdown-resistant twin of [[outliers]]' 3σ test: mean and
+    * σ are themselves dragged by the outliers they hunt (masking),
+    * while the median shrugs off up to 50% contamination. Flag events
+    * with |value − med| > [[MadCut]] · MAD per event type.
+    *
+    * Both medians come from the deterministic mergeable histogram
+    * sketch ([[graft.functions.HistQuantileAgg]] — merge-order
+    * independent, so partitioning can't shift an estimate), rounded to
+    * 9 dp; the deviation test is then one IEEE subtract/multiply/compare
+    * written identically in both engines. Two aggregate passes + two
+    * #type-row broadcasts back — events never shuffle.
+    *
+    * Scale: each pass is a partial+final agg by event_type over a
+    * fixed 2048-bin buffer; the probe side is map-only. Same shape as
+    * [[outliers]], one extra pass for the deviation median. */
+  def outliersMad(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.HistQuantileAgg
+    def hq(x: Column) = round(
+      HistQuantileAgg(x, MadHistLo, MadHistHi, MadHistBins, 0.5), 9)
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val med = ev.groupBy("event_type").agg(hq(col("value")).as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type").agg(hq(col("adev")).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("adev") > lit(MadCut) * col("mad"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("med"), col("mad"))
+      .orderBy("event_id")
+  }
+
   /** CUSUM drift term, scaled ×10⁶: the "acceptable mean" k. Values
     * average ≈ 50, so k = 80 keeps the statistic near zero until a
     * genuinely elevated run arrives. */
@@ -717,6 +761,58 @@ object CurationOracles {
       |WHERE (st.n * e.v6 - st.s6) * (st.n * e.v6 - st.s6)
       |      > 9 * (st.n * st.q6 - st.s6 * st.s6)
       |ORDER BY event_id""".stripMargin
+
+  /** One hist-sketch median block ([[graft.functions.HistQuantileAgg]]
+    * replicated in SQL — same binning, rank pick, and interpolation as
+    * the rel_hist_quantiles oracle), emitting `est_<out>(<grp>, <out>)`.
+    * Chained twice by [[outliersMad]]. */
+  private def madHistCtes(src: String, grp: String, valExpr: String,
+      out: String): String = {
+    import Curation.{MadHistLo => Lo, MadHistHi => Hi, MadHistBins => Bins}
+    val w = (Hi - Lo) / Bins
+    s"""b_$out AS (
+       |  SELECT $grp,
+       |    least(greatest(floor(($valExpr::DOUBLE - $Lo) / $w)::BIGINT, 0),
+       |      ${Bins - 1}) AS bin
+       |  FROM $src WHERE $valExpr IS NOT NULL
+       |),
+       |c_$out AS (SELECT $grp, bin, count(*) AS n FROM b_$out GROUP BY 1, 2),
+       |cum_$out AS (
+       |  SELECT $grp, bin, n,
+       |    sum(n) OVER (PARTITION BY $grp ORDER BY bin) AS cum,
+       |    sum(n) OVER (PARTITION BY $grp) AS tot
+       |  FROM c_$out
+       |),
+       |pick_$out AS (
+       |  SELECT $grp, bin, n, cum - n AS cumbefore,
+       |    greatest(ceil(0.5 * tot)::BIGINT, 1) AS r,
+       |    row_number() OVER (PARTITION BY $grp ORDER BY bin) AS rn
+       |  FROM cum_$out
+       |  WHERE cum >= greatest(ceil(0.5 * tot)::BIGINT, 1)
+       |),
+       |est_$out AS (
+       |  SELECT $grp,
+       |    round($Lo + $w * bin + $w * ((r - cumbefore)::DOUBLE / n::DOUBLE), 9)
+       |      AS $out
+       |  FROM pick_$out WHERE rn = 1
+       |)""".stripMargin
+  }
+
+  /** MAD outliers: two chained hist-median blocks (value, then
+    * |value − med|), then the identical one-multiply compare. */
+  lazy val outliersMad: String =
+    s"""WITH ev AS (SELECT event_id, event_type, value FROM events),
+       |${madHistCtes("ev", "event_type", "value", "med")},
+       |dev AS (
+       |  SELECT e.event_id, e.event_type, e.value, m.med,
+       |    abs(e.value - m.med) AS adev
+       |  FROM ev e JOIN est_med m USING (event_type)
+       |),
+       |${madHistCtes("dev", "event_type", "adev", "mad")}
+       |SELECT event_id, event_type, value, med, mad
+       |FROM dev JOIN est_mad USING (event_type)
+       |WHERE adev > ${Curation.MadCut} * mad
+       |ORDER BY event_id""".stripMargin
 
   /** CUSUM via the same prefix-sum unrolling as `Curation.cusum`:
     * running sum + running min per user, exact ×10⁶ BIGINTs (window

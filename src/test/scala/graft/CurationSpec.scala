@@ -301,6 +301,41 @@ class CurationSpec extends AnyFunSuite {
     assert(got.groupBy(t => (t._2, t._3)).exists(_._2.length > 1))
   }
 
+  test("outliersMad flags exactly |v - med| > cut * mad under the sketch") {
+    import Curation.{MadHistLo, MadHistHi, MadHistBins, MadCut}
+    val ev = graft.Tables.events(spark, d)
+      .select($"event_id", $"event_type", $"value")
+      .as[(Long, String, Double)].collect()
+    // independent replication of HistQuantileAgg's median: fixed bins,
+    // rank = max(ceil(q*tot), 1), within-bin linear interpolation
+    def histMedian(xs: Seq[Double]): Double = {
+      val w = (MadHistHi - MadHistLo) / MadHistBins
+      val cnt = new Array[Long](MadHistBins)
+      xs.foreach { x =>
+        val b = math.min(math.max(
+          math.floor((x - MadHistLo) / w).toLong, 0L), MadHistBins - 1L)
+        cnt(b.toInt) += 1
+      }
+      val r = math.max(math.ceil(0.5 * xs.size).toLong, 1L)
+      var cum = 0L; var i = 0
+      while (cum + cnt(i) < r) { cum += cnt(i); i += 1 }
+      val est = MadHistLo + w * i + w * ((r - cum).toDouble / cnt(i).toDouble)
+      BigDecimal(est).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byType = ev.groupBy(_._2)
+    val med = byType.map { case (t, xs) => t -> histMedian(xs.toSeq.map(_._3)) }
+    val mad = byType.map { case (t, xs) =>
+      t -> histMedian(xs.toSeq.map(e => math.abs(e._3 - med(t))))
+    }
+    val expected = ev.filter { case (_, t, v) =>
+      math.abs(v - med(t)) > MadCut * mad(t)
+    }.map(_._1).toSet
+    val got = Curation.outliersMad(spark, d)
+      .select($"event_id").as[Long].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("cusum equals the sequential max(0, S+d) recurrence per user") {
     // independent recompute: run Page's recurrence directly over the
     // per-user (ts, event_id)-ordered stream — the operator's
