@@ -120,6 +120,7 @@ object SparkEntry {
     "rel_range_join" -> (Relational.rangeJoin _),
     "rel_skyline" -> (Relational.skyline _),
     "rel_zorder_layout" -> (Relational.zorderLayout _),
+    "rel_rfm" -> (Relational.rfm _),
     "rel_outer_joins" -> (Relational.outerJoins _),
     "rel_set_ops_all" -> (Relational.setOpsAll _),
     "rel_unpivot_user_events" -> (Relational.unpivotUserEvents _),
@@ -829,6 +830,7 @@ object SparkEntry {
         |    AND (q.p_retailprice < m.p_retailprice OR q.p_size > m.p_size))
         |ORDER BY m.p_partkey""".stripMargin,
     "rel_zorder_layout" -> Relational.zorderLayoutOracle,
+    "rel_rfm" -> Relational.rfmOracle,
     // unpivot(pivot(x)) minus the null/zero fill-in == the plain groupBy
     "rel_unpivot_user_events" ->
       """SELECT user_id, event_type, count(*) AS n

@@ -628,6 +628,150 @@ object Relational {
        |  min(y) AS min_day, max(y) AS max_day
        |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin
 
+  /** RFM tercile cutpoints — written with an `e0` exponent in the oracle
+    * so DuckDB parses them as DOUBLE (a bare 0.33 literal is DECIMAL
+    * there, and ceil(q·tot) in decimal vs double arithmetic can pick
+    * adjacent ranks). */
+  val RfmQ1 = 0.33
+  val RfmQ2 = 0.67
+  /** Histogram-sketch declared ranges per metric (value clamps into the
+    * edge bins outside them): recency days [0, 4096]@1/bin, order count
+    * [0, 64]@1/bin, monetary [0, 2^24]@4096/bin. */
+  val RfmRecencyHi = 4096.0
+  val RfmRecencyBins = 4096
+  val RfmFreqHi = 64.0
+  val RfmFreqBins = 64
+  val RfmMonetaryHi = 16777216.0
+  val RfmMonetaryBins = 4096
+
+  /** RFM SEGMENTATION — the classic customer-value cube: per customer,
+    * Recency (days since last order), Frequency (order count), Monetary
+    * (lifetime spend), each scored 1-3 against corpus tercile cutpoints
+    * and concatenated into a segment label (R3F3M3 = recent frequent
+    * big-spender). The cutpoints come from the deterministic mergeable
+    * histogram sketch ([[graft.functions.HistQuantileAgg]]) — exactly
+    * replicable in SQL, partitioning-independent — so scores are
+    * bit-identical cross-engine; monetary sums in DECIMAL (exact,
+    * order-free) and casts to double once.
+    *
+    * Scale: one partial+final agg by customer builds the metric frame
+    * (#customers rows); cutpoints are ONE 6-column sketch aggregate
+    * broadcast back; scoring is map-only. The global-max day attaches
+    * via a 1-row broadcast, never a driver scalar. */
+  def rfm(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.HistQuantileAgg
+    val o = Tables.orders(s, d).select(col("o_custkey"),
+      expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        .as("day"),
+      col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+    val m = o.groupBy("o_custkey").agg(
+      max("day").as("last_day"),
+      count(lit(1)).as("n_orders"),
+      sum("price").cast("double").as("monetary"))
+    val gmax = m.agg(max("last_day").as("gday"))
+    val met = m.crossJoin(broadcast(gmax))
+      .select(col("o_custkey").as("c_custkey"),
+        (col("gday") - col("last_day")).as("recency_days"),
+        col("n_orders"), col("monetary"))
+      .localCheckpoint() // consumed by the cutpoint agg AND the scoring
+    def hq(x: org.apache.spark.sql.Column, hi: Double, bins: Int, q: Double) =
+      round(HistQuantileAgg(x, 0.0, hi, bins, q), 9)
+    val thr = met.agg(
+      hq(col("recency_days").cast("double"), RfmRecencyHi, RfmRecencyBins,
+        RfmQ1).as("r1"),
+      hq(col("recency_days").cast("double"), RfmRecencyHi, RfmRecencyBins,
+        RfmQ2).as("r2"),
+      hq(col("n_orders").cast("double"), RfmFreqHi, RfmFreqBins, RfmQ1)
+        .as("f1"),
+      hq(col("n_orders").cast("double"), RfmFreqHi, RfmFreqBins, RfmQ2)
+        .as("f2"),
+      hq(col("monetary"), RfmMonetaryHi, RfmMonetaryBins, RfmQ1).as("m1"),
+      hq(col("monetary"), RfmMonetaryHi, RfmMonetaryBins, RfmQ2).as("m2"))
+    met.crossJoin(broadcast(thr))
+      .withColumn("r_score", (lit(3)
+        - (col("recency_days") > col("r1")).cast("int")
+        - (col("recency_days") > col("r2")).cast("int")))
+      .withColumn("f_score", (lit(1)
+        + (col("n_orders") > col("f1")).cast("int")
+        + (col("n_orders") > col("f2")).cast("int")))
+      .withColumn("m_score", (lit(1)
+        + (col("monetary") > col("m1")).cast("int")
+        + (col("monetary") > col("m2")).cast("int")))
+      .select(col("c_custkey"), col("recency_days"), col("n_orders"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+        concat(lit("R"), col("r_score"), lit("F"), col("f_score"),
+          lit("M"), col("m_score")).as("segment"))
+      .orderBy("c_custkey")
+  }
+
+  /** One GLOBAL hist-sketch block for the [[rfm]] oracle: two tercile
+    * estimates of `valExpr` over `met`, emitted as a 1-row CTE
+    * `est_<name>(<name>1, <name>2)` — the same binning/rank/interpolation
+    * as HistQuantileAgg. */
+  private def rfmHistCtes(valExpr: String, hi: Double, bins: Int,
+      name: String): String = {
+    val w = hi / bins
+    s"""b_$name AS (
+       |  SELECT least(greatest(floor(($valExpr::DOUBLE - 0.0) / $w)::BIGINT, 0),
+       |    ${bins - 1}) AS bin
+       |  FROM met
+       |),
+       |c_$name AS (SELECT bin, count(*) AS n FROM b_$name GROUP BY 1),
+       |cum_$name AS (
+       |  SELECT bin, n, sum(n) OVER (ORDER BY bin) AS cum,
+       |    sum(n) OVER () AS tot
+       |  FROM c_$name
+       |),
+       |pick_$name AS (
+       |  SELECT qq.q, bin, n, cum - n AS cumbefore,
+       |    greatest(ceil(qq.q * tot)::BIGINT, 1) AS r,
+       |    row_number() OVER (PARTITION BY qq.q ORDER BY bin) AS rn
+       |  FROM cum_$name, (VALUES (${RfmQ1}e0), (${RfmQ2}e0)) qq(q)
+       |  WHERE cum >= greatest(ceil(qq.q * tot)::BIGINT, 1)
+       |),
+       |est_$name AS (
+       |  SELECT
+       |    max(CASE WHEN q = ${RfmQ1}e0 THEN
+       |      round(0.0 + $w * bin + $w * ((r - cumbefore)::DOUBLE / n::DOUBLE), 9)
+       |    END) AS ${name}1,
+       |    max(CASE WHEN q = ${RfmQ2}e0 THEN
+       |      round(0.0 + $w * bin + $w * ((r - cumbefore)::DOUBLE / n::DOUBLE), 9)
+       |    END) AS ${name}2
+       |  FROM pick_$name WHERE rn = 1
+       |)""".stripMargin
+  }
+
+  /** DuckDB twin of [[rfm]] — exact DECIMAL monetary, the same three
+    * sketch blocks, the same strict-greater scoring. */
+  private[graft] def rfmOracle: String =
+    s"""WITH m0 AS (
+       |  SELECT o_custkey,
+       |    max(epoch_us(o_orderdate) // 86400000000) AS last_day,
+       |    count(*) AS n_orders,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+       |  FROM orders GROUP BY 1
+       |),
+       |g AS (SELECT max(last_day) AS gday FROM m0),
+       |met AS (
+       |  SELECT o_custkey AS c_custkey, gday - last_day AS recency_days,
+       |    n_orders, monetary
+       |  FROM m0, g
+       |),
+       |${rfmHistCtes("recency_days", RfmRecencyHi, RfmRecencyBins, "r")},
+       |${rfmHistCtes("n_orders", RfmFreqHi, RfmFreqBins, "f")},
+       |${rfmHistCtes("monetary", RfmMonetaryHi, RfmMonetaryBins, "m")}
+       |SELECT c_custkey, recency_days, n_orders, monetary,
+       |  3 - (recency_days > r1)::INTEGER - (recency_days > r2)::INTEGER
+       |    AS r_score,
+       |  1 + (n_orders > f1)::INTEGER + (n_orders > f2)::INTEGER AS f_score,
+       |  1 + (monetary > m1)::INTEGER + (monetary > m2)::INTEGER AS m_score,
+       |  'R' || (3 - (recency_days > r1)::INTEGER - (recency_days > r2)::INTEGER)
+       |    || 'F' || (1 + (n_orders > f1)::INTEGER + (n_orders > f2)::INTEGER)
+       |    || 'M' || (1 + (monetary > m1)::INTEGER + (monetary > m2)::INTEGER)
+       |    AS segment
+       |FROM met, est_r, est_f, est_m
+       |ORDER BY c_custkey""".stripMargin
+
   /** Event-time tumbling windows (batch `window()`; streaming variant in
     * graft.streaming uses the same expression). */
   /** The ordered step sequence [[funnel]] audits. */

@@ -42,7 +42,8 @@ class PlanLintSpec extends AnyFunSuite {
     "dedup_lsh_eval",                       // three 1-row count aggregates
     "events_priority_sample",               // 1-row τ-threshold broadcast
     "text_bpe_vocab",                       // 1-row chosen-merge broadcast
-    "rel_skyline")                          // guarded candidate dominance pass
+    "rel_skyline",                          // guarded candidate dominance pass
+    "rel_rfm")                              // 1-row tercile-cutpoint broadcast
 
   test("no ann_* plan ranks through a Window partitioned by query_id") {
     // VERDICT r6: the shared rerank tail and the PQ ranking once used

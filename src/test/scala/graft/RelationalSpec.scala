@@ -301,6 +301,35 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("rfm: scores are consistent terciles and the label matches them") {
+    val rows = Relational.rfm(spark, d)
+      .as[(Long, Long, Long, Double, Int, Int, Int, String)].collect()
+    val nCust = Tables.orders(spark, d)
+      .select($"o_custkey").distinct().count()
+    assert(rows.length.toLong === nCust)
+    rows.foreach { case (ck, rec, n, mon, rs, fs, ms, seg) =>
+      assert(rs >= 1 && rs <= 3, s"cust $ck r_score")
+      assert(fs >= 1 && fs <= 3, s"cust $ck f_score")
+      assert(ms >= 1 && ms <= 3, s"cust $ck m_score")
+      assert(seg === s"R${rs}F${fs}M$ms", s"cust $ck segment")
+      assert(rec >= 0 && n >= 1 && mon > 0, s"cust $ck metrics")
+    }
+    // tercile scoring must actually split each dimension: monotone in
+    // the metric, and no score class empty (cutpoints inside the data)
+    def classesOf(f: ((Long, Long, Long, Double, Int, Int, Int, String)) => Int) =
+      rows.groupBy(f).view.mapValues(_.length).toMap
+    Seq(classesOf(_._5), classesOf(_._6), classesOf(_._7)).foreach { cl =>
+      assert(cl.keySet === Set(1, 2, 3), s"missing score class: $cl")
+    }
+    // monotone: a customer with HIGHER monetary can't score LOWER
+    val byMon = rows.sortBy(_._4)
+    byMon.sliding(2).foreach {
+      case Array(a, b) => assert(a._7 <= b._7,
+        s"monetary score not monotone at ${a._1}->${b._1}")
+      case _ =>
+    }
+  }
+
   test("skyline equals brute-force dominance over part") {
     val pts = Tables.part(spark, d)
       .select($"p_partkey", $"p_retailprice", $"p_size")
