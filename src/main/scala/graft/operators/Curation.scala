@@ -215,6 +215,68 @@ object Curation {
       .orderBy("event_id")
   }
 
+  /** Guard for [[abTest]]'s DECIMAL(38,0)/HUGEINT z² cross-product:
+    * 625·diff²·N ≤ 39·N⁵ must stay under 10³⁸, so N (total users in
+    * the experiment) is refused past 2×10⁷ — at that point scale the
+    * counts down by a common factor or test on a user sample. */
+  val MaxAbTestUsers = 20000000L
+
+  /** A/B TEST significance — the two-proportion pooled z-test every
+    * experimentation pipeline runs, in EXACT integer arithmetic: users
+    * split 50/50 by the deterministic md5 bucket ([[pctBucket]] < 50),
+    * "conversion" = the user emitted ≥ 1 event of each type, and the
+    * z² > 1.96² decision is cross-multiplied into one integer
+    * comparison — 625·(k_a·n_b − k_b·n_a)²·N > 2401·n_a·n_b·K·(N−K)
+    * (1.96² = 2401/625 exactly) — so both engines flag the identical
+    * types with no division, no sqrt, no float (the [[outliers]]
+    * discipline applied to inference).
+    *
+    * Scale: the user frame collapses to one row per user immediately
+    * (distinct), conversions to one row per (user, type); counts are
+    * partial+final aggs; the 1-row totals attach by broadcast. The
+    * DECIMAL(38,0) envelope is enforced by an eager guard
+    * ([[MaxAbTestUsers]]) rather than silently nulling on overflow. */
+  def abTest(s: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(s, d).select(col("user_id")).distinct()
+      .withColumn("va", pctBucket(col("user_id")) < 50)
+      .localCheckpoint() // totals + per-type conversions share one build
+    val totals = users.agg(
+      sum(when(col("va"), 1).otherwise(0)).cast(DecimalType(38, 0)).as("n_a"),
+      sum(when(!col("va"), 1).otherwise(0)).cast(DecimalType(38, 0)).as("n_b"))
+    val nRow = totals.head()
+    val nTotal = nRow.getDecimal(0).longValueExact() +
+      nRow.getDecimal(1).longValueExact()
+    require(nTotal <= MaxAbTestUsers,
+      s"abTest refused: $nTotal users exceed $MaxAbTestUsers - the " +
+        "cross-multiplied z-squared comparison could overflow " +
+        "DECIMAL(38,0); scale counts down by a common factor or sample " +
+        "users first")
+    val conv = Tables.events(s, d).select("user_id", "event_type").distinct()
+      .join(users, "user_id")
+      .groupBy("event_type").agg(
+        sum(when(col("va"), 1).otherwise(0)).cast(DecimalType(38, 0))
+          .as("k_a"),
+        sum(when(!col("va"), 1).otherwise(0)).cast(DecimalType(38, 0))
+          .as("k_b"))
+    val diff = col("k_a") * col("n_b") - col("k_b") * col("n_a")
+    val bigN = col("n_a") + col("n_b")
+    val bigK = col("k_a") + col("k_b")
+    conv.crossJoin(broadcast(totals))
+      .select(col("event_type"),
+        col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        col("k_a").cast("long").as("k_a"),
+        col("k_b").cast("long").as("k_b"),
+        round(col("k_a").cast("double") / col("n_a").cast("double"), 6)
+          .as("conv_a"),
+        round(col("k_b").cast("double") / col("n_b").cast("double"), 6)
+          .as("conv_b"),
+        (lit(625) * diff * diff * bigN >
+          lit(2401) * col("n_a") * col("n_b") * bigK * (bigN - bigK))
+          .as("significant"))
+      .orderBy("event_type")
+  }
+
   /** Histogram-sketch range for [[outliersMad]]'s medians: value ∈
     * (0, 490] → [0, 512] over 2048 bins, 0.25-wide. Shared with the
     * generated oracle. */
@@ -761,6 +823,39 @@ object CurationOracles {
       |WHERE (st.n * e.v6 - st.s6) * (st.n * e.v6 - st.s6)
       |      > 9 * (st.n * st.q6 - st.s6 * st.s6)
       |ORDER BY event_id""".stripMargin
+
+  /** A/B test: same md5 split, same cross-multiplied z² decision in
+    * HUGEINT (DECIMAL(38,0) on the Spark side — both exact). */
+  val abTest: String =
+    s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+       |v AS (
+       |  SELECT user_id,
+       |    (${pctBucketSql("user_id::VARCHAR")}) < 50 AS va
+       |  FROM u
+       |),
+       |tot AS (
+       |  SELECT CAST(sum(CASE WHEN va THEN 1 ELSE 0 END) AS HUGEINT) AS n_a,
+       |         CAST(sum(CASE WHEN NOT va THEN 1 ELSE 0 END) AS HUGEINT) AS n_b
+       |  FROM v
+       |),
+       |ut AS (SELECT DISTINCT user_id, event_type FROM events),
+       |conv AS (
+       |  SELECT event_type,
+       |    CAST(sum(CASE WHEN va THEN 1 ELSE 0 END) AS HUGEINT) AS k_a,
+       |    CAST(sum(CASE WHEN NOT va THEN 1 ELSE 0 END) AS HUGEINT) AS k_b
+       |  FROM ut JOIN v USING (user_id) GROUP BY 1
+       |)
+       |SELECT event_type,
+       |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |  CAST(k_a AS BIGINT) AS k_a, CAST(k_b AS BIGINT) AS k_b,
+       |  round(k_a::DOUBLE / n_a::DOUBLE, 6) AS conv_a,
+       |  round(k_b::DOUBLE / n_b::DOUBLE, 6) AS conv_b,
+       |  625 * (k_a * n_b - k_b * n_a) * (k_a * n_b - k_b * n_a)
+       |      * (n_a + n_b)
+       |    > 2401 * n_a * n_b * (k_a + k_b)
+       |      * ((n_a + n_b) - (k_a + k_b)) AS significant
+       |FROM conv, tot
+       |ORDER BY event_type""".stripMargin
 
   /** One hist-sketch median block ([[graft.functions.HistQuantileAgg]]
     * replicated in SQL — same binning, rank pick, and interpolation as

@@ -336,6 +336,35 @@ class CurationSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("abTest decision equals an exact BigInt z-squared recompute") {
+    val events = graft.Tables.events(spark, d)
+      .select($"user_id", $"event_type").as[(Long, String)].collect()
+    def bucket(uid: Long): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(uid.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md5.take(4).map("%02x".format(_)).mkString, 16) % 100
+    }
+    val users = events.map(_._1).distinct
+    val inA = users.map(u => u -> (bucket(u) < 50)).toMap
+    val nA = BigInt(users.count(inA))
+    val nB = BigInt(users.size) - nA
+    val got = Curation.abTest(spark, d)
+      .select($"event_type", $"k_a", $"k_b", $"significant")
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(got.length === events.map(_._2).distinct.length)
+    got.foreach { case (t, ka, kb, sig) =>
+      val conv = events.filter(_._2 == t).map(_._1).distinct
+      assert(BigInt(conv.count(inA)) === BigInt(ka), s"$t k_a")
+      assert(BigInt(conv.count(u => !inA(u))) === BigInt(kb), s"$t k_b")
+      val (bKa, bKb) = (BigInt(ka), BigInt(kb))
+      val diff = bKa * nB - bKb * nA
+      val n = nA + nB
+      val k = bKa + bKb
+      val expectSig = 625 * diff * diff * n > 2401 * nA * nB * k * (n - k)
+      assert(sig === expectSig, s"$t significance")
+    }
+  }
+
   test("cusum equals the sequential max(0, S+d) recurrence per user") {
     // independent recompute: run Page's recurrence directly over the
     // per-user (ts, event_id)-ordered stream — the operator's

@@ -43,7 +43,8 @@ class PlanLintSpec extends AnyFunSuite {
     "events_priority_sample",               // 1-row τ-threshold broadcast
     "text_bpe_vocab",                       // 1-row chosen-merge broadcast
     "rel_skyline",                          // guarded candidate dominance pass
-    "rel_rfm")                              // 1-row tercile-cutpoint broadcast
+    "rel_rfm",                              // 1-row tercile-cutpoint broadcast
+    "events_ab_test")                       // 1-row variant-totals broadcast
 
   test("no ann_* plan ranks through a Window partitioned by query_id") {
     // VERDICT r6: the shared rerank tail and the PQ ranking once used
