@@ -219,6 +219,7 @@ object SparkEntry {
 
     // --- curation ops (normalization, LM scoring, sampling, pipeline) ---
     "text_top_terms" -> (TextAnalysis.topTerms _),
+    "rel_fuzzy_names" -> (TextAnalysis.fuzzyNames _),
     "text_doc_similarity" -> (TextAnalysis.docSimilarity _),
     "text_bm25" -> (TextAnalysis.bm25Retrieval _),
     "text_normalize" -> (Curation.normalize _),
@@ -906,6 +907,7 @@ object SparkEntry {
         |  min(l_extendedprice) AS min_price
         |FROM li GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_top_terms" -> TextAnalysisOracles.topTerms,
+    "rel_fuzzy_names" -> TextAnalysisOracles.fuzzyNames,
     "text_doc_similarity" -> TextAnalysisOracles.docSimilarity,
     "text_bm25" -> TextAnalysisOracles.bm25Retrieval,
     "rel_array_funcs" ->

@@ -31,6 +31,80 @@ object TextAnalysis {
       .select(col("doc_id"), col("text"),
         explode(WordShingles(col("text"), 1)).as("w"))
 
+  /** Minimum word length for [[typoPairs]] — short fragments generate
+    * hyper-shared deletion keys and near-anagram noise. */
+  val TypoMinWordLen = 5
+  /** Hot-bucket refusal bound on words per deletion key. */
+  val MaxTypoKeyBucket = 500L
+
+  /** TYPO/VARIANT pair mining via SymSpell deletion neighborhoods
+    * (Garbe's symmetric-delete algorithm): two words are at edit
+    * distance ≤ 1 IFF their {word} ∪ {all 1-deletions} key sets
+    * intersect — substitutions meet at the deleted position, and an
+    * insertion's deletion IS the shorter word. So candidate generation
+    * is a plain equi-join on deletion keys (complete recall for ed = 1,
+    * never an all-pairs scan), and `levenshtein(a, b) = 1` — the same
+    * built-in DP in Spark and DuckDB — verifies the survivors. Corpus
+    * frequencies ride along: the rare-spelled twin of a frequent word
+    * is the classic OCR/typo signature a cleaning pipeline rewrites.
+    *
+    * Scale: keys are vocab-sized ((len+1) keys per DISTINCT word, not
+    * per token); the join is shuffle-partitionable on the key; an
+    * occupancy guard ([[MaxTypoKeyBucket]]) refuses degenerate key
+    * buckets the way [[Dedup.simhashPairsOn]] does, naming the dial. */
+  /** The SymSpell pair core over any 1-column (`w`) frame of DISTINCT
+    * strings (length ≥ [[TypoMinWordLen]] enforced here): emits
+    * (word_a, word_b) at edit distance EXACTLY 1, complete recall. */
+  private[graft] def typoPairsOn(wordsIn: DataFrame): DataFrame = {
+    val words = wordsIn.select(col("w"))
+      .filter(length(col("w")) >= TypoMinWordLen).distinct()
+      .localCheckpoint() // keys + verify probes reuse one build
+    // length ≥ 5 guards the sequence's lower bound (no downward ramp)
+    val keys = words.select(col("w"), col("w").as("k"))
+      .union(words
+        .select(col("w"), explode(expr("sequence(1, length(w))")).as("p"))
+        .select(col("w"),
+          expr("concat(substr(w, 1, p - 1), substr(w, p + 1))").as("k")))
+    val occ = keys.groupBy("k").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head()
+    val maxOcc = if (occ.isNullAt(0)) 0L else occ.getLong(0)
+    require(maxOcc <= MaxTypoKeyBucket,
+      s"typoPairs refused: a deletion key is shared by $maxOcc words " +
+        s"(> $MaxTypoKeyBucket) - candidate fan-out is occupancy^2; " +
+        s"raise TypoMinWordLen or shard hot keys by word length first")
+    keys.select(col("w").as("word_a"), col("k"))
+      .join(keys.select(col("w").as("word_b"), col("k")), Seq("k"))
+      .filter(col("word_a") < col("word_b"))
+      .select("word_a", "word_b").distinct()
+      .filter(levenshtein(col("word_a"), col("word_b")) === 1)
+  }
+
+  /** Corpus-vocabulary typo pairs (spec surface: the driver fixture's
+    * vocabulary is generator-clean, so this is exercised by a
+    * planted-typo spec rather than a guaranteed-empty driver query). */
+  private[graft] def typoPairs(s: SparkSession, d: String): DataFrame =
+    typoPairsOn(docsWithTokens(s, d).select(col("w")))
+      .orderBy("word_a", "word_b")
+
+  /** FUZZY ENTITY-NAME matching over the customer dimension — record
+    * linkage's blocking+verify step: for every customer name, how many
+    * other names sit ONE edit away (`n_neighbors`) and the
+    * lexicographic nearest (`nearest`). Near-identical entity names are
+    * the classic dirty-dimension signature (typo'd re-registrations,
+    * OCR'd imports) that inflates per-customer aggregates. Candidate
+    * generation is [[typoPairsOn]]'s SymSpell deletion-key equi-join —
+    * complete for ed = 1, never all-pairs — then a symmetric per-name
+    * count. */
+  def fuzzyNames(s: SparkSession, d: String): DataFrame = {
+    val pairs = typoPairsOn(
+      Tables.load(s, d, "customer").select(col("c_name").as("w")))
+    pairs.select(col("word_a").as("name"), col("word_b").as("nb"))
+      .union(pairs.select(col("word_b").as("name"), col("word_a").as("nb")))
+      .groupBy("name")
+      .agg(count(lit(1)).as("n_neighbors"), min("nb").as("nearest"))
+      .orderBy("name")
+  }
+
   /** Heuristic language ID: per-language stopword hit-ratio, argmax with
     * alphabetical tie-break. Emits the predicted language and each score. */
   def langId(s: SparkSession, d: String): DataFrame = {
@@ -471,6 +545,37 @@ object TextAnalysisOracles {
 
   private def inList(words: Seq[String]) =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** SymSpell deletion-neighborhood join over customer names,
+    * replicated: same {word} ∪ 1-deletions key set, same
+    * `levenshtein = 1` verify (both engines' built-in DP edit
+    * distance), same symmetric per-name aggregate. */
+  val fuzzyNames: String =
+    s"""WITH words AS (
+       |  SELECT DISTINCT c_name AS w FROM customer
+       |  WHERE length(c_name) >= ${TextAnalysis.TypoMinWordLen}
+       |),
+       |keys AS (
+       |  SELECT w, w AS k FROM words
+       |  UNION ALL
+       |  SELECT w, substr(w, 1, i - 1) || substr(w, i + 1) AS k
+       |  FROM words, unnest(generate_series(1, length(w))) t(i)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.w AS word_a, b.w AS word_b
+       |  FROM keys a JOIN keys b ON a.k = b.k AND a.w < b.w
+       |),
+       |pairs AS (
+       |  SELECT word_a, word_b FROM cand
+       |  WHERE levenshtein(word_a, word_b) = 1
+       |),
+       |und AS (
+       |  SELECT word_a AS name, word_b AS nb FROM pairs
+       |  UNION ALL
+       |  SELECT word_b AS name, word_a AS nb FROM pairs
+       |)
+       |SELECT name, count(*) AS n_neighbors, min(nb) AS nearest
+       |FROM und GROUP BY 1 ORDER BY name""".stripMargin
 
   /** Replicates [[TextAnalysis.ngramNovelty]]: distinct hashed
     * 3-word shingles per doc, global first-occurrence min-agg, per-doc

@@ -197,4 +197,42 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(flag === (top.toDouble / nBg >= TextAnalysis.RepetitionMaxRatio))
     }
   }
+
+  test("typoPairsOn finds exactly the planted ed-1 pairs (SymSpell recall)") {
+    import spark.implicits._
+    // planted: substitution, deletion/insertion, and a transposition
+    // (ed 2 — must NOT match); plus unrelated words and an ed-2 sub pair
+    val vocab = Seq(
+      "spark", "sparc",          // substitution   → pair
+      "stream", "streams",       // insertion      → pair
+      "castle", "castel",        // transposition  → ed 2, no pair
+      "window", "widnow",        // transposition  → ed 2, no pair
+      "shuffle", "shuffle",      // duplicate input collapses
+      "catalyst", "tungsten",    // unrelated
+      "edits", "audit")          // ed > 1
+    val got = TextAnalysis.typoPairsOn(vocab.toDF("w"))
+      .as[(String, String)].collect().toSet
+    assert(got === Set(("sparc", "spark"), ("stream", "streams")))
+
+    // brute-force agreement on the customer-name corpus slice
+    val names = Tables.load(spark, d, "customer")
+      .select($"c_name").as[String].collect().distinct
+    def ed1(a: String, b: String): Boolean = {
+      if (a == b) false
+      else if (a.length == b.length) a.zip(b).count(t => t._1 != t._2) == 1
+      else {
+        val (s, l) = if (a.length < b.length) (a, b) else (b, a)
+        l.length - s.length == 1 && (0 to s.length).exists(i =>
+          l.substring(0, i) + l.substring(i + 1) == s)
+      }
+    }
+    val expected = (for {
+      x <- names; y <- names if x < y && ed1(x, y)
+    } yield (x, y)).toSet
+    val gotNames = TextAnalysis.typoPairsOn(
+      Tables.load(spark, d, "customer").select($"c_name".as("w")))
+      .as[(String, String)].collect().toSet
+    assert(gotNames === expected)
+    assert(gotNames.nonEmpty)
+  }
 }
