@@ -234,6 +234,7 @@ object SparkEntry {
     "events_cusum" -> (Curation.cusum _),
     "events_outliers_mad" -> (Curation.outliersMad _),
     "events_ab_test" -> (Curation.abTest _),
+    "events_transitions" -> (Curation.transitions _),
     "events_cusum_stream" ->
       (graft.streaming.EventStream.cusumStreamVerified _),
 
@@ -977,6 +978,7 @@ object SparkEntry {
     "events_cusum" -> CurationOracles.cusum,
     "events_outliers_mad" -> CurationOracles.outliersMad,
     "events_ab_test" -> CurationOracles.abTest,
+    "events_transitions" -> CurationOracles.transitions,
     "events_cusum_stream" -> CurationOracles.cusum,
     "rel_asof_click_purchase" -> asofOracle,
     // the native custom-plan as-of join must produce byte-identical

@@ -215,6 +215,34 @@ object Curation {
       .orderBy("event_id")
   }
 
+  /** MARKOV TRANSITION MATRIX of the event stream — session-flow
+    * analytics: per user (ordered by ts, event_id), count each
+    * consecutive (from → to) event-type pair and emit the empirical
+    * next-step distribution as integer parts-per-billion ((n·10⁹) div
+    * row-total — the [[lmScore]] quantization, so probabilities are
+    * division-order-free and bit-identical cross-engine).
+    *
+    * Scale: one lead() window PARTITIONED BY user (per-key state after
+    * a single hash shuffle), then a #types²-sized partial+final count
+    * and a #types-row totals join — the output is the transition
+    * matrix, constant-sized regardless of corpus. */
+  def transitions(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val cnt = pairs
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy("from_type").agg(sum("n").as("tot"))
+    cnt.join(tot, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(n * 1000000000) div tot").as("ppb"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Guard for [[abTest]]'s DECIMAL(38,0)/HUGEINT z² cross-product:
     * 625·diff²·N ≤ 39·N⁵ must stay under 10³⁸, so N (total users in
     * the experiment) is refused past 2×10⁷ — at that point scale the
@@ -823,6 +851,28 @@ object CurationOracles {
       |WHERE (st.n * e.v6 - st.s6) * (st.n * e.v6 - st.s6)
       |      > 9 * (st.n * st.q6 - st.s6 * st.s6)
       |ORDER BY event_id""".stripMargin
+
+  /** Transition matrix: same lead() pairing, same integer-ppb
+    * quantization (HUGEINT sums cast back). */
+  val transitions: String =
+    """WITH p AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS to_type
+      |  FROM events
+      |),
+      |cnt AS (
+      |  SELECT from_type, to_type, count(*) AS n FROM p
+      |  WHERE to_type IS NOT NULL GROUP BY 1, 2
+      |),
+      |tot AS (
+      |  SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+      |  FROM cnt GROUP BY 1
+      |)
+      |SELECT cnt.from_type, cnt.to_type, cnt.n,
+      |  (cnt.n * 1000000000) // tot.tot AS ppb
+      |FROM cnt JOIN tot USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
 
   /** A/B test: same md5 split, same cross-multiplied z² decision in
     * HUGEINT (DECIMAL(38,0) on the Spark side — both exact). */

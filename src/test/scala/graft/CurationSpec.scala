@@ -336,6 +336,31 @@ class CurationSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("transitions: counts equal a direct per-user pairing; rows sum to total") {
+    val events = graft.Tables.events(spark, d)
+      .select($"user_id", $"event_id", $"ts".cast("long").as("tl"),
+        $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val expected = events.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      es.sortBy(e => (e._3, e._2)).sliding(2).collect {
+        case Array(a, b) => (a._4, b._4)
+      }
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = Curation.transitions(spark, d)
+      .as[(String, String, Long, Long)].collect()
+    assert(got.map(r => (r._1, r._2) -> r._3).toMap === expected)
+    got.foreach { case (f, t, n, ppb) =>
+      val tot = got.filter(_._1 == f).map(_._3).sum
+      assert(ppb === n * 1000000000L / tot, s"$f->$t ppb")
+    }
+    // each from-row's ppb column sums to ~1e9 (short only by truncation)
+    got.groupBy(_._1).foreach { case (f, rows) =>
+      val s = rows.map(_._4).sum
+      assert(s <= 1000000000L && s > 1000000000L - rows.length,
+        s"$f ppb mass $s")
+    }
+  }
+
   test("abTest decision equals an exact BigInt z-squared recompute") {
     val events = graft.Tables.events(spark, d)
       .select($"user_id", $"event_type").as[(Long, String)].collect()
