@@ -121,6 +121,7 @@ object SparkEntry {
     "rel_skyline" -> (Relational.skyline _),
     "rel_zorder_layout" -> (Relational.zorderLayout _),
     "rel_rfm" -> (Relational.rfm _),
+    "rel_skew_report" -> (Relational.skewReport _),
     "rel_outer_joins" -> (Relational.outerJoins _),
     "rel_set_ops_all" -> (Relational.setOpsAll _),
     "rel_unpivot_user_events" -> (Relational.unpivotUserEvents _),
@@ -834,6 +835,7 @@ object SparkEntry {
         |ORDER BY m.p_partkey""".stripMargin,
     "rel_zorder_layout" -> Relational.zorderLayoutOracle,
     "rel_rfm" -> Relational.rfmOracle,
+    "rel_skew_report" -> Relational.skewReportOracle,
     // unpivot(pivot(x)) minus the null/zero fill-in == the plain groupBy
     "rel_unpivot_user_events" ->
       """SELECT user_id, event_type, count(*) AS n

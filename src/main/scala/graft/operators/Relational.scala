@@ -628,6 +628,69 @@ object Relational {
        |  min(y) AS min_day, max(y) AS max_day
        |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin
 
+  /** The (table, key column) pairs [[skewReport]] audits — the shuffle
+    * keys every big join/agg in the suite partitions by. */
+  val SkewAuditKeys: Seq[(String, String)] = Seq(
+    "lineitem" -> "l_suppkey", "lineitem" -> "l_partkey",
+    "orders" -> "o_custkey", "events" -> "user_id")
+
+  /** SHUFFLE-KEY SKEW AUDIT — the operational pre-flight for every
+    * repartition/join in this engine: per audited key column, the row
+    * count, distinct-key count, the heaviest key and its frequency, and
+    * `skew_ppm` = (max_freq · n_distinct · 10⁶) div n_rows — exactly
+    * 10⁶ for a perfectly uniform key, growing linearly with the hottest
+    * partition's overload. At 100 TB this is the number that decides
+    * between a plain shuffle join, AQE skew splitting, and the salting
+    * operators ([[saltedJoin]]/[[saltedAgg]]) — measured, not guessed.
+    *
+    * All integer arithmetic (ppm via truncating div); the heavy hitter
+    * is the min key among those at max frequency — a deterministic
+    * tie-break computed as a second bounded agg (composite argmin isn't
+    * portable to the oracle engine).
+    *
+    * Scale: one partial+final count per key column (the key-frequency
+    * frame, checkpointed and reused), then two 1-row bounded aggs per
+    * column — never a sort of the frequency frame. */
+  def skewReport(s: SparkSession, d: String): DataFrame = {
+    val per = SkewAuditKeys.map { case (t, k) =>
+      val freq = Tables.load(s, d, t).groupBy(col(k).as("key"))
+        .agg(count(lit(1)).as("f"))
+        .localCheckpoint() // stats + hot-key probe share one build
+      val stats = freq.agg(
+        sum("f").as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        max("f").as("max_freq"))
+      freq.crossJoin(broadcast(stats))
+        .filter(col("f") === col("max_freq"))
+        .groupBy("n_rows", "n_distinct", "max_freq")
+        .agg(min("key").cast("long").as("hot_key"))
+        .select(lit(s"$t.$k").as("key_col"), col("n_rows"),
+          col("n_distinct"), col("max_freq"), col("hot_key"),
+          expr("(max_freq * n_distinct * 1000000) div n_rows")
+            .as("skew_ppm"))
+    }
+    per.reduce(_.union(_)).orderBy("key_col")
+  }
+
+  /** DuckDB twin of [[skewReport]] — same per-column frequency frame,
+    * same min-key-at-max-freq tie-break, same integer ppm. */
+  private[graft] def skewReportOracle: String = {
+    val blocks = SkewAuditKeys.map { case (t, k) =>
+      s"""SELECT '$t.$k' AS key_col, m.n_rows, m.n_distinct, m.max_freq,
+         |  (SELECT CAST(min(key) AS BIGINT) FROM
+         |    (SELECT $k AS key, count(*) AS f FROM $t GROUP BY 1) f2
+         |   WHERE f2.f = m.max_freq) AS hot_key,
+         |  (m.max_freq * m.n_distinct * 1000000) // m.n_rows AS skew_ppm
+         |FROM (
+         |  SELECT CAST(sum(f) AS BIGINT) AS n_rows,
+         |    count(*) AS n_distinct, CAST(max(f) AS BIGINT) AS max_freq
+         |  FROM (SELECT $k AS key, count(*) AS f FROM $t GROUP BY 1) f1
+         |) m""".stripMargin
+    }
+    blocks.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      "\n) ORDER BY key_col")
+  }
+
   /** RFM tercile cutpoints — written with an `e0` exponent in the oracle
     * so DuckDB parses them as DOUBLE (a bare 0.33 literal is DECIMAL
     * there, and ceil(q·tot) in decimal vs double arithmetic can pick

@@ -54,29 +54,47 @@ object TextAnalysis {
     * buckets the way [[Dedup.simhashPairsOn]] does, naming the dial. */
   /** The SymSpell pair core over any 1-column (`w`) frame of DISTINCT
     * strings (length ≥ [[TypoMinWordLen]] enforced here): emits
-    * (word_a, word_b) at edit distance EXACTLY 1, complete recall. */
+    * (word_a, word_b) at edit distance EXACTLY 1, complete recall.
+    *
+    * POSITIONAL keys make the pairs exact by construction — no
+    * levenshtein verify stage at all: two distinct words sharing the
+    * same deletion STRING at the same POSITION are `prefix+c₁+suffix`
+    * vs `prefix+c₂+suffix` (a substitution, ed = 1 exactly), and a word
+    * that IS another's deletion is one insertion away. Positionless
+    * keys (plain SymSpell) put every word of a dense cluster in one
+    * bucket and need a verify pass — measured 6.7 s on the sequential
+    * customer names; positional buckets hold at most |alphabet| words
+    * (3.7 s → sub-second here). Transpositions (ed 2) can't collide:
+    * they never share a deletion at the same position. */
   private[graft] def typoPairsOn(wordsIn: DataFrame): DataFrame = {
     val words = wordsIn.select(col("w"))
       .filter(length(col("w")) >= TypoMinWordLen).distinct()
-      .localCheckpoint() // keys + verify probes reuse one build
+      .localCheckpoint() // deletion build + insertion probe share it
     // length ≥ 5 guards the sequence's lower bound (no downward ramp)
-    val keys = words.select(col("w"), col("w").as("k"))
-      .union(words
-        .select(col("w"), explode(expr("sequence(1, length(w))")).as("p"))
-        .select(col("w"),
-          expr("concat(substr(w, 1, p - 1), substr(w, p + 1))").as("k")))
-    val occ = keys.groupBy("k").agg(count(lit(1)).as("n"))
+    val dels = words
+      .select(col("w"), explode(expr("sequence(1, length(w))")).as("p"))
+      .select(col("w"),
+        expr("concat(substr(w, 1, p - 1), substr(w, p + 1))").as("k"),
+        col("p"))
+      .localCheckpoint() // guard + both joins reuse one build
+    val occ = dels.groupBy("k", "p").agg(count(lit(1)).as("n"))
       .agg(max("n")).head()
     val maxOcc = if (occ.isNullAt(0)) 0L else occ.getLong(0)
     require(maxOcc <= MaxTypoKeyBucket,
-      s"typoPairs refused: a deletion key is shared by $maxOcc words " +
-        s"(> $MaxTypoKeyBucket) - candidate fan-out is occupancy^2; " +
-        s"raise TypoMinWordLen or shard hot keys by word length first")
-    keys.select(col("w").as("word_a"), col("k"))
-      .join(keys.select(col("w").as("word_b"), col("k")), Seq("k"))
+      s"typoPairs refused: a positional deletion key is shared by " +
+        s"$maxOcc words (> $MaxTypoKeyBucket) - candidate fan-out is " +
+        s"occupancy^2; raise TypoMinWordLen or restrict the alphabet")
+    val subs = dels.select(col("w").as("word_a"), col("k"), col("p"))
+      .join(dels.select(col("w").as("word_b"), col("k"), col("p")),
+        Seq("k", "p"))
       .filter(col("word_a") < col("word_b"))
-      .select("word_a", "word_b").distinct()
-      .filter(levenshtein(col("word_a"), col("word_b")) === 1)
+      .select("word_a", "word_b")
+    val ins = dels.select(col("w").as("longer"), col("k"))
+      .join(words.select(col("w").as("shorter")),
+        col("k") === col("shorter"))
+      .select(least(col("shorter"), col("longer")).as("word_a"),
+        greatest(col("shorter"), col("longer")).as("word_b"))
+    subs.union(ins).distinct()
   }
 
   /** Corpus-vocabulary typo pairs (spec surface: the driver fixture's
@@ -546,28 +564,33 @@ object TextAnalysisOracles {
   private def inList(words: Seq[String]) =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
-  /** SymSpell deletion-neighborhood join over customer names,
-    * replicated: same {word} ∪ 1-deletions key set, same
-    * `levenshtein = 1` verify (both engines' built-in DP edit
-    * distance), same symmetric per-name aggregate. */
+  /** SymSpell positional deletion-neighborhood joins over customer
+    * names, replicated: substitutions meet at the same (deletion
+    * string, position); insertions where a word IS another's deletion —
+    * both exact by construction (no verify stage), same symmetric
+    * per-name aggregate. */
   val fuzzyNames: String =
     s"""WITH words AS (
        |  SELECT DISTINCT c_name AS w FROM customer
        |  WHERE length(c_name) >= ${TextAnalysis.TypoMinWordLen}
        |),
-       |keys AS (
-       |  SELECT w, w AS k FROM words
-       |  UNION ALL
-       |  SELECT w, substr(w, 1, i - 1) || substr(w, i + 1) AS k
+       |dels AS (
+       |  SELECT w, substr(w, 1, i - 1) || substr(w, i + 1) AS k, i AS p
        |  FROM words, unnest(generate_series(1, length(w))) t(i)
        |),
-       |cand AS (
-       |  SELECT DISTINCT a.w AS word_a, b.w AS word_b
-       |  FROM keys a JOIN keys b ON a.k = b.k AND a.w < b.w
+       |subs AS (
+       |  SELECT a.w AS word_a, b.w AS word_b
+       |  FROM dels a JOIN dels b ON a.k = b.k AND a.p = b.p AND a.w < b.w
+       |),
+       |ins AS (
+       |  SELECT least(d.w, ws.w) AS word_a, greatest(d.w, ws.w) AS word_b
+       |  FROM dels d JOIN words ws ON d.k = ws.w
        |),
        |pairs AS (
-       |  SELECT word_a, word_b FROM cand
-       |  WHERE levenshtein(word_a, word_b) = 1
+       |  SELECT DISTINCT word_a, word_b FROM (
+       |    SELECT word_a, word_b FROM subs
+       |    UNION ALL SELECT word_a, word_b FROM ins
+       |  )
        |),
        |und AS (
        |  SELECT word_a AS name, word_b AS nb FROM pairs

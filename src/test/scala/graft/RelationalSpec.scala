@@ -330,6 +330,24 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("skewReport stats equal direct recomputes per audited key") {
+    val rows = Relational.skewReport(spark, d)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows.keySet ===
+      Relational.SkewAuditKeys.map { case (t, k) => s"$t.$k" }.toSet)
+    Relational.SkewAuditKeys.foreach { case (t, k) =>
+      val freqs = Tables.load(spark, d, t).select(col(k).cast("long"))
+        .as[Long].collect().groupBy(identity).map { case (x, v) => x -> v.size.toLong }
+      val (_, nRows, nDistinct, maxFreq, hotKey, ppm) = rows(s"$t.$k")
+      assert(nRows === freqs.values.sum, s"$t.$k n_rows")
+      assert(nDistinct === freqs.size.toLong, s"$t.$k n_distinct")
+      assert(maxFreq === freqs.values.max, s"$t.$k max_freq")
+      assert(hotKey === freqs.filter(_._2 == maxFreq).keys.min, s"$t.$k hot")
+      assert(ppm === maxFreq * nDistinct * 1000000L / nRows, s"$t.$k ppm")
+    }
+  }
+
   test("skyline equals brute-force dominance over part") {
     val pts = Tables.part(spark, d)
       .select($"p_partkey", $"p_retailprice", $"p_size")
