@@ -179,6 +179,8 @@ object SparkEntry {
     "dedup_keep_best" -> (Dedup.keepBest _),
     "dedup_pagerank" -> (Dedup.pageRank _),
     "dedup_triangles" -> (Dedup.triangles _),
+    "dedup_kcore" -> (Dedup.kcore _),
+    "dedup_split_leakage" -> (Dedup.splitLeakage _),
 
     // --- similarity search (ANN over embeddings) ---
     "ann_topk_brute" -> (Similarity.bruteTopK _),
@@ -949,6 +951,8 @@ object SparkEntry {
     "dedup_keep_best" -> DedupOracles.keepBest,
     "dedup_pagerank" -> DedupOracles.pageRank,
     "dedup_triangles" -> DedupOracles.triangles,
+    "dedup_kcore" -> DedupOracles.kcore,
+    "dedup_split_leakage" -> DedupOracles.splitLeakage,
     "ann_topk_brute" -> SimilarityOracles.bruteTopK,
     "ann_topk_lsh" -> SimilarityOracles.lshTopK,
     "ann_range_search" -> SimilarityOracles.rangeSearch,

@@ -769,7 +769,7 @@ object CurationOracles {
 
   /** `('0x'||substr(md5(k),1,8))::BIGINT % 100` — DuckDB twin of
     * [[Curation.pctBucket]]. */
-  private def pctBucketSql(key: String): String =
+  private[operators] def pctBucketSql(key: String): String =
     s"('0x' || substr(md5($key), 1, 8))::BIGINT % 100"
 
   val normalize: String =

@@ -1258,4 +1258,108 @@ object Dedup {
         round(col("r") / lit(PageRankScale.toDouble), 12).as("pr"))
       .orderBy("doc_id")
   }
+
+  /** k for [[kcore]]: the 2-core strips every tree/pendant chain and
+    * keeps only cyclically-connected duplication structure. */
+  val KcoreK = 2
+
+  /** Peel-round cap — FIXED so the oracle can unroll exactly this many
+    * rounds; the operator refuses (rather than emitting a non-fixpoint
+    * frame) if peeling hasn't converged by then. Each peel removes at
+    * least one node, and near-dup graphs are shallow (component
+    * diameter bounded by the clustering that built them), so 8 covers
+    * fixtures and any real corpus slice; raise both constants together. */
+  val KcoreMaxRounds = 8
+
+  /** k-CORE decomposition (k = [[KcoreK]]) of the exact near-dup graph —
+    * the density audit complementing [[triangles]]: iteratively peel
+    * nodes of degree < k until a fixpoint; what survives is the maximal
+    * subgraph where EVERY doc has ≥ k near-dup partners. Pendant edges
+    * and chains (A~B~C with no closure) peel away; what remains is
+    * genuinely redundant content — template farms, syndication rings,
+    * boilerplate families — the clusters worth a hard-dedup pass rather
+    * than pairwise review. Emits each surviving doc with its degree
+    * inside the core.
+    *
+    * Scale: each peel round is one degree aggregation + two node-keyed
+    * semi-join-shaped equi-joins over the CURRENT edge frame (shrinking
+    * monotonically), all shuffle-partitionable on node id — the
+    * [[connectedComponents]] shape. The convergence count rides the
+    * round's own `localCheckpoint` action via `Observation` (one Spark
+    * job per round, the CcJobCountSpec discipline). Reference analog:
+    * iterated key-grouped passes over `countCombos` pairs
+    * (`mapreduce.erl:275-282`). */
+  def kcore(s: SparkSession, d: String): DataFrame =
+    kcoreOn(nearDupEdgesShared(s, d))
+
+  /** [[kcore]] over any (a, b) undirected edge list (a < b, no dups). */
+  private[graft] def kcoreOn(edges: DataFrame): DataFrame = {
+    var und = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var prevEdges = -1L
+    var curEdges = und.count()
+    var rounds = 0
+    while (curEdges != prevEdges) {
+      require(rounds < KcoreMaxRounds,
+        s"kcore did not converge in $KcoreMaxRounds peel rounds - raise " +
+          "KcoreMaxRounds (and unroll the oracle to match)")
+      val keep = und.groupBy("a").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= KcoreK).select(col("a").as("v"))
+      val obs = org.apache.spark.sql.Observation()
+      val next = und
+        .join(keep.select(col("v").as("a")), "a")
+        .join(keep.select(col("v").as("b")), "b")
+        .observe(obs, count(lit(1)).as("m"))
+        .localCheckpoint()
+      prevEdges = curEdges
+      curEdges = obs.get("m").asInstanceOf[Long]
+      und = next
+      rounds += 1
+    }
+    und.groupBy("a").agg(count(lit(1)).as("core_degree"))
+      .select(col("a").as("doc_id"), col("core_degree"))
+      .orderBy("doc_id")
+  }
+
+  /** CROSS-SPLIT LEAKAGE audit — near-duplicate pairs that STRADDLE the
+    * train/val/test boundary ([[Curation.splitAssign]]'s deterministic
+    * md5 split): a val/test doc with a near-dup twin in train is
+    * memorization leakage that [[Curation.contamination]]'s
+    * shingle-overlap check approaches from the n-gram side; this
+    * operator approaches it from the production near-dup graph
+    * ([[minhashEdgesShared]], Jaccard ≥ [[JaccardThreshold]]), the
+    * standard "dedup ACROSS splits, not just within" pipeline gate.
+    * One row per straddling split pair: how many leaked doc pairs, and
+    * how many distinct docs are involved.
+    *
+    * Scale: the edge graph is the shared materialized LSH intermediate
+    * (built once per corpus); attaching splits is two doc_id equi-joins
+    * against a (doc_id, split) projection — the split derives from md5,
+    * so it costs a map, never a shuffle of documents; both aggregations
+    * run over the (tiny) leaked-pair frame. */
+  def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    val edges = minhashEdgesShared(s, d)
+    val split = Tables.documents(s, d).select(col("doc_id"),
+      Curation.splitCol(Curation.pctBucket(col("doc_id"))).as("split"))
+    val leaked = edges
+      .join(split.select(col("doc_id").as("a"), col("split").as("split_a")),
+        "a")
+      .join(split.select(col("doc_id").as("b"), col("split").as("split_b")),
+        "b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(least(col("split_a"), col("split_b")).as("split_lo"),
+        greatest(col("split_a"), col("split_b")).as("split_hi"),
+        col("a"), col("b"))
+      .localCheckpoint() // tiny; consumed by both aggregations below
+    val pairAgg = leaked.groupBy("split_lo", "split_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+    val docAgg = leaked
+      .select(col("split_lo"), col("split_hi"),
+        explode(array(col("a"), col("b"))).as("doc"))
+      .groupBy("split_lo", "split_hi")
+      .agg(countDistinct("doc").as("n_docs"))
+    pairAgg.join(docAgg, Seq("split_lo", "split_hi"))
+      .orderBy("split_lo", "split_hi")
+  }
 }

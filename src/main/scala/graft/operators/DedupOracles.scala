@@ -506,4 +506,71 @@ object DedupOracles {
        |FROM r$PageRankIters JOIN ns ON r$PageRankIters.v = ns.v
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Replicates `Dedup.kcore`: the exact prefix-edge graph at
+    * `ClusterJaccardThreshold` (the same edge CTE as [[clusters]]),
+    * then `KcoreMaxRounds` unrolled peel rounds — drop nodes of degree
+    * < k, restrict edges to survivors, repeat. The Spark side refuses
+    * if its peel hasn't reached a fixpoint within the same round cap,
+    * so both engines land on the identical core. */
+  lazy val kcore: String = {
+    val k = Dedup.KcoreK
+    // each round references the previous round TWICE (degree filter +
+    // edge restriction): without MATERIALIZED DuckDB inlines CTEs, so
+    // the plan doubles per unrolled round (2^8 copies of the shingle
+    // pipeline — observed as a "too many open files" scan explosion)
+    val rounds = (1 to Dedup.KcoreMaxRounds).map { i =>
+      s"""k$i AS MATERIALIZED (SELECT a AS v FROM e${i - 1} GROUP BY a
+         |        HAVING count(*) >= $k),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e${i - 1} e
+         |  JOIN k$i x ON e.a = x.v JOIN k$i y ON e.b = y.v
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $wordsCtes, $shinglesCte, $sizesCte, $interCte,
+       |edges AS (
+       |  SELECT i, j FROM inter
+       |  JOIN sizes sa ON i = sa.doc_id JOIN sizes sb ON j = sb.doc_id
+       |  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= ${Dedup.ClusterJaccardThreshold}
+       |),
+       |e0 AS MATERIALIZED (SELECT i AS a, j AS b FROM edges
+       |       UNION ALL SELECT j, i FROM edges),
+       |$rounds
+       |SELECT a AS doc_id, count(*) AS core_degree
+       |FROM e${Dedup.KcoreMaxRounds} GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
+
+  /** Replicates `Dedup.splitLeakage`: the full MinHash-LSH near-dup
+    * pair pipeline ([[minhashLsh]] as a derived table), each endpoint
+    * tagged with its md5 train/val/test split, straddling pairs
+    * aggregated per (split_lo, split_hi). */
+  lazy val splitLeakage: String = {
+    val pct = CurationOracles.pctBucketSql("doc_id::VARCHAR")
+    s"""WITH sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $pct < 80 THEN 'train'
+       |         WHEN $pct < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents
+       |),
+       |lk AS (
+       |  SELECT least(sa.split, sb.split) AS split_lo,
+       |         greatest(sa.split, sb.split) AS split_hi,
+       |         e.doc_a AS a, e.doc_b AS b
+       |  FROM ($minhashLsh) e
+       |  JOIN sp sa ON sa.doc_id = e.doc_a
+       |  JOIN sp sb ON sb.doc_id = e.doc_b
+       |  WHERE sa.split <> sb.split
+       |),
+       |docs AS (
+       |  SELECT split_lo, split_hi, unnest([a, b]) AS doc FROM lk
+       |),
+       |pa AS (SELECT split_lo, split_hi, count(*) AS n_pairs
+       |       FROM lk GROUP BY 1, 2),
+       |da AS (SELECT split_lo, split_hi, count(DISTINCT doc) AS n_docs
+       |       FROM docs GROUP BY 1, 2)
+       |SELECT pa.split_lo, pa.split_hi, pa.n_pairs, da.n_docs
+       |FROM pa JOIN da USING (split_lo, split_hi)
+       |ORDER BY 1, 2""".stripMargin
+  }
 }

@@ -552,4 +552,53 @@ class DedupSpec extends AnyFunSuite {
     assert(mass <= PageRankScale &&
       mass > PageRankScale - n * (PageRankIters + 1) * 100)
   }
+
+  test("kcore peels pendants and chains, keeps cyclic structure") {
+    // K4 (all in the 2-core), a triangle with a pendant tail 7-8-9
+    // (tail peels in TWO rounds: 9 first, then 8), a pure 4-path
+    // (peels entirely), and an isolated pair (peels entirely)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (5L, 7L), (6L, 7L), (7L, 8L), (8L, 9L),
+      (10L, 11L), (11L, 12L), (12L, 13L),
+      (20L, 21L)).toDF("a", "b")
+    val got = graft.operators.Dedup.kcoreOn(edges)
+      .as[(Long, Long)].collect().toMap
+    // 2-core = K4 at full degree 3 + the bare triangle at degree 2:
+    // the multi-round tail (9 then 8) and all acyclic pieces are gone
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 2L, 6L -> 2L, 7L -> 2L))
+  }
+
+  test("kcore of an acyclic graph is empty; refusal names the dial") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    assert(graft.operators.Dedup.kcoreOn(path).count() === 0L)
+    // a long path needs one peel round per end-pair removed — deeper
+    // than the cap ⇒ the operator must refuse, not emit a non-fixpoint
+    val deep = (1L to 22L).sliding(2).map(p => (p.head, p.last)).toSeq
+      .toDF("a", "b")
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.kcoreOn(deep).count()
+    }
+    assert(ex.getMessage.contains("KcoreMaxRounds"))
+  }
+
+  test("splitLeakage counts only straddling near-dup pairs") {
+    val got = graft.operators.Dedup.splitLeakage(spark, d)
+      .as[(String, String, Long, Long)].collect()
+    // every emitted group really straddles, names are canonical, and
+    // the doc count never exceeds 2 docs per pair
+    got.foreach { case (lo, hi, nPairs, nDocs) =>
+      assert(lo < hi)
+      assert(nPairs >= 1L && nDocs >= 2L && nDocs <= 2L * nPairs)
+    }
+    // cross-check the total straddling count against the raw edge list
+    val split = graft.operators.Curation.splitAssign(spark, d)
+      .select(col("doc_id"), col("split")).as[(Long, String)]
+      .collect().toMap
+    val edges = graft.operators.Dedup.minhashEdgesShared(spark, d)
+      .as[(Long, Long)].collect()
+    val expect = edges.count { case (a, b) => split(a) != split(b) }
+    assert(got.map(_._3).sum === expect.toLong)
+  }
 }
