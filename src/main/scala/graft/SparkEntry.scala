@@ -200,6 +200,8 @@ object SparkEntry {
     // majority-vote kNN classifier over the exact top-K (ties -> smaller
     // label): the embedding-space quality probe as a decision, per query
     "ann_knn_classify" -> (Similarity.knnClassify _),
+    "ann_prototype_classify" -> (Similarity.prototypeClassify _),
+    "ann_topk_filtered" -> (Similarity.filteredTopK _),
     // recall@K of each approximate index vs the exact brute baseline —
     // all pipelines deterministic, so recall itself is hash-checked
     "ann_recall_at_k" -> (Similarity.recallAtK _),
@@ -963,6 +965,8 @@ object SparkEntry {
     "ann_topk_ivfpq" -> SimilarityOracles.ivfPqTopK,
     "ann_label_purity" -> SimilarityOracles.labelPurity,
     "ann_knn_classify" -> SimilarityOracles.knnClassify,
+    "ann_prototype_classify" -> SimilarityOracles.prototypeClassify,
+    "ann_topk_filtered" -> SimilarityOracles.filteredTopK,
     "ann_recall_at_k" -> SimilarityOracles.recallAtK,
     "text_langid" -> TextAnalysisOracles.langId,
     "text_quality" -> TextAnalysisOracles.quality,

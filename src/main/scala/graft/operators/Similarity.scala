@@ -329,6 +329,112 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** NEAREST-PROTOTYPE (Rocchio / nearest class centroid) classification
+    * — each label's prototype is the exact integer mean of its members'
+    * floor(x·2²⁰)-quantized components (the [[kmeansCentroids]] update
+    * rule grouped by label instead of cell), and every corpus vector is
+    * classified by max cosine to a prototype, ties to the smaller
+    * label. The cheapest embedding-space health probe: a space where
+    * class prototypes don't attract their own members is unfit for
+    * semantic dedup or retrieval — and unlike [[knnClassify]] it costs
+    * one broadcast pass, not a top-k search per vector.
+    *
+    * Scale: prototypes are a (label, dim)-keyed partial+final integer
+    * aggregation (one corpus pass, map-side combine); scoring joins the
+    * n×dim quantized-component rows against the broadcast
+    * (#labels × dim) prototype frame and partial-sums to n×#labels dot
+    * rows; the argmax is a map-side `max_by` — no window, no shuffle of
+    * embeddings, linear in n at any corpus size. */
+  def prototypeClassify(s: SparkSession, d: String): DataFrame =
+    prototypeClassifyOn(emb(s, d))
+
+  /** [[prototypeClassify]] over any (vec_id, embedding, label) frame.
+    *
+    * The ENTIRE pipeline runs in the floor(x·2²⁰) integer space: the
+    * prototype is the truncating integer mean per dimension, and the
+    * score is the integer dot and integer norms combined in ONE fixed
+    * IEEE expression `dot / (sqrt(nq) · sqrt(np))` — so, unlike an
+    * output built on a float-vector cosine kernel, the emitted score
+    * is bit-identical cross-engine (a raw query↔prototype cosine
+    * differs between engines in the last ulp and flips 6-dp rounding
+    * on boundary values — observed on the sf0.01 fixture, row 131).
+    * Headroom: |qv| ≤ 2²¹, dim ≤ 64 ⇒ |dot| ≤ 2⁴⁸ < 2⁵³, lossless in
+    * the double division. */
+  def prototypeClassifyOn(e: DataFrame): DataFrame = {
+    val qdims = e
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("label"), col("d"),
+        expr("cast(floor(x * 1048576.0) as bigint)").as("qv"))
+      .localCheckpoint() // three consumers: norms, prototypes, dots
+    val vnorm = qdims.groupBy("vec_id")
+      .agg(sum(expr("qv * qv")).as("nq"))
+    val protos = qdims
+      .groupBy(col("label").as("p_label"), col("d"))
+      .agg(expr("sum(qv) div count(1)").as("mq"))
+    val pnorm = protos.groupBy("p_label")
+      .agg(sum(expr("mq * mq")).as("np"))
+    // dots: one dim-keyed equi-join of the corpus dims against the
+    // broadcast (#labels × dim) prototype frame, partial+final summed
+    val dots = qdims.join(broadcast(protos), "d")
+      .groupBy("vec_id", "label", "p_label")
+      .agg(sum(expr("qv * mq")).as("dot"))
+    // argmax via max_by over the (pcos, −label) tuple — unique per
+    // group, partial-aggregating; −label (an int) breaks exact-double
+    // ties toward the smaller label without negating the double score
+    dots.join(broadcast(pnorm), "p_label")
+      .join(vnorm, "vec_id")
+      .select(col("vec_id"), col("label"), col("p_label"),
+        expr("dot / (sqrt(cast(nq as double)) * sqrt(cast(np as double)))")
+          .as("pcos"))
+      .groupBy("vec_id", "label")
+      .agg(max_by(struct(col("p_label"), col("pcos")),
+        struct(col("pcos"), -col("p_label"))).as("p"))
+      .select(col("vec_id"), col("label"),
+        col("p.p_label").as("pred_label"),
+        round(col("p.pcos"), 6).as("cosine"),
+        (col("label") === col("p.p_label")).as("correct"))
+      .orderBy("vec_id")
+  }
+
+  /** METADATA-FILTERED exact top-k — the "filtered vector search" shape
+    * every production vector store names as a feature: neighbors are
+    * ranked only among corpus vectors satisfying an attribute predicate
+    * (here an even-label filter, the fixture's stand-in for a
+    * tenant/language/split restriction). PRE-filter semantics: the
+    * predicate applies before scoring, so each query always gets [[K]]
+    * qualifying results (post-filtering a top-k list can return fewer
+    * than k — the classic filtered-ANN pitfall this operator's shape
+    * avoids).
+    *
+    * Scale: the predicate is a plain column filter, pushed into the
+    * parquet scan (`PushedFilters`); the tail is [[bruteTopKOn]]'s
+    * broadcast-queries + bounded-heap aggregate — no window, and the
+    * scan never materializes disqualified vectors. At index scale the
+    * same pre-filter composes with the LSH/IVF candidate stages by
+    * filtering their corpus-side frames identically. */
+  def filteredTopK(s: SparkSession, d: String): DataFrame =
+    filteredTopKOn(emb(s, d))
+
+  /** [[filteredTopK]] over any (vec_id, embedding, label) frame. */
+  def filteredTopKOn(e: DataFrame): DataFrame = {
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = e.filter(col("label") % 2 === 0)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        CosineSimilarity(col("qv"), col("cv")).as("cos"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg(col("neighbor_id"), col("cos"), K)
+        .as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "nb")))
+      .select(col("query_id"), col("nb.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        round(col("nb.score"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   /** RETRIEVAL-RECALL evaluation of every approximate ANN path against
     * the exact brute-force baseline: per query and method, what fraction
     * of the TRUE top-[[K]] neighbors ([[bruteTopK]]) the approximate
@@ -1137,6 +1243,66 @@ object SimilarityOracles {
        |FROM methods mm CROSS JOIN base
        |LEFT JOIN hits h ON h.method = mm.method AND h.query_id = base.query_id
        |ORDER BY 1, 2""".stripMargin
+
+  /** Replicates [[Similarity.prototypeClassifyOn]]: per-label exact
+    * integer prototype means (sum `//` count of floor-quantized
+    * components), integer dots and norms, and the SAME single IEEE
+    * expression `dot / (sqrt(nq) · sqrt(np))` — bit-identical scores,
+    * then the cosine argmax with the smaller label winning ties. */
+  val prototypeClassify: String =
+    s"""WITH dims AS (
+       |  SELECT vec_id, label, d,
+       |    floor(embedding[d]::DOUBLE * 1048576.0)::BIGINT AS qv
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(d)
+       |),
+       |vn AS (
+       |  SELECT vec_id, CAST(sum(qv * qv) AS BIGINT) AS nq
+       |  FROM dims GROUP BY 1
+       |),
+       |pm AS (
+       |  SELECT label AS p_label, d, sum(qv) // count(*) AS mq
+       |  FROM dims GROUP BY 1, 2
+       |),
+       |pn AS (
+       |  SELECT p_label, CAST(sum(mq * mq) AS BIGINT) AS np
+       |  FROM pm GROUP BY 1
+       |),
+       |dots AS (
+       |  SELECT dm.vec_id, dm.label, pm.p_label,
+       |    CAST(sum(dm.qv * pm.mq) AS BIGINT) AS dot
+       |  FROM dims dm JOIN pm ON pm.d = dm.d
+       |  GROUP BY 1, 2, 3
+       |),
+       |scored AS (
+       |  SELECT d.vec_id, d.label, d.p_label,
+       |    d.dot / (sqrt(vn.nq::DOUBLE) * sqrt(pn.np::DOUBLE)) AS pcos
+       |  FROM dots d
+       |  JOIN vn ON vn.vec_id = d.vec_id
+       |  JOIN pn ON pn.p_label = d.p_label
+       |),
+       |best AS (
+       |  SELECT vec_id, label, p_label, pcos,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY pcos DESC, p_label) AS rn
+       |  FROM scored
+       |)
+       |SELECT vec_id, label, p_label AS pred_label,
+       |  round(pcos, 6) AS cosine, (label = p_label) AS correct
+       |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  /** Replicates [[Similarity.filteredTopKOn]]: the brute-force window
+    * rank restricted to even-label corpus vectors (the pre-filter). */
+  val filteredTopK: String =
+    s"""SELECT query_id, neighbor_id, rank, cosine FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+       |               c.vec_id) AS INTEGER) AS rank,
+       |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+       |  FROM embeddings q JOIN embeddings c
+       |    ON q.vec_id <> c.vec_id AND c.label % 2 = 0
+       |  WHERE q.vec_id < $NumQueries
+       |) WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
   /** Replicates the deterministic IVF pipeline: same centroid selection
     * (md5-cell seeds, bounded at [[Similarity.CodebookSize]]), same

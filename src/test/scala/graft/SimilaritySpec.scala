@@ -160,6 +160,70 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("prototypeClassify separates constructed classes; exact-mean protos") {
+    // two well-separated classes on orthogonal axes + one vector sitting
+    // closer to the other class's prototype (a planted misclassification)
+    val rows = Seq(
+      (0L, Array(1.0f, 0.1f, 0f, 0f), 0),
+      (1L, Array(0.9f, 0.2f, 0f, 0f), 0),
+      (2L, Array(0f, 0f, 1.0f, 0.1f), 1),
+      (3L, Array(0f, 0f, 0.8f, 0.3f), 1),
+      (4L, Array(0f, 0.1f, 1.0f, 0f), 0)) // labeled 0, lives in class 1
+    val e = rows.toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Similarity.prototypeClassifyOn(e)
+      .as[(Long, Int, Int, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._3, r._5))).toMap
+    assert(got(0L) === ((0, true)))
+    assert(got(1L) === ((0, true)))
+    assert(got(2L) === ((1, true)))
+    assert(got(3L) === ((1, true)))
+    assert(got(4L) === ((1, false))) // the planted leak is caught
+
+    // prototype arithmetic: independently recompute class 1's integer
+    // mean and check vec 2 scores the exact quantized cosine against it
+    val members = rows.filter(_._3 == 1).map(_._2)
+    val proto = (0 until 4).map { dd =>
+      members.map(v => math.floor(v(dd) * 1048576.0).toLong).sum /
+        members.length
+    }
+    val qv2 = rows(2)._2.map(x => math.floor(x * 1048576.0).toLong).toSeq
+    val dot = qv2.zip(proto).map { case (x, y) => x * y }.sum
+    val nq = qv2.map(x => x * x).sum
+    val np = proto.map(x => x * x).sum
+    val want = BigDecimal(
+        dot / (math.sqrt(nq.toDouble) * math.sqrt(np.toDouble)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val gotCos = graft.operators.Similarity.prototypeClassifyOn(e)
+      .filter($"vec_id" === 2L).select($"cosine").as[Double].head()
+    assert(gotCos === want)
+  }
+
+  test("filteredTopK = plain-Scala brute force over even-label corpus") {
+    val rows = spark.read.parquet(s"$d/embeddings.parquet")
+      .select($"vec_id", $"embedding", $"label")
+      .as[(Long, Array[Float], Int)].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val corpus = rows.filter(_._3 % 2 == 0)
+    val expect = rows.filter(_._1 < Similarity.NumQueries).flatMap {
+      case (q, qv, _) =>
+        corpus.filter(_._1 != q)
+          .map { case (n, nv, _) => (n, cos(qv, nv)) }
+          .sortBy { case (n, c) => (-c, n) }
+          .take(Similarity.K).zipWithIndex
+          .map { case ((n, c), i) =>
+            (q, n, i + 1,
+              BigDecimal(c).setScale(6,
+                BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    }.toSeq
+    val got = Similarity.filteredTopK(spark, d)
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    assert(got === expect)
+  }
+
   test("IVFADC recall is high on a corpus with planted near-neighbors") {
     // dim-64 corpus (the PQ subspace constraint): a planted copy lands
     // in its query's coarse cell AND its residual quantizes onto the
