@@ -240,6 +240,8 @@ object SparkEntry {
     "events_outliers_mad" -> (Curation.outliersMad _),
     "events_ab_test" -> (Curation.abTest _),
     "events_transitions" -> (Curation.transitions _),
+    "events_path_trigrams" -> (Curation.pathTrigrams _),
+    "events_throttle" -> (Curation.throttle _),
     "events_cusum_stream" ->
       (graft.streaming.EventStream.cusumStreamVerified _),
 
@@ -989,6 +991,8 @@ object SparkEntry {
     "events_outliers_mad" -> CurationOracles.outliersMad,
     "events_ab_test" -> CurationOracles.abTest,
     "events_transitions" -> CurationOracles.transitions,
+    "events_path_trigrams" -> CurationOracles.pathTrigrams,
+    "events_throttle" -> CurationOracles.throttle,
     "events_cusum_stream" -> CurationOracles.cusum,
     "rel_asof_click_purchase" -> asofOracle,
     // the native custom-plan as-of join must produce byte-identical

@@ -387,6 +387,65 @@ object Curation {
       .orderBy("user_id", "event_id")
   }
 
+  /** Result width of [[pathTrigrams]] — top paths by frequency. */
+  val PathTrigramTopN = 25
+
+  /** TOP SEQUENTIAL 3-STEP PATHS through the event stream — the
+    * length-3 extension of [[transitions]]' Markov matrix: per user
+    * (ordered by ts, event_id), every three CONSECUTIVE event types
+    * form a path; the [[PathTrigramTopN]] most frequent paths with
+    * counts are the classic "common user journeys" mining shape
+    * (second-order structure a first-order transition matrix cannot
+    * see — e.g. whether view→click is followed by purchase or bounce).
+    *
+    * Scale: one lead() window PARTITIONED BY user (per-key state after
+    * a single hash shuffle — never a global sort), a #types³-bounded
+    * partial+final count, and the top-N plans as TakeOrderedAndProject
+    * (per-partition bounded heaps, no full sort). Total tie-break
+    * (n DESC, then the three steps) keeps the LIMIT boundary
+    * deterministic cross-engine. */
+  def pathTrigrams(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t2", lead("event_type", 1).over(w))
+      .withColumn("t3", lead("event_type", 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("t2").as("step2"),
+        col("t3").as("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("step1"), asc("step2"), asc("step3"))
+      .limit(PathTrigramTopN)
+  }
+
+  /** Per-(user, day) admission quota for [[throttle]]. */
+  val ThrottleMaxPerDay = 3L
+
+  /** RATE-LIMIT / QUOTA audit — how much of each user's event volume
+    * survives a per-(user, day) admission cap of
+    * [[ThrottleMaxPerDay]] (the collection-side throttle every
+    * ingestion pipeline applies against runaway clients and replay
+    * storms). Emits per user the total, admitted, and dropped counts.
+    * Which events are admitted (the first N per day) doesn't change
+    * the COUNTS, so the audit needs no ordering at all.
+    *
+    * Scale: two stacked partial+final count aggregations — (user, day)
+    * then user — with `least(n, cap)` between them; no window, no
+    * row_number, nothing per-event survives the first combine. The
+    * (user, day) key is finer than user, so the first agg also
+    * pre-shrinks any hot-user skew before the per-user rollup. */
+  def throttle(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("dy"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(sum("n").as("n_events"),
+        sum(least(col("n"), lit(ThrottleMaxPerDay))).as("n_kept"))
+      .select(col("user_id"), col("n_events"), col("n_kept"),
+        (col("n_events") - col("n_kept")).as("n_dropped"))
+      .orderBy("user_id")
+
   /** The train/val/test split label for a bucket column (80/10/10). */
   def splitCol(bucket: Column): Column =
     when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
@@ -873,6 +932,36 @@ object CurationOracles {
       |  (cnt.n * 1000000000) // tot.tot AS ppb
       |FROM cnt JOIN tot USING (from_type)
       |ORDER BY from_type, to_type""".stripMargin
+
+  /** Same double-lead pairing, count, and deterministic top-N cut. */
+  val pathTrigrams: String =
+    s"""WITH p AS (
+       |  SELECT event_type AS step1,
+       |    lead(event_type, 1) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS step2,
+       |    lead(event_type, 2) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS step3
+       |  FROM events
+       |)
+       |SELECT step1, step2, step3, count(*) AS n FROM p
+       |WHERE step3 IS NOT NULL
+       |GROUP BY 1, 2, 3
+       |ORDER BY n DESC, step1, step2, step3
+       |LIMIT ${Curation.PathTrigramTopN}""".stripMargin
+
+  /** Same stacked (user, day) → user counting with the least() cap. */
+  val throttle: String =
+    s"""WITH h AS (
+       |  SELECT user_id, date_trunc('day', ts) AS dy, count(*) AS n
+       |  FROM events GROUP BY 1, 2
+       |)
+       |SELECT user_id,
+       |  CAST(sum(n) AS BIGINT) AS n_events,
+       |  CAST(sum(least(n, ${Curation.ThrottleMaxPerDay})) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(sum(n) - sum(least(n, ${Curation.ThrottleMaxPerDay}))
+       |    AS BIGINT) AS n_dropped
+       |FROM h GROUP BY 1 ORDER BY user_id""".stripMargin
 
   /** A/B test: same md5 split, same cross-multiplied z² decision in
     * HUGEINT (DECIMAL(38,0) on the Spark side — both exact). */
