@@ -224,6 +224,7 @@ object SparkEntry {
 
     // --- curation ops (normalization, LM scoring, sampling, pipeline) ---
     "text_top_terms" -> (TextAnalysis.topTerms _),
+    "text_collocations" -> (TextAnalysis.collocations _),
     "rel_fuzzy_names" -> (TextAnalysis.fuzzyNames _),
     "text_doc_similarity" -> (TextAnalysis.docSimilarity _),
     "text_bm25" -> (TextAnalysis.bm25Retrieval _),
@@ -916,6 +917,7 @@ object SparkEntry {
         |  min(l_extendedprice) AS min_price
         |FROM li GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_top_terms" -> TextAnalysisOracles.topTerms,
+    "text_collocations" -> TextAnalysisOracles.collocations,
     "rel_fuzzy_names" -> TextAnalysisOracles.fuzzyNames,
     "text_doc_similarity" -> TextAnalysisOracles.docSimilarity,
     "text_bm25" -> TextAnalysisOracles.bm25Retrieval,

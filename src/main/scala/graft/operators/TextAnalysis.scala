@@ -217,6 +217,61 @@ object TextAnalysis {
 
   /** Top-[[TopTermsK]] characteristic terms per document by the integer
     * tf-idf weight. */
+  /** Result width / minimum pair support for [[collocations]]. */
+  val CollocTopN = 30
+  val CollocMinCount = 5L
+
+  /** Corpus-size guard: lift staging multiplies a pair count by the
+    * token total in BIGINT; capping tokens at 2·10⁹ bounds the product
+    * by ~4·10¹⁸ < 2⁶³. Beyond it, shard the corpus or move the first
+    * multiply into log space. */
+  val MaxCollocTokens = 2000000000L
+
+  /** COLLOCATION EXTRACTION — multiword expressions mined by LIFT
+    * (exponentiated PMI): for each adjacent word pair,
+    * `lift = P(xy) / (P(x)·P(y))` — how much more often the pair
+    * co-occurs than independent unigram draws predict. High-lift pairs
+    * are the fixed phrases a tokenizer should learn whole and a
+    * dedup/shingle pipeline over-weights (the same statistic BPE's
+    * merge counts approach from the frequency side; [[bpePairStats]]).
+    * Top [[CollocTopN]] pairs at support ≥ [[CollocMinCount]].
+    *
+    * Cross-engine determinism: lift is staged as
+    * `(((n·Tu) / n₁) · Tu / n₂) / Tb` — one BIGINT product (guarded by
+    * [[MaxCollocTokens]]), then three IEEE double ops in a FIXED order,
+    * so both engines produce bit-identical doubles; ordering ties break
+    * on the words. Scale: two vocab-sized count aggs (map-side combine)
+    * + two vocab-keyed equi-joins; totals attach as 1-row broadcasts;
+    * the top-N plans as TakeOrderedAndProject. Reference analog: the
+    * bigram `countCombos` frequency core (`mapreduce.erl:275-282`)
+    * extended with the independence baseline. */
+  def collocations(s: SparkSession, d: String): DataFrame = {
+    val toks = docsWithTokens(s, d).select(col("w"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("nw"))
+      .localCheckpoint() // consumed for both pair endpoints + the total
+    val tuVal = uni.agg(sum("nw")).head().getLong(0)
+    require(tuVal <= MaxCollocTokens,
+      s"collocations refused: $tuVal tokens > $MaxCollocTokens - the " +
+        "BIGINT lift staging (n*Tu) could overflow; shard the corpus " +
+        "or restage the first multiply in log space")
+    val bgs = Tables.documents(s, d)
+      .select(explode(graft.functions.WordShingles(col("text"), 2))
+        .as("bg"))
+      .select(substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
+    val tb = bgs.agg(count(lit(1)).as("tb"))
+    val bg = bgs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= CollocMinCount)
+    bg.join(uni.select(col("w").as("w1"), col("nw").as("n1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("nw").as("n2")), "w2")
+      .crossJoin(broadcast(tb))
+      .select(col("w1"), col("w2"), col("n"),
+        expr(s"round((((n * ${tuVal}L) / n1) * ${tuVal}L / n2) / tb, 6)")
+          .as("lift"))
+      .orderBy(desc("lift"), asc("w1"), asc("w2"))
+      .limit(CollocTopN)
+  }
+
   def topTerms(s: SparkSession, d: String): DataFrame = {
     val scored = termStats(s, d).withColumn("score", expr(tfIdfExpr))
     val wDoc = Window.partitionBy("doc_id").orderBy(desc("score"), asc("w"))
@@ -714,6 +769,37 @@ object TextAnalysisOracles {
        |)
        |SELECT doc_id, sum(s)::BIGINT AS bm25 FROM sc GROUP BY 1
        |ORDER BY bm25 DESC, doc_id LIMIT ${TextAnalysis.Bm25K}""".stripMargin
+
+  /** Same counts, same staged `(((n·Tu)/n₁)·Tu/n₂)/Tb` lift (one BIGINT
+    * product then three fixed-order IEEE double ops — bit-identical),
+    * same rounded-lift ordering and top-N cut. */
+  val collocations: String =
+    s"""WITH wl AS (
+       |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+       |  FROM documents
+       |),
+       |toks AS (SELECT unnest(ws) AS w FROM wl),
+       |uni AS (SELECT w, count(*) AS nw FROM toks GROUP BY 1),
+       |tu AS (SELECT CAST(sum(nw) AS BIGINT) AS tu FROM uni),
+       |bgs AS (
+       |  SELECT ws[i] AS w1, ws[i + 1] AS w2
+       |  FROM wl, unnest(generate_series(1, len(ws) - 1)) t(i)
+       |  WHERE len(ws) >= 2
+       |),
+       |tb AS (SELECT count(*) AS tb FROM bgs),
+       |bg AS (
+       |  SELECT w1, w2, count(*) AS n FROM bgs GROUP BY 1, 2
+       |  HAVING count(*) >= ${TextAnalysis.CollocMinCount}
+       |)
+       |SELECT bg.w1, bg.w2, bg.n,
+       |  round((((bg.n * tu.tu) / u1.nw) * tu.tu / u2.nw) / tb.tb, 6)
+       |    AS lift
+       |FROM bg
+       |JOIN uni u1 ON u1.w = bg.w1
+       |JOIN uni u2 ON u2.w = bg.w2
+       |CROSS JOIN tu CROSS JOIN tb
+       |ORDER BY lift DESC, w1, w2
+       |LIMIT ${TextAnalysis.CollocTopN}""".stripMargin
 
   val topTerms: String =
     s"""WITH $toksCte,

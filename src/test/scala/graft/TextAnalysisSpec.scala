@@ -235,4 +235,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(gotNames === expected)
     assert(gotNames.nonEmpty)
   }
+
+  test("collocations = staged-lift recompute over raw token streams") {
+    val texts = Tables.documents(spark, d)
+      .select($"text").as[String].collect()
+    val docs = texts.map(_.split(" +").filter(_.nonEmpty).toSeq)
+    val toks = docs.flatten
+    val uni = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val tu = toks.length.toLong
+    val bgs = docs.flatMap(ws => ws.sliding(2).filter(_.length == 2)
+      .map(p => (p(0), p(1))))
+    val tb = bgs.length.toLong
+    val expected = bgs.groupBy(identity).view
+      .mapValues(_.length.toLong).toSeq
+      .collect { case ((x, y), n) if n >= TextAnalysis.CollocMinCount =>
+        val lift = n * tu / uni(x).toDouble * tu / uni(y) / tb
+        (x, y, n, BigDecimal(lift)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (x, y, _, l) => (-l, x, y) }
+      .take(TextAnalysis.CollocTopN)
+    val got = TextAnalysis.collocations(spark, d)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // lift really re-ranks: the frequency order and lift order differ
+    val byFreq = expected.sortBy { case (x, y, n, _) => (-n, x, y) }
+    assert(byFreq.map(e => (e._1, e._2)) !== expected.map(e => (e._1, e._2)))
+  }
 }
