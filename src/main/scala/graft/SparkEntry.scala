@@ -97,6 +97,8 @@ object SparkEntry {
     "rel_window_top_orders" -> (Relational.windowTopOrders _),
     "rel_topk_orders" -> (Relational.topkOrders _),
     "rel_customers_without_orders" -> (Relational.customersWithoutOrders _),
+    "rel_custdist" -> (Relational.custDist _),
+    "rel_large_orders" -> (Relational.largeOrders _),
     "rel_keys_union" -> (Relational.keysUnion _),
     "rel_keys_intersect" -> (Relational.keysIntersect _),
     "rel_percentiles" -> (Relational.percentiles _),
@@ -624,6 +626,29 @@ object SparkEntry {
         |  EXCEPT
         |  SELECT o_custkey AS c_custkey FROM orders WHERE o_orderdate >= '2001-01-01'
         |) ORDER BY c_custkey""".stripMargin,
+    "rel_custdist" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1
+        |)
+        |SELECT coalesce(pc.n, 0) AS c_count, count(*) AS custdist
+        |FROM customer LEFT JOIN pc ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "rel_large_orders" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey,
+         |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         |      AS sum_qty
+         |  FROM lineitem GROUP BY 1
+         |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) >
+         |    ${graft.operators.Relational.LargeOrderMinQty}
+         |)
+         |SELECT c_name, o_orderkey,
+         |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+         |  o_totalprice, sum_qty
+         |FROM big
+         |JOIN orders ON o_orderkey = l_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY sum_qty DESC, o_orderkey""".stripMargin,
     "rel_keys_union" ->
       """SELECT * FROM (
         |  SELECT c_custkey AS k FROM customer UNION SELECT o_custkey FROM orders

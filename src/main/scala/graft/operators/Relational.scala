@@ -143,6 +143,52 @@ object Relational {
         .select(col("o_custkey").as("c_custkey")))
       .orderBy("c_custkey")
 
+  /** TPC-H Q13-style customer distribution — the COUNT-OF-COUNTS
+    * histogram: orders per customer (LEFT join, so zero-order customers
+    * land in the 0 bin), then customers per order-count. The classic
+    * two-level aggregation whose first key (customer) is fine and whose
+    * second (the count) is tiny — both stages partial-aggregate
+    * map-side; nothing is ever windowed or sorted until the final
+    * #distinct-counts-sized result. */
+  def custDist(s: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.orders(s, d)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    Tables.customer(s, d).select("c_custkey")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n"), lit(0L)).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  /** [[largeOrders]] keeps orders whose total quantity exceeds this. */
+  val LargeOrderMinQty = 300
+
+  /** TPC-H Q18-style large-volume orders: a GROUP-BY → HAVING over the
+    * fact table, then the qualifying keys join BACK to the order and
+    * customer detail — the canonical "aggregate filter then recover
+    * detail" shape. Quantities sum in DECIMAL(18,2) (exact, association
+    * -free), so the HAVING boundary is deterministic cross-engine.
+    *
+    * Scale: the heavy side is one partial+final sum by order key; the
+    * HAVING survivor set is tiny (top ~0.3% of orders), so the
+    * detail-recovery joins run survivor-sized against orders/customer —
+    * with AQE they plan as broadcast probes of the two dimension-ish
+    * sides, never a second fact shuffle. */
+  def largeOrders(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(dec18)).as("dq"))
+      .filter(col("dq") > lit(LargeOrderMinQty))
+      .select(col("l_orderkey"), col("dq").cast("double").as("sum_qty"))
+    Tables.orders(s, d)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(desc("sum_qty"), asc("o_orderkey"))
+  }
+
   /** Set op: distinct UNION of customer keys and order-placing keys. */
   def keysUnion(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d).select(col("c_custkey").as("k"))

@@ -362,4 +362,36 @@ class RelationalSpec extends AnyFunSuite {
     assert(got === expected)
     assert(got.nonEmpty)
   }
+
+  test("custDist histogram masses: all customers binned, zeros included") {
+    val rows = Relational.custDist(spark, d)
+      .as[(Long, Long)].collect()
+    val nCust = Tables.customer(spark, d).count()
+    assert(rows.map(_._2).sum === nCust)
+    // zero-order customers exist in the fixture and land in the 0 bin
+    val withOrders = Tables.orders(spark, d)
+      .select("o_custkey").distinct().count()
+    val zeroBin = rows.collect { case (0L, n) => n }.sum
+    assert(zeroBin === nCust - withOrders)
+    // weighted counts reproduce the order-table row count
+    val nOrders = Tables.orders(spark, d).count()
+    assert(rows.map { case (c, n) => c * n }.sum === nOrders)
+  }
+
+  test("largeOrders: threshold respected, detail join-back consistent") {
+    val rows = Relational.largeOrders(spark, d)
+      .as[(String, Long, String, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, _, _, q) =>
+      assert(q > Relational.LargeOrderMinQty)
+    }
+    // each emitted sum_qty equals an exact recount of its lineitems
+    val byOrder = Tables.lineitem(spark, d)
+      .select($"l_orderkey", $"l_quantity").as[(Long, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => BigDecimal(r._2)).sum.toDouble).toMap
+    rows.foreach { case (_, ok, _, _, q) =>
+      assert(byOrder(ok) === q, s"order $ok")
+    }
+  }
 }
