@@ -244,6 +244,8 @@ object SparkEntry {
     "events_ab_test" -> (Curation.abTest _),
     "events_transitions" -> (Curation.transitions _),
     "events_path_trigrams" -> (Curation.pathTrigrams _),
+    "events_diurnal" -> (Curation.diurnal _),
+    "dedup_cluster_stats" -> (Dedup.clusterStats _),
     "events_throttle" -> (Curation.throttle _),
     "events_cusum_stream" ->
       (graft.streaming.EventStream.cusumStreamVerified _),
@@ -1019,6 +1021,8 @@ object SparkEntry {
     "events_ab_test" -> CurationOracles.abTest,
     "events_transitions" -> CurationOracles.transitions,
     "events_path_trigrams" -> CurationOracles.pathTrigrams,
+    "events_diurnal" -> CurationOracles.diurnal,
+    "dedup_cluster_stats" -> DedupOracles.clusterStats,
     "events_throttle" -> CurationOracles.throttle,
     "events_cusum_stream" -> CurationOracles.cusum,
     "rel_asof_click_purchase" -> asofOracle,

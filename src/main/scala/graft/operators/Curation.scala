@@ -446,6 +446,27 @@ object Curation {
         (col("n_events") - col("n_kept")).as("n_dropped"))
       .orderBy("user_id")
 
+  /** DIURNAL PROFILE of the event stream — events per (hour-of-day,
+    * type) with an exact parts-per-million share of total volume: the
+    * seasonality fingerprint that tells a collection pipeline when its
+    * clients are active (and an anomaly-detection baseline for
+    * [[cusum]]-style monitors — a spike is only a spike relative to
+    * the hour's norm).
+    *
+    * Scale: one partial+final count by a 24×#types-bounded key, the
+    * grand total attached as a 1-row broadcast; the ppm share is
+    * truncating integer arithmetic, bit-identical cross-engine. */
+  def diurnal(s: SparkSession, d: String): DataFrame = {
+    val cnt = Tables.events(s, d)
+      .groupBy(hour(col("ts")).as("hour_of_day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.agg(sum("n").as("total"))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("hour_of_day"), col("event_type"), col("n"),
+        expr("(n * 1000000) div total").as("ppm"))
+      .orderBy("hour_of_day", "event_type")
+  }
+
   /** The train/val/test split label for a bucket column (80/10/10). */
   def splitCol(bucket: Column): Column =
     when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
@@ -932,6 +953,18 @@ object CurationOracles {
       |  (cnt.n * 1000000000) // tot.tot AS ppb
       |FROM cnt JOIN tot USING (from_type)
       |ORDER BY from_type, to_type""".stripMargin
+
+  /** Same 24×#types counting, 1-row total, truncating ppm share. */
+  val diurnal: String =
+    """WITH cnt AS (
+      |  SELECT CAST(date_part('hour', ts) AS INTEGER) AS hour_of_day,
+      |    event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cnt)
+      |SELECT hour_of_day, event_type, n, (n * 1000000) // total AS ppm
+      |FROM cnt CROSS JOIN tot
+      |ORDER BY hour_of_day, event_type""".stripMargin
 
   /** Same double-lead pairing, count, and deterministic top-N cut. */
   val pathTrigrams: String =

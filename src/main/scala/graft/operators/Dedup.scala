@@ -910,6 +910,27 @@ object Dedup {
   def nearDupClustersLsh(s: SparkSession, d: String): DataFrame =
     clustersFromEdges(minhashEdgesShared(s, d))
 
+  /** CLUSTER-SIZE DISTRIBUTION of the production LSH clustering — the
+    * one-line health report a dedup pipeline owner reads before
+    * collapsing: for each cluster size, how many clusters, how many
+    * docs they hold, and how many would be REMOVED by keep-one-per-
+    * cluster (size − 1 each). A sudden mass shift toward large sizes
+    * means a boilerplate template or a banding regression; the removal
+    * column is the pipeline's projected deletion volume.
+    *
+    * Scale: one count-by-cluster over [[nearDupClustersLsh]]'s labels
+    * (itself bounded by the shared edge graph) and a second
+    * #distinct-sizes-sized rollup — the [[Relational.custDist]]
+    * count-of-counts shape on the clustering. */
+  def clusterStats(s: SparkSession, d: String): DataFrame =
+    nearDupClustersLsh(s, d)
+      .groupBy("cluster_size")
+      .agg(countDistinct("cluster_id").as("n_clusters"),
+        count(lit(1)).as("n_docs"))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        (col("n_docs") - col("n_clusters")).as("n_removable"))
+      .orderBy("cluster_size")
+
   /** CROSS-MODAL consistency audit — every LEXICAL near-dup pair
     * ([[minhashLsh]]'s verified Jaccard ≥ 0.8 pairs) scored with its
     * EMBEDDING cosine and flagged `agree` when the vector space also

@@ -507,6 +507,16 @@ object DedupOracles {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Replicates `Dedup.clusterStats`: the [[clustersLsh]] pipeline as a
+    * derived table, rolled up to the size distribution. */
+  lazy val clusterStats: String =
+    s"""SELECT cluster_size,
+       |  count(DISTINCT cluster_id) AS n_clusters,
+       |  count(*) AS n_docs,
+       |  count(*) - count(DISTINCT cluster_id) AS n_removable
+       |FROM ($clustersLsh) t
+       |GROUP BY 1 ORDER BY cluster_size""".stripMargin
+
   /** Replicates `Dedup.kcore`: the exact prefix-edge graph at
     * `ClusterJaccardThreshold` (the same edge CTE as [[clusters]]),
     * then `KcoreMaxRounds` unrolled peel rounds — drop nodes of degree

@@ -412,6 +412,20 @@ class CurationSpec extends AnyFunSuite {
     assert(got.nonEmpty) // fixture actually exercises the alarm path
   }
 
+  test("diurnal: counts conserve event volume, ppm is the exact share") {
+    val rows = Curation.diurnal(spark, d)
+      .as[(Int, String, Long, Long)].collect()
+    val total = Tables.events(spark, d).count()
+    assert(rows.map(_._3).sum === total)
+    rows.foreach { case (h, _, n, ppm) =>
+      assert(h >= 0 && h <= 23)
+      assert(ppm === n * 1000000L / total)
+    }
+    // truncation loss only: shares sum to within #rows of 1e6
+    val ppmSum = rows.map(_._4).sum
+    assert(ppmSum <= 1000000L && ppmSum > 1000000L - rows.length)
+  }
+
   test("pathTrigrams = sliding-window recount with deterministic cut") {
     val ev = Tables.events(spark, d)
       .select($"user_id", unix_micros($"ts"), $"event_id", $"event_type")

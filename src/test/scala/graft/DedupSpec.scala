@@ -583,6 +583,20 @@ class DedupSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("KcoreMaxRounds"))
   }
 
+  test("clusterStats conserves the clustering's docs and clusters") {
+    val labels = Dedup.nearDupClustersLsh(spark, d)
+      .select($"cluster_id", $"cluster_size").as[(Long, Long)].collect()
+    val stats = Dedup.clusterStats(spark, d)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(stats.nonEmpty)
+    assert(stats.map(_._3).sum === labels.length.toLong)
+    assert(stats.map(_._2).sum === labels.map(_._1).distinct.length.toLong)
+    stats.foreach { case (sz, nc, nd, rem) =>
+      assert(nd === sz * nc, s"size $sz")
+      assert(rem === nd - nc)
+    }
+  }
+
   test("splitLeakage counts only straddling near-dup pairs") {
     val got = graft.operators.Dedup.splitLeakage(spark, d)
       .as[(String, String, Long, Long)].collect()
