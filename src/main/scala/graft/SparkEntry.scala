@@ -249,6 +249,8 @@ object SparkEntry {
     "events_throttle" -> (Curation.throttle _),
     "events_cusum_stream" ->
       (graft.streaming.EventStream.cusumStreamVerified _),
+    "events_throttle_stream" ->
+      (graft.streaming.EventStream.throttleStreamVerified _),
 
     // --- as-of join: composed (union+window) AND native (custom
     //     LogicalPlan + SparkStrategy + merge executor) — same oracle ---
@@ -1025,6 +1027,16 @@ object SparkEntry {
     "dedup_cluster_stats" -> DedupOracles.clusterStats,
     "events_throttle" -> CurationOracles.throttle,
     "events_cusum_stream" -> CurationOracles.cusum,
+    // streaming rate limiter's reject stream ≡ the batch window rule:
+    // everything past the per-(user, UTC day) admission cap
+    "events_throttle_stream" ->
+      s"""SELECT user_id, event_id FROM (
+         |  SELECT user_id, event_id,
+         |    row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+         |      ORDER BY ts, event_id) AS rn
+         |  FROM events
+         |) WHERE rn > ${graft.operators.Curation.ThrottleMaxPerDay}
+         |ORDER BY user_id, event_id""".stripMargin,
     "rel_asof_click_purchase" -> asofOracle,
     // the native custom-plan as-of join must produce byte-identical
     // results to the composed one — one oracle checks both

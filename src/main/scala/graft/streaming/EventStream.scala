@@ -717,6 +717,73 @@ object EventStream {
       }
   }
 
+  case class ThrottleEv(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp)
+  case class ThrottleSt(day: Long, n: Long)
+  case class ThrottleOut(user_id: Long, event_id: Long)
+
+  /** Stateful streaming twin of `Curation.throttle`'s admission rule —
+    * the ONLINE rate limiter (the batch operator audits the outcome;
+    * this is the enforcement point): per user the carried state is
+    * (current UTC day, admissions so far today) — 16 bytes — and every
+    * event past `ThrottleMaxPerDay` in its (user, day) is emitted on
+    * the REJECT stream (the side a collection pipeline samples for
+    * abuse review; admitted events flow on unchanged). Day boundaries
+    * come from `floorDiv(micros, 86 400·10⁶)`, exactly the batch
+    * `date_trunc('day')` in the UTC session both engines run.
+    *
+    * Ordering contract: events sort by (ts, event_id) within each
+    * micro-batch; across batches the source must deliver time-ordered
+    * files (the [[cusumStateful]] contract — true of the fixture and of
+    * date-partitioned ingestion).
+    *
+    * Scale: hash-partitioned keyed state, one tiny record per user;
+    * append-only output sized by the violation volume, not the input. */
+  def throttleStateful(events: Dataset[ThrottleEv]): Dataset[ThrottleOut] = {
+    import events.sparkSession.implicits._
+    val cap = graft.operators.Curation.ThrottleMaxPerDay
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ThrottleSt, ThrottleOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[ThrottleEv], state: GroupState[ThrottleSt]) =>
+          var st = state.getOption.getOrElse(ThrottleSt(Long.MinValue, 0L))
+          val out = it.map(e => (tsMicros(e.ts), e.event_id))
+            .toSeq.sorted
+            .flatMap { case (tus, id) =>
+              val day = Math.floorDiv(tus, 86400000000L)
+              if (day != st.day) st = ThrottleSt(day, 0L)
+              st = ThrottleSt(st.day, st.n + 1)
+              if (st.n > cap) Some(ThrottleOut(uid, id)) else None
+            }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Driver-surface STREAMING THROTTLE under the real engine (file
+    * source → keyed state → parquet sink, AvailableNow): the reject
+    * stream, checked against a batch window oracle (`row_number() > cap
+    * per (user, day)` in both engines). */
+  def throttleStreamVerified(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (out, ckpt) = scratchDirs("throttle")
+    val ss = streamSession(s)
+    val ev = readEventStream(ss, d)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[ThrottleEv]
+    val q = throttleStateful(ev).toDF()
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val res = s.read.parquet(out).localCheckpoint()
+    deleteRecursively(out, ckpt)
+    res.select(col("user_id"), col("event_id"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Driver-surface STREAMING CUSUM under the real engine (file source →
     * keyed state → parquet sink, AvailableNow), checked against the SAME
     * DuckDB oracle as the batch `events_cusum` window query: one oracle,

@@ -44,7 +44,12 @@ class PlanLintSpec extends AnyFunSuite {
     "text_bpe_vocab",                       // 1-row chosen-merge broadcast
     "rel_skyline",                          // guarded candidate dominance pass
     "rel_rfm",                              // 1-row tercile-cutpoint broadcast
-    "events_ab_test")                       // 1-row variant-totals broadcast
+    "events_ab_test",                       // 1-row variant-totals broadcast
+    "ann_topk_filtered",                    // broadcast query side, i≠j
+                                            // (the brute-force shape over
+                                            // the pre-filtered corpus)
+    "events_diurnal",                       // 1-row grand-total broadcast
+    "text_collocations")                    // 1-row bigram-total broadcast
 
   test("no ann_* plan ranks through a Window partitioned by query_id") {
     // VERDICT r6: the shared rerank tail and the PQ ranking once used

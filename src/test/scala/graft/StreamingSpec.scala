@@ -548,4 +548,33 @@ class StreamingSpec extends AnyFunSuite {
     // nothing
     assert(expected.keySet.exists(_ <= 3) && expected.keySet.exists(_ > 3))
   }
+
+  test("streaming throttle carries the day counter across micro-batches") {
+    import graft.streaming.EventStream.{ThrottleEv, ThrottleOut}
+    import graft.operators.Curation
+    // one user, five events on day D (cap 3 → events 4, 5 rejected) and
+    // two on day D+1 (counter must RESET → both admitted); the batch
+    // split lands mid-day-D so the admission count crosses state
+    val dayUs = 86400000000L
+    val base = (20000L * dayUs) / 1000 // ms, midnight UTC of day 20000
+    def ev(id: Long, offMs: Long) =
+      ThrottleEv(9L, id, new Timestamp(base + offMs))
+    val all = Seq(ev(1, 1000), ev(2, 2000), ev(3, 3000), ev(4, 4000),
+      ev(5, 5000), ev(6, dayUs / 1000 + 1000), ev(7, dayUs / 1000 + 2000))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[ThrottleEv]
+    val q = EventStream.throttleStateful(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("throttle_out").start()
+    try {
+      mem.addData(all.take(2)) // day D events 1-2: under cap
+      q.processAllAvailable()
+      mem.addData(all.drop(2)) // 3 admitted, 4-5 rejected, day flips
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("throttle_out").as[ThrottleOut].collect()
+      .map(_.event_id).toSet
+    assert(Curation.ThrottleMaxPerDay === 3L, "spec assumes cap 3")
+    assert(got === Set(4L, 5L))
+  }
 }
