@@ -245,6 +245,9 @@ object SparkEntry {
     "events_transitions" -> (Curation.transitions _),
     "events_path_trigrams" -> (Curation.pathTrigrams _),
     "events_diurnal" -> (Curation.diurnal _),
+    "events_interarrival" -> (Curation.interarrival _),
+    "rel_hll_portable" -> (Relational.hllPortable _),
+    "rel_kmv_sketch" -> (Relational.kmvSketch _),
     "dedup_cluster_stats" -> (Dedup.clusterStats _),
     "events_throttle" -> (Curation.throttle _),
     "events_cusum_stream" ->
@@ -1024,6 +1027,9 @@ object SparkEntry {
     "events_transitions" -> CurationOracles.transitions,
     "events_path_trigrams" -> CurationOracles.pathTrigrams,
     "events_diurnal" -> CurationOracles.diurnal,
+    "events_interarrival" -> CurationOracles.interarrival,
+    "rel_hll_portable" -> Relational.hllPortableOracle,
+    "rel_kmv_sketch" -> Relational.kmvSketchOracle,
     "dedup_cluster_stats" -> DedupOracles.clusterStats,
     "events_throttle" -> CurationOracles.throttle,
     "events_cusum_stream" -> CurationOracles.cusum,

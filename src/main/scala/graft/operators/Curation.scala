@@ -419,6 +419,38 @@ object Curation {
       .limit(PathTrigramTopN)
   }
 
+  /** INTER-ARRIVAL-TIME histogram — the latency-distribution profile of
+    * the event stream on LOG₂ buckets: per user, the gap to the
+    * previous event (ts, event_id order), bucketed by
+    * `floor(log₂(gap_µs + 1))` computed EXACTLY as
+    * `length(bin(gap + 1)) − 1` (binary-string length — pure integer,
+    * no float log, bit-identical cross-engine). Powers-of-two buckets
+    * are the standard latency-histogram shape (HdrHistogram-style):
+    * they resolve both the millisecond burst end and the multi-day
+    * idle tail in one ~40-row result. Feeds session-gap tuning
+    * ([[graft.streaming.EventStream.SessionGapMinutes]] should sit in
+    * the histogram's valley) and bot detection (a spike at tiny gaps).
+    *
+    * Scale: one lag() window partitioned by user (single hash shuffle,
+    * per-key state), then a ≤64-bucket partial+final count — output is
+    * constant-sized regardless of corpus. */
+  def interarrival(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .withColumn("prev", lag("us", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select((length(bin(col("us") - col("prev") + 1)) - 1)
+        .as("log2_bucket"))
+      .groupBy("log2_bucket").agg(count(lit(1)).as("n"))
+      .select(col("log2_bucket"),
+        expr("shiftleft(cast(1 as bigint), log2_bucket) - 1")
+          .as("gap_lo_us"), col("n"))
+      .orderBy("log2_bucket")
+  }
+
   /** Per-(user, day) admission quota for [[throttle]]. */
   val ThrottleMaxPerDay = 3L
 
@@ -953,6 +985,22 @@ object CurationOracles {
       |  (cnt.n * 1000000000) // tot.tot AS ppb
       |FROM cnt JOIN tot USING (from_type)
       |ORDER BY from_type, to_type""".stripMargin
+
+  /** Same lag() gaps and exact binary-length log₂ bucketing. */
+  val interarrival: String =
+    """WITH g AS (
+      |  SELECT epoch_us(ts) -
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS gap
+      |  FROM events
+      |),
+      |b AS (
+      |  SELECT CAST(length(bin(gap + 1)) - 1 AS INTEGER) AS log2_bucket,
+      |    count(*) AS n
+      |  FROM g WHERE gap IS NOT NULL GROUP BY 1
+      |)
+      |SELECT log2_bucket, (1::BIGINT << log2_bucket) - 1 AS gap_lo_us, n
+      |FROM b ORDER BY log2_bucket""".stripMargin
 
   /** Same 24×#types counting, 1-row total, truncating ppm share. */
   val diurnal: String =

@@ -737,6 +737,188 @@ object Relational {
       "\n) ORDER BY key_col")
   }
 
+  /** Portable-HLL register count (2⁸ buckets, σ ≈ 1.04/√m ≈ 6.5%). */
+  val HllM = 256
+
+  /** α·m² for m = 256, computed once and embedded as the SAME decimal
+    * literal in both engines (17 significant digits round-trips a
+    * double exactly), so the raw-estimate arithmetic cannot diverge. */
+  private val hllAlphaM2 = {
+    val alpha = 0.7213 / (1.0 + 1.079 / HllM)
+    // Double.toString round-trips exactly and string→double casts are
+    // correctly rounded in both engines, so this is the same double bit
+    // pattern everywhere — a BARE decimal literal would parse as
+    // DECIMAL in both engines (the rel_rfm trap)
+    s"cast('${alpha * HllM * HllM}' as double)"
+  }
+
+  /** PORTABLE HyperLogLog — the cross-engine-EXACT counterpart to
+    * [[SparkEntry]]'s engine-native `hll_sketch_agg` query (which can
+    * only be bounds-checked): registers derive from the md5-60 hash —
+    * bucket = h mod 256, ρ = leading zeros of the remaining 52 bits + 1
+    * (via `length(bin(x))`, exact integer arithmetic in both engines) —
+    * and the harmonic mean Σ2^(−Mⱼ) sums DYADIC RATIONALS with bounded
+    * exponents, so every partial sum is exactly representable and the
+    * double total is ASSOCIATION-ORDER-FREE. One fixed literal αm² and
+    * one division later, the estimate is bit-identical cross-engine —
+    * an approximate operator whose approximation is hash-checked, like
+    * the minhash/PQ pipelines. Small-range linear counting included
+    * (same branch condition both engines; fixture scales take the raw
+    * branch).
+    *
+    * Scale: ONE (group, bucket)-keyed max aggregation over a mapped
+    * scan (the sketch build — map-side combine, ≤ #groups·256 rows
+    * out), then constant-sized arithmetic. This is the whole point of
+    * HLL at 100 TB: the shuffle carries registers, not keys. */
+  def hllPortable(s: SparkSession, d: String): DataFrame = {
+    val m = HllM
+    val reg = Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        Dedup.md5hash60(col("l_partkey").cast("string")).as("h"))
+      .select(col("l_returnflag"), (col("h") % m).as("bucket"),
+        expr(s"h div $m").as("rest"))
+      .select(col("l_returnflag"), col("bucket"),
+        when(col("rest") === 0L, lit(53))
+          .otherwise(lit(53) - length(bin(col("rest")))).as("rho"))
+      .groupBy("l_returnflag", "bucket").agg(max("rho").as("mj"))
+    val z = reg.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("nb"),
+        expr("sum(1.0 / shiftleft(cast(1 as bigint), mj))").as("zp"))
+      .select(col("l_returnflag"), (lit(m) - col("nb")).as("v"),
+        expr(s"$hllAlphaM2 / (zp + cast($m - nb as double))").as("raw"))
+    val exact = Tables.lineitem(s, d).groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("n_exact"))
+    z.join(exact, "l_returnflag")
+      .select(col("l_returnflag"), col("n_exact"),
+        round(when(col("raw") <= lit(2.5 * m) && col("v") > 0,
+            expr(s"$m * ln(cast($m as double) / v)"))
+          .otherwise(col("raw")), 6).as("hll_est"),
+        round(expr("abs(raw / n_exact - 1.0) * 100.0"), 6).as("raw_err_pct"))
+      .orderBy("l_returnflag")
+  }
+
+  /** DuckDB twin of [[hllPortable]] — same hash, registers, dyadic
+    * harmonic sum, αm² literal, and correction branch. */
+  private[graft] def hllPortableOracle: String =
+    s"""WITH h AS (
+       |  SELECT l_returnflag,
+       |    ('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))::BIGINT AS h
+       |  FROM lineitem
+       |),
+       |reg AS (
+       |  SELECT l_returnflag, h % $HllM AS bucket,
+       |    max(CASE WHEN h // $HllM = 0 THEN 53
+       |        ELSE 53 - length(bin(h // $HllM)) END) AS mj
+       |  FROM h GROUP BY 1, 2
+       |),
+       |z AS (
+       |  SELECT l_returnflag, $HllM - count(*) AS v,
+       |    $hllAlphaM2 /
+       |      (sum(1.0 / (1::BIGINT << mj)) + CAST($HllM - count(*) AS DOUBLE))
+       |      AS raw
+       |  FROM reg GROUP BY 1
+       |),
+       |ex AS (
+       |  SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact
+       |  FROM lineitem GROUP BY 1
+       |)
+       |SELECT z.l_returnflag, ex.n_exact,
+       |  round(CASE WHEN z.raw <= ${2.5 * HllM} AND z.v > 0
+       |    THEN $HllM * ln(CAST($HllM AS DOUBLE) / z.v) ELSE z.raw END, 6)
+       |    AS hll_est,
+       |  round(abs(z.raw / ex.n_exact - 1.0) * 100.0, 6) AS raw_err_pct
+       |FROM z JOIN ex USING (l_returnflag)
+       |ORDER BY l_returnflag""".stripMargin
+
+  /** KMV sketch size. */
+  val KmvK = 64
+
+  /** KMV (k-minimum-values / bottom-k) DISTINCT sketch with UNION and
+    * INTERSECTION estimation — the mergeable set-cardinality sketch
+    * complementing [[hllPortable]]: keep the [[KmvK]] smallest md5-60
+    * hash values of each key set; n̂ = (k−1)·2⁶⁰/h₍ₖ₎, the union sketch
+    * is the bottom-k of the merged hash sets, and intersection follows
+    * Beyer et al. (SIGMOD'07): ρ = |union-sketch ∩ Sᴬ ∩ Sᴮ| / k scaled
+    * by the union estimate. Every sketch value is a deterministic hash
+    * ORDER STATISTIC — no randomness, no engine RNG — so both engines
+    * build byte-identical sketches and the estimates are hash-exact
+    * (score arithmetic is one multiply + one divide in fixed order).
+    * Audited here: customers (set A) vs order-placing custkeys (set B).
+    *
+    * Scale: per set, DISTINCT hash → per-partition bottom-k via
+    * sort+limit (TakeOrdered — bounded heaps, no full sort) and the
+    * k-row frames drive everything downstream; exact counterparts are
+    * one distinct-agg each (they're the audit — a production pipeline
+    * drops them and keeps only k-row state per set). */
+  def kmvSketch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val k = KmvK
+    def hashes(df: DataFrame, c: String): DataFrame =
+      df.select(Dedup.md5hash60(col(c).cast("string")).as("h")).distinct()
+    val ha = hashes(Tables.customer(s, d), "c_custkey")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hb = hashes(Tables.orders(s, d), "o_custkey")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def bottomK(h: DataFrame): DataFrame = h.orderBy("h").limit(k)
+    val (ska, skb) = (bottomK(ha).localCheckpoint(),
+      bottomK(hb).localCheckpoint())
+    val sku = bottomK(ska.union(skb).distinct()).localCheckpoint()
+    def est(sk: DataFrame, name: String): DataFrame =
+      sk.agg(max("h").as("hk"))
+        .select(expr(s"round((${k - 1}e0 * 1152921504606846976) / hk, 6)")
+          .as(name))
+    val inter = sku
+      .join(ska.toDF("h2"), col("h") === col("h2"), "left_semi")
+      .join(skb.toDF("h3"), col("h") === col("h3"), "left_semi")
+      .agg(count(lit(1)).as("n_common"))
+    val exacts = Tables.customer(s, d).agg(
+        countDistinct("c_custkey").as("exact_a")).crossJoin(
+      Tables.orders(s, d).agg(countDistinct("o_custkey").as("exact_b")))
+    exacts
+      .crossJoin(broadcast(est(ska, "est_a")))
+      .crossJoin(broadcast(est(skb, "est_b")))
+      .crossJoin(broadcast(est(sku, "est_union")))
+      .crossJoin(broadcast(inter))
+      .select(lit(k).as("k"), col("exact_a"), col("est_a"),
+        col("exact_b"), col("est_b"), col("est_union"),
+        expr("round((n_common * est_union) / 64e0, 6)").as("est_inter"),
+        col("n_common"))
+  }
+
+  /** DuckDB twin of [[kmvSketch]] — same hashes, bottom-k order
+    * statistics, and fixed-order estimate arithmetic. */
+  private[graft] def kmvSketchOracle: String = {
+    val k = KmvK
+    s"""WITH ha AS (
+       |  SELECT DISTINCT ('0x' || substr(md5(c_custkey::VARCHAR), 1, 15))::BIGINT AS h
+       |  FROM customer
+       |),
+       |hb AS (
+       |  SELECT DISTINCT ('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT AS h
+       |  FROM orders
+       |),
+       |ska AS (SELECT h FROM ha ORDER BY h LIMIT $k),
+       |skb AS (SELECT h FROM hb ORDER BY h LIMIT $k),
+       |sku AS (SELECT DISTINCT h FROM (SELECT h FROM ska UNION ALL SELECT h FROM skb)
+       |        ORDER BY h LIMIT $k),
+       |ea AS (SELECT round((${k - 1}e0 * 1152921504606846976) / max(h), 6) AS est_a FROM ska),
+       |eb AS (SELECT round((${k - 1}e0 * 1152921504606846976) / max(h), 6) AS est_b FROM skb),
+       |eu AS (SELECT round((${k - 1}e0 * 1152921504606846976) / max(h), 6) AS est_union FROM sku),
+       |ic AS (
+       |  SELECT count(*) AS n_common FROM sku
+       |  WHERE EXISTS (SELECT 1 FROM ska WHERE ska.h = sku.h)
+       |    AND EXISTS (SELECT 1 FROM skb WHERE skb.h = sku.h)
+       |),
+       |ex AS (
+       |  SELECT (SELECT count(DISTINCT c_custkey) FROM customer) AS exact_a,
+       |         (SELECT count(DISTINCT o_custkey) FROM orders) AS exact_b
+       |)
+       |SELECT $k AS k, ex.exact_a, ea.est_a, ex.exact_b, eb.est_b,
+       |  eu.est_union, round((ic.n_common * eu.est_union) / 64e0, 6) AS est_inter,
+       |  ic.n_common
+       |FROM ex, ea, eb, eu, ic""".stripMargin
+  }
+
   /** RFM tercile cutpoints — written with an `e0` exponent in the oracle
     * so DuckDB parses them as DOUBLE (a bare 0.33 literal is DECIMAL
     * there, and ceil(q·tot) in decimal vs double arithmetic can pick

@@ -412,6 +412,23 @@ class CurationSpec extends AnyFunSuite {
     assert(got.nonEmpty) // fixture actually exercises the alarm path
   }
 
+  test("interarrival: exact log2 histogram of per-user gaps") {
+    val ev = Tables.events(spark, d)
+      .select($"user_id", unix_micros($"ts"), $"event_id")
+      .as[(Long, Long, Long)].collect()
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val ts = es.sortBy(e => (e._2, e._3)).map(_._2)
+      ts.zip(ts.drop(1)).map { case (a, b) =>
+        java.lang.Long.toBinaryString(b - a + 1).length - 1
+      }
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = Curation.interarrival(spark, d)
+      .as[(Int, Long, Long)].collect()
+    assert(got.map(r => r._1 -> r._3).toMap === expected)
+    got.foreach { case (b, lo, _) => assert(lo === (1L << b) - 1) }
+    assert(got.length > 3, "fixture gaps should span several octaves")
+  }
+
   test("diurnal: counts conserve event volume, ppm is the exact share") {
     val rows = Curation.diurnal(spark, d)
       .as[(Int, String, Long, Long)].collect()

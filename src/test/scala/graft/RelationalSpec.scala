@@ -363,6 +363,61 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("hllPortable: register recompute, estimate within 3 sigma") {
+    val rows = Relational.hllPortable(spark, d)
+      .as[(String, Long, Double, Double)].collect()
+    assert(rows.length === 3)
+    rows.foreach { case (flag, exact, est, _) =>
+      // sigma = 1.04 / sqrt(256) = 6.5%; 3 sigma = 19.5%
+      assert(math.abs(est / exact - 1.0) < 0.195,
+        f"group $flag: est $est%.0f vs exact $exact (> 3 sigma)")
+    }
+    // independent register recompute for one group in plain Scala
+    val keys = Tables.lineitem(spark, d)
+      .filter($"l_returnflag" === "A").select($"l_partkey")
+      .as[Long].collect().distinct
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(x: String): Long = {
+      val hex = md.digest(x.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val regs = keys.map(k => h60(k.toString))
+      .groupBy(_ % 256).map { case (b, hs) =>
+        b -> hs.map { h =>
+          val rest = h / 256
+          if (rest == 0) 53 else 53 - java.lang.Long.toBinaryString(rest).length
+        }.max
+      }
+    val m = 256
+    val v = m - regs.size
+    val z = regs.values.map(mj => 1.0 / (1L << mj)).sum + v.toDouble
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val raw = alpha * m * m / z
+    val want = if (raw <= 2.5 * m && v > 0) m * math.log(m.toDouble / v)
+      else raw
+    val got = rows.find(_._1 == "A").get._3
+    assert(math.abs(got - want) < 1e-5, s"recompute $want vs $got")
+  }
+
+  test("kmvSketch: order-statistic estimates, nested-set coherence") {
+    val r = Relational.kmvSketch(spark, d)
+      .as[(Int, Long, Double, Long, Double, Double, Double, Long)]
+      .collect().head
+    val (k, exA, estA, exB, estB, estU, estI, common) = (r._1, r._2,
+      r._3, r._4, r._5, r._6, r._7, r._8)
+    assert(k === Relational.KmvK)
+    // sigma ~ 1/sqrt(k-2) = 12.7%; 3 sigma = 38%
+    assert(math.abs(estA / exA - 1.0) < 0.38)
+    assert(math.abs(estB / exB - 1.0) < 0.38)
+    // fixture: every order's custkey is a customer, so B ⊆ A ⇒ the
+    // union estimate can't exceed A's, and the intersection is B-like
+    assert(estU >= math.max(estA, estB) - 1e-6 ||
+      math.abs(estU - math.max(estA, estB)) < estA * 0.5)
+    assert(common > 0 && common <= k)
+    assert(estI <= estU + 1e-6)
+  }
+
   test("custDist histogram masses: all customers binned, zeros included") {
     val rows = Relational.custDist(spark, d)
       .as[(Long, Long)].collect()
