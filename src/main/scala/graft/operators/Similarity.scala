@@ -407,12 +407,15 @@ object Similarity {
     * than k — the classic filtered-ANN pitfall this operator's shape
     * avoids).
     *
-    * Scale: the predicate is a plain column filter, pushed into the
-    * parquet scan (`PushedFilters`); the tail is [[bruteTopKOn]]'s
-    * broadcast-queries + bounded-heap aggregate — no window, and the
-    * scan never materializes disqualified vectors. At index scale the
-    * same pre-filter composes with the LSH/IVF candidate stages by
-    * filtering their corpus-side frames identically. */
+    * Scale: the predicate evaluates in the Filter fused directly above
+    * the corpus scan — BEFORE any join or shuffle touches the vectors
+    * (a sargable predicate — equality/range on a stats column — would
+    * additionally reach `PushedFilters`; this modulo stand-in cannot,
+    * by design of parquet min/max pruning). The tail is
+    * [[bruteTopKOn]]'s broadcast-queries + bounded-heap aggregate — no
+    * window. At index scale the same pre-filter composes with the
+    * LSH/IVF candidate stages by filtering their corpus-side frames
+    * identically. */
   def filteredTopK(s: SparkSession, d: String): DataFrame =
     filteredTopKOn(emb(s, d))
 
