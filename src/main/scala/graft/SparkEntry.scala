@@ -204,6 +204,8 @@ object SparkEntry {
     "ann_knn_classify" -> (Similarity.knnClassify _),
     "ann_prototype_classify" -> (Similarity.prototypeClassify _),
     "ann_topk_filtered" -> (Similarity.filteredTopK _),
+    "ann_dominant_direction" -> (Similarity.dominantDirection _),
+    "rel_column_stats" -> (Relational.columnStats _),
     // recall@K of each approximate index vs the exact brute baseline —
     // all pipelines deterministic, so recall itself is hash-checked
     "ann_recall_at_k" -> (Similarity.recallAtK _),
@@ -1003,6 +1005,8 @@ object SparkEntry {
     "ann_knn_classify" -> SimilarityOracles.knnClassify,
     "ann_prototype_classify" -> SimilarityOracles.prototypeClassify,
     "ann_topk_filtered" -> SimilarityOracles.filteredTopK,
+    "ann_dominant_direction" -> SimilarityOracles.dominantDirection,
+    "rel_column_stats" -> Relational.columnStatsOracle,
     "ann_recall_at_k" -> SimilarityOracles.recallAtK,
     "text_langid" -> TextAnalysisOracles.langId,
     "text_quality" -> TextAnalysisOracles.quality,

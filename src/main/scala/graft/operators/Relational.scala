@@ -919,6 +919,60 @@ object Relational {
        |FROM ex, ea, eb, eu, ic""".stripMargin
   }
 
+  /** The numeric lineitem columns [[columnStats]] profiles. */
+  val StatsColumns = Seq("l_quantity", "l_extendedprice", "l_discount",
+    "l_tax")
+
+  /** ANALYZE-style COLUMN STATISTICS — per numeric fact column: row and
+    * null counts, exact NDV, min/max, and the DECIMAL-exact sum. These
+    * are the statistics a cost-based optimizer (and a pipeline-health
+    * dashboard) feeds on; computing them is the canonical
+    * many-aggregates-one-pass shape.
+    *
+    * Scale: ONE scan computes every aggregate simultaneously (Spark
+    * fuses the 4×4 aggregate expressions into a single partial+final
+    * HashAggregate — the table is never read per column), then the
+    * 1×N row unpivots via `stack` into the per-column report. NDV is
+    * exact here (count distinct of 4 columns in one pass = 4 partial
+    * distinct aggs); a 100 TB profile swaps in [[hllPortable]]'s
+    * register sketch per column, same shape. */
+  def columnStats(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val aggs = StatsColumns.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_ndv"),
+        min(col(c)).cast("double").as(s"${c}_min"),
+        max(col(c)).cast("double").as(s"${c}_max"),
+        sum(col(c).cast(DecimalType(18, 6))).cast("double").as(s"${c}_sum"))
+    } :+ count(lit(1)).as("n_rows")
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = StatsColumns.map { c =>
+      s"'$c', ${c}_nulls, ${c}_ndv, ${c}_min, ${c}_max, ${c}_sum"
+    }.mkString(", ")
+    one.select(col("n_rows"), expr(
+        s"stack(${StatsColumns.size}, $stackArgs) AS " +
+          "(column_name, n_nulls, n_distinct, min_val, max_val, sum_val)"))
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_val"), col("max_val"), col("sum_val"))
+      .orderBy("column_name")
+  }
+
+  /** DuckDB twin of [[columnStats]] — one SELECT per column, unioned. */
+  private[graft] def columnStatsOracle: String = {
+    val blocks = StatsColumns.map { c =>
+      s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS DOUBLE) AS min_val,
+         |  CAST(max($c) AS DOUBLE) AS max_val,
+         |  CAST(sum(CAST($c AS DECIMAL(18,6))) AS DOUBLE) AS sum_val
+         |FROM lineitem""".stripMargin
+    }
+    blocks.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      "\n) ORDER BY column_name")
+  }
+
   /** RFM tercile cutpoints — written with an `e0` exponent in the oracle
     * so DuckDB parses them as DOUBLE (a bare 0.33 literal is DECIMAL
     * there, and ceil(q·tot) in decimal vs double arithmetic can pick

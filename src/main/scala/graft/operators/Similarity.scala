@@ -438,6 +438,67 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Power-iteration rounds for [[dominantDirection]], FIXED so the
+    * oracle unrolls them. */
+  val PowerIters = 3
+
+  /** Row guard: round products are bounded by n·2⁴⁷ (|v| ≤ 2¹¹ after
+    * renorm, s' ≤ 2²⁷, |qv| ≤ 2²⁰), so n ≤ 2¹⁵ keeps every BIGINT sum
+    * under 2⁶². Larger corpora: run on an audit sample — the dominant
+    * direction is a statistical property a slice estimates well. */
+  val MaxPowerRows = 32768L
+
+  /** DOMINANT-DIRECTION audit of the embedding space — deterministic
+    * integer power iteration for the top singular direction of the
+    * (uncentered) embedding matrix: vₖ₊₁ ∝ Xᵀ(X·vₖ). Embedding spaces
+    * are notoriously ANISOTROPIC — a large common component (the mean
+    * direction / a rogue always-on dimension) dominates every cosine
+    * and flattens retrieval contrast; the standard fix ("All-but-the-
+    * top", Mu & Viswanath ICLR'18) removes exactly the direction this
+    * operator surfaces. Emits the converged direction's integer
+    * components (renormalized to max |comp| ≈ 1024).
+    *
+    * Determinism: all arithmetic is BIGINT — quantized components,
+    * truncating `div 1024` rescale of the per-vector scores, and a
+    * data-dependent integer renorm `t div (max|t| div 1024 + 1)` per
+    * round — so both engines iterate bit-identically (the float analog
+    * would diverge in the last ulp and sign-flip near-ties).
+    *
+    * Scale: each round is two n·dim-row equi-join aggregations (Xv by
+    * vector, then Xᵀs by dimension — never a dim×dim covariance
+    * materialization) plus a 64-row broadcast renorm; localCheckpoint
+    * per round keeps the plan flat. */
+  def dominantDirection(s: SparkSession, d: String): DataFrame =
+    dominantDirectionOn(emb(s, d))
+
+  /** [[dominantDirection]] over any (vec_id, embedding) frame. */
+  def dominantDirectionOn(e: DataFrame): DataFrame = {
+    val n = e.count() // parquet metadata count — the eager row guard
+    require(n <= MaxPowerRows,
+      s"dominantDirection refused: $n rows > $MaxPowerRows - BIGINT " +
+        "round products could overflow; run on an audit sample (the " +
+        "direction is a statistical property a slice estimates well)")
+    val dims = e
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d"),
+        expr("cast(floor(x * 1048576.0) as bigint)").as("qv"))
+      .localCheckpoint() // consumed twice per round
+    var v = dims.select(col("d")).distinct()
+      .select(col("d"), lit(1L).as("v"))
+    for (_ <- 1 to PowerIters) {
+      val sp = dims.join(broadcast(v), "d")
+        .groupBy("vec_id").agg(expr("sum(qv * v) div 1024").as("sp"))
+      val t = dims.join(sp, "vec_id")
+        .groupBy("d").agg(sum(expr("sp * qv")).as("t"))
+      val m = t.agg(max(abs(col("t"))).as("ma"))
+      v = t.crossJoin(broadcast(m))
+        .select(col("d"), expr("t div (ma div 1024 + 1)").as("v"))
+        .localCheckpoint()
+    }
+    v.select(col("d").cast("long").as("d"), col("v").as("comp"))
+      .orderBy("d")
+  }
+
   /** RETRIEVAL-RECALL evaluation of every approximate ANN path against
     * the exact brute-force baseline: per query and method, what fraction
     * of the TRUE top-[[K]] neighbors ([[bruteTopK]]) the approximate
@@ -1306,6 +1367,40 @@ object SimilarityOracles {
        |    ON q.vec_id <> c.vec_id AND c.label % 2 = 0
        |  WHERE q.vec_id < $NumQueries
        |) WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  /** Replicates [[Similarity.dominantDirectionOn]]: the same quantized
+    * dims, `div 1024` score rescale, and integer renorm, with
+    * [[Similarity.PowerIters]] rounds unrolled. `dims` and each round's
+    * `v` are MATERIALIZED (dims is referenced twice per round — the
+    * k-core inline-blowup lesson). */
+  val dominantDirection: String = {
+    val rounds = (1 to Similarity.PowerIters).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT dm.vec_id,
+         |    CAST(sum(dm.qv * v${i - 1}.v) AS BIGINT) // 1024 AS sp
+         |  FROM dims dm JOIN v${i - 1} ON v${i - 1}.d = dm.d
+         |  GROUP BY 1
+         |),
+         |t$i AS MATERIALIZED (
+         |  SELECT dm.d, CAST(sum(s$i.sp * dm.qv) AS BIGINT) AS t
+         |  FROM dims dm JOIN s$i ON s$i.vec_id = dm.vec_id
+         |  GROUP BY 1
+         |),
+         |m$i AS (SELECT max(abs(t)) AS ma FROM t$i),
+         |v$i AS MATERIALIZED (
+         |  SELECT d, t // (ma // 1024 + 1) AS v FROM t$i, m$i
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH dims AS MATERIALIZED (
+       |  SELECT vec_id, d - 1 AS d,
+       |    floor(embedding[d]::DOUBLE * 1048576.0)::BIGINT AS qv
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(d)
+       |),
+       |v0 AS (SELECT DISTINCT d, 1::BIGINT AS v FROM dims),
+       |$rounds
+       |SELECT d, v AS comp FROM v${Similarity.PowerIters}
+       |ORDER BY d""".stripMargin
+  }
 
   /** Replicates the deterministic IVF pipeline: same centroid selection
     * (md5-cell seeds, bounded at [[Similarity.CodebookSize]]), same

@@ -363,6 +363,29 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("columnStats matches direct per-column recomputes") {
+    val rows = Relational.columnStats(spark, d)
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows.keySet === Relational.StatsColumns.toSet)
+    val nRows = Tables.lineitem(spark, d).count()
+    Relational.StatsColumns.foreach { c =>
+      val vals = Tables.lineitem(spark, d).select(col(c))
+        .as[Double].collect()
+      val (_, n, nn, ndv, mn, mx, sm) = rows(c) match {
+        case (a, b, e, f, g, h, i) => (a, b, e, f, g, h, i)
+      }
+      assert(n === nRows)
+      assert(nn === 0L)
+      assert(ndv === vals.distinct.length.toLong, s"$c ndv")
+      assert(mn === vals.min, s"$c min")
+      assert(mx === vals.max, s"$c max")
+      assert(sm === vals.map(v => BigDecimal(v)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble,
+        s"$c sum")
+    }
+  }
+
   test("hllPortable: register recompute, estimate within 3 sigma") {
     val rows = Relational.hllPortable(spark, d)
       .as[(String, Long, Double, Double)].collect()

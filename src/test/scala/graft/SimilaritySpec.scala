@@ -224,6 +224,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("dominantDirection: exact integer recompute + planted anisotropy") {
+    // corpus = strong common component on axis 2 + per-vector noise on
+    // other axes: the dominant singular direction must be ~axis 2
+    val rnd = new scala.util.Random(5)
+    val dim = 8
+    val rows = (0L until 40L).map { i =>
+      val v = Array.fill(dim)((rnd.nextDouble() - 0.5).toFloat * 0.2f)
+      v(2) = 0.9f + (rnd.nextDouble() * 0.1).toFloat
+      (i, v)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.dominantDirectionOn(e)
+      .as[(Long, Long)].collect().toMap
+
+    // exact re-derivation of the integer iteration
+    val q = rows.map { case (_, v) =>
+      v.map(x => math.floor(x * 1048576.0).toLong)
+    }
+    var w = Array.fill(dim)(1L)
+    for (_ <- 1 to graft.operators.Similarity.PowerIters) {
+      val sp = q.map(r => r.zip(w).map { case (a, b) => a * b }.sum / 1024)
+      val t = (0 until dim).map(dd =>
+        q.zip(sp).map { case (r, s2) => s2 * r(dd) }.sum).toArray
+      val ma = t.map(math.abs).max
+      w = t.map(_ / (ma / 1024 + 1))
+    }
+    assert(got === (0 until dim).map(dd => dd.toLong -> w(dd)).toMap)
+    // the planted axis dominates
+    assert(got.maxBy { case (_, c) => math.abs(c) }._1 === 2L)
+  }
+
   test("IVFADC recall is high on a corpus with planted near-neighbors") {
     // dim-64 corpus (the PQ subspace constraint): a planted copy lands
     // in its query's coarse cell AND its residual quantizes onto the
