@@ -463,6 +463,7 @@ object SparkEntry {
     //     under the actual streaming engine; both checked against ONE
     //     oracle) ---
     "events_sessionized" -> (graft.streaming.EventStream.sessionizeBatch _),
+    "events_session_stats" -> (graft.streaming.EventStream.sessionStats _),
     "events_sessionized_native" ->
       (graft.streaming.EventStream.sessionizeNative _),
     "events_sessionized_stream" ->
@@ -1187,6 +1188,13 @@ object SparkEntry {
     "mm_phash_pairs_wide" -> MultimodalOracles.phashPairsWide,
     "mm_resize" -> MultimodalOracles.resize,
     "events_sessionized" -> sessionizedOracle,
+    // count-of-counts rollup over the SAME sessionization pipeline
+    "events_session_stats" ->
+      s"""WITH sess AS (SELECT * FROM ($sessionizedOracle) t)
+         |SELECT n_events AS session_len, count(*) AS n_sessions,
+         |  CAST(sum(end_us - start_us) AS BIGINT) AS total_dur_us,
+         |  CAST(sum(end_us - start_us) AS BIGINT) // count(*) AS avg_dur_us
+         |FROM sess GROUP BY 1 ORDER BY session_len""".stripMargin,
     // Spark's built-in session_window must reproduce the same sessions
     "events_sessionized_native" -> sessionizedOracle,
     "events_range_join_stream" ->

@@ -717,6 +717,28 @@ object EventStream {
       }
   }
 
+  /** SESSION-QUALITY report — the count-of-counts rollup over
+    * [[sessionizeBatch]]'s sessions: per session LENGTH (events per
+    * session), how many sessions, their total and truncating-average
+    * duration. Row 1 is the BOUNCE count (single-event sessions — the
+    * engagement metric every product dashboard leads with); the tail
+    * is the power-user profile. Composes the oracle-checked
+    * sessionization, so the same SQL pipeline wrapped in one GROUP BY
+    * checks it cross-engine.
+    *
+    * Scale: the session frame is ≪ event volume (one row per session);
+    * the rollup is a ≤max-length-sized partial+final count. Durations
+    * stay integer microseconds (`div` average), bit-identical. */
+  def sessionStats(s: SparkSession, d: String): DataFrame =
+    sessionizeBatch(s, d)
+      .select(col("n_events").as("session_len"),
+        (col("end_us") - col("start_us")).as("dur_us"))
+      .groupBy("session_len")
+      .agg(count(lit(1)).as("n_sessions"), sum("dur_us").as("total_dur_us"))
+      .select(col("session_len"), col("n_sessions"), col("total_dur_us"),
+        expr("total_dur_us div n_sessions").as("avg_dur_us"))
+      .orderBy("session_len")
+
   case class ThrottleEv(user_id: Long, event_id: Long,
       ts: java.sql.Timestamp)
   case class ThrottleSt(day: Long, n: Long)

@@ -549,6 +549,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(expected.keySet.exists(_ <= 3) && expected.keySet.exists(_ > 3))
   }
 
+  test("sessionStats conserves sessions, events, and durations") {
+    val d = "/root/testdata/sf0.001"
+    val sess = EventStream.sessionizeBatch(spark, d)
+      .select($"n_events", ($"end_us" - $"start_us").as("dur"))
+      .as[(Int, Long)].collect()
+    val got = EventStream.sessionStats(spark, d)
+      .as[(Int, Long, Long, Long)].collect()
+    assert(got.map(_._2).sum === sess.length.toLong)
+    assert(got.map(r => r._1 * r._2).sum === sess.map(_._1.toLong).sum)
+    assert(got.map(_._3).sum === sess.map(_._2).sum)
+    got.foreach { case (len, n, tot, avg) =>
+      assert(avg === tot / n, s"len $len")
+      if (len == 1) assert(tot === 0L, "bounces have zero duration")
+    }
+    assert(got.map(_._1).contains(1), "fixture should contain bounces")
+  }
+
   test("streaming throttle carries the day counter across micro-batches") {
     import graft.streaming.EventStream.{ThrottleEv, ThrottleOut}
     import graft.operators.Curation
