@@ -134,6 +134,7 @@ object SparkEntry {
     "rel_minmax_by" -> (Relational.minMaxBy _),
     // type-2 SCD build: run-length versioned validity intervals per user
     "rel_scd2" -> (Relational.scd2 _),
+    "rel_scd2_lookup" -> (Relational.scd2Lookup _),
     // per-customer period-over-period diff: added/removed/changed
     "rel_snapshot_diff" -> (Relational.snapshotDiff _),
 
@@ -744,25 +745,22 @@ object SparkEntry {
         |    AS conv_rate
         |FROM counts c LEFT JOIN counts p ON p.step_idx = c.step_idx - 1
         |ORDER BY c.step_idx""".stripMargin,
-    "rel_scd2" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
-        |),
-        |ch AS (
-        |  SELECT user_id, event_type, us, event_id,
-        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
-        |      AS prev_type
-        |  FROM ev
-        |)
-        |SELECT user_id,
-        |  CAST(row_number() OVER w AS INTEGER) AS version,
-        |  event_type, us AS valid_from,
-        |  lead(us) OVER w AS valid_to,
-        |  lead(us) OVER w IS NULL AS is_current
-        |FROM ch
-        |WHERE prev_type IS NULL OR prev_type <> event_type
-        |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
-        |ORDER BY user_id, version""".stripMargin,
+    "rel_scd2" -> scd2Oracle,
+    // point-in-time feature lookup against the SAME scd2 pipeline
+    "rel_scd2_lookup" ->
+      s"""WITH dim AS (SELECT * FROM ($scd2Oracle) t),
+         |p AS (
+         |  SELECT event_id, user_id,
+         |    epoch_us(ts) - ${graft.operators.Relational.Scd2LookbackUs}
+         |      AS t_us
+         |  FROM events WHERE event_type = 'purchase'
+         |)
+         |SELECT p.event_id, p.user_id, p.t_us, dim.version,
+         |  dim.event_type AS state_type
+         |FROM p JOIN dim ON dim.user_id = p.user_id
+         |  AND dim.valid_from <= p.t_us
+         |  AND (dim.valid_to IS NULL OR p.t_us < dim.valid_to)
+         |ORDER BY event_id""".stripMargin,
     "rel_snapshot_diff" ->
       s"""WITH old AS (
          |  SELECT o_custkey, count(*) AS n_old,
@@ -1364,6 +1362,26 @@ object SparkEntry {
        |  max(CASE WHEN q = 0.99 THEN e END) AS hq99
        |FROM est GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  private lazy val scd2Oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+      |),
+      |ch AS (
+      |  SELECT user_id, event_type, us, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |      AS prev_type
+      |  FROM ev
+      |)
+      |SELECT user_id,
+      |  CAST(row_number() OVER w AS INTEGER) AS version,
+      |  event_type, us AS valid_from,
+      |  lead(us) OVER w AS valid_to,
+      |  lead(us) OVER w IS NULL AS is_current
+      |FROM ch
+      |WHERE prev_type IS NULL OR prev_type <> event_type
+      |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+      |ORDER BY user_id, version""".stripMargin
 
   private lazy val sessionizedOracle: String =
     """WITH e AS (

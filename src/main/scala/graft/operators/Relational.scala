@@ -1254,6 +1254,41 @@ object Relational {
       .orderBy("user_id", "version")
   }
 
+  /** Lookback for [[scd2Lookup]] — "state 5 minutes before". */
+  val Scd2LookbackUs = 300000000L
+
+  /** POINT-IN-TIME (as-of-time) dimension lookup against the [[scd2]]
+    * history — the LEAKAGE-SAFE feature join: for every purchase event,
+    * the user-state version that was valid [[Scd2LookbackUs]] BEFORE
+    * the purchase (half-open `valid_from ≤ t < valid_to` containment,
+    * `valid_to` NULL = current). Joining features "as of" event time
+    * instead of "latest" is the difference between a training set and
+    * a target-leaking one — the same correctness property the AS-OF
+    * join family enforces, here via versioned validity intervals.
+    * Purchases predating the user's first version drop (no history =
+    * no features; documented INNER semantics).
+    *
+    * Scale: the SCD frame is #changes rows ≪ events; the join is EQUI
+    * on user_id with the interval containment as a residual condition —
+    * one hash shuffle each side, per-user probe lists bounded by
+    * version counts. Each t hits exactly ONE version (the intervals
+    * partition the timeline), so output ≤ #purchases rows. */
+  def scd2Lookup(s: SparkSession, d: String): DataFrame = {
+    val dim = scd2(s, d).select(col("user_id"), col("version"),
+      col("event_type").as("state_type"), col("valid_from"),
+      col("valid_to"))
+    val p = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        (unix_micros(col("ts")) - Scd2LookbackUs).as("t_us"))
+    p.join(dim, p("user_id") === dim("user_id") &&
+        col("valid_from") <= col("t_us") &&
+        (col("valid_to").isNull || col("t_us") < col("valid_to")))
+      .select(col("event_id"), p("user_id").as("user_id"), col("t_us"),
+        col("version"), col("state_type"))
+      .orderBy("event_id")
+  }
+
   /** Period boundaries for [[snapshotDiff]] (orders span 1995–2001). */
   val DiffPeriodSplit = "1998-01-01"
   val DiffPeriodEnd   = "2001-01-01"

@@ -363,6 +363,32 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("scd2Lookup: exactly one version per covered purchase, correct era") {
+    val versions = Relational.scd2(spark, d)
+      .as[(Long, Int, String, Long, Option[Long], Boolean)].collect()
+      .groupBy(_._1)
+    val got = Relational.scd2Lookup(spark, d)
+      .as[(Long, Long, Long, Int, String)].collect()
+    assert(got.nonEmpty)
+    assert(got.map(_._1).distinct.length === got.length,
+      "a purchase matched more than one version")
+    got.foreach { case (eid, uid, t, ver, state) =>
+      val v = versions(uid).find(_._2 == ver).get
+      assert(v._4 <= t && v._5.forall(t < _), s"event $eid outside era")
+      assert(v._3 === state)
+    }
+    // purchases predating the user's first version must be absent
+    val purchases = Tables.events(spark, d)
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id",
+        unix_micros($"ts") - Relational.Scd2LookbackUs)
+      .as[(Long, Long, Long)].collect()
+    val covered = purchases.count { case (_, uid, t) =>
+      versions.get(uid).exists(_.exists(v => v._4 <= t))
+    }
+    assert(got.length === covered)
+  }
+
   test("columnStats matches direct per-column recomputes") {
     val rows = Relational.columnStats(spark, d)
       .as[(String, Long, Long, Long, Double, Double, Double)].collect()
