@@ -135,6 +135,7 @@ object SparkEntry {
     // type-2 SCD build: run-length versioned validity intervals per user
     "rel_scd2" -> (Relational.scd2 _),
     "rel_scd2_lookup" -> (Relational.scd2Lookup _),
+    "rel_benford" -> (Relational.benford _),
     // per-customer period-over-period diff: added/removed/changed
     "rel_snapshot_diff" -> (Relational.snapshotDiff _),
 
@@ -746,6 +747,7 @@ object SparkEntry {
         |FROM counts c LEFT JOIN counts p ON p.step_idx = c.step_idx - 1
         |ORDER BY c.step_idx""".stripMargin,
     "rel_scd2" -> scd2Oracle,
+    "rel_benford" -> Relational.benfordOracle,
     // point-in-time feature lookup against the SAME scd2 pipeline
     "rel_scd2_lookup" ->
       s"""WITH dim AS (SELECT * FROM ($scd2Oracle) t),

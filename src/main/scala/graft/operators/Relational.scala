@@ -1254,6 +1254,65 @@ object Relational {
       .orderBy("user_id", "version")
   }
 
+  /** Benford expected first-digit shares in ppm — round(log₁₀(1+1/d)·10⁶)
+    * precomputed so neither engine evaluates a log; they sum to exactly
+    * 10⁶. */
+  val BenfordPpm: Seq[(Int, Long)] = Seq(1 -> 301030L, 2 -> 176091L,
+    3 -> 124939L, 4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L,
+    8 -> 51153L, 9 -> 45757L)
+
+  /** BENFORD'S-LAW first-digit audit of the monetary column — the
+    * classic fabricated-data screen: naturally-arising amounts follow
+    * P(d) = log₁₀(1+1/d); synthetic or tampered ones usually don't.
+    * The first digit is extracted ARITHMETICALLY from integer cents
+    * (`substr` of a BIGINT's decimal string — double→string formatting
+    * differs between engines, integer strings don't), observed shares
+    * are truncating-integer ppm, and the expected shares are the
+    * [[BenfordPpm]] constants — so the whole report, deviations
+    * included, is BIGINT-exact cross-engine. (The fixture's generated
+    * uniform-ish prices should FAIL Benford — that's the point: the
+    * audit detects non-natural distributions, and a synthetic
+    * benchmark table is one.)
+    *
+    * Scale: one scan → 9-key partial+final count; the expected table
+    * is a 9-row literal frame broadcast onto it. */
+  def benford(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val obs = Tables.orders(s, d)
+      .select(substring(expr(
+        "cast(cast(floor(o_totalprice * 100) as bigint) as string)"),
+        1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = obs.agg(sum("n").as("total"))
+    val exp = BenfordPpm.toDF("digit", "exp_ppm")
+    obs.crossJoin(broadcast(tot))
+      .join(broadcast(exp), "digit")
+      .select(col("digit"), col("n"),
+        expr("(n * 1000000) div total").as("obs_ppm"), col("exp_ppm"),
+        expr("abs((n * 1000000) div total - exp_ppm)").as("abs_dev_ppm"))
+      .orderBy("digit")
+  }
+
+  /** DuckDB twin of [[benford]] — same integer-cents digit extraction,
+    * truncating ppm, and constant expected table. */
+  private[graft] def benfordOracle: String = {
+    val expRows = BenfordPpm.map { case (dg, p) => s"($dg, $p)" }
+      .mkString(", ")
+    s"""WITH obs AS (
+       |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+       |      AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+       |    count(*) AS n
+       |  FROM orders GROUP BY 1
+       |),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM obs),
+       |exp AS (SELECT * FROM (VALUES $expRows) t(digit, exp_ppm))
+       |SELECT obs.digit, obs.n, (obs.n * 1000000) // tot.total AS obs_ppm,
+       |  CAST(exp.exp_ppm AS BIGINT) AS exp_ppm,
+       |  abs((obs.n * 1000000) // tot.total - exp.exp_ppm) AS abs_dev_ppm
+       |FROM obs CROSS JOIN tot JOIN exp USING (digit)
+       |ORDER BY digit""".stripMargin
+  }
+
   /** Lookback for [[scd2Lookup]] — "state 5 minutes before". */
   val Scd2LookbackUs = 300000000L
 

@@ -363,6 +363,24 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("benford: digit mass conserved, constants sum to 1e6, digits exact") {
+    val rows = Relational.benford(spark, d)
+      .as[(Int, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._2).sum === Tables.orders(spark, d).count())
+    assert(Relational.BenfordPpm.map(_._2).sum === 1000000L)
+    rows.foreach { case (dg, n, obs, exp2, dev) =>
+      assert(dg >= 1 && dg <= 9)
+      assert(dev === math.abs(obs - exp2), s"digit $dg")
+      assert(n > 0)
+    }
+    // digit extraction matches a direct recompute
+    val want = Tables.orders(spark, d).select($"o_totalprice")
+      .as[Double].collect()
+      .map(p => math.floor(p * 100).toLong.toString.take(1).toInt)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap === want)
+  }
+
   test("scd2Lookup: exactly one version per covered purchase, correct era") {
     val versions = Relational.scd2(spark, d)
       .as[(Long, Int, String, Long, Option[Long], Boolean)].collect()
