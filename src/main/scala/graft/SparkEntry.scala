@@ -253,6 +253,7 @@ object SparkEntry {
     "rel_hll_portable" -> (Relational.hllPortable _),
     "rel_kmv_sketch" -> (Relational.kmvSketch _),
     "dedup_cluster_stats" -> (Dedup.clusterStats _),
+    "dedup_banding_sweep" -> (Dedup.bandingSweep _),
     "events_throttle" -> (Curation.throttle _),
     "events_cusum_stream" ->
       (graft.streaming.EventStream.cusumStreamVerified _),
@@ -1036,6 +1037,7 @@ object SparkEntry {
     "rel_hll_portable" -> Relational.hllPortableOracle,
     "rel_kmv_sketch" -> Relational.kmvSketchOracle,
     "dedup_cluster_stats" -> DedupOracles.clusterStats,
+    "dedup_banding_sweep" -> DedupOracles.bandingSweep,
     "events_throttle" -> CurationOracles.throttle,
     "events_cusum_stream" -> CurationOracles.cusum,
     // streaming rate limiter's reject stream ≡ the batch window rule:

@@ -529,6 +529,69 @@ object Dedup {
           .as("cand_precision"))
   }
 
+  /** Band counts [[bandingSweep]] evaluates (rows/band = K / bands). */
+  val BandingConfigs: Seq[Int] = Seq(2, 4, 8, 16)
+
+  /** BANDING-PARAMETER SWEEP — the LSH S-curve tuning table: for each
+    * (bands × rows-per-band) factorization of the 16-hash signature,
+    * the candidate volume and recall/precision against the SAME
+    * lossless prefix-filtered truth set [[lshEval]] audits the
+    * production config with. Few wide bands (2×8) collide only
+    * near-identical docs (high precision, low recall); many narrow
+    * bands (16×1) collide everything sharing ONE minhash (high recall,
+    * candidate explosion) — this table is how a pipeline owner picks
+    * the operating point before a 100 TB run, not after.
+    *
+    * Band keys for r > 2 rows are md5-60 of the '_'-joined minhash
+    * values (the polynomial packing the 8×2 config uses would overflow
+    * BIGINT at P³) — portable string arithmetic, replicated exactly in
+    * the oracle.
+    *
+    * Scale: ONE signature build (per-doc agg over the shared shingle
+    * frame) feeds all four configs; each config is a band/bkey
+    * equi-join bounded by bucket occupancy; the truth set builds once
+    * (lossless prefix filtering). Everything after is 1-row count
+    * broadcasts. */
+  def bandingSweep(s: SparkSession, d: String): DataFrame = {
+    import MinHashParams.K
+    val sh = shinglesCached(s, d)
+    val sig = minhashSignaturesOn(sh).localCheckpoint()
+    val truth = verifyJaccardPairs(sh, prefixCandidates(sh, 4, 5))
+      .select(col("doc_a").as("i"), col("doc_b").as("j"))
+      .localCheckpoint()
+    val t = truth.agg(count(lit(1)).as("n_true"))
+    val perConfig = BandingConfigs.map { nb =>
+      val r = K / nb
+      val keys = (0 until nb).map { b =>
+        md5hash60(concat_ws("_",
+          (0 until r).map(i => col(s"mh${b * r + i}")): _*))
+      }
+      val bands = sig.select(col("doc_id"),
+        posexplode(array(keys: _*)).as(Seq("band", "bkey")))
+      val cands = bands.toDF("i", "band", "bkey")
+        .join(bands.toDF("j", "band2", "bkey2"),
+          col("band") === col("band2") && col("bkey") === col("bkey2") &&
+            col("i") < col("j"))
+        .select("i", "j").distinct()
+      val c = cands.agg(count(lit(1)).as("n_cand"))
+      val h = truth.join(cands, Seq("i", "j"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      c.crossJoin(broadcast(h))
+        .select(lit(nb).as("n_bands"), lit(r).as("rows_per_band"),
+          col("n_cand"), col("n_hit"))
+    }.reduce(_ union _)
+    perConfig.crossJoin(broadcast(t))
+      .select(col("n_bands"), col("rows_per_band"), col("n_cand"),
+        col("n_hit"), col("n_true"),
+        round(when(col("n_true") === 0, lit(null))
+          .otherwise(col("n_hit").cast("double") / col("n_true")), 6)
+          .as("pair_recall"),
+        round(when(col("n_cand") === 0, lit(null))
+          .otherwise(col("n_hit").cast("double") / col("n_cand")), 6)
+          .as("cand_precision"))
+      .orderBy("n_bands")
+  }
+
   // ------------------------------------------------------------------
   // 4. SimHash
   // ------------------------------------------------------------------

@@ -507,6 +507,66 @@ object DedupOracles {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Replicates `Dedup.bandingSweep`: one signature CTE, four
+    * band-config candidate sets (md5-of-joined-minhash band keys), all
+    * audited against the lossless inverted-index truth at the
+    * production threshold. Heavy CTEs are MATERIALIZED (each config
+    * self-joins its band frame). */
+  lazy val bandingSweep: String = {
+    import Dedup.MinHashParams._
+    val P = Dedup.P
+    val minExprs = (0 until K).map(i =>
+      s"min((${A(i)} * hv + ${B(i)}) % $P) AS mh$i").mkString(",\n    ")
+    val cfg = Dedup.BandingConfigs.map { nb =>
+      val r = K / nb
+      val bandSelects = (0 until nb).map { b =>
+        val cat = (0 until r).map(i => s"mh${b * r + i}::VARCHAR")
+          .mkString(" || '_' || ")
+        s"SELECT doc_id, $b AS band, " +
+          s"('0x' || substr(md5($cat), 1, 15))::BIGINT AS bkey FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""bands$nb AS MATERIALIZED (
+         |  $bandSelects
+         |),
+         |cand$nb AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         |  FROM bands$nb a JOIN bands$nb b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |),
+         |row$nb AS (
+         |  SELECT $nb AS n_bands, $r AS rows_per_band,
+         |    (SELECT count(*) FROM cand$nb) AS n_cand,
+         |    (SELECT count(*) FROM truth t WHERE EXISTS (
+         |       SELECT 1 FROM cand$nb c WHERE c.i = t.i AND c.j = t.j))
+         |      AS n_hit
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $wordsCtes, $shinglesCte, $sizesCte, $interCte,
+       |h AS MATERIALIZED (
+       |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % $P AS hv
+       |  FROM sh
+       |),
+       |sig AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    $minExprs
+       |  FROM h GROUP BY doc_id
+       |),
+       |truth AS MATERIALIZED (
+       |  SELECT i, j FROM inter
+       |  JOIN sizes sa ON i = sa.doc_id JOIN sizes sb ON j = sb.doc_id
+       |  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= ${Dedup.JaccardThreshold}
+       |),
+       |tt AS (SELECT count(*) AS n_true FROM truth),
+       |$cfg
+       |SELECT u.n_bands, u.rows_per_band, u.n_cand, u.n_hit, tt.n_true,
+       |  round(u.n_hit * 1.0 / NULLIF(tt.n_true, 0), 6) AS pair_recall,
+       |  round(u.n_hit * 1.0 / NULLIF(u.n_cand, 0), 6) AS cand_precision
+       |FROM (SELECT * FROM row2 UNION ALL SELECT * FROM row4
+       |      UNION ALL SELECT * FROM row8 UNION ALL SELECT * FROM row16) u,
+       |  tt
+       |ORDER BY n_bands""".stripMargin
+  }
+
   /** Replicates `Dedup.clusterStats`: the [[clustersLsh]] pipeline as a
     * derived table, rolled up to the size distribution. */
   lazy val clusterStats: String =

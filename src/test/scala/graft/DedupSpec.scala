@@ -583,6 +583,30 @@ class DedupSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("KcoreMaxRounds"))
   }
 
+  test("bandingSweep: monotone S-curve trade, production row = lshEval") {
+    val rows = Dedup.bandingSweep(spark, d)
+      .as[(Int, Int, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Dedup.BandingConfigs)
+    rows.foreach { case (nb, r, cand, hit, _, _, _) =>
+      assert(nb * r === Dedup.MinHashParams.K)
+      assert(hit <= cand)
+    }
+    // more, narrower bands can only ADD collisions: candidates and
+    // hits are monotone non-decreasing in the band count
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 >= a._3, s"cand shrank ${a._1}->${b._1}")
+      assert(b._4 >= a._4, s"hits shrank ${a._1}->${b._1}")
+    }
+    // the 8x2 row audits the PRODUCTION banding — it must agree with
+    // the standalone lshEval operator exactly
+    val eval = Dedup.lshEval(spark, d)
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    val prod = rows.find(_._1 == 8).get
+    assert((prod._5, prod._3, prod._4) === ((eval._1, eval._2, eval._3)))
+  }
+
   test("clusterStats conserves the clustering's docs and clusters") {
     val labels = Dedup.nearDupClustersLsh(spark, d)
       .select($"cluster_id", $"cluster_size").as[(Long, Long)].collect()
