@@ -136,6 +136,7 @@ object SparkEntry {
     "rel_scd2" -> (Relational.scd2 _),
     "rel_scd2_lookup" -> (Relational.scd2Lookup _),
     "rel_benford" -> (Relational.benford _),
+    "rel_k_anonymity" -> (Relational.kAnonymity _),
     // per-customer period-over-period diff: added/removed/changed
     "rel_snapshot_diff" -> (Relational.snapshotDiff _),
 
@@ -749,6 +750,7 @@ object SparkEntry {
         |ORDER BY c.step_idx""".stripMargin,
     "rel_scd2" -> scd2Oracle,
     "rel_benford" -> Relational.benfordOracle,
+    "rel_k_anonymity" -> Relational.kAnonymityOracle,
     // point-in-time feature lookup against the SAME scd2 pipeline
     "rel_scd2_lookup" ->
       s"""WITH dim AS (SELECT * FROM ($scd2Oracle) t),

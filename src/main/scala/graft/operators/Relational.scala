@@ -1256,6 +1256,68 @@ object Relational {
       .orderBy("user_id", "version")
   }
 
+  /** k for [[kAnonymity]] — groups below this size are re-identifiable. */
+  val KAnonymityK = 8L
+
+  /** K-ANONYMITY audit over the customer dimension's quasi-identifiers
+    * (nation × market segment) — the privacy gate a dataset passes
+    * before release/training: every quasi-identifier combination
+    * shared by fewer than k individuals is a re-identification risk.
+    * Emits one row per equivalence class below k (the violation list a
+    * reviewer works through) plus an `ALL`-rollup summary row with the
+    * global minimum class size and at-risk row count — `k_anonymous`
+    * says whether the release bar is met.
+    *
+    * Scale: one partial+final count by the quasi-identifier key, a
+    * ≤|classes| filter, and a 1-row rollup; the violation list is by
+    * definition small (each row < k members). Suppression/
+    * generalization (the fix) is a follow-up filter join on this
+    * operator's keys. */
+  def kAnonymity(s: SparkSession, d: String): DataFrame = {
+    val classes = Tables.customer(s, d)
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"),
+        col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("class_size"))
+    val viol = classes.filter(col("class_size") < KAnonymityK)
+      .select(lit("class").as("row_type"), col("nationkey"),
+        col("segment"), col("class_size"),
+        col("class_size").as("n_at_risk"),
+        lit(false).as("k_anonymous"))
+    val summary = classes.agg(min("class_size").as("min_class"),
+        sum(when(col("class_size") < KAnonymityK, col("class_size"))
+          .otherwise(0L)).as("n_at_risk"))
+      .select(lit("summary").as("row_type"),
+        lit(null).cast("long").as("nationkey"),
+        lit("ALL").as("segment"), col("min_class").as("class_size"),
+        col("n_at_risk"),
+        (col("min_class") >= KAnonymityK).as("k_anonymous"))
+    viol.union(summary)
+      .orderBy(col("row_type"), col("nationkey"), col("segment"))
+  }
+
+  /** DuckDB twin of [[kAnonymity]]. */
+  private[graft] def kAnonymityOracle: String =
+    s"""WITH cls AS (
+       |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       |    c_mktsegment AS segment, count(*) AS class_size
+       |  FROM customer GROUP BY 1, 2
+       |),
+       |viol AS (
+       |  SELECT 'class' AS row_type, nationkey, segment, class_size,
+       |    class_size AS n_at_risk, false AS k_anonymous
+       |  FROM cls WHERE class_size < $KAnonymityK
+       |),
+       |summ AS (
+       |  SELECT 'summary' AS row_type, CAST(NULL AS BIGINT) AS nationkey,
+       |    'ALL' AS segment, CAST(min(class_size) AS BIGINT) AS class_size,
+       |    CAST(sum(CASE WHEN class_size < $KAnonymityK
+       |      THEN class_size ELSE 0 END) AS BIGINT) AS n_at_risk,
+       |    min(class_size) >= $KAnonymityK AS k_anonymous
+       |  FROM cls
+       |)
+       |SELECT * FROM (SELECT * FROM viol UNION ALL SELECT * FROM summ)
+       |ORDER BY row_type, nationkey NULLS FIRST, segment""".stripMargin
+
   /** Benford expected first-digit shares in ppm — round(log₁₀(1+1/d)·10⁶)
     * precomputed so neither engine evaluates a log; they sum to exactly
     * 10⁶. */

@@ -363,6 +363,24 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("kAnonymity: violation list complete, summary consistent") {
+    val rows = Relational.kAnonymity(spark, d).collect()
+    val (viol, summ) = rows.partition(_.getString(0) == "class")
+    assert(summ.length === 1)
+    val s0 = summ.head
+    val classes = Tables.customer(spark, d)
+      .groupBy($"c_nationkey", $"c_mktsegment").count()
+      .as[(Int, String, Long)].collect()
+    val below = classes.filter(_._3 < Relational.KAnonymityK)
+    assert(viol.length === below.length)
+    assert(viol.map(r => (r.getLong(1), r.getString(2), r.getLong(3))).toSet
+      === below.map(c => (c._1.toLong, c._2, c._3)).toSet)
+    assert(s0.getLong(3) === classes.map(_._3).min)
+    assert(s0.getLong(4) === below.map(_._3).sum)
+    assert(s0.getBoolean(5) ===
+      (classes.map(_._3).min >= Relational.KAnonymityK))
+  }
+
   test("benford: digit mass conserved, constants sum to 1e6, digits exact") {
     val rows = Relational.benford(spark, d)
       .as[(Int, Long, Long, Long, Long)].collect()
