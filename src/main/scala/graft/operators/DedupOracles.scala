@@ -439,10 +439,11 @@ object DedupOracles {
     * `Dedup.trianglesOn`; coefficient division written in the identical
     * IEEE order (one multiply, one divide). */
   lazy val triangles: String =
-    s"""WITH pairs AS (SELECT doc_a AS a, doc_b AS b FROM ($minhashLsh) t),
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT doc_a AS a, doc_b AS b FROM ($minhashLsh) t),
        |und AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
-       |deg AS (SELECT a AS v, count(*) AS deg FROM und GROUP BY 1),
-       |orient AS (
+       |deg AS MATERIALIZED (SELECT a AS v, count(*) AS deg FROM und GROUP BY 1),
+       |orient AS MATERIALIZED (
        |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
        |              THEN e.a ELSE e.b END AS src,
        |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
@@ -480,7 +481,7 @@ object DedupOracles {
     import Dedup.{PageRankIters, PageRankScale => S,
       PageRankDampNum => DN, PageRankDampDen => DD}
     val rounds = (1 to PageRankIters).map { k =>
-      s"""r$k AS (
+      s"""r$k AS MATERIALIZED (
          |  SELECT ns.v, CAST(ns.base + ($DN * c.cs) // $DD AS BIGINT) AS r
          |  FROM ns JOIN (
          |    SELECT u.b, sum(p.r // u.deg) AS cs
@@ -489,12 +490,14 @@ object DedupOracles {
          |  ) c ON ns.v = c.b
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pairs AS (SELECT doc_a AS a, doc_b AS b FROM ($minhashLsh) t),
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT doc_a AS a, doc_b AS b FROM ($minhashLsh) t),
        |und AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
-       |deg AS (SELECT a AS v, count(*) AS deg FROM und GROUP BY 1),
-       |undeg AS (SELECT und.a, und.b, deg.deg FROM und JOIN deg ON und.a = deg.v),
+       |deg AS MATERIALIZED (SELECT a AS v, count(*) AS deg FROM und GROUP BY 1),
+       |undeg AS MATERIALIZED (
+       |  SELECT und.a, und.b, deg.deg FROM und JOIN deg ON und.a = deg.v),
        |nn AS (SELECT count(*) AS n FROM deg),
-       |ns AS (
+       |ns AS MATERIALIZED (
        |  SELECT v, deg, CAST($S // n AS BIGINT) AS r,
        |    CAST(((${DD - DN}) * ($S // n)) // $DD AS BIGINT) AS base
        |  FROM deg, nn

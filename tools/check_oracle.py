@@ -36,6 +36,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
+    # spill to /tmp, never into the repo cwd (a heavy unrolled oracle
+    # once filled the disk via ./.tmp); bound the spill so a runaway
+    # plan fails fast instead of exhausting the disk
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("SET max_temp_directory_size='40GiB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
