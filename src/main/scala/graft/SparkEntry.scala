@@ -99,6 +99,16 @@ object SparkEntry {
     "rel_customers_without_orders" -> (Relational.customersWithoutOrders _),
     "rel_custdist" -> (Relational.custDist _),
     "rel_large_orders" -> (Relational.largeOrders _),
+    // TPC-H-shape completion wave: Q7/Q8/Q10/Q14/Q15/Q17/Q19/Q21/Q22
+    "rel_volume_shipping" -> (Relational.volumeShipping _),
+    "rel_market_share" -> (Relational.marketShare _),
+    "rel_returned_items" -> (Relational.returnedItems _),
+    "rel_promo_revenue" -> (Relational.promoRevenue _),
+    "rel_top_supplier" -> (Relational.topSupplier _),
+    "rel_small_qty_revenue" -> (Relational.smallQtyRevenue _),
+    "rel_disc_revenue" -> (Relational.discRevenue _),
+    "rel_late_suppliers" -> (Relational.lateSuppliers _),
+    "rel_sales_opportunity" -> (Relational.salesOpportunity _),
     "rel_keys_union" -> (Relational.keysUnion _),
     "rel_keys_intersect" -> (Relational.keysIntersect _),
     "rel_percentiles" -> (Relational.percentiles _),
@@ -663,6 +673,141 @@ object SparkEntry {
          |JOIN orders ON o_orderkey = l_orderkey
          |JOIN customer ON o_custkey = c_custkey
          |ORDER BY sum_qty DESC, o_orderkey""".stripMargin,
+    "rel_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= '1998-01-01' AND l_shipdate < '2000-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "rel_market_share" ->
+      s"""WITH agg AS (
+         |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |    sum(CASE WHEN sn.n_name = '${graft.operators.Relational.MktShareNation}'
+         |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))
+         |      ELSE CAST(0 AS DECIMAL(28,4)) END) AS nation_vol,
+         |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS total_vol
+         |  FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation rn ON c_nationkey = rn.n_nationkey
+         |  JOIN region ON rn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |  GROUP BY 1
+         |)
+         |SELECT o_year, CAST(nation_vol AS DOUBLE) AS nation_revenue,
+         |  CAST(total_vol AS DOUBLE) AS total_revenue,
+         |  round(CAST(nation_vol AS DOUBLE) / CAST(total_vol AS DOUBLE), 6) AS mkt_share
+         |FROM agg ORDER BY o_year""".stripMargin,
+    "rel_returned_items" ->
+      """SELECT c_custkey, c_name, n_name, c_acctbal,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_returned
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= '1999-01-01' AND o_orderdate < '1999-07-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "rel_promo_revenue" ->
+      """WITH agg AS (
+        |  SELECT CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+        |    sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))
+        |      ELSE CAST(0 AS DECIMAL(28,4)) END) AS promo_vol,
+        |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS total_vol
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= '1999-01-01' AND l_shipdate < '2000-01-01'
+        |  GROUP BY 1
+        |)
+        |SELECT ship_month, CAST(promo_vol AS DOUBLE) AS promo_revenue,
+        |  CAST(total_vol AS DOUBLE) AS total_revenue,
+        |  round(100.0e0 * CAST(promo_vol AS DOUBLE) / CAST(total_vol AS DOUBLE), 6) AS promo_pct
+        |FROM agg ORDER BY ship_month""".stripMargin,
+    "rel_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1999-01-01' AND l_shipdate < '1999-04-01'
+        |  GROUP BY 1
+        |)
+        |SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev = (SELECT max(rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "rel_small_qty_revenue" ->
+      s"""WITH pp AS (
+         |  SELECT l_partkey AS pp_key,
+         |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+         |    count(*) AS n_part
+         |  FROM lineitem GROUP BY 1
+         |)
+         |SELECT
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS total_revenue,
+         |  count(*) AS n_items
+         |FROM lineitem JOIN pp ON l_partkey = pp_key
+         |WHERE CAST(l_quantity AS DECIMAL(18,2)) * n_part *
+         |    ${graft.operators.Relational.SmallQtyDen} <
+         |  ${graft.operators.Relational.SmallQtyNum} * sum_qty""".stripMargin,
+    "rel_disc_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "rel_late_suppliers" ->
+      s"""WITH base AS (
+         |  SELECT l_orderkey, l_suppkey,
+         |    (l_shipdate > o_orderdate + INTERVAL ${graft.operators.Relational.LateLagDays} DAY) AS late
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |),
+         |per_order AS (
+         |  SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+         |    count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+         |  FROM base GROUP BY 1
+         |),
+         |per_supp AS (
+         |  SELECT l_orderkey, l_suppkey, bool_or(late) AS was_late
+         |  FROM base GROUP BY 1, 2
+         |)
+         |SELECT s_suppkey, s_name, count(*) AS numwait
+         |FROM per_supp
+         |JOIN per_order USING (l_orderkey)
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE was_late AND n_supp >= 2 AND n_late = 1
+         |GROUP BY 1, 2
+         |ORDER BY numwait DESC, s_suppkey LIMIT 10""".stripMargin,
+    "rel_sales_opportunity" ->
+      s"""WITH c AS (
+         |  SELECT * FROM customer
+         |  WHERE c_nationkey IN (${graft.operators.Relational.OppNations.mkString(", ")})
+         |),
+         |avg_pos AS (
+         |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_pos,
+         |    count(*) AS n_pos
+         |  FROM c WHERE c_acctbal > 0.0e0
+         |)
+         |SELECT c_nationkey, count(*) AS numcust,
+         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+         |FROM c CROSS JOIN avg_pos
+         |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_pos > sum_pos
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM orders
+         |    WHERE o_custkey = c_custkey AND o_orderdate >= '1999-01-01')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "rel_keys_union" ->
       """SELECT * FROM (
         |  SELECT c_custkey AS k FROM customer UNION SELECT o_custkey FROM orders

@@ -1462,4 +1462,301 @@ object Relational {
           .cast("double").as("delta_total"))
       .orderBy("o_custkey")
   }
+
+  /** TPC-H Q7-style volume shipping: revenue flowing between every
+    * (supplier nation → customer nation) pair by ship year. The classic
+    * two-role dimension join — nation enters TWICE under different
+    * aliases, once through the supplier and once through the customer
+    * (TPC-H Q7 fixes one pair; we keep all pairs so the synthetic
+    * 25-nation fixture exercises the full matrix, ≤25×25×2 output rows).
+    *
+    * Scale: lineitem⋈orders is the one fact-fact shuffle; supplier,
+    * customer-slim, and both nation roles broadcast. The group-by key
+    * (two names + year) is tiny, so partial aggs collapse map-side. */
+  def volumeShipping(s: SparkSession, d: String): DataFrame = {
+    val sn = Tables.nation(s, d)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val cn = Tables.nation(s, d)
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1998-01-01") &&
+        col("l_shipdate") < lit("2000-01-01"))
+    l.join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** [[marketShare]] measures this supplier nation's share. */
+  val MktShareNation = "NATION_3"
+
+  /** TPC-H Q8-style national market share: of all STANDARD-part revenue
+    * sold into ASIA-region customers, the fraction supplied by
+    * [[MktShareNation]], per order year. Numerator and denominator both
+    * accumulate in DECIMAL (exact, order-free); the single share
+    * division happens once per year-row in double, rounded to 6 dp —
+    * the same one-division discipline as `bigram_probs`.
+    *
+    * Scale: part is the selective filter and joins the fact first
+    * (broadcast at dimension size); orders⋈lineitem is the only
+    * fact-fact shuffle; the conditional numerator is a `sum(CASE …)`
+    * inside the SAME aggregate pass — no second scan, no self-join. */
+  def marketShare(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).filter(col("p_type") === "STANDARD")
+      .select("p_partkey")
+    val asiaCust = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val supp = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").as("sn_key"), col("n_name"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val vol = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast(dec28)
+    Tables.lineitem(s, d)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === MktShareNation, vol)
+          .otherwise(lit(0).cast(dec28))).as("nation_vol"),
+        sum(vol).as("total_vol"))
+      .select(col("o_year"),
+        col("nation_vol").cast("double").as("nation_revenue"),
+        col("total_vol").cast("double").as("total_revenue"),
+        round(col("nation_vol").cast("double") /
+          col("total_vol").cast("double"), 6).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q10-style returned-item reporting: the 20 customers who
+    * returned the most revenue in a two-quarter window — the standard
+    * "who is hurting us" churn report. Revenue is exact DECIMAL until
+    * the final cast; top-k plans as TakeOrderedAndProject, never a
+    * global sort of the customer frame.
+    *
+    * Scale: the returnflag+date predicates push into the lineitem scan;
+    * one fact-fact shuffle (lineitem⋈orders); the per-customer agg frame
+    * is #customers-sized, and customer/nation recovery joins run at
+    * that size with nation broadcast. */
+  def returnedItems(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1999-01-01") &&
+        col("o_orderdate") < lit("1999-07-01"))
+      .select("o_orderkey", "o_custkey")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"), count(lit(1)).as("n_returned"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("c_acctbal"), col("revenue"), col("n_returned"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q14-style promotion effect: the share of each month's gross
+    * revenue coming from PROMO-type parts, over one order year. The
+    * conditional-numerator / same-pass-denominator ratio shape again —
+    * exact DECIMAL sums, one double division per month, 6-dp rounded.
+    *
+    * Scale: part joins broadcast; the month key is 12-wide so the agg
+    * collapses map-side; date predicate pushes into the lineitem scan. */
+  def promoRevenue(s: SparkSession, d: String): DataFrame = {
+    val vol = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast(dec28)
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1999-01-01") &&
+        col("l_shipdate") < lit("2000-01-01"))
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(month(col("l_shipdate")).as("ship_month"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", vol)
+          .otherwise(lit(0).cast(dec28))).as("promo_vol"),
+        sum(vol).as("total_vol"))
+      .select(col("ship_month"),
+        col("promo_vol").cast("double").as("promo_revenue"),
+        col("total_vol").cast("double").as("total_revenue"),
+        round(lit(100.0) * col("promo_vol").cast("double") /
+          col("total_vol").cast("double"), 6).as("promo_pct"))
+      .orderBy("ship_month")
+  }
+
+  /** TPC-H Q15-style top supplier: per-supplier revenue over one
+    * quarter, keeping every supplier whose revenue EQUALS the maximum
+    * (Q15's view + scalar-subquery shape). The max is a 1-row aggregate
+    * broadcast back against the per-supplier frame — the `bigram_probs`
+    * denominator pattern; equality compares the exact DECIMAL values,
+    * never doubles, so the tie boundary is deterministic cross-engine.
+    *
+    * Scale: one predicate-pushed lineitem scan → #suppliers-sized agg;
+    * the max probe is a broadcast of one row; supplier detail recovery
+    * is dimension-sized. */
+  def topSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1999-01-01") &&
+        col("l_shipdate") < lit("1999-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(dec28)).as("rev"))
+    val mx = rev.agg(max(col("rev")).as("max_rev"))
+    rev.join(broadcast(mx), col("rev") === col("max_rev"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** [[smallQtyRevenue]] keeps lineitems below avg·(numerator/denominator). */
+  val SmallQtyNum = 1
+  val SmallQtyDen = 2
+
+  /** TPC-H Q17-style small-quantity revenue: total revenue of lineitems
+    * whose quantity is below half that part's average quantity — the
+    * canonical correlated-scalar-subquery shape, decorrelated into a
+    * per-part aggregate joined back to the fact. The threshold compare
+    * stays EXACT: `qty · n_part · den < num · sum_qty_part` in DECIMAL
+    * — no division ever happens, so the boundary cannot straddle a
+    * float rounding difference between engines.
+    *
+    * Scale: two passes over lineitem (one agg by partkey, one join) —
+    * the same-key join means AQE can co-partition; per-part stats are
+    * #parts-sized and broadcast-eligible. */
+  def smallQtyRevenue(s: SparkSession, d: String): DataFrame = {
+    val perPart = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("pp_key"))
+      .agg(sum(col("l_quantity").cast(dec18)).as("sum_qty"),
+        count(lit(1)).as("n_part"))
+    Tables.lineitem(s, d)
+      .join(broadcast(perPart), col("l_partkey") === col("pp_key"))
+      .filter(col("l_quantity").cast(dec18) * col("n_part") *
+        lit(SmallQtyDen) < lit(SmallQtyNum) * col("sum_qty"))
+      .agg(moneySum(col("l_extendedprice")).as("total_revenue"),
+        count(lit(1)).as("n_items"))
+      .select(col("total_revenue"), col("n_items"))
+  }
+
+  /** TPC-H Q19-style discounted revenue: one scalar revenue over an
+    * OR-of-ANDs predicate (three brand × size × quantity envelopes) —
+    * the shape that stresses predicate normalization. Spark's optimizer
+    * factors the common `l_quantity`/`p_size` bounds and pushes what it
+    * can into the scans; the residual disjunction evaluates in one
+    * codegen stage, never three scans unioned.
+    *
+    * Scale: part (brand/size) broadcasts; single lineitem pass. */
+  def discRevenue(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_size")
+    val q = col("l_quantity")
+    val pred =
+      (col("p_brand") === "Brand#13" && col("p_size").between(1, 15) &&
+        q.between(1, 11)) ||
+      (col("p_brand") === "Brand#20" && col("p_size").between(1, 25) &&
+        q.between(10, 20)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 50) &&
+        q.between(20, 30))
+    Tables.lineitem(s, d)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(pred)
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"), count(lit(1)).as("n_items"))
+      .select(col("revenue"), col("n_items"))
+  }
+
+  /** Ship-lag (days) beyond which [[lateSuppliers]] calls a lineitem late.
+    * The fixture has no commit/receipt dates (TESTDATA.md), so lateness
+    * is shipdate − orderdate > this, keeping Q21's join topology. */
+  val LateLagDays = 400
+
+  /** TPC-H Q21-style waiting suppliers: suppliers who were the ONLY
+    * late shipper in a multi-supplier order — Q21's EXISTS/NOT-EXISTS
+    * pair, decorrelated into ONE aggregation pass: per order, count
+    * distinct suppliers and distinct LATE suppliers; per (order,
+    * supplier), flag lateness. A supplier "kept the order waiting" when
+    * it is late, the order has ≥2 suppliers, and late-supplier-count is
+    * exactly 1. No self-join of the fact table ever happens — the two
+    * EXISTS collapse into grouped counters, the Spark-native plan.
+    *
+    * Scale: one lineitem⋈orders shuffle, then two aggs over the same
+    * (orderkey) partitioning — AQE reuses the exchange; the final
+    * per-supplier count is dimension-sized. */
+  def lateSuppliers(s: SparkSession, d: String): DataFrame = {
+    val lagUs = expr(s"INTERVAL $LateLagDays DAYS")
+    val base = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + lagUs).as("late"))
+    val perOrder = base.groupBy("l_orderkey")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
+    val perSupp = base.groupBy("l_orderkey", "l_suppkey")
+      .agg(max(col("late")).as("was_late"))
+    perSupp.filter(col("was_late"))
+      .join(perOrder, Seq("l_orderkey"))
+      .filter(col("n_supp") >= 2 && col("n_late") === 1)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(desc("numwait"), asc("s_suppkey"))
+      .limit(10)
+  }
+
+  /** Nation buckets [[salesOpportunity]] restricts to (Q22's country-code
+    * IN-list; the fixture's analog is the nation key itself). */
+  val OppNations = Seq(1, 5, 9, 13, 17, 21)
+
+  /** TPC-H Q22-style global sales opportunity: dormant-but-rich
+    * customers — above-average positive account balance, no orders in
+    * the trailing window — counted per nation bucket. The average is a
+    * 1-row broadcast (computed over positive balances only, as Q22
+    * does); dormancy is a LEFT ANTI join against the recent-orders key
+    * set; balances sum in DECIMAL for exactness.
+    *
+    * Scale: the anti join's build side is the distinct recent-customer
+    * key set (#customers-bounded, broadcast-eligible); everything else
+    * is dimension-sized. The balance threshold compares double-to-
+    * double on both engines via the same avg expression, rounded into
+    * the comparison-safe exact DECIMAL space first. */
+  def salesOpportunity(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .filter(col("c_nationkey").isin(OppNations: _*))
+    // Exact threshold: bal · n_pos > sum_pos, all in DECIMAL — the same
+    // no-division trick as smallQtyRevenue, so no float boundary.
+    val avgPos = c.filter(col("c_acctbal") > 0.0)
+      .agg(sum(col("c_acctbal").cast(dec18)).as("sum_pos"),
+        count(lit(1)).as("n_pos"))
+    val recent = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1999-01-01"))
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(avgPos))
+      .filter(col("c_acctbal").cast(dec18) * col("n_pos") > col("sum_pos"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast(dec18)).cast("double").as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
 }

@@ -53,7 +53,8 @@ class PlanLintSpec extends AnyFunSuite {
     "rel_kmv_sketch",                       // 1-row sketch-estimate probes
     "ann_dominant_direction",               // 1-row renorm-max broadcast
     "rel_benford",                          // 1-row total broadcast
-    "dedup_banding_sweep")                  // 1-row count broadcasts × 4
+    "dedup_banding_sweep",                  // 1-row count broadcasts × 4
+    "rel_sales_opportunity")                // 1-row avg-balance broadcast
 
   test("no ann_* plan ranks through a Window partitioned by query_id") {
     // VERDICT r6: the shared rerank tail and the PQ ranking once used
