@@ -109,6 +109,9 @@ object SparkEntry {
     "rel_disc_revenue" -> (Relational.discRevenue _),
     "rel_late_suppliers" -> (Relational.lateSuppliers _),
     "rel_sales_opportunity" -> (Relational.salesOpportunity _),
+    // pipeline-gate engine features: declarative DQ audit + CDC apply
+    "rel_dq_rules" -> (Relational.dqRules _),
+    "rel_merge_upsert" -> (Relational.mergeUpsert _),
     "rel_keys_union" -> (Relational.keysUnion _),
     "rel_keys_intersect" -> (Relational.keysIntersect _),
     "rel_percentiles" -> (Relational.percentiles _),
@@ -259,6 +262,7 @@ object SparkEntry {
     "events_ab_test" -> (Curation.abTest _),
     "events_transitions" -> (Curation.transitions _),
     "events_path_trigrams" -> (Curation.pathTrigrams _),
+    "events_attribution" -> (Curation.attribution _),
     "events_diurnal" -> (Curation.diurnal _),
     "events_interarrival" -> (Curation.interarrival _),
     "rel_hll_portable" -> (Relational.hllPortable _),
@@ -808,6 +812,85 @@ object SparkEntry {
          |    SELECT 1 FROM orders
          |    WHERE o_custkey = c_custkey AND o_orderdate >= '1999-01-01')
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rel_dq_rules" ->
+      """SELECT rule, tbl, n_checked, n_violations, (n_violations = 0) AS pass
+        |FROM (
+        |  SELECT 'lineitem_quantity_positive' AS rule, 'lineitem' AS tbl,
+        |    count(*) AS n_checked,
+        |    sum(CASE WHEN l_quantity <= 0 OR l_quantity IS NULL
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_violations
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem_discount_range', 'lineitem', count(*),
+        |    sum(CASE WHEN l_discount < 0 OR l_discount > 0.5e0
+        |      OR l_discount IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem_partkey_fk', 'lineitem', count(*),
+        |    sum(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |  FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        |  UNION ALL
+        |  SELECT 'lineitem_suppkey_fk', 'lineitem', count(*),
+        |    sum(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |  FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+        |  UNION ALL
+        |  SELECT 'lineitem_orderkey_fk', 'lineitem', count(*),
+        |    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |  UNION ALL
+        |  SELECT 'orders_totalprice_positive', 'orders', count(*),
+        |    sum(CASE WHEN o_totalprice <= 0 OR o_totalprice IS NULL
+        |      THEN 1 ELSE 0 END)::BIGINT
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_status_domain', 'orders', count(*),
+        |    sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+        |      THEN 1 ELSE 0 END)::BIGINT
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_custkey_fk', 'orders', count(*),
+        |    sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |  UNION ALL
+        |  SELECT 'customer_custkey_unique', 'customer', count(*),
+        |    (SELECT coalesce(sum(grp_n), 0)::BIGINT FROM (
+        |      SELECT count(*) AS grp_n FROM customer
+        |      GROUP BY c_custkey HAVING count(*) > 1))
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'customer_name_present', 'customer', count(*),
+        |    sum(CASE WHEN c_name IS NULL OR length(c_name) = 0
+        |      THEN 1 ELSE 0 END)::BIGINT
+        |  FROM customer
+        |) ORDER BY rule""".stripMargin,
+    "rel_merge_upsert" ->
+      s"""WITH changes AS (
+         |  SELECT CASE WHEN o_custkey % 11 = 0
+         |      THEN o_custkey + ${graft.operators.Relational.MergeInsertShift}
+         |      ELSE o_custkey END AS chg_key,
+         |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS chg_total,
+         |    count(*) AS chg_n,
+         |    (o_custkey % 7 = 0) AS is_delete
+         |  FROM orders
+         |  WHERE o_orderdate >= '${graft.operators.Relational.MergeChangesFrom}'
+         |  GROUP BY o_custkey
+         |),
+         |base AS (
+         |  SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+         |  FROM customer
+         |)
+         |SELECT coalesce(c_custkey, chg_key) AS entity_key,
+         |  CASE WHEN chg_key IS NULL THEN 'keep'
+         |       WHEN c_custkey IS NULL THEN 'insert'
+         |       WHEN is_delete THEN 'delete'
+         |       ELSE 'update' END AS action,
+         |  CAST(CASE WHEN chg_key IS NULL THEN bal
+         |       WHEN c_custkey IS NULL THEN chg_total
+         |       WHEN is_delete THEN NULL
+         |       ELSE bal + chg_total END AS DOUBLE) AS new_bal,
+         |  coalesce(chg_n, 0) AS n_changes
+         |FROM base FULL OUTER JOIN changes ON c_custkey = chg_key
+         |ORDER BY entity_key""".stripMargin,
     "rel_keys_union" ->
       """SELECT * FROM (
         |  SELECT c_custkey AS k FROM customer UNION SELECT o_custkey FROM orders
@@ -1179,6 +1262,7 @@ object SparkEntry {
     "events_ab_test" -> CurationOracles.abTest,
     "events_transitions" -> CurationOracles.transitions,
     "events_path_trigrams" -> CurationOracles.pathTrigrams,
+    "events_attribution" -> CurationOracles.attribution,
     "events_diurnal" -> CurationOracles.diurnal,
     "events_interarrival" -> CurationOracles.interarrival,
     "rel_hll_portable" -> Relational.hllPortableOracle,

@@ -874,6 +874,42 @@ object Curation {
         splitCol(pctBucket(col("doc_id"))).as("split"))
       .orderBy("doc_id")
   }
+
+  /** MARKETING ATTRIBUTION — for each converting user (first `purchase`
+    * event), the first-touch and last-touch event types among everything
+    * the user did STRICTLY BEFORE converting, plus the touch count. The
+    * standard first/last-touch attribution report, done without ever
+    * sorting the event table: the conversion instant is a
+    * `min(struct(ts, event_id))` per user (partial-aggregating), and
+    * both touches are min/max over (ts, event_id, type) structs —
+    * the unique (ts, event_id) prefix decides, the type rides along
+    * (the `min_by`-via-struct idiom, not a row_number window).
+    *
+    * Scale: two hash aggregations and one equi-join, all partitioned by
+    * user_id — one shuffle shape reused end-to-end; no window funnel,
+    * no event-table self-join beyond the user-keyed probe. */
+  def attribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("us"), col("event_id"))).as("c"))
+      .select(col("user_id"), col("c.us").as("conv_us"),
+        col("c.event_id").as("conv_event_id"))
+    val prior = conv.join(ev, Seq("user_id"))
+      .filter(col("us") < col("conv_us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_prior"),
+        min(struct(col("us"), col("event_id"), col("event_type"))).as("ft"),
+        max(struct(col("us"), col("event_id"), col("event_type"))).as("lt"))
+    conv.join(prior, Seq("user_id"), "left")
+      .select(col("user_id"), col("conv_us"), col("conv_event_id"),
+        coalesce(col("n_prior"), lit(0L)).as("n_prior"),
+        col("ft.event_type").as("first_touch"),
+        col("lt.event_type").as("last_touch"))
+      .orderBy("user_id")
+  }
 }
 
 /** DuckDB oracles for [[Curation]], generated from the same constants. */
@@ -1416,4 +1452,35 @@ object CurationOracles {
        |FROM q JOIN keep USING (doc_id)
        |WHERE q.quality >= ${Curation.PipelineQualityMin}
        |ORDER BY doc_id""".stripMargin
+
+  val attribution: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+      |  FROM events
+      |),
+      |conv AS (
+      |  SELECT user_id, us AS conv_us, event_id AS conv_event_id FROM (
+      |    SELECT *, row_number()
+      |      OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+      |    FROM ev WHERE event_type = 'purchase'
+      |  ) WHERE rn = 1
+      |),
+      |pri AS (
+      |  SELECT c.user_id, e.event_type,
+      |    row_number() OVER (PARTITION BY c.user_id
+      |      ORDER BY e.us, e.event_id) AS rn_a,
+      |    row_number() OVER (PARTITION BY c.user_id
+      |      ORDER BY e.us DESC, e.event_id DESC) AS rn_d
+      |  FROM conv c JOIN ev e ON c.user_id = e.user_id AND e.us < c.conv_us
+      |),
+      |agg AS (
+      |  SELECT user_id, max(rn_a) AS n_prior,
+      |    max(CASE WHEN rn_a = 1 THEN event_type END) AS first_touch,
+      |    max(CASE WHEN rn_d = 1 THEN event_type END) AS last_touch
+      |  FROM pri GROUP BY 1
+      |)
+      |SELECT c.user_id, c.conv_us, c.conv_event_id,
+      |  coalesce(a.n_prior, 0) AS n_prior, a.first_touch, a.last_touch
+      |FROM conv c LEFT JOIN agg a USING (user_id)
+      |ORDER BY user_id""".stripMargin
 }

@@ -1759,4 +1759,140 @@ object Relational {
         sum(col("c_acctbal").cast(dec18)).cast("double").as("totacctbal"))
       .orderBy("c_nationkey")
   }
+
+  /** DATA-QUALITY RULE ENGINE — the declarative audit every ingestion
+    * pipeline runs before promoting a load: per rule, how many rows were
+    * checked and how many violate, with a pass flag. Ten rules across
+    * the star schema: positivity/range/domain checks, key uniqueness,
+    * and the four foreign keys.
+    *
+    * Scale: same-table rules FUSE into one scan — lineitem is read once
+    * for its two range rules AND its two dimension FKs (part/supplier
+    * key sets broadcast as existence markers), orders once for
+    * range+domain+customer-FK, customer once (the uniqueness groupBy
+    * doubles as the null-name pass). Only lineitem→orders needs a
+    * second fact pass, pre-shrunk to distinct order keys before the
+    * join so the probe is #orders-sized. Every rule ends in a scalar
+    * counter — `stack` unpivots the fused aggregates into rule rows, so
+    * nothing row-sized ever leaves the executors. */
+  def dqRules(s: SparkSession, d: String): DataFrame = {
+    // lineitem pass: two range rules + two broadcast-FK existence probes
+    val pk = broadcast(Tables.part(s, d)
+      .select(col("p_partkey").as("fk_pk"), lit(1).as("p_seen")))
+    val sk = broadcast(Tables.supplier(s, d)
+      .select(col("s_suppkey").as("fk_sk"), lit(1).as("s_seen")))
+    val liRules = Tables.lineitem(s, d)
+      .join(pk, col("l_partkey") === col("fk_pk"), "left")
+      .join(sk, col("l_suppkey") === col("fk_sk"), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_quantity") <= 0.0 || col("l_quantity").isNull, 1L)
+          .otherwise(0L)).as("v_qty"),
+        sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.5 ||
+          col("l_discount").isNull, 1L).otherwise(0L)).as("v_disc"),
+        sum(when(col("p_seen").isNull, 1L).otherwise(0L)).as("v_pfk"),
+        sum(when(col("s_seen").isNull, 1L).otherwise(0L)).as("v_sfk"))
+      .select(expr(
+        """stack(4,
+          |  'lineitem_quantity_positive', 'lineitem', n, v_qty,
+          |  'lineitem_discount_range',    'lineitem', n, v_disc,
+          |  'lineitem_partkey_fk',        'lineitem', n, v_pfk,
+          |  'lineitem_suppkey_fk',        'lineitem', n, v_sfk
+          |) AS (rule, tbl, n_checked, n_violations)""".stripMargin))
+    // lineitem→orders FK: pre-aggregate to distinct order keys so the
+    // probe is #orders-sized, then weight violations by group count
+    val loFk = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("grp_n"))
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey").as("fk_ok"), lit(1).as("o_seen")),
+        col("l_orderkey") === col("fk_ok"), "left")
+      .agg(sum(col("grp_n")).as("n"),
+        sum(when(col("o_seen").isNull, col("grp_n")).otherwise(0L))
+          .as("v_ofk"))
+      .select(lit("lineitem_orderkey_fk").as("rule"),
+        lit("lineitem").as("tbl"), col("n").as("n_checked"),
+        col("v_ofk").as("n_violations"))
+    // orders pass: price positivity + status domain + customer FK
+    val ck = broadcast(Tables.customer(s, d)
+      .select(col("c_custkey").as("fk_ck"), lit(1).as("c_seen")))
+    val orRules = Tables.orders(s, d)
+      .join(ck, col("o_custkey") === col("fk_ck"), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_totalprice") <= 0.0 || col("o_totalprice").isNull,
+          1L).otherwise(0L)).as("v_price"),
+        sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L)
+          .otherwise(0L)).as("v_status"),
+        sum(when(col("c_seen").isNull, 1L).otherwise(0L)).as("v_cfk"))
+      .select(expr(
+        """stack(3,
+          |  'orders_totalprice_positive', 'orders', n, v_price,
+          |  'orders_status_domain',       'orders', n, v_status,
+          |  'orders_custkey_fk',          'orders', n, v_cfk
+          |) AS (rule, tbl, n_checked, n_violations)""".stripMargin))
+    // customer pass: the uniqueness groupBy doubles as the name pass
+    val cuRules = Tables.customer(s, d)
+      .groupBy(col("c_custkey"))
+      .agg(count(lit(1)).as("grp_n"),
+        sum(when(col("c_name").isNull || length(col("c_name")) === 0, 1L)
+          .otherwise(0L)).as("name_bad"))
+      .agg(sum(col("grp_n")).as("n"),
+        sum(when(col("grp_n") > 1, col("grp_n")).otherwise(0L)).as("v_dup"),
+        sum(col("name_bad")).as("v_name"))
+      .select(expr(
+        """stack(2,
+          |  'customer_custkey_unique', 'customer', n, v_dup,
+          |  'customer_name_present',   'customer', n, v_name
+          |) AS (rule, tbl, n_checked, n_violations)""".stripMargin))
+    liRules.unionByName(loFk).unionByName(orRules).unionByName(cuRules)
+      .withColumn("pass", col("n_violations") === 0L)
+      .orderBy("rule")
+  }
+
+  /** Date from which [[mergeUpsert]]'s change batch is derived. */
+  val MergeChangesFrom = "2001-01-01"
+  /** Key shift marking a change row as a new entity (no base match). */
+  val MergeInsertShift = 100000L
+
+  /** MERGE / CDC-APPLY — the upsert shape every incremental load runs:
+    * a change batch (derived here from recent order activity; `%11`
+    * keys shift to [[MergeInsertShift]]+key to model new entities, `%7`
+    * keys carry a delete marker) applied to the customer base with the
+    * standard four-way outcome — `update` (matched, balance += change
+    * total), `delete` (matched + marker), `insert` (change with no base
+    * row), `keep` (untouched base row). Balances stay DECIMAL(18,2)
+    * end-to-end so the merged values are exact cross-engine.
+    *
+    * Scale: ONE full-outer equi-join on the entity key — base and
+    * changes hash-partition the same way, and AQE handles the
+    * (typically tiny-batch) change side by broadcasting it; the action
+    * column is a projection. No window, no driver loop — MERGE at
+    * 100 TB is exactly this join. */
+  def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val changes = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit(MergeChangesFrom))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(dec18)).as("chg_total"),
+        count(lit(1)).as("chg_n"))
+      .select(
+        when(col("o_custkey") % 11 === 0,
+          col("o_custkey") + MergeInsertShift)
+          .otherwise(col("o_custkey")).as("chg_key"),
+        col("chg_total"), col("chg_n"),
+        (col("o_custkey") % 7 === 0).as("is_delete"))
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal").cast(dec18).as("bal"))
+    base.join(changes, col("c_custkey") === col("chg_key"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("chg_key")).as("entity_key"),
+        when(col("chg_key").isNull, "keep")
+          .when(col("c_custkey").isNull, "insert")
+          .when(col("is_delete"), "delete")
+          .otherwise("update").as("action"),
+        when(col("chg_key").isNull, col("bal"))
+          .when(col("c_custkey").isNull, col("chg_total"))
+          .when(col("is_delete"), lit(null).cast(dec18))
+          .otherwise(col("bal") + col("chg_total"))
+          .cast("double").as("new_bal"),
+        coalesce(col("chg_n"), lit(0L)).as("n_changes"))
+      .orderBy("entity_key")
+  }
 }
