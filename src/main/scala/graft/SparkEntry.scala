@@ -235,6 +235,7 @@ object SparkEntry {
     "text_bpe_pair_stats" -> (TextAnalysis.bpePairStats _),
     // iterative BPE merge loop: first N merges over the vocab frame
     "text_bpe_vocab" -> (TextAnalysis.bpeVocab _),
+    "text_bpe_encode" -> (TextAnalysis.bpeEncode _),
     "text_repetition" -> (TextAnalysis.repetition _),
     "text_oov_rate" -> (TextAnalysis.oovRate _),
     // per-doc marginal contribution: fraction of a doc's shingles whose
@@ -512,6 +513,9 @@ object SparkEntry {
       (graft.streaming.EventStream.windowedCountsStreamVerified _),
     "events_hopping_stream" ->
       (graft.streaming.EventStream.hoppingCountsStreamVerified _),
+    // chained stateful ops: streaming dedup → windowed distinct count
+    "events_distinct_stream" ->
+      (graft.streaming.EventStream.distinctUsersStreamVerified _),
 
     // --- streaming dedup under the engine: a self-unioned (2×) stream
     //     must collapse back to exactly-once via the state store ---
@@ -1246,6 +1250,7 @@ object SparkEntry {
     "text_fingerprint" -> TextAnalysisOracles.fingerprint,
     "text_bpe_pair_stats" -> TextAnalysisOracles.bpePairStats,
     "text_bpe_vocab" -> TextAnalysisOracles.bpeVocab,
+    "text_bpe_encode" -> TextAnalysisOracles.bpeEncode,
     "text_repetition" -> TextAnalysisOracles.repetition,
     "text_oov_rate" -> TextAnalysisOracles.oovRate,
     "text_ngram_novelty" -> TextAnalysisOracles.ngramNovelty,
@@ -1557,6 +1562,17 @@ object SparkEntry {
         |HAVING epoch_us(date_trunc('hour', min(ts)) + INTERVAL 1 HOUR) // 1000
         |  <= (SELECT wm_ms FROM wm)
         |ORDER BY 1, 2""".stripMargin,
+    "events_distinct_stream" ->
+      """WITH wm AS (
+        |  SELECT epoch_us(max(ts)) // 1000 - 1800000 AS wm_ms FROM events
+        |)
+        |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY 1
+        |HAVING epoch_us(date_trunc('hour', min(ts)) + INTERVAL 1 HOUR) // 1000
+        |  <= (SELECT wm_ms FROM wm)
+        |ORDER BY 1""".stripMargin,
   )
 
   /** Replicates [[graft.functions.HistQuantileAgg]] bin-for-bin: clamp

@@ -501,7 +501,42 @@ object TextAnalysis {
     bpeVocabOn(Tables.documents(s, d))
 
   /** [[bpeVocab]] over any (doc_id, text, ...) frame. */
-  private[graft] def bpeVocabOn(docs: DataFrame): DataFrame = {
+  private[graft] def bpeVocabOn(docs: DataFrame): DataFrame =
+    bpeMergeLoop(docs)._1
+
+  /** Tokens [[bpeEncode]] reports (shared with the oracle). */
+  val BpeEncodeTopN = 25
+
+  /** BPE ENCODING — the vocabulary-usage report after applying the
+    * [[BpeMerges]] trained merges to the distinct-word frame: per final
+    * token, its length, total corpus occurrences (weighted by word
+    * frequency) and the distinct words containing it, top
+    * [[BpeEncodeTopN]]. This is the APPLY side of [[bpeVocab]]'s TRAIN
+    * side — the operator a tokenization pipeline runs over every
+    * incoming corpus once the merge table is frozen — and the merged
+    * tokens (not the raw characters) are what surfaces: after 4 merges
+    * the top rows are multi-char tokens.
+    *
+    * Scale: identical to [[bpeVocab]] (the loop IS the shared code
+    * path) plus one vocab-sized partial+final aggregation; top-N plans
+    * as TakeOrderedAndProject. */
+  def bpeEncode(s: SparkSession, d: String): DataFrame =
+    bpeEncodeOn(Tables.documents(s, d))
+
+  /** [[bpeEncode]] over any (doc_id, text, ...) frame. */
+  private[graft] def bpeEncodeOn(docs: DataFrame): DataFrame =
+    bpeMergeLoop(docs)._2
+      .groupBy(col("tok"))
+      .agg(sum("f").as("n_occ"), countDistinct("w").as("n_words"))
+      .select(col("tok"), length(col("tok")).cast("int").as("tok_len"),
+        col("n_occ"), col("n_words"))
+      .orderBy(desc("n_occ"), asc("tok")).limit(BpeEncodeTopN)
+      .orderBy(desc("n_occ"), asc("tok"))
+
+  /** The [[BpeMerges]]-round merge loop shared by [[bpeVocabOn]] (which
+    * reads the per-round chosen pairs) and [[bpeEncodeOn]] (which reads
+    * the final token frame). */
+  private def bpeMergeLoop(docs: DataFrame): (DataFrame, DataFrame) = {
     val wf = docs
       .select(explode(WordShingles(col("text"), 1)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
@@ -549,7 +584,7 @@ object TextAnalysis {
             .otherwise(col("tok")).as("tok"))
         .localCheckpoint()
     }
-    merges.reduce(_ union _).orderBy("merge_idx")
+    (merges.reduce(_ union _).orderBy("merge_idx"), toks)
   }
 
   /** Width (words) of the shingles that carry novelty attribution. */
@@ -884,7 +919,10 @@ object TextAnalysisOracles {
     * starts (run-parity for a = b), drop consumed successors, renumber,
     * recount. Pure window arithmetic — both engines compute the
     * identical token sequences. */
-  val bpeVocab: String = {
+  /** The shared WITH-body for [[bpeVocab]] and [[bpeEncode]]: the
+    * char-token frame t0 plus all unrolled merge rounds (t1..tN and
+    * their top-pair CTEs). */
+  private def bpeRoundsCtes: String = {
     val n = TextAnalysis.BpeMerges
     val iters = (1 to n).map { i =>
       s"""p$i AS (
@@ -921,10 +959,7 @@ object TextAnalysisOracles {
          |  FROM g$i WHERE consumed = 0
          |)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to n).map(i =>
-      s"SELECT CAST($i AS INTEGER) AS merge_idx, a || b AS pair, a, b, n_occ FROM top$i")
-      .mkString("\n  UNION ALL\n  ")
-    s"""WITH $toksCte,
+    s"""$toksCte,
        |wf AS (
        |  SELECT w, count(*) AS f FROM toks GROUP BY w HAVING length(w) >= 2
        |),
@@ -932,11 +967,31 @@ object TextAnalysisOracles {
        |  SELECT w, f, i AS pos, substr(w, i, 1) AS tok
        |  FROM wf, unnest(generate_series(1, length(w))) t(i)
        |),
-       |$iters
+       |$iters""".stripMargin
+  }
+
+  val bpeVocab: String = {
+    val n = TextAnalysis.BpeMerges
+    val out = (1 to n).map(i =>
+      s"SELECT CAST($i AS INTEGER) AS merge_idx, a || b AS pair, a, b, n_occ FROM top$i")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH $bpeRoundsCtes
        |SELECT * FROM (
        |  $out
        |) ORDER BY merge_idx""".stripMargin
   }
+
+  /** Final-token usage table of [[TextAnalysis.bpeEncode]]: aggregate
+    * the last merge round's token frame. */
+  val bpeEncode: String =
+    s"""WITH $bpeRoundsCtes
+       |SELECT * FROM (
+       |  SELECT tok, CAST(length(tok) AS INTEGER) AS tok_len,
+       |    CAST(sum(f) AS BIGINT) AS n_occ,
+       |    count(DISTINCT w) AS n_words
+       |  FROM t${TextAnalysis.BpeMerges} GROUP BY tok
+       |  ORDER BY n_occ DESC, tok LIMIT ${TextAnalysis.BpeEncodeTopN}
+       |) ORDER BY n_occ DESC, tok""".stripMargin
 
   val repetition: String =
     s"""WITH wl AS (

@@ -112,6 +112,44 @@ object EventStream {
     res.orderBy("hop_start", "event_type")
   }
 
+  /** Driver-surface CHAINED STATEFUL OPERATORS under the streaming
+    * engine: per-window EXACT distinct users via streaming
+    * deduplication on (window, user) FOLLOWED BY a windowed count — two
+    * stateful operators in one query (dedup state + window state), the
+    * Spark-3.5+ multi-stateful pipeline shape. Dedup keys carry the
+    * event-time window, so its state evicts with the same watermark
+    * that finalizes the downstream windows; append mode emits exactly
+    * the finalized windows ([[windowedCountsStreamVerified]] contract,
+    * same ms-precision oracle cutoff with COUNT(DISTINCT) on the batch
+    * side).
+    *
+    * Scale: distinct-user state is (window × active users) keyed —
+    * bounded by the watermark horizon, never corpus-sized; the
+    * downstream window agg sees one row per (window, user), already
+    * pre-shrunk. The batch equivalent's count(distinct) expands the
+    * same way; streaming pays it incrementally. */
+  def distinctUsersStreamVerified(s: SparkSession, d: String): DataFrame = {
+    val (out, ckpt) = scratchDirs("distusr")
+    val ss = streamSession(s)
+    val q = readEventStream(ss, d)
+      .withWatermark("ts", "30 minutes")
+      .select(window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .dropDuplicates("w", "user_id")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("hour_start"), col("n_users"))
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val res = s.read.parquet(out).localCheckpoint()
+    deleteRecursively(out, ckpt)
+    res.orderBy("hour_start")
+  }
+
   /** File-based streaming source over the events parquet (ts
     * normalization matching [[graft.Tables.events]] — handles both the
     * nanos-as-long and the TIMESTAMP_NTZ micros testdata layouts). The
