@@ -112,6 +112,7 @@ object SparkEntry {
     // pipeline-gate engine features: declarative DQ audit + CDC apply
     "rel_dq_rules" -> (Relational.dqRules _),
     "rel_merge_upsert" -> (Relational.mergeUpsert _),
+    "rel_incremental_agg" -> (Relational.incrementalAgg _),
     "rel_keys_union" -> (Relational.keysUnion _),
     "rel_keys_intersect" -> (Relational.keysIntersect _),
     "rel_percentiles" -> (Relational.percentiles _),
@@ -264,6 +265,7 @@ object SparkEntry {
     "events_transitions" -> (Curation.transitions _),
     "events_path_trigrams" -> (Curation.pathTrigrams _),
     "events_attribution" -> (Curation.attribution _),
+    "events_interval_coverage" -> (Curation.intervalCoverage _),
     "events_diurnal" -> (Curation.diurnal _),
     "events_interarrival" -> (Curation.interarrival _),
     "rel_hll_portable" -> (Relational.hllPortable _),
@@ -895,6 +897,31 @@ object SparkEntry {
          |  coalesce(chg_n, 0) AS n_changes
          |FROM base FULL OUTER JOIN changes ON c_custkey = chg_key
          |ORDER BY entity_key""".stripMargin,
+    "rel_incremental_agg" ->
+      s"""WITH sl AS (
+         |  SELECT o_orderstatus, count(*) AS n,
+         |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+         |  FROM orders
+         |  GROUP BY o_orderstatus,
+         |    (o_orderdate < '${graft.operators.Relational.IncrSplit}')
+         |),
+         |merged AS (
+         |  SELECT o_orderstatus AS status, sum(n)::BIGINT AS n_merged,
+         |    sum(total) AS t_merged
+         |  FROM sl GROUP BY 1
+         |),
+         |fullr AS (
+         |  SELECT o_orderstatus AS f_status, count(*) AS n_full,
+         |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS t_full
+         |  FROM orders GROUP BY 1
+         |)
+         |SELECT coalesce(status, f_status) AS status, n_merged,
+         |  CAST(t_merged AS DOUBLE) AS total_merged, n_full,
+         |  CAST(t_full AS DOUBLE) AS total_full,
+         |  (n_merged IS NOT DISTINCT FROM n_full AND
+         |   t_merged IS NOT DISTINCT FROM t_full) AS consistent
+         |FROM merged FULL OUTER JOIN fullr ON status = f_status
+         |ORDER BY status""".stripMargin,
     "rel_keys_union" ->
       """SELECT * FROM (
         |  SELECT c_custkey AS k FROM customer UNION SELECT o_custkey FROM orders
@@ -1268,6 +1295,7 @@ object SparkEntry {
     "events_transitions" -> CurationOracles.transitions,
     "events_path_trigrams" -> CurationOracles.pathTrigrams,
     "events_attribution" -> CurationOracles.attribution,
+    "events_interval_coverage" -> CurationOracles.intervalCoverage,
     "events_diurnal" -> CurationOracles.diurnal,
     "events_interarrival" -> CurationOracles.interarrival,
     "rel_hll_portable" -> Relational.hllPortableOracle,

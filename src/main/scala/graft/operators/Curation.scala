@@ -910,6 +910,53 @@ object Curation {
         col("lt.event_type").as("last_touch"))
       .orderBy("user_id")
   }
+
+  /** Width (µs) of the activity interval each event opens. */
+  val CoverageWindowUs = 10L * 60L * 1000000L
+
+  /** INTERVAL-UNION COVERAGE — per user, the total UNION length of the
+    * [[CoverageWindowUs]]-wide activity intervals their events open:
+    * the classic gaps-and-islands sweep (overlapping intervals merge;
+    * `covered ≤ span`). Distinct from gap-based sessionization: this is
+    * the measure-of-union shape (uptime from heartbeats, audited
+    * listening time, sensor coverage). Islands form with ONE window
+    * pass: an interval starts a new island iff its start exceeds the
+    * running max end of everything before it; the island id is the
+    * running sum of those flags — all integer µs arithmetic, exact in
+    * both engines.
+    *
+    * Scale: two windows and one aggregation, all partitioned by
+    * user_id — per-key linear state, one shuffle shape end-to-end, no
+    * self-join of the event table (the naive interval-overlap join is
+    * quadratic per user). */
+  def intervalCoverage(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val prevMaxEnd = max(col("end_us"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val ivs = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .withColumn("end_us", col("us") + CoverageWindowUs)
+      .withColumn("new_island",
+        when(prevMaxEnd.isNull || col("us") > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("new_island")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ivs.groupBy(col("user_id"), col("island"))
+      .agg(min(col("us")).as("i_start"), max(col("end_us")).as("i_end"),
+        count(lit(1)).as("i_n"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("i_n")).as("n_events"),
+        count(lit(1)).as("n_islands"),
+        sum(col("i_end") - col("i_start")).as("covered_us"),
+        (max(col("i_end")) - min(col("i_start"))).as("span_us"))
+      .select(col("user_id"), col("n_events"), col("n_islands"),
+        col("covered_us"), col("span_us"),
+        round(col("covered_us").cast("double") /
+          col("span_us").cast("double"), 6).as("coverage_ratio"))
+      .orderBy("user_id")
+  }
 }
 
 /** DuckDB oracles for [[Curation]], generated from the same constants. */
@@ -1483,4 +1530,39 @@ object CurationOracles {
       |  coalesce(a.n_prior, 0) AS n_prior, a.first_touch, a.last_touch
       |FROM conv c LEFT JOIN agg a USING (user_id)
       |ORDER BY user_id""".stripMargin
+
+  val intervalCoverage: String =
+    s"""WITH iv AS (
+       |  SELECT user_id, epoch_us(ts) AS us, event_id,
+       |    epoch_us(ts) + ${Curation.CoverageWindowUs} AS end_us
+       |  FROM events
+       |),
+       |fl AS (
+       |  SELECT *, CASE WHEN max(end_us) OVER (PARTITION BY user_id
+       |      ORDER BY us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |    OR us > max(end_us) OVER (PARTITION BY user_id
+       |      ORDER BY us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |    THEN 1 ELSE 0 END AS new_island
+       |  FROM iv
+       |),
+       |isl AS (
+       |  SELECT *, sum(new_island) OVER (PARTITION BY user_id
+       |    ORDER BY us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM fl
+       |),
+       |per_isl AS (
+       |  SELECT user_id, island, min(us) AS i_start, max(end_us) AS i_end,
+       |    count(*) AS i_n
+       |  FROM isl GROUP BY 1, 2
+       |)
+       |SELECT user_id, sum(i_n)::BIGINT AS n_events,
+       |  count(*) AS n_islands,
+       |  sum(i_end - i_start)::BIGINT AS covered_us,
+       |  (max(i_end) - min(i_start))::BIGINT AS span_us,
+       |  round(sum(i_end - i_start)::BIGINT::DOUBLE /
+       |    (max(i_end) - min(i_start))::BIGINT::DOUBLE, 6) AS coverage_ratio
+       |FROM per_isl GROUP BY user_id ORDER BY user_id""".stripMargin
 }

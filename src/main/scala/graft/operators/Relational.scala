@@ -1895,4 +1895,53 @@ object Relational {
         coalesce(col("chg_n"), lit(0L)).as("n_changes"))
       .orderBy("entity_key")
   }
+
+  /** History/delta split point for [[incrementalAgg]]. */
+  val IncrSplit = "2000-01-01"
+
+  /** INCREMENTAL AGGREGATE MAINTENANCE — the restartable-rollup
+    * contract: a frozen history aggregate (orders before [[IncrSplit]])
+    * merged with a fresh delta-batch aggregate via partial-state
+    * ADDITION (counts add, DECIMAL totals add), checked in the same
+    * query against the full recompute. The merge is exactly Spark's own
+    * partial+final aggregation split lifted to the warehouse level:
+    * at 100 TB the history side is a stored ~#groups-row state, so each
+    * load aggregates ONLY the delta — the `consistent` flag proves the
+    * algebra is lossless (sums in DECIMAL, never doubles).
+    *
+    * Scale: two predicate-pushed scans (history build is one-time in
+    * production), each collapsing map-side to #status rows; the merge
+    * and the audit join are #groups-sized. */
+  def incrementalAgg(s: SparkSession, d: String): DataFrame = {
+    def slice(pred: org.apache.spark.sql.Column) =
+      Tables.orders(s, d).filter(pred)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(dec18)).as("total"))
+    val hist = slice(col("o_orderdate") < lit(IncrSplit))
+      .select(col("o_orderstatus"), col("n").as("n_hist"),
+        col("total").as("t_hist"))
+    val delta = slice(col("o_orderdate") >= lit(IncrSplit))
+      .select(col("o_orderstatus").as("d_status"), col("n").as("n_delta"),
+        col("total").as("t_delta"))
+    val zero = lit(0).cast(dec18)
+    val merged = hist
+      .join(delta, col("o_orderstatus") === col("d_status"), "full_outer")
+      .select(
+        coalesce(col("o_orderstatus"), col("d_status")).as("status"),
+        (coalesce(col("n_hist"), lit(0L)) + coalesce(col("n_delta"), lit(0L)))
+          .as("n_merged"),
+        (coalesce(col("t_hist"), zero) + coalesce(col("t_delta"), zero))
+          .as("t_merged"))
+    val full = slice(lit(true))
+      .select(col("o_orderstatus").as("f_status"), col("n").as("n_full"),
+        col("total").as("t_full"))
+    merged.join(full, col("status") === col("f_status"), "full_outer")
+      .select(coalesce(col("status"), col("f_status")).as("status"),
+        col("n_merged"), col("t_merged").cast("double").as("total_merged"),
+        col("n_full"), col("t_full").cast("double").as("total_full"),
+        (col("n_merged") <=> col("n_full") &&
+          col("t_merged") <=> col("t_full")).as("consistent"))
+      .orderBy("status")
+  }
 }
