@@ -109,6 +109,15 @@ object SparkEntry {
     "rel_disc_revenue" -> (Relational.discRevenue _),
     "rel_late_suppliers" -> (Relational.lateSuppliers _),
     "rel_sales_opportunity" -> (Relational.salesOpportunity _),
+    // TPC-H shape completion, final batch: Q2/Q4/Q6/Q9/Q11/Q12/Q16/Q20
+    "rel_min_cost_supplier" -> (Relational.minCostSupplier _),
+    "rel_priority_orders" -> (Relational.priorityOrders _),
+    "rel_forecast_revenue" -> (Relational.forecastRevenue _),
+    "rel_product_profit" -> (Relational.productProfit _),
+    "rel_important_parts" -> (Relational.importantParts _),
+    "rel_ship_delay_mix" -> (Relational.shipDelayMix _),
+    "rel_part_supplier_counts" -> (Relational.partSupplierCounts _),
+    "rel_dominant_suppliers" -> (Relational.dominantSuppliers _),
     // pipeline-gate engine features: declarative DQ audit + CDC apply
     "rel_dq_rules" -> (Relational.dqRules _),
     "rel_merge_upsert" -> (Relational.mergeUpsert _),
@@ -818,6 +827,119 @@ object SparkEntry {
          |    SELECT 1 FROM orders
          |    WHERE o_custkey = c_custkey AND o_orderdate >= '1999-01-01')
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rel_min_cost_supplier" ->
+      """WITH eur AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'
+        |),
+        |per_supp AS (
+        |  SELECT p_partkey, p_name, l_suppkey,
+        |    min(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS cost_cents
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN eur ON l_suppkey = s_suppkey
+        |  WHERE p_size <= 5 AND p_type = 'STANDARD'
+        |  GROUP BY 1, 2, 3
+        |),
+        |win AS (
+        |  SELECT p_partkey, p_name, l_suppkey, cost_cents,
+        |    min(cost_cents * 10000000000 + l_suppkey)
+        |      OVER (PARTITION BY p_partkey) AS mu
+        |  FROM per_supp
+        |)
+        |SELECT p_partkey, p_name, l_suppkey AS s_suppkey, s_name, n_name,
+        |  s_acctbal, cost_cents / 100.0e0 AS min_cost
+        |FROM win JOIN eur ON l_suppkey = s_suppkey
+        |WHERE cost_cents * 10000000000 + l_suppkey = mu
+        |ORDER BY p_partkey""".stripMargin,
+    "rel_priority_orders" ->
+      s"""SELECT o_orderpriority, count(*) AS order_count
+         |FROM orders
+         |WHERE o_orderdate >= '1998-01-01' AND o_orderdate < '1998-04-01'
+         |  AND EXISTS (
+         |    SELECT 1 FROM lineitem
+         |    WHERE l_orderkey = o_orderkey
+         |      AND l_shipdate > o_orderdate + INTERVAL ${graft.operators.Relational.PriorityLagDays} DAY)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rel_forecast_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,4)))
+        |    AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= '1998-01-01' AND l_shipdate < '1999-01-01'
+        |  AND l_discount >= 0.05e0 AND l_discount <= 0.07e0
+        |  AND l_quantity < 24""".stripMargin,
+    "rel_product_profit" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) -
+        |    p_retailprice * l_quantity * 0.5e0 AS DECIMAL(28,4)))
+        |    AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "rel_important_parts" ->
+      s"""WITH rev AS (
+         |  SELECT l_partkey,
+         |    sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+         |      AS BIGINT)) AS value_i
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  WHERE s_nationkey < 5
+         |  GROUP BY 1
+         |),
+         |tot AS (SELECT sum(value_i) AS total_i FROM rev)
+         |SELECT l_partkey AS p_partkey, value_i / 10000.0e0 AS value
+         |FROM rev CROSS JOIN tot
+         |WHERE value_i * 1000 > total_i * ${graft.operators.Relational.ImportantPartPerMille}
+         |ORDER BY value DESC, p_partkey""".stripMargin,
+    "rel_ship_delay_mix" ->
+      s"""SELECT
+         |  CASE WHEN l_shipdate > o_orderdate + INTERVAL ${graft.operators.Relational.SlowShipDays} DAY
+         |    THEN 'SLOW' ELSE 'FAST' END AS ship_bucket,
+         |  count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |    THEN 1 END) AS high_line_count,
+         |  count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+         |    THEN 1 END) AS low_line_count
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE l_shipdate >= '1999-01-01' AND l_shipdate < '2000-01-01'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rel_part_supplier_counts" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5'
+        |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "rel_dominant_suppliers" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    sum(CAST(floor(l_quantity) AS BIGINT)) AS sqty
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'small%'
+        |  GROUP BY 1, 2
+        |),
+        |tot AS (SELECT l_partkey, sum(sqty) AS tqty, count(*) AS n_supp
+        |        FROM ps GROUP BY 1)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM ps JOIN tot USING (l_partkey)
+        |  WHERE sqty * n_supp > tqty * 3)
+        |ORDER BY s_suppkey""".stripMargin,
     "rel_dq_rules" ->
       """SELECT rule, tbl, n_checked, n_violations, (n_violations = 0) AS pass
         |FROM (

