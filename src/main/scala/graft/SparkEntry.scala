@@ -118,6 +118,9 @@ object SparkEntry {
     "rel_ship_delay_mix" -> (Relational.shipDelayMix _),
     "rel_part_supplier_counts" -> (Relational.partSupplierCounts _),
     "rel_dominant_suppliers" -> (Relational.dominantSuppliers _),
+    "rel_basket_pairs" -> (Relational.basketPairs _),
+    "events_ewma" -> (Curation.ewma _),
+    "events_independence" -> (Curation.independence _),
     // pipeline-gate engine features: declarative DQ audit + CDC apply
     "rel_dq_rules" -> (Relational.dqRules _),
     "rel_merge_upsert" -> (Relational.mergeUpsert _),
@@ -1419,6 +1422,29 @@ object SparkEntry {
     "events_attribution" -> CurationOracles.attribution,
     "events_interval_coverage" -> CurationOracles.intervalCoverage,
     "events_diurnal" -> CurationOracles.diurnal,
+    "events_ewma" -> CurationOracles.ewma,
+    "events_independence" -> CurationOracles.independence,
+    "rel_basket_pairs" ->
+      """WITH dp AS (
+        |  SELECT DISTINCT l_orderkey, p_brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |),
+        |n_ord AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM dp),
+        |singles AS (SELECT p_brand, count(*) AS n FROM dp GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+        |    count(*) AS n_ab
+        |  FROM dp a JOIN dp b
+        |    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        |  GROUP BY 1, 2
+        |)
+        |SELECT brand_a, brand_b, n_ab, sa.n AS n_a, sb.n AS n_b,
+        |  round(n_ab * 1.0e0 * n_orders / (sa.n * sb.n), 6) AS lift
+        |FROM pairs
+        |JOIN singles sa ON sa.p_brand = brand_a
+        |JOIN singles sb ON sb.p_brand = brand_b
+        |CROSS JOIN n_ord
+        |ORDER BY brand_a, brand_b""".stripMargin,
     "events_interarrival" -> CurationOracles.interarrival,
     "rel_hll_portable" -> Relational.hllPortableOracle,
     "rel_kmv_sketch" -> Relational.kmvSketchOracle,

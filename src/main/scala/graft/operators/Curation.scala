@@ -957,6 +957,92 @@ object Curation {
           col("span_us").cast("double"), 6).as("coverage_ratio"))
       .orderBy("user_id")
   }
+
+  /** Trailing window of [[ewma]]: the current event plus 7 predecessors,
+    * halving weights (2⁷ … 2⁰) — the discrete EWMA every metrics
+    * pipeline smooths with. */
+  val EwmaLags = 8
+
+  /** Per-user trailing exponentially-weighted moving average of the
+    * event value — sequential smoothing, the missing time-series
+    * primitive next to [[Relational.trailingWindow]]'s RANGE frames and
+    * [[Relational.cusum]]'s changepoint scan. The recurrence
+    * s_i = (x_i + 2·s_{i−1})/… is unrolled into [[EwmaLags]] `lag()`
+    * taps with power-of-two weights over exact cents, so the weighted
+    * sum is pure BIGINT (order-free) and the ONLY float op is one final
+    * division written identically in both engines. Partial windows
+    * renormalize by the weights actually present (the standard
+    * bias-corrected EWMA head).
+    *
+    * Scale: one window per user ordered by the arrival key — state is 8
+    * lag slots per partition, no RANGE scan, no self-join; output is
+    * event-sized, map-emitted per partition after one shuffle on
+    * user_id. */
+  def ewma(s: SparkSession, d: String): DataFrame =
+    ewmaOn(Tables.events(s, d))
+
+  /** [[ewma]] over any (event_id, user_id, value) frame. */
+  private[graft] def ewmaOn(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val base = events
+      .select(col("event_id"), col("user_id"), col("value"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val withLags = (0 until EwmaLags).foldLeft(base) { (df, k) =>
+      df.withColumn(s"_l$k", lag(col("cents"), k).over(w))
+    }
+    val wsum = (0 until EwmaLags).map { k =>
+      val wt = 1L << (EwmaLags - 1 - k)
+      when(col(s"_l$k").isNotNull, col(s"_l$k") * wt).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val wden = (0 until EwmaLags).map { k =>
+      val wt = 1L << (EwmaLags - 1 - k)
+      when(col(s"_l$k").isNotNull, lit(wt)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    withLags
+      .select(col("event_id"), col("user_id"), col("value"),
+        round(wsum / (wden * lit(100.0)), 6).as("ewma"))
+      .orderBy("event_id")
+  }
+
+  /** [[independence]] flags cells whose observed/expected ratio leaves
+    * [1/2, 2] — i.e. ppm outside [[IndepLowPpm]]..[[IndepHighPpm]]. */
+  val IndepLowPpm = 500000L
+  val IndepHighPpm = 2000000L
+
+  /** Hour-of-day × event-type INDEPENDENCE audit — the contingency-table
+    * check behind every "is traffic mix shifting by time of day?"
+    * question: observed cell count vs the independence expectation
+    * (row-total × col-total / grand-total), kept EXACT by
+    * cross-multiplying into integer parts-per-million
+    * (obs·total·10⁶ div (row·col)) — no division by an expectation
+    * float, no chi-square rounding; both engines produce bit-identical
+    * ppm. Cells off by more than 2× either way are flagged.
+    *
+    * Scale: one partial+final agg to the 24×#types cell frame; row/col
+    * totals re-aggregate THAT frame (cell-sized, not fact-sized) and
+    * broadcast back. The integer product obs·total·10⁶ stays < 2⁶³ for
+    * corpora up to ~10⁹ events per busiest cell-pair (obs ≤ total);
+    * beyond that, drop to per-mille scaling. */
+  def independence(s: SparkSession, d: String): DataFrame = {
+    val cell = Tables.events(s, d)
+      .groupBy(hour(col("ts")).as("hour_of_day"), col("event_type"))
+      .agg(count(lit(1)).as("n_obs"))
+    val rowT = cell.groupBy("hour_of_day").agg(sum("n_obs").as("n_hour"))
+    val colT = cell.groupBy("event_type").agg(sum("n_obs").as("n_type"))
+    val tot = cell.agg(sum("n_obs").as("n_total"))
+    cell
+      .join(broadcast(rowT), Seq("hour_of_day"))
+      .join(broadcast(colT), Seq("event_type"))
+      .crossJoin(broadcast(tot))
+      .select(col("hour_of_day"), col("event_type"), col("n_obs"),
+        col("n_hour"), col("n_type"),
+        expr("(n_obs * n_total * 1000000) div (n_hour * n_type)")
+          .as("ratio_ppm"))
+      .withColumn("deviant",
+        col("ratio_ppm") < IndepLowPpm || col("ratio_ppm") > IndepHighPpm)
+      .orderBy("hour_of_day", "event_type")
+  }
 }
 
 /** DuckDB oracles for [[Curation]], generated from the same constants. */
@@ -1565,4 +1651,61 @@ object CurationOracles {
        |  round(sum(i_end - i_start)::BIGINT::DOUBLE /
        |    (max(i_end) - min(i_start))::BIGINT::DOUBLE, 6) AS coverage_ratio
        |FROM per_isl GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Replicates [[Curation.ewma]]: the same 8 lag taps, power-of-two
+    * BIGINT weights, presence-renormalized denominator, and the single
+    * final double division. */
+  val ewma: String = {
+    import Curation.EwmaLags
+    val lags = (0 until EwmaLags).map { k =>
+      s"lag(cents, $k) OVER (PARTITION BY user_id ORDER BY event_id) AS l$k"
+    }.mkString(",\n    ")
+    val wsum = (0 until EwmaLags).map { k =>
+      val wt = 1L << (EwmaLags - 1 - k)
+      s"CASE WHEN l$k IS NOT NULL THEN l$k * $wt ELSE 0 END"
+    }.mkString(" + ")
+    val wden = (0 until EwmaLags).map { k =>
+      val wt = 1L << (EwmaLags - 1 - k)
+      s"CASE WHEN l$k IS NOT NULL THEN $wt ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT event_id, user_id, value,
+       |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+       |  FROM events
+       |),
+       |lagged AS (
+       |  SELECT event_id, user_id, value,
+       |    $lags
+       |  FROM base
+       |)
+       |SELECT event_id, user_id, value,
+       |  round(($wsum) / (($wden) * 100.0e0), 6) AS ewma
+       |FROM lagged ORDER BY event_id""".stripMargin
+  }
+
+  /** Replicates [[Curation.independence]] — identical integer ppm
+    * cross-multiplication (`div` ≡ `//`, both truncating). */
+  val independence: String = {
+    import Curation.{IndepHighPpm, IndepLowPpm}
+    s"""WITH cell AS (
+       |  SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day, event_type,
+       |    count(*) AS n_obs
+       |  FROM events GROUP BY 1, 2
+       |),
+       |row_t AS (SELECT hour_of_day, sum(n_obs)::BIGINT AS n_hour
+       |          FROM cell GROUP BY 1),
+       |col_t AS (SELECT event_type, sum(n_obs)::BIGINT AS n_type
+       |          FROM cell GROUP BY 1),
+       |tot AS (SELECT sum(n_obs)::BIGINT AS n_total FROM cell)
+       |SELECT hour_of_day, event_type, n_obs, n_hour, n_type,
+       |  (n_obs * n_total * 1000000) // (n_hour * n_type) AS ratio_ppm,
+       |  ((n_obs * n_total * 1000000) // (n_hour * n_type) < $IndepLowPpm
+       |   OR (n_obs * n_total * 1000000) // (n_hour * n_type) > $IndepHighPpm)
+       |    AS deviant
+       |FROM cell
+       |JOIN row_t USING (hour_of_day)
+       |JOIN col_t USING (event_type)
+       |CROSS JOIN tot
+       |ORDER BY hour_of_day, event_type""".stripMargin
+  }
 }

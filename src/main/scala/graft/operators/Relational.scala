@@ -2191,4 +2191,49 @@ object Relational {
       .select("s_suppkey", "s_name", "n_name")
       .orderBy("s_suppkey")
   }
+
+  /** MARKET-BASKET association mining at brand granularity: for every
+    * brand pair, how often both appear in one order, with the LIFT
+    * (observed co-rate over the independence expectation) — the
+    * association-rule primitive (Agrawal/Srikant's support-confidence
+    * frame, reported as lift). Brand granularity keeps the itemset
+    * vocabulary FIXED (~25) as the corpus grows, so the pair output is
+    * bounded at any SF — part-granularity pairs go support-sparse at
+    * 10× already (measured: 63 → 2 survivors sf0.01 → sf0.1).
+    *
+    * Counts are exact BIGINT; lift is ONE fixed IEEE expression
+    * `n_ab · 1.0 · n_orders / (n_a · n_b)` (integer products < 2⁵³,
+    * then a single divide) written identically in both engines.
+    *
+    * Scale: the basket frame (order, brand) DISTINCT shuffles once on
+    * its group key; the pair self-join re-shuffles both sides on
+    * orderkey with per-order fan-out bounded by the brand vocabulary
+    * (≤ C(25,2) pairs per order); singles and the order count broadcast
+    * back onto the 300-row pair frame. Nothing fact-sized crosses a
+    * broadcast. */
+  def basketPairs(s: SparkSession, d: String): DataFrame = {
+    val dp = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+    val nOrders = dp.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val singles = dp.groupBy("p_brand").agg(count(lit(1)).as("n"))
+    val pairs = dp.select(col("l_orderkey"), col("p_brand").as("brand_a"))
+      .join(dp.select(col("l_orderkey").as("ok2"),
+          col("p_brand").as("brand_b")),
+        col("l_orderkey") === col("ok2") && col("brand_a") < col("brand_b"))
+      .groupBy("brand_a", "brand_b")
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(singles.select(col("p_brand").as("brand_a"),
+        col("n").as("n_a"))), Seq("brand_a"))
+      .join(broadcast(singles.select(col("p_brand").as("brand_b"),
+        col("n").as("n_b"))), Seq("brand_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("brand_a"), col("brand_b"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        round(col("n_ab") * lit(1.0) * col("n_orders") /
+          (col("n_a") * col("n_b")), 6).as("lift"))
+      .orderBy("brand_a", "brand_b")
+  }
 }

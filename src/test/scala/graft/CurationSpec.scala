@@ -478,4 +478,64 @@ class CurationSpec extends AnyFunSuite {
     // the cap actually bites on the fixture (otherwise the spec is vacuous)
     assert(got.values.exists(_._3 > 0L))
   }
+
+  test("ewma: constant series is its constant, head is bias-corrected") {
+    import org.apache.spark.sql.functions._
+    // constant per-user series → EWMA equals the constant at EVERY row,
+    // including the partial-window head (renormalized denominator)
+    val const = spark.range(20)
+      .select($"id".as("event_id"), lit(7L).as("user_id"),
+        lit(3.5).as("value"))
+    val got = Curation.ewmaOn(const).select("ewma").as[Double].collect()
+    assert(got.forall(_ === 3.5), got.mkString(","))
+    // a single-event user smooths to exactly its own value
+    val single = spark.range(1)
+      .select($"id".as("event_id"), lit(1L).as("user_id"),
+        lit(12.31).as("value"))
+    assert(Curation.ewmaOn(single).select("ewma").as[Double].head() === 12.31)
+    // recent events dominate: a step 0→100 pulls EWMA above the
+    // unweighted trailing mean at the step point
+    val step = spark.range(16)
+      .select($"id".as("event_id"), lit(2L).as("user_id"),
+        when($"id" < 8, 0.0).otherwise(100.0).as("value"))
+    val at15 = Curation.ewmaOn(step)
+      .filter($"event_id" === 15).select("ewma").as[Double].head()
+    assert(at15 === 100.0) // 8 trailing taps are all post-step
+    val at8 = Curation.ewmaOn(step)
+      .filter($"event_id" === 8).select("ewma").as[Double].head()
+    assert(at8 > 50.0 && at8 < 100.0, s"step head $at8")
+    // plan: the window is partitioned by user (never global)
+    val plan = Curation.ewma(spark, d).queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition(,"), plan)
+  }
+
+  test("independence: ppm mass model and deviant flags recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = Curation.independence(spark, d)
+      .select("n_obs", "n_hour", "n_type", "ratio_ppm", "deviant")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    val total = rows.map(_._1).sum
+    rows.foreach { case (obs, nh, nt, ppm, dev) =>
+      assert(ppm === obs * total * 1000000L / (nh * nt))
+      assert(dev === (ppm < Curation.IndepLowPpm ||
+        ppm > Curation.IndepHighPpm))
+    }
+    // row totals really are row sums of the cell frame
+    val byHour = rows.groupBy(_._2).keySet
+    assert(byHour.nonEmpty)
+  }
+
+  test("basketPairs: lift recomputes from exact counts, bounds hold") {
+    import graft.operators.Relational
+    val rows = Relational.basketPairs(spark, d)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, nab, na, nb, lift) =>
+      assert(a < b)
+      assert(nab <= math.min(na, nb), s"$a,$b")
+    }
+    // lift is centered near 1 for the synthetic independent generator
+    val lifts = rows.map(_._6)
+    assert(lifts.exists(_ > 0.8) && lifts.exists(_ < 1.2))
+  }
 }
