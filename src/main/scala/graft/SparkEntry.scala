@@ -233,6 +233,7 @@ object SparkEntry {
     "ann_knn_classify" -> (Similarity.knnClassify _),
     "ann_prototype_classify" -> (Similarity.prototypeClassify _),
     "ann_topk_filtered" -> (Similarity.filteredTopK _),
+    "ann_mmr_rerank" -> (Similarity.mmrRerank _),
     "ann_dominant_direction" -> (Similarity.dominantDirection _),
     "rel_column_stats" -> (Relational.columnStats _),
     // recall@K of each approximate index vs the exact brute baseline —
@@ -1393,6 +1394,7 @@ object SparkEntry {
     "ann_knn_classify" -> SimilarityOracles.knnClassify,
     "ann_prototype_classify" -> SimilarityOracles.prototypeClassify,
     "ann_topk_filtered" -> SimilarityOracles.filteredTopK,
+    "ann_mmr_rerank" -> SimilarityOracles.mmrRerank,
     "ann_dominant_direction" -> SimilarityOracles.dominantDirection,
     "rel_column_stats" -> Relational.columnStatsOracle,
     "ann_recall_at_k" -> SimilarityOracles.recallAtK,

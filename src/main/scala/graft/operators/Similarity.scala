@@ -879,6 +879,116 @@ object Similarity {
       .select("query_id", "neighbor_id").distinct()
     rerank(e, cands)
   }
+
+  /** Candidate pool per query feeding [[mmrRerank]]'s greedy selection. */
+  val MmrCands = 20
+
+  /** How many diverse results [[mmrRerank]] emits per query. */
+  val MmrK = 5
+
+  /** MAXIMAL-MARGINAL-RELEVANCE diversity rerank (Carbonell &
+    * Goldstein, SIGIR'98) — the retrieval-side counterpart of semantic
+    * dedup: from each query's [[MmrCands]] most-relevant candidates,
+    * greedily pick [[MmrK]] results maximizing
+    * `relevance − max-similarity-to-already-picked` (λ = ½, both terms
+    * equally scaled), so near-duplicate hits don't crowd the result
+    * list the way plain top-k lets them.
+    *
+    * Every similarity is the integer-quantized dot over floor(x·2²⁰)
+    * dims combined in the ONE fixed IEEE expression
+    * `dot / (sqrt(ni)·sqrt(nj))` ([[prototypeClassifyOn]]'s rule) —
+    * bit-identical cross-engine, so the greedy ARGMAX decisions (which
+    * compare score differences, the reason a float-kernel cosine is
+    * unsafe here) replicate exactly; ties break toward the smaller id
+    * via `max_by` over (score, −id).
+    *
+    * Scale: relevance scoring is the brute pass (broadcast query dims,
+    * bounded-heap top-[[MmrCands]] — no window); everything after is
+    * per-query-pool-sized: ≤ C(20,2) pair cosines per query, and each
+    * of the [[MmrK]]−1 greedy rounds is two aggregates over that frame
+    * with a `localCheckpoint` to keep lineage flat. At index scale the
+    * candidate stage swaps for the LSH/IVF path unchanged. */
+  def mmrRerank(s: SparkSession, d: String): DataFrame =
+    mmrRerankOn(emb(s, d))
+
+  /** [[mmrRerank]] over any (vec_id, embedding) frame. */
+  private[graft] def mmrRerankOn(e: DataFrame): DataFrame = {
+    val qdims = e
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d"),
+        expr("cast(floor(x * 1048576.0) as bigint)").as("qv"))
+      .localCheckpoint() // consumers: norms, relevance dots, pair dots
+    val norms = qdims.groupBy("vec_id").agg(sum(expr("qv * qv")).as("nv"))
+    val qd = qdims.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("d"), col("qv").as("qqv"))
+    val rel = qdims.join(broadcast(qd), "d")
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("cand_id"))
+      .agg(sum(expr("qv * qqv")).as("dot"))
+      .join(norms.select(col("vec_id").as("query_id"),
+        col("nv").as("nq")), "query_id")
+      .join(norms.select(col("vec_id").as("cand_id"),
+        col("nv").as("nc")), "cand_id")
+      .select(col("query_id"), col("cand_id"),
+        expr("dot / (sqrt(cast(nq as double)) * sqrt(cast(nc as double)))")
+          .as("rel"))
+    val cands = rel.groupBy("query_id")
+      .agg(graft.functions.TopKAgg(col("cand_id"), col("rel"), MmrCands)
+        .as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("nb"))
+      .select(col("query_id"), col("nb.id").as("cand_id"),
+        col("nb.score").as("rel"))
+      .localCheckpoint()
+    // in-pool pair cosines, emitted in both directions
+    val half = cands.select(col("query_id"), col("cand_id").as("i"))
+      .join(cands.select(col("query_id").as("q2"), col("cand_id").as("j")),
+        col("query_id") === col("q2") && col("i") < col("j"))
+      .select("query_id", "i", "j")
+    val pcosHalf = half
+      .join(qdims.select(col("vec_id").as("i"), col("d"),
+        col("qv").as("iv")), Seq("i"))
+      .join(qdims.select(col("vec_id").as("j"), col("d"),
+        col("qv").as("jv")), Seq("j", "d"))
+      .groupBy("query_id", "i", "j")
+      .agg(sum(expr("iv * jv")).as("dot"))
+      .join(norms.select(col("vec_id").as("i"), col("nv").as("ni")), "i")
+      .join(norms.select(col("vec_id").as("j"), col("nv").as("nj")), "j")
+      .select(col("query_id"), col("i"), col("j"),
+        expr("dot / (sqrt(cast(ni as double)) * sqrt(cast(nj as double)))")
+          .as("pcos"))
+    val pboth = pcosHalf.unionByName(pcosHalf.select(col("query_id"),
+        col("j").as("i"), col("i").as("j"), col("pcos")))
+      .localCheckpoint()
+    var selected = cands.groupBy("query_id")
+      .agg(max_by(struct(col("cand_id"), col("rel")),
+        struct(col("rel"), -col("cand_id"))).as("p"))
+      .select(col("query_id"), col("p.cand_id").as("neighbor_id"),
+        lit(1).as("rank"), col("p.rel").as("rel"), lit(0.0).as("pen"))
+      .localCheckpoint()
+    for (r <- 2 to MmrK) {
+      val remaining = cands.join(selected.select(col("query_id"),
+          col("neighbor_id").as("cand_id")),
+        Seq("query_id", "cand_id"), "left_anti")
+      val pen = remaining
+        .join(pboth.select(col("query_id"), col("i").as("cand_id"),
+          col("j"), col("pcos")), Seq("query_id", "cand_id"))
+        .join(selected.select(col("query_id"),
+          col("neighbor_id").as("j")), Seq("query_id", "j"))
+        .groupBy("query_id", "cand_id", "rel")
+        .agg(max(col("pcos")).as("pen"))
+      val pick = pen.groupBy("query_id")
+        .agg(max_by(struct(col("cand_id"), col("rel"), col("pen")),
+          struct(col("rel") - col("pen"), -col("cand_id"))).as("p"))
+        .select(col("query_id"), col("p.cand_id").as("neighbor_id"),
+          lit(r).as("rank"), col("p.rel").as("rel"), col("p.pen").as("pen"))
+      selected = selected.unionByName(pick).localCheckpoint()
+    }
+    selected
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("rel"), 6).as("relevance"),
+        round(col("pen"), 6).as("penalty"))
+      .orderBy("query_id", "rank")
+  }
 }
 
 /** DuckDB oracles for [[Similarity]], generated from the same constants. */
@@ -1445,4 +1555,102 @@ object SimilarityOracles {
        |)
        |SELECT query_id, neighbor_id, rank, cosine FROM rr
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  /** Replicates [[Similarity.mmrRerankOn]] — the same floor(x·2²⁰)
+    * integer dots, the same single-IEEE-expression cosines (so the
+    * greedy argmax compares bit-identical doubles), and every greedy
+    * round unrolled with MATERIALIZED selection CTEs (the k-core rule:
+    * round CTEs referenced twice MUST materialize or the plan doubles
+    * per round). */
+  val mmrRerank: String = {
+    import Similarity.{MmrCands, MmrK}
+    val rounds = (2 to MmrK).map { r =>
+      val prev = s"sel${r - 1}"
+      s"""pen$r AS MATERIALIZED (
+         |  SELECT c.query_id, c.cand_id, c.rel, max(p.pcos) AS pen
+         |  FROM cands c
+         |  JOIN pboth p ON p.query_id = c.query_id AND p.i = c.cand_id
+         |  JOIN $prev s ON s.query_id = p.query_id AND s.cand_id = p.j
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prev ss
+         |    WHERE ss.query_id = c.query_id AND ss.cand_id = c.cand_id)
+         |  GROUP BY 1, 2, 3
+         |),
+         |pick$r AS MATERIALIZED (
+         |  SELECT query_id, cand_id, rel, pen, $r AS rank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rel - pen DESC, cand_id) AS rn
+         |    FROM pen$r
+         |  ) WHERE rn = 1
+         |),
+         |sel$r AS MATERIALIZED (
+         |  SELECT query_id, cand_id, rel, pen, rank FROM $prev
+         |  UNION ALL
+         |  SELECT query_id, cand_id, rel, pen, rank FROM pick$r
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH dims AS MATERIALIZED (
+       |  SELECT vec_id, d,
+       |    floor(embedding[d]::DOUBLE * 1048576.0)::BIGINT AS qv
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(d)
+       |),
+       |vn AS MATERIALIZED (
+       |  SELECT vec_id, CAST(sum(qv * qv) AS BIGINT) AS nv
+       |  FROM dims GROUP BY 1
+       |),
+       |reld AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    CAST(sum(q.qv * c.qv) AS BIGINT) AS dot
+       |  FROM dims q JOIN dims c ON c.d = q.d AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NumQueries
+       |  GROUP BY 1, 2
+       |),
+       |cands AS MATERIALIZED (
+       |  SELECT query_id, cand_id, rel FROM (
+       |    SELECT r.query_id, r.cand_id,
+       |      r.dot / (sqrt(nq.nv::DOUBLE) * sqrt(nc.nv::DOUBLE)) AS rel,
+       |      row_number() OVER (PARTITION BY r.query_id ORDER BY
+       |        r.dot / (sqrt(nq.nv::DOUBLE) * sqrt(nc.nv::DOUBLE)) DESC,
+       |        r.cand_id) AS rn
+       |    FROM reld r
+       |    JOIN vn nq ON nq.vec_id = r.query_id
+       |    JOIN vn nc ON nc.vec_id = r.cand_id
+       |  ) WHERE rn <= $MmrCands
+       |),
+       |phalf AS (
+       |  SELECT a.query_id, a.cand_id AS i, b.cand_id AS j
+       |  FROM cands a
+       |  JOIN cands b ON b.query_id = a.query_id AND a.cand_id < b.cand_id
+       |),
+       |pdot AS (
+       |  SELECT p.query_id, p.i, p.j, CAST(sum(di.qv * dj.qv) AS BIGINT)
+       |    AS dot
+       |  FROM phalf p
+       |  JOIN dims di ON di.vec_id = p.i
+       |  JOIN dims dj ON dj.vec_id = p.j AND dj.d = di.d
+       |  GROUP BY 1, 2, 3
+       |),
+       |pc AS (
+       |  SELECT query_id, i, j,
+       |    dot / (sqrt(ni.nv::DOUBLE) * sqrt(nj.nv::DOUBLE)) AS pcos
+       |  FROM pdot
+       |  JOIN vn ni ON ni.vec_id = i
+       |  JOIN vn nj ON nj.vec_id = j
+       |),
+       |pboth AS MATERIALIZED (
+       |  SELECT query_id, i, j, pcos FROM pc
+       |  UNION ALL
+       |  SELECT query_id, j AS i, i AS j, pcos FROM pc
+       |),
+       |sel1 AS MATERIALIZED (
+       |  SELECT query_id, cand_id, rel, 0.0e0 AS pen, 1 AS rank FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel DESC, cand_id) AS rn
+       |    FROM cands
+       |  ) WHERE rn = 1
+       |),
+       |$rounds
+       |SELECT query_id, rank, cand_id AS neighbor_id,
+       |  round(rel, 6) AS relevance, round(pen, 6) AS penalty
+       |FROM sel$MmrK ORDER BY query_id, rank""".stripMargin
+  }
 }

@@ -54,7 +54,10 @@ class PlanLintSpec extends AnyFunSuite {
     "ann_dominant_direction",               // 1-row renorm-max broadcast
     "rel_benford",                          // 1-row total broadcast
     "dedup_banding_sweep",                  // 1-row count broadcasts × 4
-    "rel_sales_opportunity")                // 1-row avg-balance broadcast
+    "rel_sales_opportunity",                // 1-row avg-balance broadcast
+    "rel_important_parts",                  // 1-row revenue-total broadcast
+    "rel_basket_pairs",                     // 1-row order-count broadcast
+    "events_independence")                  // 1-row grand-total broadcast
 
   test("no ann_* plan ranks through a Window partitioned by query_id") {
     // VERDICT r6: the shared rerank tail and the PQ ranking once used

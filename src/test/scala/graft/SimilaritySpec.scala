@@ -523,4 +523,38 @@ class SimilaritySpec extends AnyFunSuite {
     // no per-query cap: result size is data-dependent, dupes impossible
     assert(rows.map(r => (r._1, r._2)).distinct.length === rows.length)
   }
+
+  test("mmrRerank diversifies across planted clusters; plain topk would not") {
+    // Query q = e₁. Cluster A (ids 10..14): five IDENTICAL vectors at
+    // cos 0.9 to q — plain top-5 picks all of A, but after one pick the
+    // rest score rel − simAA = 0.9 − 1.0 = −0.1. Cluster B (ids
+    // 20..24): identical vectors at rel 0.3 with sim(B, A) = 0.27, so
+    // B's first pick scores 0.3 − 0.27 = +0.03 > −0.1 and MMR's SECOND
+    // pick must defect to B; B's duplicates then score 0.3 − 1 = −0.7,
+    // so ranks 3..5 return to A. Exactly one B in the final list.
+    def v(a: Double, b: Double, c: Double): Seq[Float] =
+      Seq(a, b, c, 0.0).map(_.toFloat)
+    val rows =
+      Seq((0L, v(1.0, 0.0, 0.0))) ++ // the query (vec_id < NumQueries)
+      (0 until 5).map(k => (10L + k, v(0.9, 0.43589, 0.0))) ++
+      (0 until 5).map(k => (20L + k, v(0.3, 0.0, 0.953939)))
+    val e = rows.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val got = Similarity.mmrRerankOn(e)
+      .select("query_id", "rank", "neighbor_id", "penalty")
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2)
+    assert(got.map(_._1).forall(_ === 0L))
+    assert(got.map(_._2).toSeq === Seq(1, 2, 3, 4, 5))
+    assert(got.map(_._3).distinct.length === 5, "picks must be distinct")
+    assert(got.head._4 === 0.0, "rank-1 penalty is zero")
+    val picks = got.map(_._3)
+    assert(picks.head === 10L, s"rank1 = min-id top-A: ${picks.toSeq}")
+    assert(picks(1) === 20L,
+      s"rank2 must defect to cluster B, got ${picks.toSeq}")
+    assert(picks.drop(2).forall(p => p >= 11L && p < 15L),
+      s"ranks 3..5 return to A: ${picks.toSeq}")
+    // the full driver query emits exactly NumQueries × MmrK ranked rows
+    val full = Similarity.mmrRerank(spark, "/root/testdata/sf0.001")
+    assert(full.count() === Similarity.NumQueries * Similarity.MmrK)
+  }
 }
