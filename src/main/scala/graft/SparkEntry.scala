@@ -487,6 +487,7 @@ object SparkEntry {
     // --- multimodal plumbing (stubbed decode; see Multimodal scaladoc) ---
     "mm_decode_features" -> (Multimodal.decodeFeatures _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
+    "mm_audio_vad" -> (Multimodal.audioVad _),
     // perceptual (average-hash) image near-dup: banded, hamming-verified
     "mm_phash_pairs" -> (Multimodal.phashPairs _),
     // wide-band variant: 4 x 15-bit bands, the occupancy-guard escape
@@ -1600,6 +1601,7 @@ object SparkEntry {
     },
     "mm_decode_features" -> MultimodalOracles.decodeFeatures,
     "mm_frame_sample" -> MultimodalOracles.frameSample,
+    "mm_audio_vad" -> MultimodalOracles.audioVad,
     "mm_phash_pairs" -> MultimodalOracles.phashPairs,
     "mm_phash_pairs_wide" -> MultimodalOracles.phashPairsWide,
     "mm_resize" -> MultimodalOracles.resize,

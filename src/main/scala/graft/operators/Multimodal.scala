@@ -241,6 +241,74 @@ object Multimodal {
           (col("frame_idx") * 64 + 1).cast("int"), lit(1))).as("frame_byte"))
       .orderBy("media_id", "frame_idx")
   }
+
+  /** Samples per [[audioVad]] analysis frame. */
+  val VadFrameLen = 20
+
+  /** Per-sample mean-square energy above which a frame counts as
+    * voiced (frame test: energy > thresh × [[VadFrameLen]]). 2100 sits
+    * at the fixture's median frame energy (34k–46k per 20-sample
+    * frame), so the flag splits frames non-trivially. */
+  val VadThreshPerSample = 2100L
+
+  /** VOICE-ACTIVITY DETECTION over audio rows — the audio-modality
+    * pipeline stage (silence trimming / speech segmentation before ASR
+    * or audio-embedding): "PCM samples" are the payload bytes centered
+    * at 128 (the 8-bit-unsigned-PCM convention — THE DECODE STUB here;
+    * a real decoder emits real PCM and nothing downstream changes),
+    * framed into [[VadFrameLen]]-sample windows, each scored by integer
+    * energy Σs² and flagged voiced above the threshold; voiced runs
+    * merge gaps-and-islands style (`frame_id − row_number`, the
+    * [[Curation.intervalCoverage]] pattern) into segments.
+    *
+    * Per media: frame/voiced counts, segment count, longest segment,
+    * total energy — all BIGINT-exact.
+    *
+    * Scale: the explode is partition-local (payload → samples with no
+    * shuffle), frames aggregate with map-side combine on (media,
+    * frame), and the islands window partitions by media_id — state is
+    * one row number per partition key. Payload-sized data never leaves
+    * its executor; only frame aggregates shuffle. */
+  def audioVad(s: SparkSession, d: String): DataFrame =
+    audioVadOn(catalog(s, d))
+
+  /** [[audioVad]] over any (media_id, kind, bytes) catalog frame. */
+  private[graft] def audioVadOn(cat: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = cat.filter(col("kind") === "audio")
+      .withColumn("n_bytes", length(col("bytes")))
+      .filter(col("n_bytes") >= VadFrameLen)
+    val frames = c
+      .select(col("media_id"), col("bytes"),
+        posexplode(sequence(lit(1),
+          expr(s"(n_bytes div $VadFrameLen) * $VadFrameLen")))
+          .as(Seq("_p", "pos")))
+      .select(col("media_id"),
+        expr(s"(pos - 1) div $VadFrameLen").as("frame_id"),
+        (ascii(substring(col("bytes").cast("string"),
+          col("pos").cast("int"), lit(1))) - 128).as("samp"))
+      .groupBy("media_id", "frame_id")
+      .agg(sum(expr("cast(samp as bigint) * samp")).as("energy"))
+      .withColumn("voiced",
+        col("energy") > VadThreshPerSample * VadFrameLen)
+    val w = Window.partitionBy("media_id").orderBy("frame_id")
+    val runs = frames.filter(col("voiced"))
+      .withColumn("run_key", col("frame_id") - row_number().over(w))
+      .groupBy("media_id", "run_key")
+      .agg(count(lit(1)).as("run_len"))
+    val segs = runs.groupBy("media_id")
+      .agg(count(lit(1)).as("n_segments"), max("run_len").as("longest_run"))
+    frames.groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        count(when(col("voiced"), lit(1))).as("n_voiced"),
+        sum("energy").as("total_energy"))
+      .join(segs, Seq("media_id"), "left")
+      .select(col("media_id"), col("n_frames"), col("n_voiced"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"),
+        col("total_energy"))
+      .orderBy("media_id")
+  }
 }
 
 /** DuckDB oracles for [[Multimodal]] — the stub decode is deterministic
@@ -356,4 +424,56 @@ object MultimodalOracles {
        |  ascii(substr(text, f * 64 + 1, 1)) AS frame_byte
        |FROM v, unnest(generate_series(0, n_frames - 1)) t(f)
        |ORDER BY media_id, frame_idx""".stripMargin
+
+  /** Replicates [[Multimodal.audioVad]] — same byte-centered samples,
+    * integer frame energy, threshold flag, and gaps-and-islands segment
+    * merge (`frame_id − row_number`). */
+  val audioVad: String = {
+    import Multimodal.{VadFrameLen => F, VadThreshPerSample => T}
+    s"""WITH media AS (
+       |  SELECT doc_id AS media_id,
+       |    CASE doc_id % ${Multimodal.Kinds.size} $kinds END AS kind,
+       |    text FROM documents
+       |),
+       |au AS (
+       |  SELECT media_id, text, length(text) AS n_bytes
+       |  FROM media WHERE kind = 'audio' AND length(text) >= $F
+       |),
+       |frames AS (
+       |  SELECT media_id, (p - 1) // $F AS frame_id,
+       |    sum(CAST(ascii(substr(text, CAST(p AS INTEGER), 1)) - 128
+       |      AS BIGINT) *
+       |      (ascii(substr(text, CAST(p AS INTEGER), 1)) - 128)) AS energy
+       |  FROM au, unnest(generate_series(1, (n_bytes // $F) * $F)) t(p)
+       |  GROUP BY 1, 2
+       |),
+       |flagged AS (
+       |  SELECT media_id, frame_id, energy,
+       |    (energy > ${T * F}) AS voiced
+       |  FROM frames
+       |),
+       |runs AS (
+       |  SELECT media_id,
+       |    frame_id - row_number() OVER (PARTITION BY media_id
+       |      ORDER BY frame_id) AS run_key
+       |  FROM flagged WHERE voiced
+       |),
+       |run_len AS (
+       |  SELECT media_id, run_key, count(*) AS run_len
+       |  FROM runs GROUP BY 1, 2
+       |),
+       |segs AS (
+       |  SELECT media_id, count(*) AS n_segments,
+       |    max(run_len) AS longest_run
+       |  FROM run_len GROUP BY 1
+       |)
+       |SELECT f.media_id, count(*) AS n_frames,
+       |  count(CASE WHEN f.voiced THEN 1 END) AS n_voiced,
+       |  coalesce(any_value(s.n_segments), 0)::BIGINT AS n_segments,
+       |  coalesce(any_value(s.longest_run), 0)::BIGINT AS longest_run,
+       |  sum(f.energy)::BIGINT AS total_energy
+       |FROM flagged f
+       |LEFT JOIN segs s ON s.media_id = f.media_id
+       |GROUP BY 1 ORDER BY f.media_id""".stripMargin
+  }
 }

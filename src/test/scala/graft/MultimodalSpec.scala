@@ -92,4 +92,35 @@ class MultimodalSpec extends AnyFunSuite {
         assert(got.get((a, b)).contains(0), s"copies $a,$b must pair at 0")
     }
   }
+
+  test("audioVad: planted silence/speech pattern segments exactly") {
+    import org.apache.spark.sql.functions._
+    // '~' (126) → sample −2, frame energy 80 — silence;
+    // ' ' (32)  → sample −96, frame energy 184320 — voiced.
+    // Pattern (6 frames): quiet, quiet, VOICED, quiet, VOICED, VOICED
+    // → 3 voiced frames in 2 segments, longest 2; a 7-byte tail is
+    // dropped (full frames only).
+    val F = Multimodal.VadFrameLen
+    val pcm = "~" * (2 * F) + " " * F + "~" * F + " " * (2 * F) + "~" * 7
+    val cat = Seq((1L, "audio", pcm), (2L, "video", pcm))
+      .toDF("media_id", "kind", "payload")
+      .select($"media_id", $"kind", $"payload".cast("binary").as("bytes"))
+    val got = Multimodal.audioVadOn(cat)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length === 1, "non-audio kinds are filtered out")
+    val (id, nf, nv, ns, lr, te) = got.head
+    assert(id === 1L)
+    assert(nf === 6L)
+    assert(nv === 3L)
+    assert(ns === 2L)
+    assert(lr === 2L)
+    assert(te === 3L * 96 * 96 * F + 3L * 2 * 2 * F)
+    // all-silence payload: zero segments, zero voiced
+    val quiet = Seq((1L, "audio", "~" * (3 * F)))
+      .toDF("media_id", "kind", "payload")
+      .select($"media_id", $"kind", $"payload".cast("binary").as("bytes"))
+    val q = Multimodal.audioVadOn(quiet)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(q._2 === 3L && q._3 === 0L && q._4 === 0L && q._5 === 0L)
+  }
 }
