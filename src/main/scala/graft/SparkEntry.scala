@@ -488,6 +488,8 @@ object SparkEntry {
     "mm_decode_features" -> (Multimodal.decodeFeatures _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
     "mm_audio_vad" -> (Multimodal.audioVad _),
+    "mm_scene_cuts" -> (Multimodal.sceneCuts _),
+    "text_feature_hashing" -> (TextAnalysis.featureHash _),
     // perceptual (average-hash) image near-dup: banded, hamming-verified
     "mm_phash_pairs" -> (Multimodal.phashPairs _),
     // wide-band variant: 4 x 15-bit bands, the occupancy-guard escape
@@ -1602,6 +1604,8 @@ object SparkEntry {
     "mm_decode_features" -> MultimodalOracles.decodeFeatures,
     "mm_frame_sample" -> MultimodalOracles.frameSample,
     "mm_audio_vad" -> MultimodalOracles.audioVad,
+    "mm_scene_cuts" -> MultimodalOracles.sceneCuts,
+    "text_feature_hashing" -> TextAnalysisOracles.featureHash,
     "mm_phash_pairs" -> MultimodalOracles.phashPairs,
     "mm_phash_pairs_wide" -> MultimodalOracles.phashPairsWide,
     "mm_resize" -> MultimodalOracles.resize,

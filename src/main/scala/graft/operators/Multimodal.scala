@@ -242,6 +242,67 @@ object Multimodal {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** [[sceneCuts]] sampling grid: frame stride in payload bytes and the
+    * per-media frame cap. */
+  val SceneStride = 16
+  val SceneMaxFrames = 32
+
+  /** Frame-to-frame absolute byte delta above which [[sceneCuts]] marks
+    * a cut (fixture deltas: median 11, p75 67, p90 81 — 70 cuts ~25% of
+    * transitions, non-trivially). */
+  val SceneCutThresh = 70
+
+  /** SCENE-CUT DETECTION over video rows — the video-modality
+    * segmentation stage (shot boundaries before per-scene frame
+    * sampling / captioning): frames are the [[SceneStride]]-byte grid
+    * samples (the decode STUB — a codec would emit per-frame luma), a
+    * cut is a frame whose |delta| from its predecessor exceeds
+    * [[SceneCutThresh]], and scenes are the runs between cuts (running
+    * sum of cut flags per media — the prefix-scan twin of
+    * [[audioVad]]'s islands).
+    *
+    * Per media: frame count, cut count, scene count (= cuts + 1) and
+    * the longest scene — all integer.
+    *
+    * Scale: explode and window both partition by media_id; per-media
+    * state is one lag slot plus a running counter. Nothing crosses
+    * partitions but the final media-sized rollup. */
+  def sceneCuts(s: SparkSession, d: String): DataFrame =
+    sceneCutsOn(catalog(s, d))
+
+  /** [[sceneCuts]] over any (media_id, kind, bytes) catalog frame. */
+  private[graft] def sceneCutsOn(cat: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = cat.filter(col("kind") === "video")
+      .withColumn("n_bytes", length(col("bytes")))
+      .filter(col("n_bytes") > 0)
+      .withColumn("n_frames", least(lit(SceneMaxFrames),
+        expr(s"(n_bytes - 1) div $SceneStride") + 1))
+    val fr = v
+      .select(col("media_id"), col("bytes"),
+        posexplode(sequence(lit(0), col("n_frames") - 1))
+          .as(Seq("_p", "f")))
+      .select(col("media_id"), col("f"),
+        ascii(substring(col("bytes").cast("string"),
+          (col("f") * SceneStride + 1).cast("int"), lit(1))).as("fb"))
+    val w = Window.partitionBy("media_id").orderBy("f")
+    val scenes = fr
+      .withColumn("prev", lag(col("fb"), 1).over(w))
+      .withColumn("cut", col("prev").isNotNull &&
+        abs(col("fb") - col("prev")) > SceneCutThresh)
+      .withColumn("scene_id",
+        sum(when(col("cut"), 1L).otherwise(0L)).over(w))
+      .groupBy("media_id", "scene_id")
+      .agg(count(lit(1)).as("scene_len"))
+    scenes.groupBy("media_id")
+      .agg((count(lit(1)) - 1).as("n_cuts"),
+        count(lit(1)).as("n_scenes"),
+        max(col("scene_len")).as("longest_scene"),
+        sum(col("scene_len")).as("n_frames"))
+      .select("media_id", "n_frames", "n_cuts", "n_scenes", "longest_scene")
+      .orderBy("media_id")
+  }
+
   /** Samples per [[audioVad]] analysis frame. */
   val VadFrameLen = 20
 
@@ -424,6 +485,49 @@ object MultimodalOracles {
        |  ascii(substr(text, f * 64 + 1, 1)) AS frame_byte
        |FROM v, unnest(generate_series(0, n_frames - 1)) t(f)
        |ORDER BY media_id, frame_idx""".stripMargin
+
+  /** Replicates [[Multimodal.sceneCuts]] — same stride grid, lag delta,
+    * threshold, and running-sum scene numbering. */
+  val sceneCuts: String = {
+    import Multimodal.{SceneCutThresh => T, SceneMaxFrames => MF,
+      SceneStride => S}
+    s"""WITH media AS (
+       |  SELECT doc_id AS media_id,
+       |    CASE doc_id % ${Multimodal.Kinds.size} $kinds END AS kind,
+       |    text FROM documents
+       |),
+       |v AS (
+       |  SELECT media_id, text,
+       |    least($MF, ((length(text) - 1) // $S) + 1) AS n_frames
+       |  FROM media WHERE kind = 'video' AND length(text) > 0
+       |),
+       |fr AS (
+       |  SELECT media_id, f,
+       |    ascii(substr(text, CAST(f * $S + 1 AS INTEGER), 1)) AS fb
+       |  FROM v, unnest(generate_series(0, n_frames - 1)) t(f)
+       |),
+       |dl AS (
+       |  SELECT media_id, f, fb,
+       |    lag(fb) OVER (PARTITION BY media_id ORDER BY f) AS prev
+       |  FROM fr
+       |),
+       |numbered AS (
+       |  SELECT media_id, f,
+       |    sum(CASE WHEN prev IS NOT NULL AND abs(fb - prev) > $T
+       |      THEN 1 ELSE 0 END) OVER (PARTITION BY media_id ORDER BY f
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS scene_id
+       |  FROM dl
+       |),
+       |scenes AS (
+       |  SELECT media_id, scene_id, count(*) AS scene_len
+       |  FROM numbered GROUP BY 1, 2
+       |)
+       |SELECT media_id, sum(scene_len)::BIGINT AS n_frames,
+       |  (count(*) - 1)::BIGINT AS n_cuts, count(*) AS n_scenes,
+       |  max(scene_len)::BIGINT AS longest_scene
+       |FROM scenes GROUP BY 1 ORDER BY media_id""".stripMargin
+  }
 
   /** Replicates [[Multimodal.audioVad]] — same byte-centered samples,
     * integer frame energy, threshold flag, and gaps-and-islands segment

@@ -637,6 +637,39 @@ object TextAnalysis {
         (col("top_bigram_cnt").cast("double") / col("n_bigrams") >=
           RepetitionMaxRatio).as("repetitive"))
       .orderBy("doc_id")
+
+  /** Hashed feature-vector width for [[featureHash]]. */
+  val FhBuckets = 64L
+
+  /** Audit-slice modulus: [[featureHash]] vectorizes doc_id ≡ 0
+    * (mod [[FhSampleMod]]) — the driver-gate slice; production runs
+    * drop the filter. */
+  val FhSampleMod = 20
+
+  /** THE HASHING TRICK (Weinberger et al., ICML'09): bag-of-words term
+    * frequencies hashed into a fixed [[FhBuckets]]-wide signed feature
+    * vector — the stateless, vocabulary-free featurization linear
+    * models and hashed n-gram baselines train on. Bucket = md5-60 of
+    * the token mod width; sign = parity of the next hash bits (the
+    * unbiased ±1 estimator); per-doc bucket values are signed token
+    * counts, emitted sparse (zero-sum buckets dropped).
+    *
+    * Scale: explode → one (doc, bucket) partial+final agg; no
+    * vocabulary state, no dictionary broadcast, no shuffle wider than
+    * the output. The md5 hash is the engine-portable one everywhere
+    * else in this repo ([[Dedup.md5hash60]]). */
+  def featureHash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") % FhSampleMod === 0)
+      .select(col("doc_id"), explode(WordShingles(col("text"), 1)).as("w"))
+      .withColumn("h", Dedup.md5hash60(col("w")))
+      .select(col("doc_id"), (col("h") % FhBuckets).as("bucket"),
+        when(expr(s"(h div $FhBuckets) % 2") === 0, lit(1L))
+          .otherwise(lit(-1L)).as("sign"))
+      .groupBy("doc_id", "bucket")
+      .agg(sum(col("sign")).as("fval"))
+      .filter(col("fval") =!= 0)
+      .orderBy("doc_id", "bucket")
 }
 
 /** DuckDB oracles for [[TextAnalysis]], generated from the same lists
@@ -1013,4 +1046,25 @@ object TextAnalysisOracles {
        |  top_bigram_cnt * 1.0 / n_bigrams >=
        |    ${TextAnalysis.RepetitionMaxRatio} AS repetitive
        |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** Replicates [[TextAnalysis.featureHash]] — same md5-60 bucket and
+    * sign-parity arithmetic, sparse non-zero output. */
+  val featureHash: String = {
+    import TextAnalysis.{FhBuckets => B, FhSampleMod => M}
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+       |  FROM documents WHERE doc_id % $M = 0
+       |),
+       |h AS (
+       |  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+       |  FROM w
+       |)
+       |SELECT doc_id, h % $B AS bucket,
+       |  sum(CASE WHEN (h // $B) % 2 = 0 THEN 1 ELSE -1 END)::BIGINT
+       |    AS fval
+       |FROM h GROUP BY 1, 2
+       |HAVING sum(CASE WHEN (h // $B) % 2 = 0 THEN 1 ELSE -1 END) <> 0
+       |ORDER BY doc_id, bucket""".stripMargin
+  }
 }

@@ -123,4 +123,32 @@ class MultimodalSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long, Long)].head()
     assert(q._2 === 3L && q._3 === 0L && q._4 === 0L && q._5 === 0L)
   }
+
+  test("sceneCuts: planted byte pattern cuts exactly where deltas spike") {
+    import org.apache.spark.sql.functions._
+    // Sampled frame bytes (stride 16): ~ ~ sp sp ~ ~  → |126−32| = 94
+    // crosses the 70 threshold at f=2 and f=4 → 2 cuts, 3 scenes of
+    // length 2 each.
+    val S = Multimodal.SceneStride
+    val payload = Seq("~", "~", " ", " ", "~", "~").map(_ * S).mkString
+    val cat = Seq((2L, "video", payload), (3L, "image", payload))
+      .toDF("media_id", "kind", "payload")
+      .select($"media_id", $"kind", $"payload".cast("binary").as("bytes"))
+    val got = Multimodal.sceneCutsOn(cat)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length === 1, "non-video kinds are filtered out")
+    val (id, nf, nc, ns, ls) = got.head
+    assert(id === 2L)
+    assert(nf === 6L)
+    assert(nc === 2L)
+    assert(ns === 3L)
+    assert(ls === 2L)
+    // a constant payload has one scene spanning every frame
+    val flat = Seq((2L, "video", "x" * (S * 10)))
+      .toDF("media_id", "kind", "payload")
+      .select($"media_id", $"kind", $"payload".cast("binary").as("bytes"))
+    val f = Multimodal.sceneCutsOn(flat)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(f._2 === 10L && f._3 === 0L && f._4 === 1L && f._5 === 10L)
+  }
 }

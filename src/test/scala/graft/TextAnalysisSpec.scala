@@ -263,4 +263,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     val byFreq = expected.sortBy { case (x, y, n, _) => (-n, x, y) }
     assert(byFreq.map(e => (e._1, e._2)) !== expected.map(e => (e._1, e._2)))
   }
+
+  test("featureHash matches an independent JVM-md5 recompute") {
+    import org.apache.spark.sql.functions._
+    // independent reimplementation: JVM MessageDigest md5 over the same
+    // whitespace tokens, same 60-bit slice, bucket and sign-parity rule
+    def h60(w: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val B = TextAnalysis.FhBuckets
+    val docs = Tables.documents(spark, d)
+      .filter($"doc_id" % TextAnalysis.FhSampleMod === 0)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val expected = docs.flatMap { case (id, text) =>
+      text.split(" ").filter(_.nonEmpty).map { w =>
+        val h = h60(w)
+        ((id, h % B), if ((h / B) % 2 == 0) 1L else -1L)
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .filter(_._2 != 0L)
+      .map { case ((id, b), v) => (id, b, v) }.toSeq.sorted
+    val got = TextAnalysis.featureHash(spark, d)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(got === expected)
+    assert(got.nonEmpty)
+    assert(got.forall(r => r._2 >= 0 && r._2 < B))
+  }
 }
