@@ -288,6 +288,8 @@ object SparkEntry {
     "events_throttle" -> (Curation.throttle _),
     "events_cusum_stream" ->
       (graft.streaming.EventStream.cusumStreamVerified _),
+    "events_ewma_stream" ->
+      (graft.streaming.EventStream.ewmaStreamVerified _),
     "events_throttle_stream" ->
       (graft.streaming.EventStream.throttleStreamVerified _),
 
@@ -1457,6 +1459,8 @@ object SparkEntry {
     "dedup_banding_sweep" -> DedupOracles.bandingSweep,
     "events_throttle" -> CurationOracles.throttle,
     "events_cusum_stream" -> CurationOracles.cusum,
+    // streaming EWMA ≡ the batch lag-tap window query, same oracle
+    "events_ewma_stream" -> CurationOracles.ewma,
     // streaming rate limiter's reject stream ≡ the batch window rule:
     // everything past the per-(user, UTC day) admission cap
     "events_throttle_stream" ->

@@ -868,4 +868,77 @@ object EventStream {
         round(col("cusum_scaled") / lit(1000000.0), 6).as("cusum"))
       .orderBy("user_id", "event_id")
   }
+
+  // ------------------------------------------------------------------
+  // streaming EWMA smoothing
+  // ------------------------------------------------------------------
+
+  case class EwmaEv(user_id: Long, event_id: Long, value: Double)
+  case class EwmaOut(user_id: Long, event_id: Long, value: Double,
+      wsum: Long, wden: Long)
+
+  /** Stateful streaming twin of `Curation.ewma` — the trailing
+    * 8-tap power-of-two EWMA as keyed state: per user the carried state
+    * is the last 7 cent values (newest first, ≤ 56 bytes), so each
+    * arriving event emits the SAME weighted sum/denominator the batch
+    * window query computes with its `lag()` taps. All state arithmetic
+    * is BIGINT; the one float division happens AFTER the sink, in the
+    * same Spark `round(wsum / (wden · 100.0), 6)` expression the batch
+    * operator uses (the [[cusumStateful]] rule: never round inside the
+    * stateful function).
+    *
+    * Ordering contract: same as [[cusumStateful]] — within a
+    * micro-batch events sort by the arrival key per user; across
+    * batches the source delivers ordered files.
+    *
+    * Scale: state is a 7-slot ring per user in the keyed store; output
+    * is append-only, one row per event — the smoothed metric stream a
+    * dashboard subscribes to. */
+  def ewmaStateful(events: Dataset[EwmaEv]): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    import graft.operators.Curation.EwmaLags
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[Long], EwmaOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[EwmaEv], state: GroupState[Seq[Long]]) =>
+          var hist = state.getOption.getOrElse(Seq.empty[Long])
+          val out = it.toSeq.sortBy(_.event_id).map { e =>
+            // parity with round(value·100, 0): HALF_UP, positive domain
+            val cents = math.floor(e.value * 100.0 + 0.5).toLong
+            val taps = (cents +: hist).take(EwmaLags)
+            val wsum = taps.zipWithIndex
+              .map { case (c, k) => c * (1L << (EwmaLags - 1 - k)) }.sum
+            val wden = taps.zipWithIndex
+              .map { case (_, k) => 1L << (EwmaLags - 1 - k) }.sum
+            hist = taps.take(EwmaLags - 1)
+            EwmaOut(uid, e.event_id, e.value, wsum, wden)
+          }
+          state.update(hist)
+          out.iterator
+      }
+  }
+
+  /** Driver-surface run of [[ewmaStateful]]: parquet sink, AvailableNow,
+    * then the batch operator's exact output projection — same columns,
+    * same oracle as `events_ewma`. */
+  def ewmaStreamVerified(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (out, ckpt) = scratchDirs("ewma")
+    val ss = streamSession(s)
+    val ev = readEventStream(ss, d)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .as[EwmaEv]
+    val q = ewmaStateful(ev).toDF()
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val res = s.read.parquet(out).localCheckpoint()
+    deleteRecursively(out, ckpt)
+    res.select(col("event_id"), col("user_id"), col("value"),
+        round(col("wsum") / (col("wden") * lit(100.0)), 6).as("ewma"))
+      .orderBy("event_id")
+  }
 }

@@ -549,6 +549,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(expected.keySet.exists(_ <= 3) && expected.keySet.exists(_ > 3))
   }
 
+  test("streaming ewma carries the tap ring across micro-batches") {
+    import graft.streaming.EventStream.{EwmaEv, EwmaOut}
+    import graft.operators.Curation.EwmaLags
+    // 12 events for one user split mid-stream: the 7-slot cent ring
+    // must persist so batch-2 heads smooth over batch-1 tails
+    val all = (1 to 12).map(i => EwmaEv(3L, i.toLong, i * 1.11))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EwmaEv]
+    val q = EventStream.ewmaStateful(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ewma_out").start()
+    try {
+      mem.addData(all.take(5))
+      q.processAllAvailable()
+      mem.addData(all.drop(5))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ewma_out").as[EwmaOut].collect()
+      .map(o => o.event_id -> ((o.wsum, o.wden))).toMap
+    // independent recompute over the UNSPLIT stream
+    var hist = Seq.empty[Long]
+    val expected = all.map { e =>
+      val cents = math.floor(e.value * 100.0 + 0.5).toLong
+      val taps = (cents +: hist).take(EwmaLags)
+      hist = taps.take(EwmaLags - 1)
+      val ws = taps.zipWithIndex
+        .map { case (c, k) => c * (1L << (EwmaLags - 1 - k)) }.sum
+      val wd = taps.zipWithIndex
+        .map { case (_, k) => 1L << (EwmaLags - 1 - k) }.sum
+      e.event_id -> ((ws, wd))
+    }.toMap
+    assert(got === expected)
+    // event 6 (the first of batch 2) must already see batch-1 taps
+    assert(got(6L)._2 === (1L to 6L)
+      .map(k => 1L << (EwmaLags - k).toInt).sum)
+  }
+
   test("sessionStats conserves sessions, events, and durations") {
     val d = "/root/testdata/sf0.001"
     val sess = EventStream.sessionizeBatch(spark, d)
