@@ -234,6 +234,7 @@ object SparkEntry {
     "ann_prototype_classify" -> (Similarity.prototypeClassify _),
     "ann_topk_filtered" -> (Similarity.filteredTopK _),
     "ann_mmr_rerank" -> (Similarity.mmrRerank _),
+    "ann_hybrid_rrf" -> (Similarity.hybridRrf _),
     "ann_dominant_direction" -> (Similarity.dominantDirection _),
     "rel_column_stats" -> (Relational.columnStats _),
     // recall@K of each approximate index vs the exact brute baseline —
@@ -492,6 +493,7 @@ object SparkEntry {
     "mm_audio_vad" -> (Multimodal.audioVad _),
     "mm_scene_cuts" -> (Multimodal.sceneCuts _),
     "text_feature_hashing" -> (TextAnalysis.featureHash _),
+    "text_token_fertility" -> (TextAnalysis.tokenFertility _),
     // perceptual (average-hash) image near-dup: banded, hamming-verified
     "mm_phash_pairs" -> (Multimodal.phashPairs _),
     // wide-band variant: 4 x 15-bit bands, the occupancy-guard escape
@@ -1400,6 +1402,7 @@ object SparkEntry {
     "ann_prototype_classify" -> SimilarityOracles.prototypeClassify,
     "ann_topk_filtered" -> SimilarityOracles.filteredTopK,
     "ann_mmr_rerank" -> SimilarityOracles.mmrRerank,
+    "ann_hybrid_rrf" -> SimilarityOracles.hybridRrf,
     "ann_dominant_direction" -> SimilarityOracles.dominantDirection,
     "rel_column_stats" -> Relational.columnStatsOracle,
     "ann_recall_at_k" -> SimilarityOracles.recallAtK,
@@ -1610,6 +1613,7 @@ object SparkEntry {
     "mm_audio_vad" -> MultimodalOracles.audioVad,
     "mm_scene_cuts" -> MultimodalOracles.sceneCuts,
     "text_feature_hashing" -> TextAnalysisOracles.featureHash,
+    "text_token_fertility" -> TextAnalysisOracles.tokenFertility,
     "mm_phash_pairs" -> MultimodalOracles.phashPairs,
     "mm_phash_pairs_wide" -> MultimodalOracles.phashPairsWide,
     "mm_resize" -> MultimodalOracles.resize,

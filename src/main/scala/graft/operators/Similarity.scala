@@ -989,6 +989,91 @@ object Similarity {
         round(col("pen"), 6).as("penalty"))
       .orderBy("query_id", "rank")
   }
+
+  /** Per-list pool size and RRF dampening constant for [[hybridRrf]]
+    * (60 is the constant from Cormack/Clarke/Buettcher, SIGIR'09). */
+  val RrfPool = 20
+  val RrfC = 60
+  val RrfK = 5
+
+  /** HYBRID RETRIEVAL via reciprocal-rank fusion — the fusion rule
+    * production search stacks use to combine a lexical and a vector
+    * ranking without score calibration: each query doc (vec_id <
+    * [[NumQueries]]; vec_id ≡ doc_id across the fixture tables) gets a
+    * SEMANTIC top-[[RrfPool]] (the integer-exact cosine ranking) and a
+    * LEXICAL top-[[RrfPool]] (shared distinct word-3-shingle count —
+    * the overlap kernel the dedup suite verifies with), and candidates
+    * score `Σ 1/(60 + rank)` over the lists they appear in — exactly
+    * two terms added in fixed order, so the fused ordering is
+    * bit-identical cross-engine.
+    *
+    * Scale: the semantic leg is the brute/bounded-heap pass (swap in
+    * the LSH candidate stage at index scale); the lexical leg joins the
+    * BROADCAST query shingle set against corpus shingles (inverted
+    * index probe — never a doc×doc join) into a bounded-heap top-20;
+    * fusion itself touches ≤ 2·[[RrfPool]] rows per query, ranked by
+    * one more bounded heap — no window anywhere. */
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.{TopKAgg, WordShingles}
+    val e = emb(s, d)
+    // — semantic leg: integer-quantized cosine, bounded-heap top-20
+    val qdims = e
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d"),
+        expr("cast(floor(x * 1048576.0) as bigint)").as("qv"))
+      .localCheckpoint()
+    val norms = qdims.groupBy("vec_id").agg(sum(expr("qv * qv")).as("nv"))
+    val qd = qdims.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("d"), col("qv").as("qqv"))
+    val sem = qdims.join(broadcast(qd), "d")
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("doc_id"))
+      .agg(sum(expr("qv * qqv")).as("dot"))
+      .join(norms.select(col("vec_id").as("query_id"),
+        col("nv").as("nq")), "query_id")
+      .join(norms.select(col("vec_id").as("doc_id"),
+        col("nv").as("nc")), "doc_id")
+      .select(col("query_id"), col("doc_id"),
+        expr("dot / (sqrt(cast(nq as double)) * sqrt(cast(nc as double)))")
+          .as("cos"))
+      .groupBy("query_id")
+      .agg(TopKAgg(col("doc_id"), col("cos"), RrfPool).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("p", "nb")))
+      .select(col("query_id"), col("nb.id").as("doc_id"),
+        (col("p") + 1).as("rank_sem"))
+    // — lexical leg: shared distinct 3-shingles vs the broadcast query set
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), explode(WordShingles(col("text"), 3)).as("s"))
+      .distinct()
+    val qsh = sh.filter(col("doc_id") < NumQueries)
+      .select(col("doc_id").as("query_id"), col("s"))
+    val lex = sh.join(broadcast(qsh), Seq("s"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("overlap"))
+      .groupBy("query_id")
+      .agg(TopKAgg(col("doc_id"), col("overlap").cast("double"), RrfPool)
+        .as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("p", "nb")))
+      .select(col("query_id"), col("nb.id").as("doc_id"),
+        (col("p") + 1).as("rank_lex"))
+    // — fusion: ≤ 2 reciprocal terms per candidate, fixed add order
+    val fused = sem.join(lex, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"), col("rank_sem"),
+        col("rank_lex"),
+        (coalesce(lit(1.0) / (lit(RrfC) + col("rank_sem")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfC) + col("rank_lex")), lit(0.0)))
+          .as("rrf"))
+    fused.groupBy("query_id")
+      .agg(TopKAgg(col("doc_id"), col("rrf"), RrfK).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("p", "nb")))
+      .select(col("query_id"), col("nb.id").as("doc_id"),
+        (col("p") + 1).as("rank"))
+      .join(fused, Seq("query_id", "doc_id"))
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("rank_sem"), col("rank_lex"), round(col("rrf"), 9).as("rrf"))
+      .orderBy("query_id", "rank")
+  }
 }
 
 /** DuckDB oracles for [[Similarity]], generated from the same constants. */
@@ -1652,5 +1737,80 @@ object SimilarityOracles {
        |SELECT query_id, rank, cand_id AS neighbor_id,
        |  round(rel, 6) AS relevance, round(pen, 6) AS penalty
        |FROM sel$MmrK ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Replicates [[Similarity.hybridRrf]] — integer-exact cosine ranking,
+    * distinct-3-shingle overlap ranking (the [[DedupOracles]] shingle
+    * SQL), and the two-term reciprocal-rank fusion in the same fixed
+    * add order. */
+  val hybridRrf: String = {
+    import Similarity.{RrfC, RrfK, RrfPool}
+    s"""WITH dims AS MATERIALIZED (
+       |  SELECT vec_id, d,
+       |    floor(embedding[d]::DOUBLE * 1048576.0)::BIGINT AS qv
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(d)
+       |),
+       |vn AS MATERIALIZED (
+       |  SELECT vec_id, CAST(sum(qv * qv) AS BIGINT) AS nv
+       |  FROM dims GROUP BY 1
+       |),
+       |semsc AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+       |    CAST(sum(q.qv * c.qv) AS BIGINT) AS dot
+       |  FROM dims q JOIN dims c ON c.d = q.d AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NumQueries GROUP BY 1, 2
+       |),
+       |sem AS MATERIALIZED (
+       |  SELECT query_id, doc_id, CAST(rn AS INTEGER) AS rank_sem FROM (
+       |    SELECT s.query_id, s.doc_id,
+       |      row_number() OVER (PARTITION BY s.query_id ORDER BY
+       |        s.dot / (sqrt(nq.nv::DOUBLE) * sqrt(nc.nv::DOUBLE)) DESC,
+       |        s.doc_id) AS rn
+       |    FROM semsc s
+       |    JOIN vn nq ON nq.vec_id = s.query_id
+       |    JOIN vn nc ON nc.vec_id = s.doc_id
+       |  ) WHERE rn <= $RrfPool
+       |),
+       |wl AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+       |  FROM documents
+       |),
+       |sh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id,
+       |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+       |  FROM wl, unnest(generate_series(1, len(ws) - 2)) t(i)
+       |),
+       |ov AS (
+       |  SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+       |    count(*) AS overlap
+       |  FROM sh q JOIN sh c ON c.s = q.s AND c.doc_id <> q.doc_id
+       |  WHERE q.doc_id < $NumQueries GROUP BY 1, 2
+       |),
+       |lex AS MATERIALIZED (
+       |  SELECT query_id, doc_id, CAST(rn AS INTEGER) AS rank_lex FROM (
+       |    SELECT query_id, doc_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY overlap DESC, doc_id) AS rn
+       |    FROM ov
+       |  ) WHERE rn <= $RrfPool
+       |),
+       |fused AS MATERIALIZED (
+       |  SELECT coalesce(s.query_id, l.query_id) AS query_id,
+       |    coalesce(s.doc_id, l.doc_id) AS doc_id,
+       |    s.rank_sem, l.rank_lex,
+       |    coalesce(1.0e0 / ($RrfC + s.rank_sem), 0.0e0) +
+       |      coalesce(1.0e0 / ($RrfC + l.rank_lex), 0.0e0) AS rrf
+       |  FROM sem s FULL OUTER JOIN lex l
+       |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+       |)
+       |SELECT query_id, CAST(rn AS INTEGER) AS rank, doc_id, rank_sem,
+       |  rank_lex, round(rrf, 9) AS rrf
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf DESC, doc_id) AS rn
+       |  FROM fused
+       |) WHERE rn <= $RrfK
+       |ORDER BY query_id, rank""".stripMargin
   }
 }

@@ -670,6 +670,29 @@ object TextAnalysis {
       .agg(sum(col("sign")).as("fval"))
       .filter(col("fval") =!= 0)
       .orderBy("doc_id", "bucket")
+
+  /** TOKENIZER FERTILITY by language — tokens-per-word, the metric a
+    * multilingual pipeline tracks to spot languages a tokenizer
+    * over-fragments (fertility ≫ 1 ⇒ more compute per word, worse
+    * downstream quality). Reuses [[tokenCounts]]'s two tokenizations
+    * (whitespace words vs the BPE-ish regex) aggregated per `lang` in
+    * exact integers; the fertility ratio is integer parts-per-thousand
+    * (bpe·1000 div ws — `div` ≡ `//`).
+    *
+    * Scale: one scan, two codegen'd per-row counters, a #langs-sized
+    * partial+final agg. */
+  def tokenFertility(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"),
+        size(WordShingles(col("text"), 1)).cast("long").as("ws"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("bpe"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("ws").as("n_words"),
+        sum("bpe").as("n_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+        expr("(n_tokens * 1000) div n_words").as("fertility_ppk"))
+      .orderBy("lang")
 }
 
 /** DuckDB oracles for [[TextAnalysis]], generated from the same lists
@@ -1067,4 +1090,20 @@ object TextAnalysisOracles {
        |HAVING sum(CASE WHEN (h // $B) % 2 = 0 THEN 1 ELSE -1 END) <> 0
        |ORDER BY doc_id, bucket""".stripMargin
   }
+
+  /** Replicates [[TextAnalysis.tokenFertility]] — same two token
+    * counters, integer parts-per-thousand ratio. */
+  val tokenFertility: String =
+    """WITH t AS (
+      |  SELECT lang,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |      AS BIGINT) AS ws,
+      |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+      |      AS BIGINT) AS bpe
+      |  FROM documents
+      |)
+      |SELECT lang, count(*) AS n_docs, sum(ws)::BIGINT AS n_words,
+      |  sum(bpe)::BIGINT AS n_tokens,
+      |  (sum(bpe)::BIGINT * 1000) // sum(ws)::BIGINT AS fertility_ppk
+      |FROM t GROUP BY 1 ORDER BY lang""".stripMargin
 }

@@ -557,4 +557,50 @@ class SimilaritySpec extends AnyFunSuite {
     val full = Similarity.mmrRerank(spark, "/root/testdata/sf0.001")
     assert(full.count() === Similarity.NumQueries * Similarity.MmrK)
   }
+
+  test("hybridRrf: fusion arithmetic and ordering invariants") {
+    val d = "/root/testdata/sf0.001"
+    val rows = Similarity.hybridRrf(spark, d)
+      .as[(Long, Int, Long, Option[Int], Option[Int], Double)].collect()
+    assert(rows.length === Similarity.NumQueries * Similarity.RrfK)
+    val C = Similarity.RrfC
+    rows.foreach { case (q, rank, doc, rs, rl, rrf) =>
+      assert(rs.isDefined || rl.isDefined, s"$q/$doc in neither list")
+      val expect = rs.map(r => 1.0 / (C + r)).getOrElse(0.0) +
+        rl.map(r => 1.0 / (C + r)).getOrElse(0.0)
+      assert(math.abs(rrf - expect) < 1e-9, s"$q/$doc rrf")
+    }
+    // rrf non-increasing within each query's ranked list
+    rows.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._2).map(_._6)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+    // dual-listed docs outrank solo-listed docs at equal best rank:
+    // a doc that is #1 in BOTH lists must be fused rank 1
+    rows.groupBy(_._1).values.foreach { g =>
+      g.find(r => r._4.contains(1) && r._5.contains(1))
+        .foreach(r => assert(r._2 === 1, s"double-#1 not fused first: $r"))
+    }
+  }
+
+  test("tokenFertility conserves tokenCounts' totals per language") {
+    import graft.operators.TextAnalysis
+    val d = "/root/testdata/sf0.001"
+    val perDoc = TextAnalysis.tokenCounts(spark, d)
+      .join(graft.Tables.documents(spark, d).select("doc_id", "lang"),
+        "doc_id")
+      .groupBy("lang")
+      .agg(org.apache.spark.sql.functions.sum("n_ws_tokens").as("w"),
+        org.apache.spark.sql.functions.sum("n_bpe_tokens").as("b"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    val got = TextAnalysis.tokenFertility(spark, d)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (lang, _, nw, nt, ppk) =>
+      assert(perDoc(lang) === ((nw, nt)), lang)
+      assert(ppk === nt * 1000 / nw, lang)
+      assert(ppk >= 1000, s"$lang: BPE-ish regex splits at least per word")
+    }
+  }
 }
