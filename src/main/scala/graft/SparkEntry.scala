@@ -906,10 +906,11 @@ object SparkEntry {
          |  WHERE s_nationkey < 5
          |  GROUP BY 1
          |),
-         |tot AS (SELECT sum(value_i) AS total_i FROM rev)
+         |tot AS (SELECT sum(value_i) AS total_i, count(*) AS n_parts
+         |        FROM rev)
          |SELECT l_partkey AS p_partkey, value_i / 10000.0e0 AS value
          |FROM rev CROSS JOIN tot
-         |WHERE value_i * 1000 > total_i * ${graft.operators.Relational.ImportantPartPerMille}
+         |WHERE value_i * n_parts > total_i * ${graft.operators.Relational.ImportantPartMeanMult}
          |ORDER BY value DESC, p_partkey""".stripMargin,
     "rel_ship_delay_mix" ->
       s"""SELECT

@@ -2070,22 +2070,25 @@ object Relational {
       .orderBy("n_name", "o_year")
   }
 
-  /** Parts-per-thousand revenue-share threshold for [[importantParts]]
-    * (Q11 uses 0.0001; the fixture corpus is smaller, so 1/1000 keeps a
-    * non-trivial survivor set at every SF). */
-  val ImportantPartPerMille = 1L
+  /** [[importantParts]] keeps parts above this multiple of the MEAN
+    * per-part value — Q11's fraction scales 1/SF for exactly this
+    * reason (a fixed share empties as the part count grows; measured:
+    * 91 → 0 survivors sf0.01 → sf0.1 at a fixed 1/1000). Relative to
+    * the mean, the survivor set stays non-trivial at every SF. */
+  val ImportantPartMeanMult = 2L
 
   /** TPC-H Q11-style important stock: parts whose revenue from
-    * low-nation suppliers exceeds [[ImportantPartPerMille]]/1000 of
-    * that group total. Q11's `HAVING sum > (SELECT sum·f)` scalar
-    * subquery is a 1-row broadcast; the comparison runs in BIGINT
-    * deci-milli-cents (rev·10⁴, then ·1000 — bounded by 10⁹ rows ×
-    * 10⁹ ≪ 2⁶³) so the threshold test is exact, never a float
-    * boundary.
+    * low-nation suppliers exceeds [[ImportantPartMeanMult]]× the mean
+    * per-part revenue of that group. Q11's `HAVING sum > (SELECT
+    * sum·f)` scalar subquery is a 1-row broadcast; the comparison runs
+    * in BIGINT deci-milli-cents cross-multiplied by the part count
+    * (value·n_parts > mult·total — exact, never a float boundary;
+    * products stay < 2⁶³ through ~10⁷ parts × 10¹¹ deci-milli-cents —
+    * rescale to cents beyond that).
     *
-    * Scale: one shuffle on partkey; the total is a second pass over the
-    * SAME pre-aggregated per-part frame (part-dimension-sized, not
-    * fact-sized), so the fact table is read once. */
+    * Scale: one shuffle on partkey; the total/count is a second pass
+    * over the SAME pre-aggregated per-part frame (part-dimension-sized,
+    * not fact-sized), so the fact table is read once. */
   def importantParts(s: SparkSession, d: String): DataFrame = {
     val rev = Tables.lineitem(s, d)
       .join(broadcast(Tables.supplier(s, d)
@@ -2094,9 +2097,11 @@ object Relational {
       .groupBy(col("l_partkey"))
       .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
           * 10000, 0).cast("long")).as("value_i"))
-    val tot = rev.agg(sum(col("value_i")).as("total_i"))
+    val tot = rev.agg(sum(col("value_i")).as("total_i"),
+      count(lit(1)).as("n_parts"))
     rev.crossJoin(broadcast(tot))
-      .filter(col("value_i") * 1000 > col("total_i") * ImportantPartPerMille)
+      .filter(col("value_i") * col("n_parts") >
+        col("total_i") * ImportantPartMeanMult)
       .select(col("l_partkey").as("p_partkey"),
         (col("value_i") / lit(10000.0)).as("value"))
       .orderBy(desc("value"), asc("p_partkey"))
