@@ -212,6 +212,7 @@ object SparkEntry {
     "dedup_triangles" -> (Dedup.triangles _),
     "dedup_kcore" -> (Dedup.kcore _),
     "dedup_split_leakage" -> (Dedup.splitLeakage _),
+    "dedup_contamination_blast" -> (Dedup.contaminationBlast _),
 
     // --- similarity search (ANN over embeddings) ---
     "ann_topk_brute" -> (Similarity.bruteTopK _),
@@ -1390,6 +1391,7 @@ object SparkEntry {
     "dedup_triangles" -> DedupOracles.triangles,
     "dedup_kcore" -> DedupOracles.kcore,
     "dedup_split_leakage" -> DedupOracles.splitLeakage,
+    "dedup_contamination_blast" -> DedupOracles.contaminationBlast,
     "ann_topk_brute" -> SimilarityOracles.bruteTopK,
     "ann_topk_lsh" -> SimilarityOracles.lshTopK,
     "ann_range_search" -> SimilarityOracles.rangeSearch,

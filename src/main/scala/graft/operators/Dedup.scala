@@ -920,6 +920,59 @@ object Dedup {
   def nearDupEdgesShared(s: SparkSession, d: String): DataFrame =
     sharedEdges(s, d, "prefix")(nearDupEdges(s, d))
 
+  /** BFS horizon for [[contaminationBlast]]. */
+  val BlastMaxHops = 3
+
+  /** CONTAMINATION BLAST RADIUS — when an eval doc leaks into training
+    * data, its NEAR-DUPLICATES are leaked too: multi-source BFS from
+    * the contaminated test docs ([[Curation.contamination]]'s flag)
+    * over the exact t=0.03 near-dup graph, up to [[BlastMaxHops]] hops,
+    * each reached doc tagged with its hop distance and train/val/test
+    * split — hop ≥ 1 docs in TRAIN are the indirect leak surface a
+    * seed-only decontamination pass misses (the reason Dolma/RefinedWeb
+    * style pipelines decontaminate AFTER near-dup clustering, not
+    * before).
+    *
+    * Scale: the edge graph is the shared materialized intermediate
+    * (built once per session/corpus); each BFS round is one frontier ⋈
+    * edges equi-join + an anti-join against the reached set, with
+    * `localCheckpoint` flattening lineage per round ([[kmeansCentroids]]
+    * rule). Frontiers only shrink relative to the edge frame; rounds
+    * are bounded by the fixed horizon, and the reached set is
+    * node-sized, never edge-sized. */
+  def contaminationBlast(s: SparkSession, d: String): DataFrame = {
+    val seeds = Curation.contamination(s, d)
+      .filter(col("contaminated")).select(col("doc_id"))
+    val split = Tables.documents(s, d).select(col("doc_id"),
+      Curation.splitCol(Curation.pctBucket(col("doc_id"))).as("split"))
+    contaminationBlastOn(seeds, nearDupEdgesShared(s, d))
+      .join(split, "doc_id")
+      .select("doc_id", "hop", "split")
+      .orderBy("doc_id")
+  }
+
+  /** The BFS core of [[contaminationBlast]] over any seed set and
+    * undirected (a, b) edge frame: (doc_id, hop ∈ 0..[[BlastMaxHops]]). */
+  private[graft] def contaminationBlastOn(seeds: DataFrame,
+      edges: DataFrame): DataFrame = {
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    var reached = seeds.select(col("doc_id"), lit(0).as("hop"))
+      .localCheckpoint()
+    for (h <- 1 to BlastMaxHops) {
+      val frontier = reached.filter(col("hop") === h - 1)
+        .select(col("doc_id").as("u"))
+      val next = frontier.join(und, "u")
+        .select(col("v").as("doc_id")).distinct()
+        .join(reached.select(col("doc_id").as("r")),
+          col("doc_id") === col("r"), "left_anti")
+        .select(col("doc_id"), lit(h).as("hop"))
+      reached = reached.unionByName(next).localCheckpoint()
+    }
+    reached
+  }
+
   /** The MinHash-LSH pair graph as a shared materialized edge frame —
     * same move as [[nearDupEdgesShared]] for the production clustering
     * path: the band-join pipeline runs once per (session, corpus); the

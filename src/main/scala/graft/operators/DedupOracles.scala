@@ -613,6 +613,57 @@ object DedupOracles {
        |FROM e${Dedup.KcoreMaxRounds} GROUP BY 1 ORDER BY doc_id""".stripMargin
   }
 
+  /** Replicates [[Dedup.contaminationBlast]] — same t=0.03 edge graph,
+    * same contamination seeds, BFS rounds unrolled with MATERIALIZED
+    * reached-set CTEs (each round references the previous twice:
+    * frontier expansion + the anti-join). */
+  lazy val contaminationBlast: String = {
+    val pct = CurationOracles.pctBucketSql("doc_id::VARCHAR")
+    val rounds = (1 to Dedup.BlastMaxHops).map { h =>
+      s"""f$h AS (
+         |  SELECT DISTINCT u.v AS doc_id
+         |  FROM r${h - 1} r JOIN und u ON r.doc_id = u.u
+         |  WHERE r.hop = ${h - 1}
+         |),
+         |r$h AS MATERIALIZED (
+         |  SELECT doc_id, hop FROM r${h - 1}
+         |  UNION ALL
+         |  SELECT doc_id, $h AS hop FROM f$h
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM r${h - 1})
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $wordsCtes, $shinglesCte, $sizesCte, $interCte,
+       |edges AS MATERIALIZED (
+       |  SELECT i, j FROM inter
+       |  JOIN sizes sa ON i = sa.doc_id JOIN sizes sb ON j = sb.doc_id
+       |  WHERE c * 1.0 / (sa.sz + sb.sz - c) >=
+       |    ${Dedup.ClusterJaccardThreshold}
+       |),
+       |und AS (SELECT i AS u, j AS v FROM edges
+       |        UNION ALL SELECT j, i FROM edges),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $pct < 80 THEN 'train'
+       |         WHEN $pct < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents
+       |),
+       |tr AS (SELECT DISTINCT s FROM sh JOIN sp USING (doc_id)
+       |       WHERE split = 'train'),
+       |te AS (SELECT sh.doc_id, sh.s FROM sh JOIN sp USING (doc_id)
+       |       WHERE split = 'test'),
+       |ov AS (SELECT doc_id, count(*) AS n_ov FROM te JOIN tr USING (s)
+       |       GROUP BY 1),
+       |r0 AS MATERIALIZED (
+       |  SELECT doc_id, 0 AS hop FROM ov
+       |  WHERE n_ov >= ${graft.operators.Curation.ContaminationMinShingles}
+       |),
+       |$rounds
+       |SELECT r.doc_id, CAST(r.hop AS INTEGER) AS hop, sp.split
+       |FROM r${Dedup.BlastMaxHops} r JOIN sp USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Replicates `Dedup.splitLeakage`: the full MinHash-LSH near-dup
     * pair pipeline ([[minhashLsh]] as a derived table), each endpoint
     * tagged with its md5 train/val/test split, straddling pairs

@@ -639,4 +639,32 @@ class DedupSpec extends AnyFunSuite {
     val expect = edges.count { case (a, b) => split(a) != split(b) }
     assert(got.map(_._3).sum === expect.toLong)
   }
+
+  test("contaminationBlast BFS: planted chain stops at the horizon") {
+    import org.apache.spark.sql.functions._
+    // chain 1—2—3—4—5 plus an isolated edge 10—11; seed {1}: hops must
+    // be 1→0, 2→1, 3→2, 4→3 and STOP (5 beyond the 3-hop horizon,
+    // 10/11 unreachable). Also proves the anti-join: the cycle edge
+    // 3—1 must not re-label 1.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 1L),
+      (10L, 11L)).toDF("a", "b")
+    val seeds = Seq(1L).toDF("doc_id")
+    val got = Dedup.contaminationBlastOn(seeds, edges)
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 3))
+    // two seeds in one component: each doc keeps its NEAREST seed's hop
+    val got2 = Dedup.contaminationBlastOn(Seq(1L, 5L).toDF("doc_id"),
+      edges).as[(Long, Int)].collect().toMap
+    assert(got2 === Map(1L -> 0, 5L -> 0, 2L -> 1, 3L -> 1, 4L -> 1))
+    // driver query: seeds are exactly the contaminated docs at hop 0
+    val d0 = "/root/testdata/sf0.001"
+    val blast = Dedup.contaminationBlast(spark, d0)
+      .as[(Long, Int, String)].collect()
+    val seedsExpect = graft.operators.Curation.contamination(spark, d0)
+      .filter($"contaminated").select("doc_id").as[Long].collect().toSet
+    assert(blast.filter(_._2 == 0).map(_._1).toSet === seedsExpect)
+    blast.foreach { case (_, hop, split) =>
+      if (hop == 0) assert(split === "test", "seeds are test docs")
+    }
+  }
 }
