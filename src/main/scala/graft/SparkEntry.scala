@@ -121,6 +121,7 @@ object SparkEntry {
     "rel_basket_pairs" -> (Relational.basketPairs _),
     "events_ewma" -> (Curation.ewma _),
     "events_independence" -> (Curation.independence _),
+    "events_forecast_eval" -> (Curation.forecastEval _),
     // pipeline-gate engine features: declarative DQ audit + CDC apply
     "rel_dq_rules" -> (Relational.dqRules _),
     "rel_merge_upsert" -> (Relational.mergeUpsert _),
@@ -1437,6 +1438,7 @@ object SparkEntry {
     "events_diurnal" -> CurationOracles.diurnal,
     "events_ewma" -> CurationOracles.ewma,
     "events_independence" -> CurationOracles.independence,
+    "events_forecast_eval" -> CurationOracles.forecastEval,
     "rel_basket_pairs" ->
       """WITH dp AS (
         |  SELECT DISTINCT l_orderkey, p_brand

@@ -1005,6 +1005,37 @@ object Curation {
       .orderBy("event_id")
   }
 
+  /** SEASONAL-NAIVE FORECAST BACKTEST — the evaluation loop every
+    * capacity/traffic forecast starts from: hold out the LAST day,
+    * predict each (hour-of-day × event-type) cell as the truncating
+    * integer mean of the training days' counts (the seasonal-naive
+    * baseline any fancier model must beat), and report the held-out
+    * actual with the absolute error. All arithmetic is BIGINT
+    * (train-total `div` day count), so both engines agree exactly.
+    *
+    * Scale: ONE fact scan feeds both the train and held-out counters
+    * (conditional aggregation against the broadcast last-day scalar);
+    * the day count aggregates a #days-sized distinct frame. Output is
+    * the 24×#types cell grid. */
+  def forecastEval(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(date_trunc("day", col("ts")).as("day"),
+        hour(col("ts")).as("hour_of_day"), col("event_type"))
+    val last = ev.agg(max("day").as("last_day"))
+    val tagged = ev.crossJoin(broadcast(last))
+    val cells = tagged.groupBy("hour_of_day", "event_type")
+      .agg(count(when(col("day") < col("last_day"), lit(1))).as("n_train"),
+        count(when(col("day") === col("last_day"), lit(1))).as("actual"))
+    val nDays = tagged.filter(col("day") < col("last_day"))
+      .agg(countDistinct(col("day")).as("n_days"))
+    cells.crossJoin(broadcast(nDays))
+      .select(col("hour_of_day"), col("event_type"), col("n_train"),
+        col("n_days"), expr("n_train div n_days").as("pred"),
+        col("actual"),
+        abs(col("actual") - expr("n_train div n_days")).as("abs_err"))
+      .orderBy("hour_of_day", "event_type")
+  }
+
   /** [[independence]] flags cells whose observed/expected ratio leaves
     * [1/2, 2] — i.e. ppm outside [[IndepLowPpm]]..[[IndepHighPpm]]. */
   val IndepLowPpm = 500000L
@@ -1682,6 +1713,31 @@ object CurationOracles {
        |  round(($wsum) / (($wden) * 100.0e0), 6) AS ewma
        |FROM lagged ORDER BY event_id""".stripMargin
   }
+
+  /** Replicates [[Curation.forecastEval]] — same held-out last day,
+    * conditional train/actual counters, truncating integer mean. */
+  val forecastEval: String =
+    """WITH ev AS (
+      |  SELECT date_trunc('day', ts) AS day,
+      |    CAST(hour(ts) AS INTEGER) AS hour_of_day, event_type
+      |  FROM events
+      |),
+      |last AS (SELECT max(day) AS last_day FROM ev),
+      |cells AS (
+      |  SELECT hour_of_day, event_type,
+      |    count(CASE WHEN day < last_day THEN 1 END) AS n_train,
+      |    count(CASE WHEN day = last_day THEN 1 END) AS actual
+      |  FROM ev CROSS JOIN last GROUP BY 1, 2
+      |),
+      |nd AS (
+      |  SELECT count(DISTINCT day) AS n_days
+      |  FROM ev CROSS JOIN last WHERE day < last_day
+      |)
+      |SELECT hour_of_day, event_type, n_train, n_days,
+      |  n_train // n_days AS pred, actual,
+      |  abs(actual - n_train // n_days) AS abs_err
+      |FROM cells CROSS JOIN nd
+      |ORDER BY hour_of_day, event_type""".stripMargin
 
   /** Replicates [[Curation.independence]] — identical integer ppm
     * cross-multiplication (`div` ≡ `//`, both truncating). */

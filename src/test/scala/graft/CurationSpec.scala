@@ -525,6 +525,21 @@ class CurationSpec extends AnyFunSuite {
     assert(byHour.nonEmpty)
   }
 
+  test("forecastEval: mass conserved, pred is the truncating train mean") {
+    import org.apache.spark.sql.functions._
+    val rows = Curation.forecastEval(spark, d)
+      .as[(Int, String, Long, Long, Long, Long, Long)].collect()
+    val total = Tables.events(spark, d).count()
+    assert(rows.map(r => r._3 + r._6).sum === total,
+      "train + held-out must partition the corpus")
+    rows.foreach { case (_, _, nTrain, nDays, pred, actual, err) =>
+      assert(pred === nTrain / nDays)
+      assert(err === math.abs(actual - pred))
+    }
+    // the backtest is non-trivial: some cells must miss
+    assert(rows.exists(_._7 > 0))
+  }
+
   test("basketPairs: lift recomputes from exact counts, bounds hold") {
     import graft.operators.Relational
     val rows = Relational.basketPairs(spark, d)
