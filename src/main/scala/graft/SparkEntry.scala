@@ -293,6 +293,8 @@ object SparkEntry {
       (graft.streaming.EventStream.cusumStreamVerified _),
     "events_ewma_stream" ->
       (graft.streaming.EventStream.ewmaStreamVerified _),
+    "events_anomaly_stream" ->
+      (graft.streaming.EventStream.anomalyStreamVerified _),
     "events_throttle_stream" ->
       (graft.streaming.EventStream.throttleStreamVerified _),
 
@@ -1469,6 +1471,27 @@ object SparkEntry {
     "events_cusum_stream" -> CurationOracles.cusum,
     // streaming EWMA ≡ the batch lag-tap window query, same oracle
     "events_ewma_stream" -> CurationOracles.ewma,
+    // online 3-sigma vs PREDECESSOR stats: HUGEINT running-window twin
+    "events_anomaly_stream" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, event_type, value,
+         |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS v6
+         |  FROM events
+         |),
+         |run AS (
+         |  SELECT event_id, event_type, value, v6,
+         |    count(*) OVER w AS n_p,
+         |    coalesce(sum(v6) OVER w, 0) AS s6_p,
+         |    coalesce(sum(v6 * v6) OVER w, 0) AS q6_p
+         |  FROM ev
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |)
+         |SELECT event_id, event_type, value FROM run
+         |WHERE n_p >= ${graft.streaming.EventStream.AnomMinPriorN}
+         |  AND (n_p * v6 - s6_p) * (n_p * v6 - s6_p)
+         |      > 9 * (n_p * q6_p - s6_p * s6_p)
+         |ORDER BY event_id""".stripMargin,
     // streaming rate limiter's reject stream ≡ the batch window rule:
     // everything past the per-(user, UTC day) admission cap
     "events_throttle_stream" ->

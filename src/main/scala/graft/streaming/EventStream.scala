@@ -941,4 +941,83 @@ object EventStream {
         round(col("wsum") / (col("wden") * lit(100.0)), 6).as("ewma"))
       .orderBy("event_id")
   }
+
+  // ------------------------------------------------------------------
+  // streaming anomaly detection (online running-stats outliers)
+  // ------------------------------------------------------------------
+
+  case class AnomEv(event_type: String, event_id: Long, value: Double)
+  case class AnomSt(n: Long, s6: String, q6: String)
+  case class AnomOut(event_id: Long, event_type: String, value: Double)
+
+  /** An event is only tested once its type has this much history —
+    * running stats on a near-empty prefix flag everything. */
+  val AnomMinPriorN = 30L
+
+  /** ONLINE anomaly detection — the streaming counterpart of
+    * `Curation.outliers`: per event type the carried state is the
+    * exact running (count, Σv6, Σv6²) and each arriving event is
+    * 3σ-tested against the statistics of its PREDECESSORS (the online
+    * monitor's frame — the batch audit uses final whole-corpus stats,
+    * so the two operators answer different questions and keep separate
+    * oracles). The test is the same cross-multiplied no-division
+    * integer comparison ((n·v6 − s6)² > 9(n·q6 − s6²)); sums live in
+    * BigInt (Σv6² overflows a long at ~10⁵ events/type), serialized as
+    * decimal strings in the 3-field keyed state — the DuckDB oracle
+    * replicates the prefix frame with HUGEINT running windows,
+    * bit-exactly.
+    *
+    * v6 parity: `BigDecimal.valueOf(value).setScale(6, HALF_UP)` is
+    * the same toString-based conversion Spark's double→DECIMAL(18,6)
+    * cast performs.
+    *
+    * Scale: state is three numbers per event TYPE (a handful of keys);
+    * output is the append-only alarm stream. Per-key in-batch ordering
+    * by the arrival key, cross-batch ordering from the source — the
+    * [[cusumStateful]] contract. */
+  def anomalyStateful(events: Dataset[AnomEv]): Dataset[AnomOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomSt, AnomOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (tpe: String, it: Iterator[AnomEv], state: GroupState[AnomSt]) =>
+          val st = state.getOption.getOrElse(AnomSt(0L, "0", "0"))
+          var n = st.n
+          var s6 = BigInt(st.s6)
+          var q6 = BigInt(st.q6)
+          val out = it.toSeq.sortBy(_.event_id).flatMap { e =>
+            val v6 = BigInt(java.math.BigDecimal.valueOf(e.value)
+              .setScale(6, java.math.RoundingMode.HALF_UP).unscaledValue())
+            val flagged = n >= AnomMinPriorN && {
+              val dev = BigInt(n) * v6 - s6
+              dev * dev > 9 * (BigInt(n) * q6 - s6 * s6)
+            }
+            n += 1; s6 += v6; q6 += v6 * v6
+            if (flagged) Some(AnomOut(e.event_id, tpe, e.value)) else None
+          }
+          state.update(AnomSt(n, s6.toString, q6.toString))
+          out.iterator
+      }
+  }
+
+  /** Driver-surface run of [[anomalyStateful]]: parquet sink,
+    * AvailableNow, total order on the arrival key. */
+  def anomalyStreamVerified(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (out, ckpt) = scratchDirs("anomaly")
+    val ss = streamSession(s)
+    val ev = readEventStream(ss, d)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .as[AnomEv]
+    val q = anomalyStateful(ev).toDF()
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val res = s.read.parquet(out).localCheckpoint()
+    deleteRecursively(out, ckpt)
+    res.select("event_id", "event_type", "value").orderBy("event_id")
+  }
 }

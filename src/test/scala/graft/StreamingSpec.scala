@@ -586,6 +586,45 @@ class StreamingSpec extends AnyFunSuite {
       .map(k => 1L << (EwmaLags - k).toInt).sum)
   }
 
+  test("streaming anomaly carries exact running stats across batches") {
+    import graft.streaming.EventStream.{AnomEv, AnomOut}
+    // 35 quiet events (values 10.00 ± 0.02), then a spike, then quiet:
+    // the spike (event 36) must alarm against predecessor stats; the
+    // split lands right before it, so the stats crossed state. BigInt
+    // sums are recomputed independently over the unsplit stream.
+    val quiet = (1 to 40).map(i =>
+      AnomEv("click", i.toLong, 10.0 + 0.02 * (i % 3 - 1)))
+    val all = quiet.take(35) ++ Seq(AnomEv("click", 36L, 500.0)) ++
+      quiet.drop(35).map(e => e.copy(event_id = e.event_id + 1))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[AnomEv]
+    val q = EventStream.anomalyStateful(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("anom_out").start()
+    try {
+      mem.addData(all.take(35))
+      q.processAllAvailable()
+      mem.addData(all.drop(35))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("anom_out").as[AnomOut].collect()
+      .map(_.event_id).toSet
+    var n = 0L; var s6 = BigInt(0); var q6 = BigInt(0)
+    val expected = all.flatMap { e =>
+      val v6 = BigInt(java.math.BigDecimal.valueOf(e.value)
+        .setScale(6, java.math.RoundingMode.HALF_UP).unscaledValue())
+      val f = n >= EventStream.AnomMinPriorN && {
+        val dev = BigInt(n) * v6 - s6
+        dev * dev > 9 * (BigInt(n) * q6 - s6 * s6)
+      }
+      n += 1; s6 += v6; q6 += v6 * v6
+      if (f) Some(e.event_id) else None
+    }.toSet
+    assert(got === expected)
+    assert(expected.contains(36L), "the spike must alarm")
+    assert(!expected.exists(_ <= 35L), "quiet prefix must not alarm")
+  }
+
   test("sessionStats conserves sessions, events, and durations") {
     val d = "/root/testdata/sf0.001"
     val sess = EventStream.sessionizeBatch(spark, d)
