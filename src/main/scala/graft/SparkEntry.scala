@@ -164,6 +164,7 @@ object SparkEntry {
     "rel_scd2_lookup" -> (Relational.scd2Lookup _),
     "rel_benford" -> (Relational.benford _),
     "rel_k_anonymity" -> (Relational.kAnonymity _),
+    "rel_l_diversity" -> (Relational.lDiversity _),
     // per-customer period-over-period diff: added/removed/changed
     "rel_snapshot_diff" -> (Relational.snapshotDiff _),
 
@@ -1148,6 +1149,7 @@ object SparkEntry {
     "rel_scd2" -> scd2Oracle,
     "rel_benford" -> Relational.benfordOracle,
     "rel_k_anonymity" -> Relational.kAnonymityOracle,
+    "rel_l_diversity" -> Relational.lDiversityOracle,
     // point-in-time feature lookup against the SAME scd2 pipeline
     "rel_scd2_lookup" ->
       s"""WITH dim AS (SELECT * FROM ($scd2Oracle) t),

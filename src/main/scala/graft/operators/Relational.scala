@@ -1318,6 +1318,82 @@ object Relational {
        |SELECT * FROM (SELECT * FROM viol UNION ALL SELECT * FROM summ)
        |ORDER BY row_type, nationkey NULLS FIRST, segment""".stripMargin
 
+  /** l for [[lDiversity]] — classes whose members' sensitive values
+    * span fewer than this many distinct values are homogeneity-attack
+    * targets even when k-anonymous. */
+  val LDiversityL = 3L
+
+  /** L-DIVERSITY audit (Machanavajjhala et al., ICDE'06) — the
+    * homogeneity-attack gate k-anonymity misses: a quasi-identifier
+    * class can be large yet reveal everyone's sensitive value if that
+    * value is CONSTANT within the class. Per (nation × segment) class,
+    * the sensitive attribute is the member customers' order-priority
+    * behavior; a class is l-diverse when its members' orders span ≥
+    * [[LDiversityL]] distinct priorities (distinct l-diversity — the
+    * entropy variant swaps the count for an entropy threshold on the
+    * same frame). Customers with no orders contribute no sensitive
+    * values, so an order-less class reports 0 and fails — the
+    * conservative reading.
+    *
+    * Scale: one customer⋈orders equi-join shuffled on custkey, then a
+    * class-keyed partial+final distinct-count; violation list and the
+    * ALL-rollup are class-dimension-sized. Composes with
+    * [[kAnonymity]]: a release must pass BOTH gates. */
+  def lDiversity(s: SparkSession, d: String): DataFrame =
+    lDiversityOn(Tables.customer(s, d), Tables.orders(s, d))
+
+  /** [[lDiversity]] over any customer/orders-shaped pair of frames. */
+  private[graft] def lDiversityOn(customer: DataFrame,
+      orders: DataFrame): DataFrame = {
+    val joined = customer
+      .select(col("c_custkey"), col("c_nationkey").cast("long")
+        .as("nationkey"), col("c_mktsegment").as("segment"))
+      .join(orders.select("o_custkey", "o_orderpriority"),
+        col("c_custkey") === col("o_custkey"), "left")
+    val classes = joined.groupBy("nationkey", "segment")
+      .agg(countDistinct(col("c_custkey")).as("class_size"),
+        countDistinct(col("o_orderpriority")).as("n_sensitive"))
+    val viol = classes.filter(col("n_sensitive") < LDiversityL)
+      .select(lit("class").as("row_type"), col("nationkey"),
+        col("segment"), col("class_size"), col("n_sensitive"),
+        lit(false).as("l_diverse"))
+    val summary = classes.agg(min("n_sensitive").as("min_div"),
+        count(when(col("n_sensitive") < LDiversityL, lit(1)))
+          .as("n_at_risk"),
+        sum("class_size").as("n_rows"))
+      .select(lit("summary").as("row_type"),
+        lit(null).cast("long").as("nationkey"), lit("ALL").as("segment"),
+        col("n_rows").as("class_size"), col("min_div").as("n_sensitive"),
+        (col("min_div") >= LDiversityL).as("l_diverse"))
+    viol.union(summary)
+      .orderBy(col("row_type"), col("nationkey"), col("segment"))
+  }
+
+  /** DuckDB twin of [[lDiversity]]. */
+  private[graft] def lDiversityOracle: String =
+    s"""WITH cls AS (
+       |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       |    c_mktsegment AS segment,
+       |    count(DISTINCT c_custkey) AS class_size,
+       |    count(DISTINCT o_orderpriority) AS n_sensitive
+       |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       |  GROUP BY 1, 2
+       |),
+       |viol AS (
+       |  SELECT 'class' AS row_type, nationkey, segment, class_size,
+       |    n_sensitive, false AS l_diverse
+       |  FROM cls WHERE n_sensitive < $LDiversityL
+       |),
+       |summ AS (
+       |  SELECT 'summary' AS row_type, CAST(NULL AS BIGINT) AS nationkey,
+       |    'ALL' AS segment, CAST(sum(class_size) AS BIGINT) AS class_size,
+       |    CAST(min(n_sensitive) AS BIGINT) AS n_sensitive,
+       |    min(n_sensitive) >= $LDiversityL AS l_diverse
+       |  FROM cls
+       |)
+       |SELECT * FROM (SELECT * FROM viol UNION ALL SELECT * FROM summ)
+       |ORDER BY row_type, nationkey NULLS FIRST, segment""".stripMargin
+
   /** Benford expected first-digit shares in ppm — round(log₁₀(1+1/d)·10⁶)
     * precomputed so neither engine evaluates a log; they sum to exactly
     * 10⁶. */

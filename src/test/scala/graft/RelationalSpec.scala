@@ -535,6 +535,39 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("lDiversity: planted homogeneous class violates, diverse passes") {
+    // class (1, 'A'): two customers whose orders are ALL '1-URGENT' —
+    // k-anonymity would pass it at k=2, l-diversity must flag it.
+    // class (2, 'B'): three distinct priorities — passes. A customer
+    // with no orders (class (3, 'C')) reports 0 and fails.
+    val cust = Seq(
+      (1L, 1, "A"), (2L, 1, "A"),
+      (3L, 2, "B"), (4L, 2, "B"),
+      (5L, 3, "C"))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+    val ords = Seq(
+      (1L, "1-URGENT"), (1L, "1-URGENT"), (2L, "1-URGENT"),
+      (3L, "1-URGENT"), (3L, "2-HIGH"), (4L, "5-LOW"))
+      .toDF("o_custkey", "o_orderpriority")
+    val got = Relational.lDiversityOn(cust, ords)
+      .as[(String, Option[Long], String, Long, Long, Boolean)].collect()
+    val classes = got.filter(_._1 == "class")
+      .map(r => (r._2.get, r._3) -> ((r._4, r._5))).toMap
+    assert(classes === Map((1L, "A") -> ((2L, 1L)),
+      (3L, "C") -> ((1L, 0L))), got.mkString("; "))
+    val summary = got.find(_._1 == "summary").get
+    assert(summary._5 === 0L && !summary._6,
+      "release bar must fail while any class is homogeneous")
+    // driver corpus: the summary verdict must agree with the violation
+    // list (l_diverse ⇔ no class rows) — at sf0.001 small classes DO
+    // violate, so both paths are exercised end-to-end
+    val real = Relational.lDiversity(spark, d)
+      .as[(String, Option[Long], String, Long, Long, Boolean)].collect()
+    val nViol = real.count(_._1 == "class")
+    val verdict = real.find(_._1 == "summary").get._6
+    assert(verdict === (nViol == 0))
+  }
+
   test("TPC-H final batch keeps its scale plan shapes") {
     // Q6 analog: every predicate reaches the parquet scan, projection
     // pruned to the three columns the query touches
