@@ -129,7 +129,8 @@ object Bench {
     for ((kind, build) <- Seq[(String, () => org.apache.spark.sql.DataFrame)](
         "prefix" -> (() => operators.Dedup.nearDupEdgesShared(spark, sfDir)),
         "minhash" -> (() => operators.Dedup.minhashEdgesShared(spark, sfDir)),
-        "embedding" -> (() => operators.Dedup.embeddingEdgesShared(spark, sfDir)))) {
+        "embedding" -> (() => operators.Dedup.embeddingEdgesShared(spark, sfDir)),
+        "truth" -> (() => operators.Dedup.truthPairsShared(spark, sfDir)))) {
       val t0 = System.nanoTime()
       try {
         build()
