@@ -211,6 +211,7 @@ object SparkEntry {
     // each near-dup cluster (min doc_id on ties), not the min-id one
     "dedup_keep_best" -> (Dedup.keepBest _),
     "dedup_pagerank" -> (Dedup.pageRank _),
+    "dedup_communities" -> (Dedup.lpaCommunities _),
     "dedup_triangles" -> (Dedup.triangles _),
     "dedup_kcore" -> (Dedup.kcore _),
     "dedup_split_leakage" -> (Dedup.splitLeakage _),
@@ -220,6 +221,7 @@ object SparkEntry {
     "ann_topk_brute" -> (Similarity.bruteTopK _),
     "ann_topk_lsh" -> (Similarity.lshTopK _),
     "ann_topk_ivf" -> (Similarity.ivfTopK _),
+    "ann_kcenter" -> (Similarity.kcenterSelect _),
     "ann_topk_ivf_kmeans" -> (Similarity.ivfKmeansTopK _),
     // product quantization: 2-byte codes + integer ADC lookup scoring
     "ann_topk_pq" -> (Similarity.pqTopK _),
@@ -326,6 +328,7 @@ object SparkEntry {
     // repeated-boilerplate detection at chunk granularity: duplicated
     // 32-token chunk contents across (and within) documents
     "text_chunk_dedup" -> (Curation.chunkDedup _),
+    "text_boilerplate" -> (Curation.boilerplateStrip _),
     // concat-then-split sequence packing: md5-sharded running token
     // offsets place each doc at (seq_id, seq_offset) of its pack stream
     "text_sequence_pack" -> (Curation.sequencePack _),
@@ -1393,6 +1396,7 @@ object SparkEntry {
     "dedup_spans" -> DedupOracles.dupSpans,
     "dedup_keep_best" -> DedupOracles.keepBest,
     "dedup_pagerank" -> DedupOracles.pageRank,
+    "dedup_communities" -> DedupOracles.lpaCommunities,
     "dedup_triangles" -> DedupOracles.triangles,
     "dedup_kcore" -> DedupOracles.kcore,
     "dedup_split_leakage" -> DedupOracles.splitLeakage,
@@ -1401,6 +1405,7 @@ object SparkEntry {
     "ann_topk_lsh" -> SimilarityOracles.lshTopK,
     "ann_range_search" -> SimilarityOracles.rangeSearch,
     "ann_topk_ivf" -> SimilarityOracles.ivfTopK,
+    "ann_kcenter" -> SimilarityOracles.kcenterSelect,
     "ann_topk_ivf_kmeans" -> SimilarityOracles.ivfKmeansTopK,
     "ann_topk_pq" -> SimilarityOracles.pqTopK,
     "ann_topk_pq_trained" -> SimilarityOracles.pqTrainedTopK,
@@ -1533,6 +1538,7 @@ object SparkEntry {
     "text_redact_pii" -> CurationOracles.redactPii,
     "text_chunks" -> CurationOracles.chunkDocs,
     "text_chunk_dedup" -> CurationOracles.chunkDedup,
+    "text_boilerplate" -> CurationOracles.boilerplateStrip,
     "text_sequence_pack" -> CurationOracles.sequencePack,
     "text_select_quality" -> CurationOracles.selectTopQuality,
     "text_domain_rebalance" -> CurationOracles.domainRebalance,

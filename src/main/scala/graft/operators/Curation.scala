@@ -664,6 +664,70 @@ object Curation {
       .filter(col("n_occurrences") > 1)
       .orderBy("chunk_hash")
 
+  /** A chunk content present in at least this many DISTINCT documents
+    * counts as boilerplate for [[boilerplateStrip]] (C4 removes lines
+    * repeated 3+ times corpus-wide; shared with the generated oracle). */
+  val BoilerplateMinDocs = 3L
+
+  /** BOILERPLATE STRIPPING report — the C4/CCNet cleanup step one level
+    * up from [[chunkDedup]]'s detector: chunk contents recurring in ≥
+    * [[BoilerplateMinDocs]] DISTINCT documents (page footers, license
+    * blocks, navigation bars) are marked boilerplate, and each document
+    * reports how much of it would survive the strip — kept tokens and
+    * the removed fraction in exact integer parts-per-million (`div`, no
+    * float division, so both engines agree bit-exactly). Documents made
+    * EMPTY by the strip (`kept_tokens = 0`) are the docs a pipeline
+    * drops outright; the ppm column is the corpus-health dial.
+    *
+    * Scale: map-only chunk hashing (only 60-bit hashes shuffle, never
+    * chunk text), a partial+final distinct-doc count per hash, one
+    * hash equi-join of the chunk frame against the (much smaller)
+    * boilerplate-hash frame, then a per-doc partial+final aggregate —
+    * linear end to end, no all-pairs stage, no window. The frequency
+    * side is the exact shape of [[chunkDedup]], so at 100 TB the two
+    * share one intermediate. */
+  def boilerplateStrip(s: SparkSession, d: String): DataFrame =
+    boilerplateStripOn(Tables.documents(s, d))
+
+  /** [[boilerplateStrip]] over any (doc_id, text) DataFrame. */
+  private[graft] def boilerplateStripOn(docs: DataFrame): DataFrame = {
+    val chunks = docs
+      .select(col("doc_id"), graft.functions.WordShingles(col("text"), 1)
+        .as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
+        col("ws"))
+      .filter(col("n_tokens") > 0) // zero-token docs: see chunkDocs
+      .select(col("doc_id"), col("n_tokens"),
+        explode(expr(s"sequence(0, (n_tokens - 1) div $ChunkTokens)"))
+          .as("chunk_idx"),
+        col("ws"))
+      .select(col("doc_id"), col("n_tokens"),
+        least(lit(ChunkTokens),
+          col("n_tokens") - col("chunk_idx") * ChunkTokens).cast("long")
+          .as("chunk_tokens"),
+        Dedup.md5hash60(
+          expr(s"array_join(slice(ws, chunk_idx * $ChunkTokens + 1, " +
+            s"$ChunkTokens), ' ')")).as("chunk_hash"))
+    val boiler = chunks
+      .groupBy("chunk_hash")
+      .agg(countDistinct("doc_id").as("n_docs"))
+      .filter(col("n_docs") >= BoilerplateMinDocs)
+      .select("chunk_hash")
+    chunks.join(boiler, Seq("chunk_hash"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sum("chunk_tokens").as("removed_tokens"),
+        count(lit(1)).as("n_boiler_chunks"))
+      .join(chunks.select("doc_id", "n_tokens").distinct(),
+        Seq("doc_id"), "right")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_boiler_chunks"), lit(0L)).as("n_boiler_chunks"),
+        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_boiler_chunks"),
+        (col("n_tokens") - col("removed_tokens")).as("kept_tokens"),
+        expr("removed_tokens * 1000000 div n_tokens").as("removed_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** Token budget of one packed training sequence (shared with the
     * generated oracle). Real pipelines use the model context (2k-8k);
     * 256 exercises multi-doc packing on the 10-100-word fixture docs. */
@@ -1526,6 +1590,43 @@ object CurationOracles {
        |  min(doc_id) AS keep_doc
        |FROM ch GROUP BY 1 HAVING count(*) > 1
        |ORDER BY chunk_hash""".stripMargin
+  }
+
+  val boilerplateStrip: String = {
+    val ct = Curation.ChunkTokens
+    val mind = Curation.BoilerplateMinDocs
+    s"""WITH wl AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+       |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens
+       |  FROM documents
+       |),
+       |ch AS (
+       |  SELECT doc_id, n_tokens,
+       |    least($ct, n_tokens - i * $ct)::BIGINT AS chunk_tokens,
+       |    ('0x' || substr(md5(array_to_string(
+       |       ws[i * $ct + 1 : least(n_tokens, (i + 1) * $ct)], ' ')), 1, 15))::BIGINT
+       |      AS chunk_hash
+       |  FROM wl, unnest(generate_series(0, (n_tokens - 1) // $ct)) t(i)
+       |  WHERE n_tokens > 0
+       |),
+       |boiler AS (
+       |  SELECT chunk_hash FROM ch
+       |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= $mind
+       |),
+       |rem AS (
+       |  SELECT doc_id, CAST(sum(chunk_tokens) AS BIGINT) AS removed_tokens,
+       |    count(*) AS n_boiler_chunks
+       |  FROM ch WHERE chunk_hash IN (SELECT chunk_hash FROM boiler)
+       |  GROUP BY 1
+       |),
+       |dt AS (SELECT DISTINCT doc_id, n_tokens FROM ch)
+       |SELECT dt.doc_id, dt.n_tokens,
+       |  COALESCE(rem.n_boiler_chunks, 0)::BIGINT AS n_boiler_chunks,
+       |  (dt.n_tokens - COALESCE(rem.removed_tokens, 0))::BIGINT AS kept_tokens,
+       |  CAST((COALESCE(rem.removed_tokens, 0) * 1000000) // dt.n_tokens AS BIGINT)
+       |    AS removed_ppm
+       |FROM dt LEFT JOIN rem USING (doc_id)
+       |ORDER BY dt.doc_id""".stripMargin
   }
 
   /** Replicates [[Curation.sequencePackOn]]: md5 doc shard, per-shard

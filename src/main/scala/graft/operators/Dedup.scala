@@ -1408,6 +1408,63 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Synchronous rounds [[lpaCommunities]] runs — fixed so the oracle
+    * unrolls the same count (LPA converges in a handful of rounds on
+    * near-dup graphs, whose communities are small and dense). */
+  val LpaIters = 4
+
+  /** LABEL-PROPAGATION community detection (Raghavan et al. 2007) over
+    * the MinHash-LSH near-dup graph — the middle ground between
+    * [[nearDupClusters]]' single-linkage collapse (one bridge edge merges
+    * two dup families) and [[trianglesOn]]' purely local audit: each node
+    * repeatedly adopts the most common label among its neighbors, so
+    * DENSE dup families converge to one community while a single
+    * borderline bridge edge is outvoted and the families stay separate —
+    * exactly the split a reviewer wants when single-linkage
+    * over-merges.
+    *
+    * Determinism (the classic LPA pitfalls are random order and random
+    * tie-breaks): synchronous rounds, a self-vote (each node counts its
+    * own current label once — damping the 2-coloring oscillation sync
+    * updates can fall into), and total tie-break toward the SMALLEST
+    * label via one BIGINT `min_by` key `−n·2³² + lbl` (exact while
+    * n < 2³¹ and labels < 2³², both guaranteed — labels are doc ids and
+    * n is bounded by degree+1). Both engines replicate every round
+    * bit-identically.
+    *
+    * Scale: state is ONE (node, label) row per node; each round = one
+    * edge×labels equi-join, a (node, label)-keyed partial+final count,
+    * and a map-side `min_by` argmax — the [[connectedComponents]]
+    * shuffle shape, no window, no all-pairs. `localCheckpoint` per round
+    * truncates the doubling lineage. Reference analog: iterated
+    * shared-key shuffles (`mapreduce.erl:275-282`). */
+  def lpaCommunities(s: SparkSession, d: String): DataFrame =
+    lpaCommunitiesOn(minhashEdgesShared(s, d))
+
+  /** [[lpaCommunities]] over any (a, b) undirected edge list (a < b). */
+  private[graft] def lpaCommunitiesOn(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint() // consumed once per round
+    var labels = und.select(col("a").as("v")).distinct()
+      .select(col("v"), col("v").as("lbl"))
+    for (_ <- 1 to LpaIters) {
+      val votes = und
+        .join(labels.select(col("v").as("b"), col("lbl")), "b")
+        .select(col("a").as("v"), col("lbl"))
+        .union(labels) // self-vote: damps synchronous oscillation
+        .groupBy("v", "lbl").agg(count(lit(1)).as("n"))
+      labels = votes.groupBy("v")
+        .agg(expr("min_by(lbl, -n * 4294967296 + lbl)").as("lbl"))
+        .localCheckpoint()
+    }
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("comm_size"))
+    labels.join(sizes, "lbl")
+      .select(col("v").as("doc_id"), col("lbl").as("community"),
+        col("comm_size"))
+      .orderBy("doc_id")
+  }
+
   /** k for [[kcore]]: the 2-core strips every tree/pendant chain and
     * keeps only cyclically-connected duplication structure. */
   val KcoreK = 2

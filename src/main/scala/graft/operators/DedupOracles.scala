@@ -510,6 +510,36 @@ object DedupOracles {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Label propagation over the LSH pair graph — [[Dedup.LpaIters]]
+    * unrolled synchronous rounds with the identical self-vote and the
+    * same single-BIGINT `min_by` tie key `−n·2³² + lbl` as
+    * `Dedup.lpaCommunitiesOn`, so every round's argmax decisions are
+    * bit-identical. */
+  lazy val lpaCommunities: String = {
+    val rounds = (1 to Dedup.LpaIters).map { k =>
+      s"""l$k AS MATERIALIZED (
+         |  SELECT v, min_by(lbl, -n * 4294967296 + lbl) AS lbl FROM (
+         |    SELECT x.v, x.lbl, count(*) AS n FROM (
+         |      SELECT u.a AS v, p.lbl FROM und u JOIN l${k - 1} p ON u.b = p.v
+         |      UNION ALL SELECT v, lbl FROM l${k - 1}
+         |    ) x GROUP BY 1, 2
+         |  ) GROUP BY v
+         |)""".stripMargin
+    }.mkString(",\n")
+    val last = s"l${Dedup.LpaIters}"
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT doc_a AS a, doc_b AS b FROM ($minhashLsh) t),
+       |und AS MATERIALIZED (
+       |  SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+       |l0 AS (SELECT DISTINCT a AS v, a AS lbl FROM und),
+       |$rounds
+       |SELECT $last.v AS doc_id, $last.lbl AS community, s.comm_size
+       |FROM $last JOIN (
+       |  SELECT lbl, count(*) AS comm_size FROM $last GROUP BY 1
+       |) s ON $last.lbl = s.lbl
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Replicates `Dedup.bandingSweep`: one signature CTE, four
     * band-config candidate sets (md5-of-joined-minhash band keys), all
     * audited against the lossless inverted-index truth at the

@@ -1074,6 +1074,90 @@ object Similarity {
         col("rank_sem"), col("rank_lex"), round(col("rrf"), 9).as("rrf"))
       .orderBy("query_id", "rank")
   }
+
+  /** Centers [[kcenterSelect]] picks (fixed so the oracle unrolls the
+    * same greedy rounds). */
+  val KCenterK = 8
+
+  /** GREEDY K-CENTER coreset selection (Gonzalez 1985 farthest-first
+    * traversal, the 2-approximation for the k-center objective) — the
+    * DIVERSITY-side data-pruning primitive: where [[Dedup.semanticClusters]]
+    * removes redundancy, this picks the k vectors that maximally SPREAD
+    * over the embedding space (coreset seeds for active learning,
+    * balanced eval-slice selection, k-means++-style init). Start from
+    * the smallest vec_id, then repeatedly add the point farthest from
+    * every already-picked center. Emits per center its selection round,
+    * the distance that made it the argmax (`sel_d2` — monotonically
+    * non-increasing, the coverage-radius curve), and its final Voronoi
+    * cell size and radius.
+    *
+    * Determinism: all distances are exact integer L2² over floor(x·2²⁰)
+    * components (|comp| ≤ 2²⁰, dim ≤ 64 ⇒ d2 ≤ 2⁴⁸ < 2⁶³ — no
+    * overflow); the argmax is the two-phase max-then-min-id rule (both
+    * engines compute `max(d2)` then `min(vec_id)` among attainers), and
+    * cell assignment breaks distance ties toward the smaller center id
+    * — every greedy decision replicates bit-identically in DuckDB.
+    *
+    * Scale: state is ONE (vec_id, qv, d2) row per corpus vector; each
+    * of the k−1 rounds is a 1-row broadcast max, a 1-row broadcast
+    * center fetch, and one map-only `least` update — linear in n per
+    * round, no pairwise join, no window; `localCheckpoint` keeps the
+    * lineage flat. The final assignment is one n×k broadcast
+    * cross-score (k is a small constant). */
+  def kcenterSelect(s: SparkSession, d: String): DataFrame =
+    kcenterSelectOn(emb(s, d))
+
+  /** [[kcenterSelect]] over any (vec_id, embedding) frame. */
+  private[graft] def kcenterSelectOn(e: DataFrame): DataFrame = {
+    val d2 = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    val qvec = e.select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * LshBuckets.QuantScale)).as("qv"))
+      .localCheckpoint() // scanned once per greedy round
+    val first = qvec.agg(min("vec_id").as("cid")).localCheckpoint()
+    var centers = first.select(col("cid"), lit(1).as("round"),
+      lit(0L).as("sel_d2"))
+    val cv1 = qvec.join(broadcast(first), col("vec_id") === col("cid"))
+      .select(col("qv").as("cv"))
+    var dist = qvec.crossJoin(broadcast(cv1))
+      .select(col("vec_id"), col("qv"), d2(col("qv"), col("cv")).as("d2"))
+      .localCheckpoint()
+    for (k <- 2 to KCenterK) {
+      // two-phase deterministic argmax: max distance, then smallest id
+      // among its attainers — replicated verbatim by the oracle
+      val md = dist.agg(max("d2").as("md"))
+      val nxt = dist.crossJoin(broadcast(md))
+        .filter(col("d2") === col("md"))
+        .agg(min("vec_id").as("cid"), min("md").as("md"))
+        .localCheckpoint()
+      centers = centers.union(
+        nxt.select(col("cid"), lit(k).as("round"), col("md").as("sel_d2")))
+      val cv = qvec.join(broadcast(nxt.select("cid")),
+          col("vec_id") === col("cid"))
+        .select(col("qv").as("cv"))
+      dist = dist.crossJoin(broadcast(cv))
+        .select(col("vec_id"), col("qv"),
+          least(col("d2"), d2(col("qv"), col("cv"))).as("d2"))
+        .localCheckpoint()
+    }
+    val cset = centers.localCheckpoint()
+    val cdims = qvec.join(broadcast(cset.select("cid")),
+        col("vec_id") === col("cid"))
+      .select(col("cid"), col("qv").as("cv"))
+    // final Voronoi assignment: nearest center, ties to the smaller id
+    val assign = qvec.crossJoin(broadcast(cdims))
+      .select(col("vec_id"), col("cid"), d2(col("qv"), col("cv")).as("d2"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.d2").as("d2"))
+    assign.groupBy("cid")
+      .agg(count(lit(1)).as("cell_size"), max("d2").as("cell_radius_d2"))
+      .join(cset, "cid")
+      .select(col("round"), col("cid").as("center_id"), col("sel_d2"),
+        col("cell_size"), col("cell_radius_d2"))
+      .orderBy("round")
+  }
 }
 
 /** DuckDB oracles for [[Similarity]], generated from the same constants. */
@@ -1812,5 +1896,59 @@ object SimilarityOracles {
        |  FROM fused
        |) WHERE rn <= $RrfK
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Replicates [[Similarity.kcenterSelectOn]]: the same
+    * [[Similarity.KCenterK]]−1 unrolled greedy rounds in exact integer
+    * L2², the identical two-phase max-then-min-id argmax, and the same
+    * (d2, cid)-ordered final Voronoi assignment. */
+  lazy val kcenterSelect: String = {
+    import graft.functions.LshBuckets.QuantScale
+    val rounds = (2 to Similarity.KCenterK).map { k =>
+      s"""m$k AS (SELECT max(d2) AS md FROM dist${k - 1}),
+         |c$k AS MATERIALIZED (
+         |  SELECT min(vec_id) AS cid, min(md) AS md
+         |  FROM dist${k - 1}, m$k WHERE d2 = md),
+         |nd$k AS (
+         |  SELECT p.vec_id, CAST(sum((p.qv - c.qv) * (p.qv - c.qv)) AS BIGINT) AS nd
+         |  FROM dims p JOIN (
+         |    SELECT d, qv FROM dims JOIN c$k ON vec_id = cid) c USING (d)
+         |  GROUP BY 1),
+         |dist$k AS MATERIALIZED (
+         |  SELECT a.vec_id, least(a.d2, b.nd) AS d2
+         |  FROM dist${k - 1} a JOIN nd$k b USING (vec_id))""".stripMargin
+    }.mkString(",\n")
+    val centerRows = (2 to Similarity.KCenterK)
+      .map(k => s"SELECT $k AS round, cid, md AS sel_d2 FROM c$k")
+      .mkString("\n  UNION ALL ")
+    s"""WITH dims AS MATERIALIZED (
+       |  SELECT vec_id, d, floor(embedding[d]::DOUBLE * $QuantScale)::BIGINT AS qv
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(d)
+       |),
+       |c1 AS (SELECT min(vec_id) AS cid FROM dims),
+       |dist1 AS MATERIALIZED (
+       |  SELECT p.vec_id, CAST(sum((p.qv - c.qv) * (p.qv - c.qv)) AS BIGINT) AS d2
+       |  FROM dims p JOIN (SELECT d, qv FROM dims JOIN c1 ON vec_id = cid) c USING (d)
+       |  GROUP BY 1),
+       |$rounds,
+       |centers AS (
+       |  SELECT 1 AS round, cid, 0::BIGINT AS sel_d2 FROM c1
+       |  UNION ALL $centerRows
+       |),
+       |cdims AS (
+       |  SELECT ct.cid, dims.d, dims.qv
+       |  FROM dims JOIN centers ct ON dims.vec_id = ct.cid),
+       |adist AS MATERIALIZED (
+       |  SELECT p.vec_id, c.cid, CAST(sum((p.qv - c.qv) * (p.qv - c.qv)) AS BIGINT) AS d2
+       |  FROM dims p JOIN cdims c USING (d) GROUP BY 1, 2),
+       |am AS (SELECT vec_id, min(d2) AS md FROM adist GROUP BY 1),
+       |assign AS (
+       |  SELECT a.vec_id, min(a.cid) AS acid, a.d2
+       |  FROM adist a JOIN am ON a.vec_id = am.vec_id AND a.d2 = am.md
+       |  GROUP BY a.vec_id, a.d2)
+       |SELECT ct.round, ct.cid AS center_id, ct.sel_d2,
+       |  count(*) AS cell_size, max(asg.d2) AS cell_radius_d2
+       |FROM centers ct JOIN assign asg ON asg.acid = ct.cid
+       |GROUP BY 1, 2, 3 ORDER BY round""".stripMargin
   }
 }

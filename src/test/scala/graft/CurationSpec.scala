@@ -553,4 +553,33 @@ class CurationSpec extends AnyFunSuite {
     val lifts = rows.map(_._6)
     assert(lifts.exists(_ > 0.8) && lifts.exists(_ < 1.2))
   }
+
+  test("boilerplateStrip removes exactly the planted shared chunk") {
+    // three docs share one identical 32-token leading chunk (the planted
+    // boilerplate); their tails and the control docs are unique
+    val boiler = (1 to Curation.ChunkTokens).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, boiler + " tail one"),
+      (2L, boiler + " tail two is longer"),
+      (3L, boiler + " tail three"),
+      (4L, "a lone control document with few words"),
+      (5L, boiler.replace("b1", "x1") + " near miss")) // differs in tok 1
+      .toDF("doc_id", "text")
+    val rows = Curation.boilerplateStripOn(docs)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(rows.map(_._1).sorted === Seq(1L, 2L, 3L, 4L, 5L))
+    // planted chunk counted once per sharer, 32 tokens removed each
+    Seq(1L, 2L, 3L).foreach { id =>
+      val (_, n, nb, kept, ppm) = byId(id)
+      assert(nb === 1L, s"doc $id boiler chunks")
+      assert(kept === n - Curation.ChunkTokens)
+      assert(ppm === Curation.ChunkTokens * 1000000L / n)
+    }
+    // control and near-miss docs keep everything
+    Seq(4L, 5L).foreach { id =>
+      val (_, n, nb, kept, ppm) = byId(id)
+      assert(nb === 0L && kept === n && ppm === 0L, s"doc $id")
+    }
+  }
 }

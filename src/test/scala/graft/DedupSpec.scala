@@ -667,4 +667,37 @@ class DedupSpec extends AnyFunSuite {
       if (hop == 0) assert(split === "test", "seeds are test docs")
     }
   }
+
+  test("lpaCommunities keeps bridged triangles separate, matches sim") {
+    // two triangles joined by ONE bridge edge: single-linkage CC merges
+    // them into one cluster; LPA's majority vote must keep them apart
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+    val got = graft.operators.Dedup.lpaCommunitiesOn(es.toDF("a", "b"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    // independent synchronous simulation with the same self-vote and
+    // (count desc, label asc) tie-break
+    val adj = (es ++ es.map(_.swap)).groupBy(_._1)
+      .map { case (v, xs) => v -> xs.map(_._2) }
+    var lbl = adj.keySet.map(v => v -> v).toMap
+    for (_ <- 1 to graft.operators.Dedup.LpaIters) {
+      lbl = adj.map { case (v, nbrs) =>
+        val votes = (nbrs.map(lbl) :+ lbl(v))
+          .groupBy(identity).map { case (l, xs) => l -> xs.size }
+        v -> votes.toSeq.minBy { case (l, n) => (-n, l) }._1
+      }
+    }
+    val sizes = lbl.values.groupBy(identity).map { case (l, xs) => l -> xs.size }
+    assert(got.keySet === adj.keySet)
+    adj.keySet.foreach { v =>
+      assert(got(v)._1 === lbl(v), s"node $v label")
+      assert(got(v)._2 === sizes(lbl(v)).toLong, s"node $v size")
+    }
+    // the two dense families end in DIFFERENT communities
+    assert(got(1L)._1 !== got(11L)._1)
+    assert(Seq(1L, 2L, 3L).map(got(_)._1).distinct.size === 1)
+    assert(Seq(10L, 11L, 12L).map(got(_)._1).distinct.size === 1)
+  }
 }

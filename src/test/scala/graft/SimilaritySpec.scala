@@ -603,4 +603,42 @@ class SimilaritySpec extends AnyFunSuite {
       assert(ppk >= 1000, s"$lang: BPE-ish regex splits at least per word")
     }
   }
+
+  test("kcenterSelect follows farthest-first greedy on a planted line") {
+    // 1-D corpus (positions are multiples of 2^-10, exact in float AND
+    // in the 2^20 quantization) — the greedy trace is hand-simulable
+    val pts = Seq(0, 100, 50, 75, 25, 60, 10, 90, 40, 66)
+    val e = pts.zipWithIndex.map { case (p, i) =>
+      (i + 1L, Array(p / 1024.0f, 0f, 0f, 0f))
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.kcenterSelectOn(e)
+      .as[(Int, Long, Long, Long, Long)].collect()
+
+    // independent greedy in the same integer space
+    val q = pts.map(p => p.toLong * 1024L) // floor(p/2^10 * 2^20)
+    val ids = pts.indices.map(_ + 1L)
+    def d2(a: Long, b: Long) = (a - b) * (a - b)
+    var centers = Vector((ids.head, 1, 0L)) // start: min vec_id
+    var dist = ids.indices.map(i => d2(q(i), q.head)).toVector
+    for (k <- 2 to Similarity.KCenterK) {
+      val md = dist.max
+      val sel = ids.indices.filter(i => dist(i) === md).map(ids).min
+      centers :+= ((sel, k, md))
+      val si = ids.indexOf(sel)
+      dist = ids.indices.map(i => math.min(dist(i), d2(q(i), q(si)))).toVector
+    }
+    assert(got.map(r => (r._2, r._1, r._3)).toSeq === centers)
+    // Voronoi sizes: every point to nearest center (ties smaller cid)
+    val cellOf = ids.indices.map { i =>
+      centers.map { case (cid, _, _) =>
+        (d2(q(i), q(ids.indexOf(cid))), cid)
+      }.min._2
+    }
+    got.foreach { case (_, cid, _, size, rad) =>
+      val members = ids.indices.filter(i => cellOf(i) === cid)
+      assert(size === members.size.toLong, s"center $cid size")
+      assert(rad === members.map(i =>
+        d2(q(i), q(ids.indexOf(cid)))).max, s"center $cid radius")
+    }
+  }
 }
