@@ -165,6 +165,7 @@ object SparkEntry {
     "rel_benford" -> (Relational.benford _),
     "rel_k_anonymity" -> (Relational.kAnonymity _),
     "rel_l_diversity" -> (Relational.lDiversity _),
+    "rel_t_closeness" -> (Relational.tCloseness _),
     // per-customer period-over-period diff: added/removed/changed
     "rel_snapshot_diff" -> (Relational.snapshotDiff _),
 
@@ -1153,6 +1154,7 @@ object SparkEntry {
     "rel_benford" -> Relational.benfordOracle,
     "rel_k_anonymity" -> Relational.kAnonymityOracle,
     "rel_l_diversity" -> Relational.lDiversityOracle,
+    "rel_t_closeness" -> Relational.tClosenessOracle,
     // point-in-time feature lookup against the SAME scd2 pipeline
     "rel_scd2_lookup" ->
       s"""WITH dim AS (SELECT * FROM ($scd2Oracle) t),

@@ -1394,6 +1394,129 @@ object Relational {
        |SELECT * FROM (SELECT * FROM viol UNION ALL SELECT * FROM summ)
        |ORDER BY row_type, nationkey NULLS FIRST, segment""".stripMargin
 
+  /** t for [[tCloseness]], in exact ppm (0.1 — the strict end of the
+    * 0.1-0.2 working range Li et al. discuss; the fixture's class
+    * distributions top out near 0.15, so the strict setting exercises
+    * the violation list a release owner actually reviews). */
+  val TClosenessT = 100000L
+
+  /** T-CLOSENESS audit (Li, Li & Venkatasubramanian, ICDE'07) — the
+    * skewness-attack gate l-diversity misses: a class can span many
+    * DISTINCT sensitive values yet still leak if its value DISTRIBUTION
+    * differs sharply from the release's global distribution (e.g. 90%
+    * URGENT in one class vs 20% globally). Per (nation × segment)
+    * class, the Earth Mover's Distance between the class's
+    * order-priority distribution and the global one; for categorical
+    * attributes under the uniform ground metric EMD is exactly half the
+    * L1 distance — computed here in EXACT integer ppm (truncating
+    * `div`, identical both engines), so the audit is bit-deterministic.
+    * Classes whose members placed NO orders have no distribution and
+    * report the conservative maximum (1,000,000 ppm). Composes with
+    * [[kAnonymity]] and [[lDiversity]]: a release must pass all three.
+    *
+    * Scale: one customer⋈orders equi-join shuffled on custkey, two
+    * class-keyed partial+final counts, and a class × |values| scaffold
+    * (|values| = 5 priorities — broadcast); everything after the join
+    * is class-dimension-sized. */
+  def tCloseness(s: SparkSession, d: String): DataFrame =
+    tClosenessOn(Tables.customer(s, d), Tables.orders(s, d))
+
+  /** [[tCloseness]] over any customer/orders-shaped pair of frames. */
+  private[graft] def tClosenessOn(customer: DataFrame,
+      orders: DataFrame): DataFrame = {
+    val cust = customer.select(col("c_custkey"),
+      col("c_nationkey").cast("long").as("nationkey"),
+      col("c_mktsegment").as("segment"))
+    val j = cust.join(
+        orders.select(col("o_custkey"), col("o_orderpriority").as("v")),
+        col("c_custkey") === col("o_custkey"))
+      .localCheckpoint() // four consumers below
+    val classCnt = j.groupBy("nationkey", "segment", "v")
+      .agg(count(lit(1)).as("nv"))
+    val classTot = j.groupBy("nationkey", "segment")
+      .agg(count(lit(1)).as("nt"))
+    val glob = j.groupBy("v").agg(count(lit(1)).as("gv"))
+    val gtot = j.agg(count(lit(1)).as("gt"))
+    val classes = cust.select("nationkey", "segment").distinct()
+    val perClass = classes
+      .crossJoin(broadcast(glob.crossJoin(gtot)))
+      .join(classTot, Seq("nationkey", "segment"), "left")
+      .join(classCnt, Seq("nationkey", "segment", "v"), "left")
+      .select(col("nationkey"), col("segment"),
+        coalesce(col("nt"), lit(0L)).as("nt"),
+        when(coalesce(col("nt"), lit(0L)) === 0, lit(0L))
+          .otherwise(expr("coalesce(nv, 0) * 1000000 div nt")).as("pc"),
+        expr("gv * 1000000 div gt").as("pg"))
+      .groupBy("nationkey", "segment")
+      .agg(max("nt").as("n_orders"),
+        expr("sum(abs(pc - pg)) div 2").as("l1half"))
+      .select(col("nationkey"), col("segment"), col("n_orders"),
+        when(col("n_orders") === 0, lit(1000000L)).otherwise(col("l1half"))
+          .as("tvd_ppm"))
+    val viol = perClass.filter(col("tvd_ppm") > TClosenessT)
+      .select(lit("class").as("row_type"), col("nationkey"),
+        col("segment"), col("n_orders"), col("tvd_ppm"),
+        lit(false).as("t_close"))
+    val summary = perClass.agg(sum("n_orders").as("n_orders"),
+        max("tvd_ppm").as("max_tvd"),
+        count(when(col("tvd_ppm") > TClosenessT, lit(1))).as("n_viol"))
+      .select(lit("summary").as("row_type"),
+        lit(null).cast("long").as("nationkey"), lit("ALL").as("segment"),
+        col("n_orders"), col("max_tvd").as("tvd_ppm"),
+        (col("n_viol") === 0).as("t_close"))
+    viol.union(summary)
+      .orderBy(col("row_type"), col("nationkey"), col("segment"))
+  }
+
+  /** DuckDB twin of [[tCloseness]] — identical integer-ppm EMD. */
+  private[graft] def tClosenessOracle: String =
+    s"""WITH j AS MATERIALIZED (
+       |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       |    c_mktsegment AS segment, o_orderpriority AS v
+       |  FROM customer JOIN orders ON c_custkey = o_custkey
+       |),
+       |ccnt AS (SELECT nationkey, segment, v, count(*) AS nv
+       |  FROM j GROUP BY 1, 2, 3),
+       |ctot AS (SELECT nationkey, segment, count(*) AS nt
+       |  FROM j GROUP BY 1, 2),
+       |gdist AS (SELECT v, count(*) AS gv FROM j GROUP BY 1),
+       |gtot AS (SELECT count(*) AS gt FROM j),
+       |cls AS (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey,
+       |  c_mktsegment AS segment FROM customer),
+       |per AS MATERIALIZED (
+       |  SELECT nationkey, segment,
+       |    CAST(max(nt) AS BIGINT) AS n_orders,
+       |    CASE WHEN max(nt) = 0 THEN 1000000
+       |         ELSE CAST(sum(abs(pc - pg)) // 2 AS BIGINT) END AS tvd_ppm
+       |  FROM (
+       |    SELECT cls.nationkey, cls.segment,
+       |      COALESCE(ctot.nt, 0) AS nt,
+       |      CASE WHEN COALESCE(ctot.nt, 0) = 0 THEN 0
+       |           ELSE (COALESCE(ccnt.nv, 0) * 1000000) // ctot.nt
+       |      END AS pc,
+       |      (gdist.gv * 1000000) // gtot.gt AS pg
+       |    FROM cls CROSS JOIN gdist CROSS JOIN gtot
+       |    LEFT JOIN ctot ON ctot.nationkey = cls.nationkey
+       |      AND ctot.segment = cls.segment
+       |    LEFT JOIN ccnt ON ccnt.nationkey = cls.nationkey
+       |      AND ccnt.segment = cls.segment AND ccnt.v = gdist.v
+       |  ) GROUP BY 1, 2
+       |),
+       |viol AS (
+       |  SELECT 'class' AS row_type, nationkey, segment, n_orders,
+       |    tvd_ppm, false AS t_close
+       |  FROM per WHERE tvd_ppm > $TClosenessT
+       |),
+       |summ AS (
+       |  SELECT 'summary' AS row_type, CAST(NULL AS BIGINT) AS nationkey,
+       |    'ALL' AS segment, CAST(sum(n_orders) AS BIGINT) AS n_orders,
+       |    CAST(max(tvd_ppm) AS BIGINT) AS tvd_ppm,
+       |    count(CASE WHEN tvd_ppm > $TClosenessT THEN 1 END) = 0 AS t_close
+       |  FROM per
+       |)
+       |SELECT * FROM (SELECT * FROM viol UNION ALL SELECT * FROM summ)
+       |ORDER BY row_type, nationkey NULLS FIRST, segment""".stripMargin
+
   /** Benford expected first-digit shares in ppm — round(log₁₀(1+1/d)·10⁶)
     * precomputed so neither engine evaluates a log; they sum to exactly
     * 10⁶. */

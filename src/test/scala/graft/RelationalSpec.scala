@@ -568,6 +568,34 @@ class RelationalSpec extends AnyFunSuite {
     assert(verdict === (nViol == 0))
   }
 
+  test("tCloseness: skewed class violates, matching class passes") {
+    // global dist: 13×'1-URGENT' + 3×'5-LOW' of 16 → pg = 812500/187500.
+    // class (1,'A'): 4×URGENT only → pc 1000000/0, tvd = (187500 +
+    // 187500)/2 = 187500 → violates at t = 100000.
+    // class (2,'B'): 9+3 → pc 750000/250000, tvd = 62500 → passes.
+    // class (3,'C'): no orders → conservative 1000000, violates.
+    val cust = Seq(
+      (1L, 1, "A"), (2L, 2, "B"), (3L, 3, "C"))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+    val ords = (Seq.fill(4)((1L, "1-URGENT")) ++
+      Seq.fill(9)((2L, "1-URGENT")) ++ Seq.fill(3)((2L, "5-LOW")))
+      .toDF("o_custkey", "o_orderpriority")
+    val got = Relational.tClosenessOn(cust, ords)
+      .as[(String, Option[Long], String, Long, Long, Boolean)].collect()
+    val classes = got.filter(_._1 == "class")
+      .map(r => (r._2.get, r._3) -> ((r._4, r._5))).toMap
+    assert(classes === Map(
+      (1L, "A") -> ((4L, 187500L)),
+      (3L, "C") -> ((0L, 1000000L))), got.mkString("; "))
+    val summary = got.find(_._1 == "summary").get
+    assert(summary._5 === 1000000L && !summary._6)
+    // driver corpus: verdict agrees with the violation list
+    val real = Relational.tCloseness(spark, d)
+      .as[(String, Option[Long], String, Long, Long, Boolean)].collect()
+    val nViol = real.count(_._1 == "class")
+    assert(real.find(_._1 == "summary").get._6 === (nViol == 0))
+  }
+
   test("TPC-H final batch keeps its scale plan shapes") {
     // Q6 analog: every predicate reaches the parquet scan, projection
     // pruned to the three columns the query touches
