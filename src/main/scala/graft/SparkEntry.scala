@@ -208,6 +208,7 @@ object SparkEntry {
     // exact-substring dedup: maximal cross-doc duplicated word spans
     // (gaps-and-islands merge of duplicated positional shingles)
     "dedup_spans" -> (Dedup.dupSpans _),
+    "dedup_winnowing" -> (Dedup.winnowingPairs _),
     // quality-aware cluster representative: keep the longest member of
     // each near-dup cluster (min doc_id on ties), not the min-id one
     "dedup_keep_best" -> (Dedup.keepBest _),
@@ -1396,6 +1397,7 @@ object SparkEntry {
     "dedup_threshold_sweep" -> DedupOracles.thresholdSweep,
     "dedup_modality_check" -> DedupOracles.modalityCheck,
     "dedup_spans" -> DedupOracles.dupSpans,
+    "dedup_winnowing" -> DedupOracles.winnowingPairs,
     "dedup_keep_best" -> DedupOracles.keepBest,
     "dedup_pagerank" -> DedupOracles.pageRank,
     "dedup_communities" -> DedupOracles.lpaCommunities,

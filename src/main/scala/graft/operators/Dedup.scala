@@ -1264,6 +1264,86 @@ object Dedup {
       .orderBy("doc_id", "span_start")
   }
 
+  /** Window width for [[winnowingPairs]] — any shared run of
+    * ≥ W + k − 1 = 8 words is GUARANTEED to share a fingerprint (the
+    * winnowing guarantee), matching [[MinDupSpanWords]]. */
+  val WinnowW = 4
+
+  /** Fingerprints present in more than this many distinct docs are the
+    * index's stop-words (boilerplate) and are excluded from pairing —
+    * the standard density cap of a fingerprint index; [[chunkDedup]] /
+    * [[boilerplateStrip]] are the operators that AUDIT such content. */
+  val MaxFpDocs = 50L
+
+  /** Minimum shared fingerprints for a [[winnowingPairs]] row — one
+    * shared fingerprint ≈ one 8-word run, the noise floor. */
+  val MinSharedFps = 2L
+
+  /** WINNOWING fingerprint near-dup candidates (Schleimer, Wilkerson &
+    * Aiken, SIGMOD'03 — the MOSS algorithm): each document keeps, from
+    * every [[WinnowW]]-wide window of consecutive
+    * [[SpanShingleWords]]-shingle hashes, the window's MINIMUM hash.
+    * The selected set is position-robust (unlike [[chunkDedup]]'s
+    * aligned chunks) and ~1/W the density of full shingling, with the
+    * GUARANTEE that any shared run of ≥ W+k−1 words yields a shared
+    * fingerprint — the local-fingerprinting property MinHash lacks
+    * (MinHash bounds whole-document resemblance; winnowing localizes
+    * partial overlap). Emits doc pairs sharing ≥ [[MinSharedFps]]
+    * fingerprint hashes with both docs' fingerprint counts and the
+    * containment-style overlap in exact integer ppm.
+    *
+    * Only the fingerprint HASH SET feeds pairing, so the tie rule for
+    * the selected position (classic winnowing: rightmost minimum) is
+    * moot — `min(h)` per window is the whole selection, and the DuckDB
+    * oracle replicates it with the identical `min() OVER` frame.
+    *
+    * Scale: the window min runs PARTITIONED BY doc (no funnel; frame is
+    * 4 rows); fingerprints are ~n_tokens/W per doc; the pair join is an
+    * equi-join on fingerprint hash with the [[MaxFpDocs]] stop-word cap
+    * bounding per-hash fan-out (the same occupancy defense as
+    * [[simhashPairsOn]], but as a documented index rule rather than a
+    * refusal: a hash in > MaxFpDocs docs is boilerplate, not evidence
+    * of duplication). */
+  def winnowingPairs(s: SparkSession, d: String): DataFrame =
+    winnowingPairsOn(Tables.documents(s, d))
+
+  /** [[winnowingPairs]] over any (doc_id, text) frame. */
+  private[graft] def winnowingPairsOn(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+        posexplode(graft.functions.WordShingles(col("text"), SpanShingleWords))
+          .as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos"), md5hash60(col("s")).as("h"))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(WinnowW - 1), 0)
+    val fps = sh
+      .withColumn("minh", min("h").over(win))
+      // only full windows select (the first W−1 positions are covered
+      // by the window ENDING at pos W−1)
+      .filter(col("pos") >= WinnowW - 1)
+      .select(col("doc_id"), col("minh").as("h"))
+      .distinct()
+      .localCheckpoint() // counts + stop-word scan + pair join
+    val perDoc = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fps"))
+    val keep = fps.groupBy("h").agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") <= MaxFpDocs)
+      .select("h")
+    val kept = fps.join(keep, "h")
+    val pairs = kept.select(col("doc_id").as("doc_a"), col("h"))
+      .join(kept.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinSharedFps)
+    pairs
+      .join(perDoc.toDF("doc_a", "fp_a"), "doc_a")
+      .join(perDoc.toDF("doc_b", "fp_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("fp_a"), col("fp_b"),
+        expr("n_shared * 1000000 div least(fp_a, fp_b)")
+          .as("overlap_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   // ------------------------------------------------------------------
   // 11. PageRank authority over the near-dup graph
   // ------------------------------------------------------------------

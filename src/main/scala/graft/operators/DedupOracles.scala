@@ -510,6 +510,47 @@ object DedupOracles {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Replicates [[Dedup.winnowingPairsOn]]: positional 5-word shingle
+    * hashes, the identical 4-row `min() OVER` winnowing window,
+    * stop-word cap, shared-fingerprint pair counts and integer-ppm
+    * overlap. */
+  lazy val winnowingPairs: String = {
+    import Dedup.{SpanShingleWords => W, WinnowW, MaxFpDocs, MinSharedFps}
+    val shingle = (1 to W).map(k => s"ws[i+${k - 1}]").mkString(" || ' ' || ")
+    s"""WITH $wordsCtes,
+       |psh AS (
+       |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+       |    ('0x' || substr(md5($shingle), 1, 15))::BIGINT AS h
+       |  FROM wl, unnest(generate_series(1, len(ws) - ${W - 1})) t(i)
+       |),
+       |fps AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, minh AS h FROM (
+       |    SELECT doc_id, pos,
+       |      min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) AS minh
+       |    FROM psh
+       |  ) WHERE pos >= ${WinnowW - 1}
+       |),
+       |perdoc AS (SELECT doc_id, count(*) AS n_fps FROM fps GROUP BY 1),
+       |keep AS (
+       |  SELECT h FROM fps GROUP BY h
+       |  HAVING count(DISTINCT doc_id) <= $MaxFpDocs),
+       |kept AS MATERIALIZED (
+       |  SELECT f.doc_id, f.h FROM fps f JOIN keep USING (h)),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $MinSharedFps
+       |)
+       |SELECT p.doc_a, p.doc_b, p.n_shared,
+       |  pa.n_fps AS fp_a, pb.n_fps AS fp_b,
+       |  (p.n_shared * 1000000) // least(pa.n_fps, pb.n_fps) AS overlap_ppm
+       |FROM pairs p
+       |JOIN perdoc pa ON pa.doc_id = p.doc_a
+       |JOIN perdoc pb ON pb.doc_id = p.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** Label propagation over the LSH pair graph — [[Dedup.LpaIters]]
     * unrolled synchronous rounds with the identical self-vote and the
     * same single-BIGINT `min_by` tie key `−n·2³² + lbl` as

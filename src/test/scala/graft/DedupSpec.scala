@@ -668,6 +668,30 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowingPairs: shared run yields a pair, exact dup is total") {
+    def words(pfx: String, n: Int) = (1 to n).map(i => s"$pfx$i")
+    val run = words("shared", 16) // 16-word common run
+    val d1 = (words("a", 10) ++ run ++ words("a2", 6)).mkString(" ")
+    val d2 = (words("b", 7) ++ run ++ words("b2", 9)).mkString(" ")
+    val d3 = words("c", 30).mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d3))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.winnowingPairsOn(docs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // winnowing guarantee: a shared 16-word run (≥ W+k−1 = 8) must
+    // surface ≥ 2 shared fingerprints → the pair row exists
+    assert(got.contains((1L, 2L)), got.keySet.toString)
+    // unrelated docs never pair with the run-sharers
+    assert(!got.keySet.exists { case (a, b) =>
+      (a == 3L || b == 3L) && (a != 4L && b != 4L) })
+    // exact duplicate: identical fingerprint sets, overlap = 100%
+    val (_, _, ns, fa, fb, ppm) = got((3L, 4L))
+    assert(fa === fb && ns === fa && ppm === 1000000L)
+    // overlap is containment-normalized: never exceeds 100%
+    got.values.foreach(r => assert(r._6 <= 1000000L))
+  }
+
   test("lpaCommunities keeps bridged triangles separate, matches sim") {
     // two triangles joined by ONE bridge edge: single-linkage CC merges
     // them into one cluster; LPA's majority vote must keep them apart
