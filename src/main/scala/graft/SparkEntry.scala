@@ -548,6 +548,9 @@ object SparkEntry {
     // chained stateful ops: streaming dedup → windowed distinct count
     "events_distinct_stream" ->
       (graft.streaming.EventStream.distinctUsersStreamVerified _),
+    // per-window top-k leaderboard via event-time-timeout keyed state
+    "events_topk_stream" ->
+      (graft.streaming.EventStream.topkStreamVerified _),
 
     // --- streaming dedup under the engine: a self-unioned (2×) stream
     //     must collapse back to exactly-once via the state store ---
@@ -1805,6 +1808,31 @@ object SparkEntry {
         |HAVING epoch_us(date_trunc('hour', min(ts)) + INTERVAL 1 HOUR) // 1000
         |  <= (SELECT wm_ms FROM wm)
         |ORDER BY 1""".stripMargin,
+    // flatMapGroupsWithState event-time timeout fires on timeout <
+    // watermark STRICTLY (vs append-agg's ≤ eviction) — the cutoff
+    // below is `<` for exactly that reason
+    "events_topk_stream" ->
+      s"""WITH wm AS (
+         |  SELECT epoch_us(max(ts)) // 1000 - 1800000 AS wm_ms FROM events
+         |),
+         |wc AS (
+         |  SELECT epoch_us(ts) // 3600000000 AS wh, user_id, count(*) AS n
+         |  FROM events GROUP BY 1, 2
+         |),
+         |fin AS (
+         |  SELECT wc.* FROM wc, wm WHERE (wh + 1) * 3600000 < wm_ms),
+         |nu AS (SELECT wh, count(*) AS n_users FROM fin GROUP BY 1),
+         |rk AS (
+         |  SELECT wh, user_id, n,
+         |    CAST(row_number() OVER (PARTITION BY wh
+         |      ORDER BY n DESC, user_id) AS INTEGER) AS rank
+         |  FROM fin)
+         |SELECT strftime(epoch_ms(wh * 3600000), '%Y-%m-%d %H:%M:%S')
+         |    AS hour_start,
+         |  rk.rank, rk.user_id, rk.n AS n_events, nu.n_users
+         |FROM rk JOIN nu USING (wh)
+         |WHERE rk.rank <= ${graft.streaming.EventStream.TopkStreamK}
+         |ORDER BY hour_start, rank""".stripMargin,
   )
 
   /** Replicates [[graft.functions.HistQuantileAgg]] bin-for-bin: clamp

@@ -1020,4 +1020,92 @@ object EventStream {
     deleteRecursively(out, ckpt)
     res.select("event_id", "event_type", "value").orderBy("event_id")
   }
+
+  // ------------------------------------------------------------------
+  // streaming per-window top-k (event-time-timeout keyed state)
+  // ------------------------------------------------------------------
+
+  /** Leaders emitted per finalized hour window. */
+  val TopkStreamK = 5
+
+  case class TopkEv(ts: java.sql.Timestamp, user_id: Long)
+  case class TopkOut(window_h: Long, rank: Int, user_id: Long,
+      n_events: Long, n_users: Long)
+
+  /** STREAMING WINDOWED TOP-K — per hour window the [[TopkStreamK]]
+    * most active users, emitted when the watermark closes the window:
+    * the leaderboard shape (trending items, heaviest keys) that plain
+    * windowed aggregation cannot express because ranking needs the
+    * window's COMPLETE count table. Keyed state per window holds the
+    * user→count map (exactly the rows a streaming (window × user) agg
+    * would hold — same state bound, the watermark horizon) and an
+    * EVENT-TIME TIMEOUT at window end fires once the watermark passes
+    * it, emitting ranks (count DESC, user ASC — total) and the
+    * window's exact distinct-user count, then dropping the state.
+    *
+    * Finalization contract: flatMapGroupsWithState times out when
+    * `timeout < watermark` STRICTLY, with the watermark the ms-floored
+    * max event time minus 30 min ([[windowedCountsStreamVerified]]'s
+    * contract, strict rather than ≤) — the oracle applies the
+    * identical cutoff, so open trailing windows are intentionally
+    * absent from BOTH engines.
+    *
+    * Scale: state is hash-partitioned by window; each window's map is
+    * its active-user set — the same cardinality the equivalent
+    * two-stage batch agg shuffles, paid incrementally; emission is
+    * k + nothing (the map dies with the timeout). At production scale
+    * wide windows shard by (window, user-salt) with a second-level
+    * merge, the [[graft.operators.Relational]] salted-agg pattern. */
+  def topkStateful(events: Dataset[TopkEv]): Dataset[TopkOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => tsMicros(e.ts) / 3600000000L)
+      .flatMapGroupsWithState[Map[Long, Long], TopkOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (wh: Long, it: Iterator[TopkEv], state: GroupState[Map[Long, Long]]) =>
+          if (state.hasTimedOut) {
+            val m = state.get
+            state.remove()
+            val top = m.toSeq
+              .sortBy { case (u, n) => (-n, u) }.take(TopkStreamK)
+            top.iterator.zipWithIndex.map { case ((u, n), i) =>
+              TopkOut(wh, i + 1, u, n, m.size.toLong)
+            }
+          } else {
+            var m = state.getOption.getOrElse(Map.empty[Long, Long])
+            it.foreach { e =>
+              m = m.updated(e.user_id, m.getOrElse(e.user_id, 0L) + 1L)
+            }
+            state.update(m)
+            // fires once the watermark passes the window END strictly
+            state.setTimeoutTimestamp((wh + 1) * 3600000L)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Driver-surface run of [[topkStateful]]: parquet sink, AvailableNow,
+    * hour label formatted like the windowed-agg queries. */
+  def topkStreamVerified(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (out, ckpt) = scratchDirs("topk")
+    val ss = streamSession(s)
+    val ev = readEventStream(ss, d)
+      .withWatermark("ts", "30 minutes")
+      .select(col("ts"), col("user_id"))
+      .as[TopkEv]
+    val q = topkStateful(ev).toDF()
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val res = s.read.parquet(out).localCheckpoint()
+    deleteRecursively(out, ckpt)
+    res.select(
+        date_format((col("window_h") * 3600).cast("timestamp"),
+          "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("rank"), col("user_id"), col("n_events"), col("n_users"))
+      .orderBy("hour_start", "rank")
+  }
 }

@@ -642,6 +642,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(_._1).contains(1), "fixture should contain bounces")
   }
 
+  test("streaming topk merges counts across batches, emits on timeout") {
+    import graft.streaming.EventStream.{TopkEv, TopkOut}
+    // one hour window split across two micro-batches; a third batch far
+    // in the future advances the watermark past window end, firing the
+    // event-time timeout that emits the leaderboard
+    val h0 = 1700000000000L / 3600000L * 3600000L // aligned hour start
+    def ev(offMin: Int, uid: Long) =
+      TopkEv(new Timestamp(h0 + offMin * 60000L), uid)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TopkEv]
+    val q = EventStream.topkStateful(
+        mem.toDS().withWatermark("ts", "30 minutes"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("topk_out").start()
+    try {
+      mem.addData(Seq(ev(1, 1L), ev(2, 1L), ev(3, 2L)))
+      q.processAllAvailable()
+      mem.addData(Seq(ev(10, 1L), ev(11, 2L), ev(12, 3L)))
+      q.processAllAvailable()
+      // 3 hours later: watermark → h0+180−30 min, strictly past h0+60
+      mem.addData(Seq(ev(180, 9L)))
+      q.processAllAvailable()
+      mem.addData(Seq(ev(181, 9L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("topk_out").as[TopkOut].collect()
+      .filter(_.window_h === h0 / 3600000L)
+    // counts merged across the split: user 1 ×3, user 2 ×2, user 3 ×1
+    assert(got.map(o => (o.rank, o.user_id, o.n_events)).sorted.toSeq ===
+      Seq((1, 1L, 3L), (2, 2L, 2L), (3, 3L, 1L)))
+    assert(got.forall(_.n_users === 3L))
+  }
+
   test("streaming throttle carries the day counter across micro-batches") {
     import graft.streaming.EventStream.{ThrottleEv, ThrottleOut}
     import graft.operators.Curation
