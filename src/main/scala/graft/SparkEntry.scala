@@ -504,6 +504,7 @@ object SparkEntry {
     "mm_scene_cuts" -> (Multimodal.sceneCuts _),
     "text_feature_hashing" -> (TextAnalysis.featureHash _),
     "text_token_fertility" -> (TextAnalysis.tokenFertility _),
+    "text_zipf" -> (TextAnalysis.zipfSpectrum _),
     // perceptual (average-hash) image near-dup: banded, hamming-verified
     "mm_phash_pairs" -> (Multimodal.phashPairs _),
     // wide-band variant: 4 x 15-bit bands, the occupancy-guard escape
@@ -1657,6 +1658,7 @@ object SparkEntry {
     "mm_scene_cuts" -> MultimodalOracles.sceneCuts,
     "text_feature_hashing" -> TextAnalysisOracles.featureHash,
     "text_token_fertility" -> TextAnalysisOracles.tokenFertility,
+    "text_zipf" -> TextAnalysisOracles.zipfSpectrum,
     "mm_phash_pairs" -> MultimodalOracles.phashPairs,
     "mm_phash_pairs_wide" -> MultimodalOracles.phashPairsWide,
     "mm_resize" -> MultimodalOracles.resize,

@@ -693,6 +693,53 @@ object TextAnalysis {
       .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
         expr("(n_tokens * 1000) div n_words").as("fertility_ppk"))
       .orderBy("lang")
+
+  /** ZIPF FREQUENCY-SPECTRUM audit — the corpus-health check that a
+    * vocabulary's rank-frequency curve looks natural-language-shaped:
+    * per power-of-two frequency bucket (`⌊log2 f⌋` via `length(bin(f))`
+    * — exact integer, no float log), the number of DISTINCT words and
+    * total token mass, plus the word-count ratio to the next-higher
+    * bucket in exact ppm. Under Zipf's law with exponent s, the count
+    * of words in bucket b scales as 2^(−b·(1−1/s))·…; for s = 1 each
+    * doubling of frequency roughly HALVES the word count (ratio ≈
+    * 500000 ppm in the mid-spectrum) — machine-generated or template
+    * spam shows up as a spectrum collapsed into few buckets or a flat
+    * ratio — the driver fixture (uniform-vocabulary generator text)
+    * collapses to TWO buckets, which is precisely the machine-text
+    * signature this audit exists to flag; the planted-Zipf spec shows
+    * the natural-language shape. The spectrum formulation deliberately
+    * avoids ranking: a
+    * global `row_number` over the vocabulary is a single-partition
+    * funnel at 100 TB, while the log2 histogram is one partial+final
+    * aggregate over the word-count frame.
+    *
+    * Scale: one token explode → word-keyed count (map-side combine),
+    * then a ≤ 64-bucket aggregate and a self-join on bucket+1 over
+    * ≤ 64 rows. */
+  def zipfSpectrum(s: SparkSession, d: String): DataFrame =
+    zipfSpectrumOn(Tables.documents(s, d))
+
+  /** [[zipfSpectrum]] over any (doc_id, text) frame. */
+  private[graft] def zipfSpectrumOn(docs: DataFrame): DataFrame = {
+    val freq = docs
+      .select(explode(WordShingles(col("text"), 1)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val buckets = freq
+      .select((length(bin(col("f"))) - 1).as("b"), col("f"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("n_words"), sum("f").as("n_tokens"))
+    buckets
+      .join(buckets.select((col("b") - 1).as("b"),
+        col("n_words").as("n_words_next")), Seq("b"), "left")
+      .select(col("b").as("log2_bucket"),
+        expr("shiftleft(cast(1 as bigint), log2_bucket)").as("freq_lo"),
+        col("n_words"), col("n_tokens"),
+        coalesce(col("n_words_next"), lit(0L)).as("n_words_next"),
+        when(col("n_words_next").isNull, lit(null).cast("long"))
+          .otherwise(expr("n_words_next * 1000000 div n_words"))
+          .as("decay_ppm"))
+      .orderBy("log2_bucket")
+  }
 }
 
 /** DuckDB oracles for [[TextAnalysis]], generated from the same lists
@@ -1106,4 +1153,23 @@ object TextAnalysisOracles {
       |  sum(bpe)::BIGINT AS n_tokens,
       |  (sum(bpe)::BIGINT * 1000) // sum(ws)::BIGINT AS fertility_ppk
       |FROM t GROUP BY 1 ORDER BY lang""".stripMargin
+
+  /** Replicates [[TextAnalysis.zipfSpectrumOn]]: the identical
+    * `length(bin(f)) − 1` exact log2 bucketing and bucket+1 decay
+    * ratio in truncating integer ppm. */
+  val zipfSpectrum: String =
+    s"""WITH $toksCte,
+       |freq AS (SELECT w, count(*) AS f FROM toks GROUP BY 1),
+       |bkt AS (
+       |  SELECT CAST(length(bin(f)) - 1 AS INTEGER) AS b,
+       |    count(*) AS n_words, CAST(sum(f) AS BIGINT) AS n_tokens
+       |  FROM freq GROUP BY 1)
+       |SELECT a.b AS log2_bucket, (1::BIGINT << a.b) AS freq_lo,
+       |  a.n_words, a.n_tokens,
+       |  COALESCE(n2.n_words, 0) AS n_words_next,
+       |  CASE WHEN n2.n_words IS NULL THEN NULL
+       |       ELSE CAST((n2.n_words * 1000000) // a.n_words AS BIGINT)
+       |  END AS decay_ppm
+       |FROM bkt a LEFT JOIN bkt n2 ON n2.b = a.b + 1
+       |ORDER BY log2_bucket""".stripMargin
 }

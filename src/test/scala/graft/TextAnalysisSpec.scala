@@ -291,4 +291,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.nonEmpty)
     assert(got.forall(r => r._2 >= 0 && r._2 < B))
   }
+
+  test("zipfSpectrum: planted 1/r corpus halves word counts per bucket") {
+    // word of rank r appears 256/r times (Zipf s = 1, 200 ranks)
+    val freqs = (1 to 200).map(r => s"w$r" -> (256 / r)).filter(_._2 >= 1)
+    val text = freqs.flatMap { case (w, f) => Seq.fill(f)(w) }.mkString(" ")
+    val got = graft.operators.TextAnalysis
+      .zipfSpectrumOn(Seq((1L, text)).toDF("doc_id", "text"))
+      .as[(Int, Long, Long, Long, Long, Option[Long])].collect()
+    // independent recompute of the exact spectrum
+    val byB = freqs.groupBy { case (_, f) =>
+      63 - java.lang.Long.numberOfLeadingZeros(f.toLong) }
+    val exp = byB.map { case (b, ws) =>
+      b -> ((ws.size.toLong, ws.map(_._2.toLong).sum)) }
+    got.foreach { case (b, lo, nw, nt, nwn, decay) =>
+      assert(lo === (1L << b))
+      assert((nw, nt) === exp(b), s"bucket $b")
+      val next = exp.get(b + 1).map(_._1).getOrElse(0L)
+      assert(nwn === next)
+      assert(decay === (if (exp.contains(b + 1)) Some(next * 1000000L / nw)
+        else None))
+    }
+    // the Zipf signature: mid-spectrum decay is near 500000 ppm
+    val mid = got.filter(r => r._1 >= 1 && r._1 <= 5).flatMap(_._6)
+    assert(mid.nonEmpty && mid.forall(d => d > 300000L && d < 700000L),
+      got.mkString("; "))
+    // the 1/r law spans many buckets (unlike the flat driver fixture)
+    assert(got.length >= 8)
+  }
 }
