@@ -289,6 +289,7 @@ object SparkEntry {
     "events_interval_coverage" -> (Curation.intervalCoverage _),
     "events_diurnal" -> (Curation.diurnal _),
     "events_interarrival" -> (Curation.interarrival _),
+    "events_lateness" -> (Curation.lateness _),
     "rel_hll_portable" -> (Relational.hllPortable _),
     "rel_kmv_sketch" -> (Relational.kmvSketch _),
     "dedup_cluster_stats" -> (Dedup.clusterStats _),
@@ -1478,6 +1479,7 @@ object SparkEntry {
         |CROSS JOIN n_ord
         |ORDER BY brand_a, brand_b""".stripMargin,
     "events_interarrival" -> CurationOracles.interarrival,
+    "events_lateness" -> Curation.latenessOracle,
     "rel_hll_portable" -> Relational.hllPortableOracle,
     "rel_kmv_sketch" -> Relational.kmvSketchOracle,
     "dedup_cluster_stats" -> DedupOracles.clusterStats,

@@ -451,6 +451,113 @@ object Curation {
       .orderBy("log2_bucket")
   }
 
+  /** 1-in-N salting rate for [[lateness]]' planted late arrivals. */
+  val LatenessSaltMod = 20L
+  /** Max planted delay, µs (30 minutes — the suite's watermark). */
+  val LatenessMaxDelayUs = 1800000000L
+  /** Coverage target for the recommended watermark delay (99.9%). */
+  val LatenessCoverPpm = 999000L
+
+  /** EVENT-LATENESS histogram + WATERMARK PLANNER — the measurement
+    * that justifies a watermark delay instead of guessing it: per user
+    * stream, an event's lateness is how far it arrives behind the
+    * running max event time of its predecessors (arrival = event_id
+    * order — exactly the quantity a Spark watermark must cover for the
+    * event not to be dropped). Lateness is bucketed on exact log₂ µs
+    * buckets ([[interarrival]]'s `length(bin(x)) − 1` rule; bucket −1 =
+    * in-order), with cumulative coverage in integer ppm and a
+    * `recommended` flag on the FIRST bucket reaching
+    * [[LatenessCoverPpm]] — "a watermark of 2^(b+1) µs keeps ≥ 99.9% of
+    * events" read directly off the row.
+    *
+    * The driver fixture arrives perfectly ordered (0 late events), so —
+    * the [[normalize]]/[[redactPii]] dirty-first pattern — a
+    * deterministic 1-in-[[LatenessSaltMod]] md5 subset is SALTED with
+    * an md5-derived delay < [[LatenessMaxDelayUs]] before measurement;
+    * the operator must then recover that planted lateness distribution
+    * exactly (both engines salt identically).
+    *
+    * Scale: one running-max window PARTITIONED BY user (keyed, no
+    * funnel), a ≤64-bucket count, and the cumulative step is a tiny
+    * bucket×bucket triangle join — never a global window. The grand
+    * total rides a 1-row broadcast. */
+  def lateness(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val salted = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .select(col("user_id"), col("event_id"),
+        (col("us") - when(
+          Dedup.md5hash60(concat(lit("late_"), col("event_id").cast("string")))
+            % LatenessSaltMod === 0,
+          Dedup.md5hash60(concat(lit("lat2_"), col("event_id").cast("string")))
+            % LatenessMaxDelayUs).otherwise(lit(0L))).as("ets"))
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hist = salted
+      .withColumn("runmax", max("ets").over(w))
+      .select(greatest(lit(0L),
+        coalesce(col("runmax") - col("ets"), lit(0L))).as("late_us"))
+      .select(when(col("late_us") === 0, lit(-1))
+        .otherwise(length(bin(col("late_us"))) - 1).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("n"))
+    val tot = hist.agg(sum("n").as("tot"))
+    hist.select(col("b"), col("n"))
+      .join(hist.select(col("b").as("b2"), col("n").as("n2")),
+        col("b2") <= col("b"))
+      .groupBy("b", "n").agg(sum("n2").as("cum"))
+      .crossJoin(broadcast(tot))
+      .select(col("b").as("log2_bucket"),
+        when(col("b") === -1, lit(0L))
+          .otherwise(expr("shiftleft(cast(1 as bigint), b)")).as("late_lo_us"),
+        col("n"),
+        expr("cum * 1000000 div tot").as("cum_ppm"),
+        (expr("cum * 1000000 div tot") >= LatenessCoverPpm &&
+          expr("(cum - n) * 1000000 div tot") < LatenessCoverPpm)
+          .as("recommended"))
+      .orderBy("log2_bucket")
+  }
+
+  /** DuckDB twin of [[lateness]] — identical salt, running max,
+    * buckets, triangle-join cumulative and ppm arithmetic. */
+  private[graft] def latenessOracle: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us,
+       |    epoch_us(ts) - CASE WHEN
+       |      ('0x' || substr(md5('late_' || event_id), 1, 15))::BIGINT
+       |        % $LatenessSaltMod = 0
+       |      THEN ('0x' || substr(md5('lat2_' || event_id), 1, 15))::BIGINT
+       |        % $LatenessMaxDelayUs
+       |      ELSE 0 END AS ets
+       |  FROM events
+       |),
+       |lat AS (
+       |  SELECT greatest(0, COALESCE(max(ets) OVER (PARTITION BY user_id
+       |    ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |    - ets, 0)) AS late_us
+       |  FROM ev
+       |),
+       |hist AS (
+       |  SELECT CASE WHEN late_us = 0 THEN -1
+       |    ELSE CAST(length(bin(late_us)) - 1 AS INTEGER) END AS b,
+       |    count(*) AS n
+       |  FROM lat GROUP BY 1
+       |),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM hist),
+       |cum AS (
+       |  SELECT a.b, a.n, CAST(sum(c.n) AS BIGINT) AS cum
+       |  FROM hist a JOIN hist c ON c.b <= a.b
+       |  GROUP BY a.b, a.n
+       |)
+       |SELECT cum.b AS log2_bucket,
+       |  CASE WHEN cum.b = -1 THEN 0 ELSE (1::BIGINT << cum.b) END
+       |    AS late_lo_us,
+       |  cum.n, (cum.cum * 1000000) // tot.tot AS cum_ppm,
+       |  ((cum.cum * 1000000) // tot.tot >= $LatenessCoverPpm AND
+       |   ((cum.cum - cum.n) * 1000000) // tot.tot < $LatenessCoverPpm)
+       |    AS recommended
+       |FROM cum, tot
+       |ORDER BY log2_bucket""".stripMargin
+
   /** Per-(user, day) admission quota for [[throttle]]. */
   val ThrottleMaxPerDay = 3L
 

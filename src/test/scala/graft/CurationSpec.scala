@@ -554,6 +554,25 @@ class CurationSpec extends AnyFunSuite {
     assert(lifts.exists(_ > 0.8) && lifts.exists(_ < 1.2))
   }
 
+  test("lateness: histogram conserves events, planner flag is unique") {
+    val rows = Curation.lateness(spark, d)
+      .as[(Int, Long, Long, Long, Boolean)].collect()
+    val total = Tables.events(spark, d).count()
+    assert(rows.map(_._3).sum === total, "buckets must partition events")
+    // cum_ppm is monotone and ends at exactly 1e6
+    val cums = rows.sortBy(_._1).map(_._4)
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    assert(cums.last === 1000000L)
+    // exactly one recommended bucket, and it is the first ≥ 99.9%
+    val rec = rows.filter(_._5)
+    assert(rec.length === 1)
+    assert(rec.head._4 >= Curation.LatenessCoverPpm)
+    assert(rows.filter(_._1 < rec.head._1).forall(
+      _._4 < Curation.LatenessCoverPpm))
+    // the salt planted SOME late events (or the audit proves nothing)
+    assert(rows.exists(r => r._1 >= 0 && r._3 > 0))
+  }
+
   test("boilerplateStrip removes exactly the planted shared chunk") {
     // three docs share one identical 32-token leading chunk (the planted
     // boilerplate); their tails and the control docs are unique

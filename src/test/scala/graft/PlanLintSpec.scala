@@ -58,7 +58,8 @@ class PlanLintSpec extends AnyFunSuite {
     "rel_important_parts",                  // 1-row revenue-total broadcast
     "rel_basket_pairs",                     // 1-row order-count broadcast
     "events_independence",                  // 1-row grand-total broadcast
-    "events_forecast_eval")                 // 1-row last-day/day-count bcast
+    "events_forecast_eval",                 // 1-row last-day/day-count bcast
+    "events_lateness")                      // 1-row grand-total broadcast
 
   test("no ann_* plan ranks through a Window partitioned by query_id") {
     // VERDICT r6: the shared rerank tail and the PQ ranking once used
