@@ -534,6 +534,9 @@ object SparkEntry {
     // emit only for purchases the final watermark proved unmatchable
     "events_outer_join_stream" ->
       (graft.streaming.EventStream.outerJoinStreamVerified _),
+    // ANTI: unsupported natively stream-stream — LEFT OUTER + IS NULL
+    "events_anti_join_stream" ->
+      (graft.streaming.EventStream.antiJoinStreamVerified _),
     // FULL OUTER: null rows on both sides, asymmetric eviction cutoffs
     "events_full_outer_stream" ->
       (graft.streaming.EventStream.fullOuterJoinStreamVerified _),
@@ -1718,6 +1721,20 @@ object SparkEntry {
         |)
         |SELECT * FROM matched UNION ALL SELECT * FROM unmatched
         |ORDER BY p_event, c_event NULLS FIRST""".stripMargin,
+    // anti = the outer oracle's unmatched branch only (same cutoff)
+    "events_anti_join_stream" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |wm AS (
+        |  SELECT (least((SELECT epoch_us(max(ts)) // 1000 FROM p),
+        |                (SELECT epoch_us(max(ts)) // 1000 FROM c))
+        |          - 600000) * 1000 AS wm_us
+        |)
+        |SELECT p.event_id AS p_event, p.user_id, epoch_us(p.ts) AS p_us
+        |FROM p, wm WHERE epoch_us(p.ts) < wm.wm_us AND NOT EXISTS (
+        |  SELECT 1 FROM c WHERE c.user_id = p.user_id
+        |    AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts)
+        |ORDER BY p_event""".stripMargin,
     // full outer: the left cutoff is wm, the right cutoff is wm - 10min
     // (a click can match purchases up to 10 minutes after it)
     "events_full_outer_stream" ->

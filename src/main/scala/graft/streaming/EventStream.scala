@@ -467,6 +467,45 @@ object EventStream {
     res.orderBy(col("p_event").asc, col("c_event").asc_nulls_first)
   }
 
+  /** Stream-stream ANTI interval join — "purchases with NO qualifying
+    * click", the attribution-gap / fraud-screen shape. Structured
+    * Streaming does NOT support left_anti stream-stream joins, so the
+    * idiomatic construction is the supported LEFT OUTER interval join
+    * followed by a stateless IS NULL filter: the outer join's
+    * watermark-timed null rows ARE precisely the anti-join rows, with
+    * the same eviction proof (a purchase emits once wm > pts shows no
+    * future click can match). Same state bounds and cutoff contract as
+    * [[outerJoinStreamVerified]]; the oracle keeps only the unmatched
+    * branch of the outer oracle. */
+  def antiJoinStreamVerified(s: SparkSession, d: String): DataFrame = {
+    val (out, ckpt) = scratchDirs("antij")
+    val ss = streamSession(s)
+    val ev = readEventStream(ss, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event"), col("user_id"),
+        col("ts").as("pts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_event"), col("user_id").as("c_user"),
+        col("ts").as("cts"))
+    val q = purchases.withWatermark("pts", "10 minutes")
+      .join(clicks.withWatermark("cts", "10 minutes"),
+        expr("""user_id = c_user AND
+                cts >= pts - interval 10 minutes AND cts <= pts"""),
+        "left_outer")
+      .filter(col("c_event").isNull)
+      .select(col("p_event"), col("user_id"),
+        unix_micros(col("pts")).as("p_us"))
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val res = s.read.parquet(out).localCheckpoint()
+    deleteRecursively(out, ckpt)
+    res.orderBy("p_event")
+  }
+
   /** Stream-stream FULL OUTER interval join — completes the outer
     * family: null rows emit on BOTH sides, each on its OWN eviction
     * cutoff, which is asymmetric because the interval condition is.
