@@ -142,6 +142,7 @@ object SparkEntry {
     "rel_funnel" -> (Relational.funnel _),
     // first-active-day cohorts with day-1/day-7 return rates
     "rel_retention" -> (Relational.retention _),
+    "events_lifecycle" -> (Relational.lifecycle _),
     "rel_window_funcs" -> (Relational.windowFuncs _),
     "rel_grouping_sets" -> (Relational.groupingSetsAgg _),
     "rel_array_funcs" -> (Relational.arrayFuncs _),
@@ -1208,6 +1209,7 @@ object SparkEntry {
          |WHERE old.o_custkey IS NULL OR nw.o_custkey IS NULL
          |   OR n_old <> n_new OR t_old <> t_new
          |ORDER BY o_custkey""".stripMargin,
+    "events_lifecycle" -> Relational.lifecycleOracle,
     "rel_retention" ->
       """WITH ev AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events

@@ -1172,6 +1172,85 @@ object Relational {
     * frame is #users rows, and the report is #days rows. Conditional
     * `countDistinct(when(age = k))` folds both retention horizons into
     * ONE aggregation pass instead of one self-join per horizon. */
+  /** Inactivity horizon (days) separating a "returning" user from a
+    * "resurrected" one, and defining churn. Shared with the oracle. */
+  val ChurnDays = 7L
+
+  /** USER-LIFECYCLE growth accounting — the standard DAU decomposition
+    * ([[retention]] tracks cohorts forward; this classifies each active
+    * day): per day, active users split into `new` (first day ever),
+    * `retained` (active yesterday), `returning` (gap 2..[[ChurnDays]]),
+    * `resurrected` (gap > [[ChurnDays]]), plus `n_churning` — users for
+    * whom this is the last active day within the horizon (lookahead
+    * `lead`), the churn mass growth accounting subtracts. All classes
+    * are exact day-number arithmetic (`unix_micros div 86400000000` —
+    * no timezone or DST ambiguity), so the split is bit-deterministic
+    * and n_new + n_retained + n_returning + n_resurrected = n_active by
+    * construction.
+    *
+    * Scale: distinct (user, day) is a partial+final dedup; the
+    * classification windows are PARTITIONED BY user (keyed lag/lead, no
+    * funnel); the day rollup is dimension-sized. */
+  def lifecycle(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val classed = ud
+      .withColumn("prev", lag("day", 1).over(w))
+      .withColumn("nxt", lead("day", 1).over(w))
+      .select(col("day"),
+        when(col("prev").isNull, "new")
+          .when(col("day") - col("prev") === 1, "retained")
+          .when(col("day") - col("prev") <= ChurnDays, "returning")
+          .otherwise("resurrected").as("cls"),
+        (col("nxt").isNull || col("nxt") - col("day") > ChurnDays)
+          .as("lastd"))
+    classed.groupBy("day")
+      .agg(count(lit(1)).as("n_active"),
+        count(when(col("cls") === "new", 1)).as("n_new"),
+        count(when(col("cls") === "retained", 1)).as("n_retained"),
+        count(when(col("cls") === "returning", 1)).as("n_returning"),
+        count(when(col("cls") === "resurrected", 1)).as("n_resurrected"),
+        count(when(col("lastd"), 1)).as("n_churning"))
+      .select(date_format((col("day") * 86400).cast("timestamp"),
+          "yyyy-MM-dd").as("day"),
+        col("n_active"), col("n_new"), col("n_retained"),
+        col("n_returning"), col("n_resurrected"), col("n_churning"))
+      .orderBy("day")
+  }
+
+  /** DuckDB twin of [[lifecycle]] — same day numbers, windows, classes. */
+  private[graft] def lifecycleOracle: String =
+    s"""WITH ud AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+       |  FROM events
+       |),
+       |lg AS (
+       |  SELECT day, user_id,
+       |    lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev,
+       |    lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt
+       |  FROM ud
+       |),
+       |cl AS (
+       |  SELECT day,
+       |    CASE WHEN prev IS NULL THEN 'new'
+       |         WHEN day - prev = 1 THEN 'retained'
+       |         WHEN day - prev <= $ChurnDays THEN 'returning'
+       |         ELSE 'resurrected' END AS cls,
+       |    (nxt IS NULL OR nxt - day > $ChurnDays) AS lastd
+       |  FROM lg
+       |)
+       |SELECT strftime(epoch_ms(day * 86400000), '%Y-%m-%d') AS day,
+       |  count(*) AS n_active,
+       |  count(CASE WHEN cls = 'new' THEN 1 END) AS n_new,
+       |  count(CASE WHEN cls = 'retained' THEN 1 END) AS n_retained,
+       |  count(CASE WHEN cls = 'returning' THEN 1 END) AS n_returning,
+       |  count(CASE WHEN cls = 'resurrected' THEN 1 END) AS n_resurrected,
+       |  count(CASE WHEN lastd THEN 1 END) AS n_churning
+       |FROM cl GROUP BY cl.day ORDER BY 1""".stripMargin
+
   def retention(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("user_id"), to_date(col("ts")).as("day"))

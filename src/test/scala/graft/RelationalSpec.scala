@@ -568,6 +568,22 @@ class RelationalSpec extends AnyFunSuite {
     assert(verdict === (nViol == 0))
   }
 
+  test("lifecycle: classes partition active days, churn mass conserved") {
+    val rows = Relational.lifecycle(spark, d)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // the four classes partition each day's actives
+    rows.foreach { case (day, act, nw, ret, rtn, res, _) =>
+      assert(act === nw + ret + rtn + res, day)
+    }
+    // every user is new exactly once: Σ n_new = distinct users
+    val users = Tables.events(spark, d).select("user_id").distinct().count()
+    assert(rows.map(_._3).sum === users)
+    // every user eventually churns (bounded fixture): Σ n_churning ≥
+    // distinct users (a user can churn, resurrect, churn again)
+    assert(rows.map(_._7).sum >= users)
+  }
+
   test("tCloseness: skewed class violates, matching class passes") {
     // global dist: 13×'1-URGENT' + 3×'5-LOW' of 16 → pg = 812500/187500.
     // class (1,'A'): 4×URGENT only → pc 1000000/0, tvd = (187500 +
