@@ -291,6 +291,8 @@ object SparkEntry {
     "events_diurnal" -> (Curation.diurnal _),
     "events_interarrival" -> (Curation.interarrival _),
     "events_lateness" -> (Curation.lateness _),
+    "events_time_to_convert" -> (Curation.timeToConvert _),
+    "ann_ivf_balance" -> (Similarity.ivfBalance _),
     "rel_hll_portable" -> (Relational.hllPortable _),
     "rel_kmv_sketch" -> (Relational.kmvSketch _),
     "dedup_cluster_stats" -> (Dedup.clusterStats _),
@@ -1485,6 +1487,8 @@ object SparkEntry {
         |ORDER BY brand_a, brand_b""".stripMargin,
     "events_interarrival" -> CurationOracles.interarrival,
     "events_lateness" -> Curation.latenessOracle,
+    "events_time_to_convert" -> Curation.timeToConvertOracle,
+    "ann_ivf_balance" -> SimilarityOracles.ivfBalance,
     "rel_hll_portable" -> Relational.hllPortableOracle,
     "rel_kmv_sketch" -> Relational.kmvSketchOracle,
     "dedup_cluster_stats" -> DedupOracles.clusterStats,

@@ -558,6 +558,82 @@ object Curation {
        |FROM cum, tot
        |ORDER BY log2_bucket""".stripMargin
 
+  /** TIME-TO-CONVERT histogram — the funnel-latency distribution
+    * [[graft.operators.Relational.funnel]]'s stage counts don't show:
+    * per converting user, the gap from their FIRST click to their
+    * FIRST purchase at-or-after it, on exact log₂ µs buckets with
+    * cumulative coverage in integer ppm. The marketing/SLA readout
+    * ("90% of conversions land within 2^b µs") and the
+    * attribution-window tuner (the [[graft.streaming.EventStream]]
+    * interval joins' 10-minute range should cover the histogram's
+    * mass — this measures whether it does).
+    *
+    * Scale: two user-keyed min-aggregates (partial+final; the purchase
+    * side filters on the broadcast-joined first-click time before its
+    * min), a ≤64-bucket histogram, triangle-join cumulative, 1-row
+    * grand-total broadcast — nothing user-unbounded. */
+  def timeToConvert(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val firstClick = ev.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min("us").as("c0"))
+    val firstPurch = ev.filter(col("event_type") === "purchase")
+      .join(firstClick, "user_id")
+      .filter(col("us") >= col("c0"))
+      .groupBy("user_id", "c0").agg(min("us").as("p0"))
+    val hist = firstPurch
+      .select((col("p0") - col("c0")).as("lat"))
+      .select(when(col("lat") === 0, lit(-1))
+        .otherwise(length(bin(col("lat"))) - 1).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("n_users"))
+    val tot = hist.agg(sum("n_users").as("tot"))
+    hist.select(col("b"), col("n_users"))
+      .join(hist.select(col("b").as("b2"), col("n_users").as("n2")),
+        col("b2") <= col("b"))
+      .groupBy("b", "n_users").agg(sum("n2").as("cum"))
+      .crossJoin(broadcast(tot))
+      .select(col("b").as("log2_bucket"),
+        when(col("b") === -1, lit(0L))
+          .otherwise(expr("shiftleft(cast(1 as bigint), b)")).as("lat_lo_us"),
+        col("n_users"),
+        expr("cum * 1000000 div tot").as("cum_ppm"))
+      .orderBy("log2_bucket")
+  }
+
+  /** DuckDB twin of [[timeToConvert]]. */
+  private[graft] def timeToConvertOracle: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+       |),
+       |fc AS (
+       |  SELECT user_id, min(us) AS c0 FROM ev
+       |  WHERE event_type = 'click' GROUP BY 1
+       |),
+       |fp AS (
+       |  SELECT ev.user_id, fc.c0, min(ev.us) AS p0
+       |  FROM ev JOIN fc USING (user_id)
+       |  WHERE ev.event_type = 'purchase' AND ev.us >= fc.c0
+       |  GROUP BY 1, 2
+       |),
+       |hist AS (
+       |  SELECT CASE WHEN p0 - c0 = 0 THEN -1
+       |    ELSE CAST(length(bin(p0 - c0)) - 1 AS INTEGER) END AS b,
+       |    count(*) AS n_users
+       |  FROM fp GROUP BY 1
+       |),
+       |tot AS (SELECT CAST(sum(n_users) AS BIGINT) AS tot FROM hist),
+       |cum AS (
+       |  SELECT a.b, a.n_users, CAST(sum(c.n_users) AS BIGINT) AS cum
+       |  FROM hist a JOIN hist c ON c.b <= a.b
+       |  GROUP BY a.b, a.n_users
+       |)
+       |SELECT cum.b AS log2_bucket,
+       |  CASE WHEN cum.b = -1 THEN 0 ELSE (1::BIGINT << cum.b) END
+       |    AS lat_lo_us,
+       |  cum.n_users, (cum.cum * 1000000) // tot.tot AS cum_ppm
+       |FROM cum, tot
+       |ORDER BY log2_bucket""".stripMargin
+
   /** Per-(user, day) admission quota for [[throttle]]. */
   val ThrottleMaxPerDay = 3L
 

@@ -1075,6 +1075,39 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF CELL-BALANCE audit — the index-health dial for the IVF family:
+    * per log₂ cell-size bucket, how many of the [[CodebookSize]] cells
+    * land there, their total vector mass, and the bucket's largest
+    * cell as exact ppm of the corpus. Probe latency follows the
+    * LARGEST probed cell (candidates ≈ NProbe·cell), so a codebook
+    * whose spectrum smears across many buckets (or whose max_cell_ppm
+    * ≫ 10⁶/K) needs retraining ([[kmeansCentroids]]) or a bigger K —
+    * this is the report that says so before the regression hits prod.
+    *
+    * Scale: the assignment is the standard broadcast-codebook
+    * cross-score (n×K, one corpus pass); everything after is
+    * K-cell-sized. Grand total rides a 1-row broadcast. */
+  def ivfBalance(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val cents = defaultCentroids(e)
+    val cells = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        CosineSimilarity(col("embedding"), col("cv")).as("ccos"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cent_id"))))
+      .filter(col("crn") === 1)
+    val sizes = cells.groupBy("cent_id").agg(count(lit(1)).as("cell_size"))
+    val tot = sizes.agg(sum("cell_size").as("tot"))
+    sizes.crossJoin(broadcast(tot))
+      .select((length(bin(col("cell_size"))) - 1).as("log2_bucket"),
+        col("cell_size"), col("tot"))
+      .groupBy("log2_bucket")
+      .agg(count(lit(1)).as("n_cells"),
+        sum("cell_size").as("n_vectors"),
+        max(expr("cell_size * 1000000 div tot")).as("max_cell_ppm"))
+      .orderBy("log2_bucket")
+  }
+
   /** Centers [[kcenterSelect]] picks (fixed so the oracle unrolls the
     * same greedy rounds). */
   val KCenterK = 8
@@ -1897,6 +1930,39 @@ object SimilarityOracles {
        |) WHERE rn <= $RrfK
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  /** Replicates [[Similarity.ivfBalance]]: the default-codebook
+    * assignment (the [[ivfTopK]] CTEs), cell sizes, exact log2 buckets
+    * and integer-ppm max cell share. */
+  val ivfBalance: String =
+    s"""WITH seeds AS (
+       |  SELECT ('0x' || substr(md5('cb_' || vec_id), 1, 15))::BIGINT
+       |           % ${Similarity.CodebookSize} AS cell,
+       |         min(vec_id) AS cent_id
+       |  FROM embeddings GROUP BY 1
+       |),
+       |cents AS (
+       |  SELECT cent_id, embedding AS cv FROM seeds
+       |  JOIN embeddings ON vec_id = cent_id
+       |),
+       |assigned AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+       |               c.cent_id) AS crn
+       |  FROM embeddings e, cents c
+       |),
+       |sizes AS (
+       |  SELECT cent_id, count(*) AS cell_size
+       |  FROM assigned WHERE crn = 1 GROUP BY 1
+       |),
+       |tot AS (SELECT CAST(sum(cell_size) AS BIGINT) AS tot FROM sizes)
+       |SELECT CAST(length(bin(cell_size)) - 1 AS INTEGER) AS log2_bucket,
+       |  count(*) AS n_cells, CAST(sum(cell_size) AS BIGINT) AS n_vectors,
+       |  CAST(max((cell_size * 1000000) // tot.tot) AS BIGINT)
+       |    AS max_cell_ppm
+       |FROM sizes, tot
+       |GROUP BY 1 ORDER BY log2_bucket""".stripMargin
 
   /** Replicates [[Similarity.kcenterSelectOn]]: the same
     * [[Similarity.KCenterK]]−1 unrolled greedy rounds in exact integer

@@ -573,6 +573,24 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.exists(r => r._1 >= 0 && r._3 > 0))
   }
 
+  test("timeToConvert: conversion mass matches a direct recount") {
+    val rows = Curation.timeToConvert(spark, d)
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    // direct recount of converting users
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+    val fc = ev.filter($"event_type" === "click")
+      .groupBy("user_id").agg(min("us").as("c0"))
+    val conv = ev.filter($"event_type" === "purchase")
+      .join(fc, "user_id").filter($"us" >= $"c0")
+      .select("user_id").distinct().count()
+    assert(rows.map(_._3).sum === conv)
+    val cums = rows.map(_._4)
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    assert(cums.last === 1000000L)
+  }
+
   test("boilerplateStrip removes exactly the planted shared chunk") {
     // three docs share one identical 32-token leading chunk (the planted
     // boilerplate); their tails and the control docs are unique

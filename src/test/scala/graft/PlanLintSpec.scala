@@ -59,7 +59,11 @@ class PlanLintSpec extends AnyFunSuite {
     "rel_basket_pairs",                     // 1-row order-count broadcast
     "events_independence",                  // 1-row grand-total broadcast
     "events_forecast_eval",                 // 1-row last-day/day-count bcast
-    "events_lateness")                      // 1-row grand-total broadcast
+    "events_lateness",                      // 1-row grand-total broadcast
+    "events_time_to_convert",               // 1-row grand-total broadcast
+    "ann_ivf_balance",                      // codebook score + 1-row total
+    "ann_kcenter",                          // 1-row max/center broadcasts
+    "rel_t_closeness")                      // 5-row global-dist scaffold
 
   test("no ann_* plan ranks through a Window partitioned by query_id") {
     // VERDICT r6: the shared rerank tail and the PQ ranking once used

@@ -604,6 +604,21 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivfBalance conserves vectors and cells against the assignment") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val rows = Similarity.ivfBalance(spark, d)
+      .as[(Int, Long, Long, Long)].collect()
+    val n = graft.Tables.embeddings(spark, d).count()
+    assert(rows.map(_._3).sum === n, "buckets must partition the corpus")
+    assert(rows.map(_._2).sum <= Similarity.CodebookSize)
+    // every bucket's max share is consistent with its size bounds:
+    // a cell in bucket b holds < 2^(b+1) vectors
+    rows.foreach { case (b, _, _, ppm) =>
+      assert(ppm <= (1L << (b + 1)) * 1000000L / n, s"bucket $b")
+    }
+  }
+
   test("kcenterSelect follows farthest-first greedy on a planted line") {
     // 1-D corpus (positions are multiples of 2^-10, exact in float AND
     // in the 2^20 quantization) — the greedy trace is hand-simulable
