@@ -167,6 +167,9 @@ object SparkEntry {
     "rel_k_anonymity" -> (Relational.kAnonymity _),
     "rel_l_diversity" -> (Relational.lDiversity _),
     "rel_t_closeness" -> (Relational.tCloseness _),
+    "rel_balance_corr" -> (Relational.balanceActivityCorr _),
+    "rel_week_over_week" -> (Relational.weekOverWeek _),
+    "dedup_shingle_profile" -> (Dedup.shingleDfProfile _),
     // per-customer period-over-period diff: added/removed/changed
     "rel_snapshot_diff" -> (Relational.snapshotDiff _),
 
@@ -1167,6 +1170,9 @@ object SparkEntry {
     "rel_k_anonymity" -> Relational.kAnonymityOracle,
     "rel_l_diversity" -> Relational.lDiversityOracle,
     "rel_t_closeness" -> Relational.tClosenessOracle,
+    "rel_balance_corr" -> Relational.balanceActivityCorrOracle,
+    "rel_week_over_week" -> Relational.weekOverWeekOracle,
+    "dedup_shingle_profile" -> DedupOracles.shingleDfProfile,
     // point-in-time feature lookup against the SAME scd2 pipeline
     "rel_scd2_lookup" ->
       s"""WITH dim AS (SELECT * FROM ($scd2Oracle) t),

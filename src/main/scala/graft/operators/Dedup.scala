@@ -1264,6 +1264,36 @@ object Dedup {
       .orderBy("doc_id", "span_start")
   }
 
+  /** SHINGLE-DF PROFILE — the observability twin of the
+    * [[MaxNaiveShingleDf]] refusal guards: the document-frequency
+    * spectrum of the 3-word shingle index on exact log₂ buckets
+    * (shingle count, posting mass, exact max df per bucket) with an
+    * `over_guard` flag where any shingle's df exceeds the naive-join
+    * cap. The guards REFUSE when a hot shingle would make the
+    * inverted-index self-join quadratic; this report is what a
+    * pipeline owner looks at to see the margin shrinking (boilerplate
+    * creep fattens the high-df tail) BEFORE a refusal fires, and to
+    * size the prefix-filtered path's candidate bounds.
+    *
+    * Scale: one explode→distinct→df count (partial+final) and a
+    * ≤64-bucket rollup — strictly cheaper than any consumer of the
+    * shingle index. */
+  def shingleDfProfile(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(
+        graft.functions.WordShingles(col("text"), 3)).as("s"))
+      .distinct()
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .select((length(bin(col("df"))) - 1).as("log2_bucket"), col("df"))
+      .groupBy("log2_bucket")
+      .agg(count(lit(1)).as("n_shingles"), sum("df").as("n_postings"),
+        max("df").as("max_df"))
+      .select(col("log2_bucket"),
+        expr("shiftleft(cast(1 as bigint), log2_bucket)").as("df_lo"),
+        col("n_shingles"), col("n_postings"), col("max_df"),
+        (col("max_df") > MaxNaiveShingleDf).as("over_guard"))
+      .orderBy("log2_bucket")
+
   /** Window width for [[winnowingPairs]] — any shared run of
     * ≥ W + k − 1 = 8 words is GUARANTEED to share a fingerprint (the
     * winnowing guarantee), matching [[MinDupSpanWords]]. */

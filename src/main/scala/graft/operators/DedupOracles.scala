@@ -510,6 +510,18 @@ object DedupOracles {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Replicates [[Dedup.shingleDfProfile]]: distinct 3-shingle df,
+    * exact log2 buckets, per-bucket exact max df and the guard flag. */
+  lazy val shingleDfProfile: String =
+    s"""WITH $wordsCtes, $shinglesCte,
+       |dfs AS (SELECT s, count(*) AS df FROM sh GROUP BY 1)
+       |SELECT CAST(length(bin(df)) - 1 AS INTEGER) AS log2_bucket,
+       |  (1::BIGINT << CAST(length(bin(df)) - 1 AS INTEGER)) AS df_lo,
+       |  count(*) AS n_shingles, CAST(sum(df) AS BIGINT) AS n_postings,
+       |  CAST(max(df) AS BIGINT) AS max_df,
+       |  max(df) > ${Dedup.MaxNaiveShingleDf} AS over_guard
+       |FROM dfs GROUP BY 1, 2 ORDER BY log2_bucket""".stripMargin
+
   /** Replicates [[Dedup.winnowingPairsOn]]: positional 5-word shingle
     * hashes, the identical 4-row `min() OVER` winnowing window,
     * stop-word cap, shared-fingerprint pair counts and integer-ppm

@@ -1172,6 +1172,116 @@ object Relational {
     * frame is #users rows, and the report is #days rows. Conditional
     * `countDistinct(when(age = k))` folds both retention horizons into
     * ONE aggregation pass instead of one self-join per horizon. */
+  /** BALANCE↔ACTIVITY correlation — exact-moment Pearson r between a
+    * customer's account balance (floor dollars — BIGINT-safe moment
+    * bound: n·Σy² ≤ 2.3e16 at sf0.1) and their order count: the "is my
+    * segmentation signal just wealth?" diagnostic, and the template
+    * for any exact two-variable correlation in the engine. All five
+    * moments (Σx, Σy, Σxy, Σx², Σy²) are exact BIGINT sums —
+    * association-order-free, so both engines agree bit-for-bit — and r
+    * is ONE fixed IEEE expression
+    * `(n·sxy − sx·sy) / (sqrt(n·sxx − sx²) · sqrt(n·syy − sy²))`
+    * written identically in both engines (the
+    * [[graft.operators.Similarity]] prototype-cosine rule). Customers
+    * with no orders count with x = 0 — they are exactly the mass a
+    * wealth-only signal misclassifies.
+    *
+    * Scale: one custkey-keyed count, one broadcast-joinable per-customer
+    * frame, one partial+final 5-moment aggregate → a single row. */
+  def balanceActivityCorr(s: SparkSession, d: String): DataFrame = {
+    val oc = Tables.orders(s, d).groupBy("o_custkey")
+      .agg(count(lit(1)).as("x"))
+    val xy = Tables.customer(s, d)
+      .join(oc, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("x"), lit(0L)).as("x"),
+        floor(col("c_acctbal")).cast("long").as("y"))
+    xy.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
+        sum(expr("y * y")).as("syy"))
+      .select(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"),
+        col("syy"),
+        round(expr(
+          "(n * sxy - sx * sy) / (sqrt(cast(n * sxx - sx * sx as double))" +
+            " * sqrt(cast(n * syy - sy * sy as double)))"), 9).as("r"))
+  }
+
+  /** DuckDB twin of [[balanceActivityCorr]] — identical moments and
+    * the identical single IEEE expression for r. */
+  private[graft] def balanceActivityCorrOracle: String =
+    s"""WITH oc AS (
+       |  SELECT o_custkey, count(*) AS x FROM orders GROUP BY 1
+       |),
+       |xy AS (
+       |  SELECT COALESCE(oc.x, 0) AS x,
+       |    CAST(floor(c_acctbal) AS BIGINT) AS y
+       |  FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+       |)
+       |SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+       |  CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+       |  CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+       |  round((count(*) * CAST(sum(x * y) AS BIGINT)
+       |      - CAST(sum(x) AS BIGINT) * CAST(sum(y) AS BIGINT))
+       |    / (sqrt(CAST(count(*) * CAST(sum(x * x) AS BIGINT)
+       |        - CAST(sum(x) AS BIGINT) * CAST(sum(x) AS BIGINT) AS DOUBLE))
+       |     * sqrt(CAST(count(*) * CAST(sum(y * y) AS BIGINT)
+       |        - CAST(sum(y) AS BIGINT) * CAST(sum(y) AS BIGINT) AS DOUBLE))),
+       |    9) AS r
+       |FROM xy""".stripMargin
+
+  /** WEEK-OVER-WEEK revenue deltas — the BI trend shape: per integer
+    * week number (epoch-day div 7 — no ISO-week ambiguity), order count
+    * and revenue in EXACT cents (double → DECIMAL(18,2) → ×100 BIGINT,
+    * the suite's standard money path), the previous week's revenue, and
+    * the delta in integer ppm. The week-to-previous attach is a
+    * self-join on week − 1 — a week-dimension-sized frame, deliberately
+    * NOT a global lag window (unpartitioned windows are banned by
+    * PlanLint at any size; the join costs the same here and stays
+    * shuffle-partitionable if weeks ever stop being dimension-sized).
+    *
+    * Scale: one week-keyed partial+final agg over orders, then
+    * dimension-sized join/project. */
+  def weekOverWeek(s: SparkSession, d: String): DataFrame = {
+    val wk = Tables.orders(s, d)
+      // o_orderdate reads as TIMESTAMP_NTZ; the cast is identity under
+      // the suite's fixed UTC session
+      .select(expr(
+          "unix_micros(cast(o_orderdate as timestamp)) div 604800000000")
+          .as("week"),
+        expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")
+          .as("cents"))
+      .groupBy("week")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("rev_cents"))
+    wk.join(wk.select((col("week") + 1).as("week"),
+        col("rev_cents").as("prev_rev_cents")), Seq("week"), "left")
+      .select(col("week"),
+        date_format((col("week") * 604800).cast("timestamp"), "yyyy-MM-dd")
+          .as("week_start"),
+        col("n_orders"), col("rev_cents"), col("prev_rev_cents"),
+        when(col("prev_rev_cents").isNull, lit(null).cast("long"))
+          .otherwise(expr(
+            "(rev_cents - prev_rev_cents) * 1000000 div prev_rev_cents"))
+          .as("delta_ppm"))
+      .orderBy("week")
+  }
+
+  /** DuckDB twin of [[weekOverWeek]]. */
+  private[graft] def weekOverWeekOracle: String =
+    s"""WITH wk AS (
+       |  SELECT epoch_us(o_orderdate) // 604800000000 AS week,
+       |    count(*) AS n_orders,
+       |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+       |      AS BIGINT) AS rev_cents
+       |  FROM orders GROUP BY 1
+       |)
+       |SELECT a.week,
+       |  strftime(epoch_ms(a.week * 604800000), '%Y-%m-%d') AS week_start,
+       |  a.n_orders, a.rev_cents, p.rev_cents AS prev_rev_cents,
+       |  CASE WHEN p.rev_cents IS NULL THEN NULL
+       |       ELSE CAST((a.rev_cents - p.rev_cents) * 1000000
+       |         // p.rev_cents AS BIGINT) END AS delta_ppm
+       |FROM wk a LEFT JOIN wk p ON p.week = a.week - 1
+       |ORDER BY a.week""".stripMargin
+
   /** Inactivity horizon (days) separating a "returning" user from a
     * "resurrected" one, and defining churn. Shared with the oracle. */
   val ChurnDays = 7L

@@ -668,6 +668,24 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("shingleDfProfile conserves postings; guard margin visible") {
+    val rows = graft.operators.Dedup.shingleDfProfile(spark, d)
+      .as[(Int, Long, Long, Long, Long, Boolean)].collect()
+    // postings = distinct (doc, shingle) rows
+    val postings = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        explode(graft.functions.WordShingles(col("text"), 3)).as("s"))
+      .distinct().count()
+    assert(rows.map(_._4).sum === postings)
+    rows.foreach { case (b, lo, _, _, maxDf, over) =>
+      assert(lo === (1L << b))
+      assert(maxDf >= lo && maxDf < 2 * lo, s"bucket $b max_df bounds")
+      assert(over === (maxDf > graft.operators.Dedup.MaxNaiveShingleDf))
+    }
+    // fixture stays far inside the naive-join guard
+    assert(rows.forall(!_._6))
+  }
+
   test("winnowingPairs: shared run yields a pair, exact dup is total") {
     def words(pfx: String, n: Int) = (1 to n).map(i => s"$pfx$i")
     val run = words("shared", 16) // 16-word common run

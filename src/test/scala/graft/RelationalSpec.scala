@@ -568,6 +568,46 @@ class RelationalSpec extends AnyFunSuite {
     assert(verdict === (nViol == 0))
   }
 
+  test("balanceActivityCorr: moments match a driver-side recompute") {
+    val row = Relational.balanceActivityCorr(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].head()
+    val oc = Tables.orders(spark, d).groupBy("o_custkey").count()
+      .as[(Long, Long)].collect().toMap
+    val ys = Tables.customer(spark, d).select("c_custkey", "c_acctbal")
+      .as[(Long, Double)].collect()
+    val pts = ys.map { case (ck, bal) =>
+      (oc.getOrElse(ck, 0L), math.floor(bal).toLong) }
+    val n = pts.length.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    assert((row._1, row._2, row._3, row._4, row._5, row._6) ===
+      ((n, sx, sy, sxy, sxx, syy)))
+    val r = (n * sxy - sx * sy).toDouble /
+      (math.sqrt((n * sxx - sx * sx).toDouble) *
+        math.sqrt((n * syy - sy * sy).toDouble))
+    assert(math.abs(row._7 - r) < 1e-8)
+    assert(math.abs(row._7) <= 1.0)
+  }
+
+  test("weekOverWeek conserves revenue and recomputes deltas") {
+    val rows = Relational.weekOverWeek(spark, d)
+      .as[(Long, String, Long, Long, Option[Long], Option[Long])].collect()
+    assert(rows.map(_._3).sum === Tables.orders(spark, d).count())
+    val byWeek = rows.map(r => r._1 -> r._4).toMap
+    rows.foreach { case (w, _, _, rev, prev, delta) =>
+      assert(prev === byWeek.get(w - 1), s"week $w prev")
+      (prev, delta) match {
+        case (Some(p), Some(dd)) =>
+          // Spark div and JVM / both truncate toward zero
+          assert(dd === (rev - p) * 1000000L / p)
+        case (None, None) =>
+        case other => fail(s"week $w inconsistent $other")
+      }
+    }
+  }
+
   test("lifecycle: classes partition active days, churn mass conserved") {
     val rows = Relational.lifecycle(spark, d)
       .as[(String, Long, Long, Long, Long, Long, Long)].collect()
