@@ -562,6 +562,10 @@ object SparkEntry {
     // per-window top-k leaderboard via event-time-timeout keyed state
     "events_topk_stream" ->
       (graft.streaming.EventStream.topkStreamVerified _),
+    // online watermark-lag monitor: 8-byte running-max keyed state,
+    // SAME oracle as the batch events_lateness planner
+    "events_lateness_stream" ->
+      (graft.streaming.EventStream.latenessStreamVerified _),
 
     // --- streaming dedup under the engine: a self-unioned (2×) stream
     //     must collapse back to exactly-once via the state store ---
@@ -1493,6 +1497,8 @@ object SparkEntry {
         |ORDER BY brand_a, brand_b""".stripMargin,
     "events_interarrival" -> CurationOracles.interarrival,
     "events_lateness" -> Curation.latenessOracle,
+    // streaming twin computes the identical histogram → same oracle
+    "events_lateness_stream" -> Curation.latenessOracle,
     "events_time_to_convert" -> Curation.timeToConvertOracle,
     "ann_ivf_balance" -> SimilarityOracles.ivfBalance,
     "rel_hll_portable" -> Relational.hllPortableOracle,

@@ -483,7 +483,18 @@ object Curation {
     * total rides a 1-row broadcast. */
   def lateness(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val salted = Tables.events(s, d)
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    latenessHistogramOn(saltedEventTimes(Tables.events(s, d))
+      .withColumn("runmax", max("ets").over(w))
+      .select(greatest(lit(0L),
+        coalesce(col("runmax") - col("ets"), lit(0L))).as("late_us")))
+  }
+
+  /** The salted (user_id, event_id, ets) frame [[lateness]] and its
+    * streaming twin share — the dirty-first disorder plant. */
+  private[graft] def saltedEventTimes(events: DataFrame): DataFrame =
+    events
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
       .select(col("user_id"), col("event_id"),
         (col("us") - when(
@@ -491,12 +502,12 @@ object Curation {
             % LatenessSaltMod === 0,
           Dedup.md5hash60(concat(lit("lat2_"), col("event_id").cast("string")))
             % LatenessMaxDelayUs).otherwise(lit(0L))).as("ets"))
-    val w = Window.partitionBy("user_id").orderBy("event_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val hist = salted
-      .withColumn("runmax", max("ets").over(w))
-      .select(greatest(lit(0L),
-        coalesce(col("runmax") - col("ets"), lit(0L))).as("late_us"))
+
+  /** The histogram/planner tail shared by batch and streaming lateness:
+    * a (late_us) frame → log2 buckets, cumulative ppm (triangle join,
+    * never an unpartitioned window), and the coverage recommendation. */
+  private[graft] def latenessHistogramOn(late: DataFrame): DataFrame = {
+    val hist = late
       .select(when(col("late_us") === 0, lit(-1))
         .otherwise(length(bin(col("late_us"))) - 1).as("b"))
       .groupBy("b").agg(count(lit(1)).as("n"))

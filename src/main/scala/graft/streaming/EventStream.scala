@@ -1061,6 +1061,66 @@ object EventStream {
   }
 
   // ------------------------------------------------------------------
+  // streaming lateness monitor (running-max keyed state)
+  // ------------------------------------------------------------------
+
+  case class LateEv(user_id: Long, event_id: Long, ets: Long)
+  case class LateOut(user_id: Long, event_id: Long, late_us: Long)
+
+  /** Stateful streaming twin of `Curation.lateness`'s measurement leg:
+    * per user the ENTIRE carried state is one Long — the running max
+    * event time — and each arriving event emits how far it lags it
+    * (the quantity a watermark must cover). The batch operator's window
+    * recurrence is the same fold, so the two share ONE oracle; the
+    * driver surface re-applies the batch histogram/planner tail to the
+    * emitted per-event stream. Ordering contract: [[cusumStateful]]'s
+    * (in-batch sort per user, ordered files across batches).
+    *
+    * Scale: 8 bytes of state per user, append-only output — this IS
+    * the online watermark-lag monitor a streaming platform exposes as
+    * a metric, built from the same parts as the offline planner. */
+  def latenessStateful(events: Dataset[LateEv]): Dataset[LateOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, LateOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[LateEv], state: GroupState[Long]) =>
+          var runmax = state.getOption.getOrElse(Long.MinValue)
+          val out = it.toSeq.sortBy(_.event_id).map { e =>
+            val late =
+              if (runmax == Long.MinValue) 0L
+              else math.max(0L, runmax - e.ets)
+            runmax = math.max(runmax, e.ets)
+            LateOut(uid, e.event_id, late)
+          }
+          state.update(runmax)
+          out.iterator
+      }
+  }
+
+  /** Driver-surface run of [[latenessStateful]]: the same salted frame,
+    * parquet sink, AvailableNow, then the batch histogram tail — SAME
+    * oracle as `events_lateness`. */
+  def latenessStreamVerified(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (out, ckpt) = scratchDirs("latemon")
+    val ss = streamSession(s)
+    val ev = graft.operators.Curation
+      .saltedEventTimes(readEventStream(ss, d))
+      .as[LateEv]
+    val q = latenessStateful(ev).toDF()
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val res = s.read.parquet(out).localCheckpoint()
+    deleteRecursively(out, ckpt)
+    graft.operators.Curation.latenessHistogramOn(res.select("late_us"))
+  }
+
+  // ------------------------------------------------------------------
   // streaming per-window top-k (event-time-timeout keyed state)
   // ------------------------------------------------------------------
 

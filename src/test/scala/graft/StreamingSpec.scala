@@ -642,6 +642,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(_._1).contains(1), "fixture should contain bounces")
   }
 
+  test("streaming lateness carries the running max across batches") {
+    import graft.streaming.EventStream.{LateEv, LateOut}
+    // the running max set in batch 1 must still gate batch 2
+    val evs = Seq(
+      LateEv(5L, 1, 1000L), LateEv(5L, 2, 5000L), LateEv(5L, 3, 4000L),
+      LateEv(5L, 4, 9000L), LateEv(5L, 5, 2000L), LateEv(5L, 6, 9500L))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[LateEv]
+    val q = EventStream.latenessStateful(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    try {
+      mem.addData(evs.take(3))
+      q.processAllAvailable()
+      mem.addData(evs.drop(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("late_out").as[LateOut].collect()
+      .map(o => o.event_id -> o.late_us).toMap
+    // sequential recompute over the unsplit stream
+    var m = Long.MinValue
+    val exp = evs.map { e =>
+      val l = if (m == Long.MinValue) 0L else math.max(0L, m - e.ets)
+      m = math.max(m, e.ets)
+      e.event_id -> l
+    }.toMap
+    assert(got === exp)
+    // event 3 (batch 1) lags in-batch max 5000; event 5 (batch 2) lags
+    // the carried-forward max raised to 9000 by event 4
+    assert(got(3L) === 1000L && got(5L) === 7000L)
+  }
+
   test("streaming topk merges counts across batches, emits on timeout") {
     import graft.streaming.EventStream.{TopkEv, TopkOut}
     // one hour window split across two micro-batches; a third batch far
