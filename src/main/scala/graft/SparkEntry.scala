@@ -295,6 +295,7 @@ object SparkEntry {
     "events_interarrival" -> (Curation.interarrival _),
     "events_lateness" -> (Curation.lateness _),
     "events_time_to_convert" -> (Curation.timeToConvert _),
+    "events_state_audit" -> (Curation.stateAudit _),
     "ann_ivf_balance" -> (Similarity.ivfBalance _),
     "rel_hll_portable" -> (Relational.hllPortable _),
     "rel_kmv_sketch" -> (Relational.kmvSketch _),
@@ -1500,6 +1501,7 @@ object SparkEntry {
     // streaming twin computes the identical histogram → same oracle
     "events_lateness_stream" -> Curation.latenessOracle,
     "events_time_to_convert" -> Curation.timeToConvertOracle,
+    "events_state_audit" -> Curation.stateAuditOracle,
     "ann_ivf_balance" -> SimilarityOracles.ivfBalance,
     "rel_hll_portable" -> Relational.hllPortableOracle,
     "rel_kmv_sketch" -> Relational.kmvSketchOracle,

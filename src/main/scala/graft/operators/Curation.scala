@@ -569,6 +569,119 @@ object Curation {
        |FROM cum, tot
        |ORDER BY log2_bucket""".stripMargin
 
+  /** STREAMING STATE-CAPACITY audit — the sizing table a platform owner
+    * computes from batch history BEFORE deploying the streaming suite:
+    * for each stateful-operator family, the TOTAL distinct state keys
+    * the store will cycle through on this corpus and the PEAK
+    * concurrent load (busiest window / trailing horizon). Peaks are
+    * EXACT trailing-window counts via the bucketed band-join (each
+    * event joins its own and the previous bucket — the
+    * [[graft.operators.Relational.rangeJoin]] pattern, never an
+    * event×event scan):
+    *
+    *  - `windowed_agg`: (hour × type) keys; peak = busiest hour's types
+    *  - `distinct_users`: (hour × user) keys; peak = busiest hour's users
+    *  - `sessionize`: one open session per user — keys = peak = #users
+    *  - `stream_dedup`: event-id keys; peak = events in the busiest
+    *    trailing 30-min watermark horizon
+    *  - `interval_join`: buffered click rows; peak = clicks in the
+    *    busiest trailing 10-min join range
+    *
+    * Scale: hour/bucket aggregates are dimension-sized; the trailing
+    * peaks join each event to ≤ 2 bucket partials — linear with
+    * map-side combine. */
+  def stateAudit(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .localCheckpoint() // five consumers
+    def trailingPeak(frame: DataFrame, horizonUs: Long): DataFrame = {
+      val b = frame.select(col("us"),
+        expr(s"us div $horizonUs").as("bucket"))
+      // events in (t − horizon, t]: candidates from bucket and bucket−1
+      b.select(col("us"), explode(array(col("bucket") - 1, col("bucket")))
+          .as("cb"))
+        .join(b.select(col("us").as("c_us"),
+          col("bucket").as("cb")), Seq("cb"))
+        .filter(col("c_us") > col("us") - horizonUs && col("c_us") <= col("us"))
+        .groupBy("us").agg(count(lit(1)).as("n"))
+        .agg(max("n").as("peak"))
+    }
+    val winAgg = ev
+      .select(expr("us div 3600000000").as("h"), col("event_type")).distinct()
+    val winRow = winAgg.agg(count(lit(1)).as("total_keys"))
+      .crossJoin(winAgg.groupBy("h").agg(count(lit(1)).as("n"))
+        .agg(max("n").as("peak_keys")))
+      .select(lit("windowed_agg").as("operator"), col("total_keys"),
+        col("peak_keys"))
+    val du = ev.select(expr("us div 3600000000").as("h"), col("user_id"))
+      .distinct()
+    val duRow = du.agg(count(lit(1)).as("total_keys"))
+      .crossJoin(du.groupBy("h").agg(count(lit(1)).as("n"))
+        .agg(max("n").as("peak_keys")))
+      .select(lit("distinct_users").as("operator"), col("total_keys"),
+        col("peak_keys"))
+    val users = ev.select("user_id").distinct()
+      .agg(count(lit(1)).as("total_keys"))
+    val sessRow = users
+      .select(lit("sessionize").as("operator"), col("total_keys"),
+        col("total_keys").as("peak_keys"))
+    val dedupRow = ev.agg(count(lit(1)).as("total_keys"))
+      .crossJoin(trailingPeak(ev.select("us"), 1800000000L)
+        .select(col("peak").as("peak_keys")))
+      .select(lit("stream_dedup").as("operator"), col("total_keys"),
+        col("peak_keys"))
+    val clicks = ev.filter(col("event_type") === "click").select("us")
+    val joinRow = clicks.agg(count(lit(1)).as("total_keys"))
+      .crossJoin(trailingPeak(clicks, 600000000L)
+        .select(col("peak").as("peak_keys")))
+      .select(lit("interval_join").as("operator"), col("total_keys"),
+        col("peak_keys"))
+    winRow.union(duRow).union(sessRow).union(dedupRow).union(joinRow)
+      .orderBy("operator")
+  }
+
+  /** DuckDB twin of [[stateAudit]] — identical buckets and peaks. */
+  private[graft] def stateAuditOracle: String = {
+    def peak(src: String, horizon: Long): String =
+      s"""SELECT max(n) FROM (
+         |  SELECT a.us, count(*) AS n
+         |  FROM (SELECT us, unnest([us // $horizon - 1, us // $horizon]) AS cb
+         |        FROM $src) a
+         |  JOIN (SELECT us AS c_us, us // $horizon AS cb FROM $src) c
+         |    USING (cb)
+         |  WHERE c.c_us > a.us - $horizon AND c.c_us <= a.us
+         |  GROUP BY a.us)""".stripMargin
+    s"""WITH ev AS MATERIALIZED (
+       |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+       |  FROM events
+       |),
+       |clicks AS MATERIALIZED (
+       |  SELECT us FROM ev WHERE event_type = 'click'),
+       |wa AS (SELECT DISTINCT us // 3600000000 AS h, event_type FROM ev),
+       |du AS (SELECT DISTINCT us // 3600000000 AS h, user_id FROM ev)
+       |SELECT * FROM (
+       |  SELECT 'windowed_agg' AS operator,
+       |    (SELECT count(*) FROM wa) AS total_keys,
+       |    (SELECT max(n) FROM (SELECT count(*) AS n FROM wa GROUP BY h))
+       |      AS peak_keys
+       |  UNION ALL
+       |  SELECT 'distinct_users',
+       |    (SELECT count(*) FROM du),
+       |    (SELECT max(n) FROM (SELECT count(*) AS n FROM du GROUP BY h))
+       |  UNION ALL
+       |  SELECT 'sessionize',
+       |    (SELECT count(DISTINCT user_id) FROM ev),
+       |    (SELECT count(DISTINCT user_id) FROM ev)
+       |  UNION ALL
+       |  SELECT 'stream_dedup', (SELECT count(*) FROM ev),
+       |    (${peak("ev", 1800000000L)})
+       |  UNION ALL
+       |  SELECT 'interval_join', (SELECT count(*) FROM clicks),
+       |    (${peak("clicks", 600000000L)})
+       |) ORDER BY operator""".stripMargin
+  }
+
   /** TIME-TO-CONVERT histogram — the funnel-latency distribution
     * [[graft.operators.Relational.funnel]]'s stage counts don't show:
     * per converting user, the gap from their FIRST click to their

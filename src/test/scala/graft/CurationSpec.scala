@@ -573,6 +573,24 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.exists(r => r._1 >= 0 && r._3 > 0))
   }
 
+  test("stateAudit peaks match a brute trailing-window recount") {
+    val rows = Curation.stateAudit(spark, d)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    val ev = Tables.events(spark, d)
+    val us = ev.select(expr("unix_micros(ts)")).as[Long].collect().sorted
+    def brutePeak(ts: Array[Long], h: Long): Long =
+      ts.map(t => ts.count(c => c > t - h && c <= t).toLong).max
+    assert(rows("stream_dedup")._1 === ev.count())
+    assert(rows("stream_dedup")._2 === brutePeak(us, 1800000000L))
+    val cus = ev.filter($"event_type" === "click")
+      .select(expr("unix_micros(ts)")).as[Long].collect().sorted
+    assert(rows("interval_join") === ((cus.length.toLong,
+      brutePeak(cus, 600000000L))))
+    // one open session per user: keys = peak = #users
+    assert(rows("sessionize")._1 === rows("sessionize")._2)
+  }
+
   test("timeToConvert: conversion mass matches a direct recount") {
     val rows = Curation.timeToConvert(spark, d)
       .as[(Int, Long, Long, Long)].collect().sortBy(_._1)

@@ -710,6 +710,39 @@ class DedupSpec extends AnyFunSuite {
     got.values.foreach(r => assert(r._6 <= 1000000L))
   }
 
+  test("winnowing density stays ~1/W of shingle positions (10x corpus)") {
+    // the 1/W density claim is the whole point of winnowing at scale:
+    // pin it on a corpus 10x the spec fixtures. Random 40-word vocab
+    // text; expected fingerprints/doc ≈ positions/W within 2x.
+    val rnd = new scala.util.Random(7)
+    val vocab = (1 to 40).map(i => s"v$i")
+    val docs = (1L to 200L).map { id =>
+      (id, Seq.fill(120)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    import graft.operators.Dedup.{SpanShingleWords, WinnowW}
+    val sh = docs.select(col("doc_id"), explode(
+        graft.functions.WordShingles(col("text"), SpanShingleWords)).as("s"))
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    // recompute fingerprint counts through the operator's own window
+    // (private pipeline — recount via a direct equivalent)
+    val fps = docs.select(col("doc_id"), posexplode(
+        graft.functions.WordShingles(col("text"), SpanShingleWords))
+        .as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos"),
+        graft.operators.Dedup.md5hash60(col("s")).as("h"))
+      .withColumn("minh", min("h").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy("pos").rowsBetween(-(WinnowW - 1), 0)))
+      .filter(col("pos") >= WinnowW - 1)
+      .select(col("doc_id"), col("minh")).distinct()
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    fps.foreach { case (id, n) =>
+      val positions = sh(id)
+      assert(n >= positions / (2 * WinnowW) && n <= 2 * positions / WinnowW,
+        s"doc $id: $n fingerprints for $positions positions")
+    }
+  }
+
   test("lpaCommunities keeps bridged triangles separate, matches sim") {
     // two triangles joined by ONE bridge edge: single-linkage CC merges
     // them into one cluster; LPA's majority vote must keep them apart

@@ -63,7 +63,8 @@ class PlanLintSpec extends AnyFunSuite {
     "events_time_to_convert",               // 1-row grand-total broadcast
     "ann_ivf_balance",                      // codebook score + 1-row total
     "ann_kcenter",                          // 1-row max/center broadcasts
-    "rel_t_closeness")                      // 5-row global-dist scaffold
+    "rel_t_closeness",                      // 5-row global-dist scaffold
+    "events_state_audit")                   // 1-row total×peak combines
 
   test("no ann_* plan ranks through a Window partitioned by query_id") {
     // VERDICT r6: the shared rerank tail and the PQ ranking once used
