@@ -216,6 +216,7 @@ object SparkEntry {
     // quality-aware cluster representative: keep the longest member of
     // each near-dup cluster (min doc_id on ties), not the min-id one
     "dedup_keep_best" -> (Dedup.keepBest _),
+    "dedup_keep_central" -> (Dedup.keepCentral _),
     "dedup_pagerank" -> (Dedup.pageRank _),
     "dedup_communities" -> (Dedup.lpaCommunities _),
     "dedup_triangles" -> (Dedup.triangles _),
@@ -1422,6 +1423,7 @@ object SparkEntry {
     "dedup_spans" -> DedupOracles.dupSpans,
     "dedup_winnowing" -> DedupOracles.winnowingPairs,
     "dedup_keep_best" -> DedupOracles.keepBest,
+    "dedup_keep_central" -> DedupOracles.keepCentral,
     "dedup_pagerank" -> DedupOracles.pageRank,
     "dedup_communities" -> DedupOracles.lpaCommunities,
     "dedup_triangles" -> DedupOracles.triangles,

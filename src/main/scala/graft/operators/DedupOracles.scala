@@ -510,6 +510,25 @@ object DedupOracles {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Replicates [[Dedup.keepCentral]]: the LSH clustering and PageRank
+    * oracles composed over the same pair graph, per-cluster max-rank
+    * argmax with min-id ties. Both pipeline CTEs MATERIALIZED (each
+    * wraps the full minhash edge pipeline). */
+  lazy val keepCentral: String =
+    s"""WITH clus AS MATERIALIZED (SELECT * FROM ($clustersLsh) t),
+       |pr AS MATERIALIZED (SELECT doc_id, pr_scaled FROM ($pageRank) t2),
+       |m AS (
+       |  SELECT c.cluster_id, c.cluster_size, c.doc_id, p.pr_scaled
+       |  FROM clus c JOIN pr p USING (doc_id)
+       |),
+       |best AS (SELECT cluster_id, max(pr_scaled) AS keep_pr FROM m GROUP BY 1)
+       |SELECT m.cluster_id, min(m.doc_id) AS keep_id, m.cluster_size,
+       |  best.keep_pr, m.cluster_size - 1 AS n_dropped
+       |FROM m JOIN best ON m.cluster_id = best.cluster_id
+       |  AND m.pr_scaled = best.keep_pr
+       |GROUP BY m.cluster_id, m.cluster_size, best.keep_pr
+       |ORDER BY m.cluster_id""".stripMargin
+
   /** Replicates [[Dedup.shingleDfProfile]]: distinct 3-shingle df,
     * exact log2 buckets, per-bucket exact max df and the guard flag. */
   lazy val shingleDfProfile: String =

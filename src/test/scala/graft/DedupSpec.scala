@@ -668,6 +668,28 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("keepCentral picks the max-PageRank member of every cluster") {
+    val kept = graft.operators.Dedup.keepCentral(spark, d)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(kept.nonEmpty)
+    val pr = graft.operators.Dedup.pageRank(spark, d)
+      .select("doc_id", "pr_scaled").as[(Long, Long)].collect().toMap
+    val members = graft.operators.Dedup.nearDupClustersLsh(spark, d)
+      .select("cluster_id", "doc_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    kept.foreach { case (cid, keepId, size, keepPr, dropped) =>
+      val ms = members(cid)
+      assert(size === ms.size.toLong && dropped === size - 1)
+      assert(keepPr === ms.map(pr).max, s"cluster $cid rank")
+      assert(keepId === ms.filter(m => pr(m) == keepPr).min, s"cluster $cid")
+    }
+    // authority and length selectors must be compared on the SAME
+    // clustering: same cluster ids, possibly different keepers
+    val best = graft.operators.Dedup.keepBest(spark, d)
+      .select("cluster_id").as[Long].collect().sorted
+    assert(best.toSeq === kept.map(_._1).sorted.toSeq)
+  }
+
   test("shingleDfProfile conserves postings; guard margin visible") {
     val rows = graft.operators.Dedup.shingleDfProfile(spark, d)
       .as[(Int, Long, Long, Long, Long, Boolean)].collect()
