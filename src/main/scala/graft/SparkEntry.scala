@@ -168,6 +168,7 @@ object SparkEntry {
     "rel_l_diversity" -> (Relational.lDiversity _),
     "rel_t_closeness" -> (Relational.tCloseness _),
     "rel_balance_corr" -> (Relational.balanceActivityCorr _),
+    "rel_exact_median" -> (Relational.exactMedian _),
     "rel_week_over_week" -> (Relational.weekOverWeek _),
     "dedup_shingle_profile" -> (Dedup.shingleDfProfile _),
     // per-customer period-over-period diff: added/removed/changed
@@ -1177,6 +1178,7 @@ object SparkEntry {
     "rel_l_diversity" -> Relational.lDiversityOracle,
     "rel_t_closeness" -> Relational.tClosenessOracle,
     "rel_balance_corr" -> Relational.balanceActivityCorrOracle,
+    "rel_exact_median" -> Relational.exactMedianOracle,
     "rel_week_over_week" -> Relational.weekOverWeekOracle,
     "dedup_shingle_profile" -> DedupOracles.shingleDfProfile,
     // point-in-time feature lookup against the SAME scd2 pipeline

@@ -1172,6 +1172,70 @@ object Relational {
     * frame is #users rows, and the report is #days rows. Conditional
     * `countDistinct(when(age = k))` folds both retention horizons into
     * ONE aggregation pass instead of one self-join per horizon. */
+  /** EXACT per-group MEDIAN over a BOUNDED value domain — the third
+    * point of the quantile trade-off triangle the suite documents:
+    * `rel_percentiles` (engine sketches, tolerance-checked),
+    * `rel_hist_quantiles` (portable fixed-bin sketch, cross-engine
+    * exact), and THIS — when the value domain is small (l_quantity ∈
+    * 1..50), the exact median costs one (group × value) count plus a
+    * ≤|domain|² triangle join, beating any sketch on both accuracy and
+    * cost. Lower/upper medians are rank-selected on cumulative counts
+    * (2·cum ≥ n / 2·cum ≥ n+1 — integer arithmetic, no interpolation
+    * ambiguity); the midpoint is one IEEE add/divide, identical both
+    * engines. The same shape computes ANY exact percentile on bounded
+    * domains (status codes, star ratings, bucketed latencies).
+    *
+    * Scale: one partial+final (group, value) count — map-side combined,
+    * the only corpus-sized stage — then group×|domain| frames. No
+    * window, no global sort before the output ORDER BY. */
+  def exactMedian(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("grp"),
+        col("l_quantity").cast("long").as("v"))
+      .groupBy("grp", "v").agg(count(lit(1)).as("c"))
+    val cum = counts
+      .join(counts.select(col("grp"), col("v").as("v2"), col("c").as("c2")),
+        Seq("grp"))
+      .filter(col("v2") <= col("v"))
+      .groupBy("grp", "v").agg(sum("c2").as("cum"))
+    val tot = counts.groupBy("grp").agg(sum("c").as("n"))
+    val lo = cum.join(tot, "grp")
+      .filter(col("cum") * 2 >= col("n"))
+      .groupBy("grp").agg(min("v").as("median_lo"))
+    val hi = cum.join(tot, "grp")
+      .filter(col("cum") * 2 >= col("n") + 1)
+      .groupBy("grp").agg(min("v").as("median_hi"))
+    tot.join(lo, "grp").join(hi, "grp")
+      .select(col("grp").as("l_returnflag"), col("n"),
+        col("median_lo"), col("median_hi"),
+        ((col("median_lo") + col("median_hi")) / lit(2.0)).as("median"))
+      .orderBy("l_returnflag")
+  }
+
+  /** DuckDB twin of [[exactMedian]] — identical rank selection. */
+  private[graft] def exactMedianOracle: String =
+    s"""WITH counts AS (
+       |  SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS v,
+       |    count(*) AS c
+       |  FROM lineitem GROUP BY 1, 2
+       |),
+       |cum AS (
+       |  SELECT a.grp, a.v, CAST(sum(b.c) AS BIGINT) AS cum
+       |  FROM counts a JOIN counts b ON b.grp = a.grp AND b.v <= a.v
+       |  GROUP BY 1, 2
+       |),
+       |tot AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY 1),
+       |lo AS (
+       |  SELECT cum.grp, min(v) AS median_lo FROM cum JOIN tot USING (grp)
+       |  WHERE cum * 2 >= n GROUP BY 1),
+       |hi AS (
+       |  SELECT cum.grp, min(v) AS median_hi FROM cum JOIN tot USING (grp)
+       |  WHERE cum * 2 >= n + 1 GROUP BY 1)
+       |SELECT tot.grp AS l_returnflag, tot.n, lo.median_lo, hi.median_hi,
+       |  (lo.median_lo + hi.median_hi) / 2.0 AS median
+       |FROM tot JOIN lo USING (grp) JOIN hi USING (grp)
+       |ORDER BY l_returnflag""".stripMargin
+
   /** BALANCE↔ACTIVITY correlation — exact-moment Pearson r between a
     * customer's account balance (floor dollars — BIGINT-safe moment
     * bound: n·Σy² ≤ 2.3e16 at sf0.1) and their order count: the "is my

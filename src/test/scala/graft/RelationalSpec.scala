@@ -568,6 +568,24 @@ class RelationalSpec extends AnyFunSuite {
     assert(verdict === (nViol == 0))
   }
 
+  test("exactMedian equals the sorted-array median per group") {
+    val got = Relational.exactMedian(spark, d)
+      .as[(String, Long, Long, Long, Double)].collect()
+    val data = Tables.lineitem(spark, d)
+      .select(col("l_returnflag"), col("l_quantity").cast("long"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    got.foreach { case (g, n, lo, hi, med) =>
+      val vs = data(g).map(_._2).sorted
+      assert(n === vs.length.toLong)
+      val (elo, ehi) =
+        if (vs.length % 2 == 1) (vs(vs.length / 2), vs(vs.length / 2))
+        else (vs(vs.length / 2 - 1), vs(vs.length / 2))
+      assert((lo, hi) === ((elo, ehi)), s"group $g")
+      assert(med === (elo + ehi) / 2.0)
+    }
+    assert(got.map(_._1).toSet === data.keySet)
+  }
+
   test("balanceActivityCorr: moments match a driver-side recompute") {
     val row = Relational.balanceActivityCorr(spark, d)
       .as[(Long, Long, Long, Long, Long, Long, Double)].head()
