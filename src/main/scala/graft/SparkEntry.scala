@@ -288,6 +288,7 @@ object SparkEntry {
     "events_outliers" -> (Curation.outliers _),
     "events_cusum" -> (Curation.cusum _),
     "events_outliers_mad" -> (Curation.outliersMad _),
+    "events_outlier_agreement" -> (Curation.outlierAgreement _),
     "events_ab_test" -> (Curation.abTest _),
     "events_transitions" -> (Curation.transitions _),
     "events_path_trigrams" -> (Curation.pathTrigrams _),
@@ -1470,6 +1471,7 @@ object SparkEntry {
     "events_outliers" -> CurationOracles.outliers,
     "events_cusum" -> CurationOracles.cusum,
     "events_outliers_mad" -> CurationOracles.outliersMad,
+    "events_outlier_agreement" -> CurationOracles.outlierAgreement,
     "events_ab_test" -> CurationOracles.abTest,
     "events_transitions" -> CurationOracles.transitions,
     "events_path_trigrams" -> CurationOracles.pathTrigrams,

@@ -349,6 +349,42 @@ object Curation {
       .orderBy("event_id")
   }
 
+  /** OUTLIER-DETECTOR AGREEMENT — the [[Dedup.modalityCheck]] move
+    * applied to anomaly detection: per event type, the 2×2 confusion
+    * between the parametric 3σ detector ([[outliers]]) and the robust
+    * MAD detector ([[outliersMad]]), with their flagged-set Jaccard in
+    * exact integer ppm (NULL when neither flags — both engines via the
+    * zero guard). Disagreement is the signal: 3σ-only flags suggest the
+    * variance is inflated by the outliers themselves (the masking
+    * effect MAD resists); MAD-only flags suggest a heavy-tailed type
+    * where 3σ is too loose. Composes two independently oracle-verified
+    * detectors.
+    *
+    * Scale: two flagged-id frames (small) left-joined onto events, one
+    * type-keyed agg — linear, broadcast-friendly. */
+  def outlierAgreement(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_id"), col("event_type"))
+    val sig = outliers(s, d).select(col("event_id"))
+      .withColumn("f_sigma", lit(true))
+    val mad = outliersMad(s, d).select(col("event_id"))
+      .withColumn("f_mad", lit(true))
+    ev.join(sig, Seq("event_id"), "left")
+      .join(mad, Seq("event_id"), "left")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("f_sigma"), 1)).as("n_sigma"),
+        count(when(col("f_mad"), 1)).as("n_mad"),
+        count(when(col("f_sigma") && col("f_mad"), 1)).as("n_both"),
+        count(when(coalesce(col("f_sigma"), lit(false)) ||
+          coalesce(col("f_mad"), lit(false)), 1)).as("n_either"))
+      .select(col("event_type"), col("n_events"), col("n_sigma"),
+        col("n_mad"), col("n_both"), col("n_either"),
+        when(col("n_either") === 0, lit(null).cast("long"))
+          .otherwise(expr("n_both * 1000000 div n_either"))
+          .as("jaccard_ppm"))
+      .orderBy("event_type")
+  }
+
   /** CUSUM drift term, scaled ×10⁶: the "acceptable mean" k. Values
     * average ≈ 50, so k = 80 keeps the statistic near zero until a
     * genuinely elevated run arrives. */
@@ -1699,6 +1735,29 @@ object CurationOracles {
        |FROM dev JOIN est_mad USING (event_type)
        |WHERE adev > ${Curation.MadCut} * mad
        |ORDER BY event_id""".stripMargin
+
+  /** Replicates [[Curation.outlierAgreement]]: both detector oracles
+    * as MATERIALIZED CTEs (each wraps a full pipeline), identical
+    * confusion counts and the NULLIF-guarded integer-ppm Jaccard. */
+  lazy val outlierAgreement: String =
+    s"""WITH sig AS MATERIALIZED (SELECT event_id FROM ($outliers) ts),
+       |madf AS MATERIALIZED (SELECT event_id FROM ($outliersMad) tm),
+       |ev AS (SELECT event_id, event_type FROM events),
+       |base AS (
+       |  SELECT ev.event_type, count(*) AS n_events,
+       |    count(s.event_id) AS n_sigma, count(m.event_id) AS n_mad,
+       |    count(CASE WHEN s.event_id IS NOT NULL
+       |      AND m.event_id IS NOT NULL THEN 1 END) AS n_both,
+       |    count(CASE WHEN s.event_id IS NOT NULL
+       |      OR m.event_id IS NOT NULL THEN 1 END) AS n_either
+       |  FROM ev LEFT JOIN sig s USING (event_id)
+       |  LEFT JOIN madf m USING (event_id)
+       |  GROUP BY 1
+       |)
+       |SELECT event_type, n_events, n_sigma, n_mad, n_both, n_either,
+       |  CAST((n_both * 1000000) // NULLIF(n_either, 0) AS BIGINT)
+       |    AS jaccard_ppm
+       |FROM base ORDER BY event_type""".stripMargin
 
   /** CUSUM via the same prefix-sum unrolling as `Curation.cusum`:
     * running sum + running min per user, exact ×10⁶ BIGINTs (window

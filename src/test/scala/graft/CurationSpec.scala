@@ -573,6 +573,22 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.exists(r => r._1 >= 0 && r._3 > 0))
   }
 
+  test("outlierAgreement: set arithmetic consistent with both detectors") {
+    val rows = Curation.outlierAgreement(spark, d)
+      .as[(String, Long, Long, Long, Long, Long, Option[Long])].collect()
+    val nSigma = Curation.outliers(spark, d).count()
+    val nMad = Curation.outliersMad(spark, d).count()
+    assert(rows.map(_._3).sum === nSigma)
+    assert(rows.map(_._4).sum === nMad)
+    rows.foreach { case (t, n, s, m, both, either, jac) =>
+      assert(both <= math.min(s, m), t)
+      assert(either === s + m - both, t)
+      assert(either <= n, t)
+      jac.foreach(j => assert(j === both * 1000000L / either, t))
+      assert(jac.isDefined === (either > 0), t)
+    }
+  }
+
   test("stateAudit peaks match a brute trailing-window recount") {
     val rows = Curation.stateAudit(spark, d)
       .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
