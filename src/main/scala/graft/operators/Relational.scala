@@ -1264,9 +1264,15 @@ object Relational {
         sum(expr("y * y")).as("syy"))
       .select(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"),
         col("syy"),
-        round(expr(
-          "(n * sxy - sx * sy) / (sqrt(cast(n * sxx - sx * sx as double))" +
-            " * sqrt(cast(n * syy - sy * sy as double)))"), 9).as("r"))
+        // zero-variance guard: r is undefined when either column is
+        // constant — emit NULL in BOTH engines rather than letting
+        // Spark produce NaN/Infinity where DuckDB's 0-divisor rules
+        // differ (the lshEval degenerate-input class, ADVICE r6)
+        when(expr("n * sxx - sx * sx") === 0 ||
+            expr("n * syy - sy * sy") === 0, lit(null).cast("double"))
+          .otherwise(round(expr(
+            "(n * sxy - sx * sy) / (sqrt(cast(n * sxx - sx * sx as double))" +
+              " * sqrt(cast(n * syy - sy * sy as double)))"), 9)).as("r"))
   }
 
   /** DuckDB twin of [[balanceActivityCorr]] — identical moments and
@@ -1280,17 +1286,19 @@ object Relational {
        |    CAST(floor(c_acctbal) AS BIGINT) AS y
        |  FROM customer LEFT JOIN oc ON c_custkey = o_custkey
        |)
-       |SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
-       |  CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
-       |  CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
-       |  round((count(*) * CAST(sum(x * y) AS BIGINT)
-       |      - CAST(sum(x) AS BIGINT) * CAST(sum(y) AS BIGINT))
-       |    / (sqrt(CAST(count(*) * CAST(sum(x * x) AS BIGINT)
-       |        - CAST(sum(x) AS BIGINT) * CAST(sum(x) AS BIGINT) AS DOUBLE))
-       |     * sqrt(CAST(count(*) * CAST(sum(y * y) AS BIGINT)
-       |        - CAST(sum(y) AS BIGINT) * CAST(sum(y) AS BIGINT) AS DOUBLE))),
-       |    9) AS r
-       |FROM xy""".stripMargin
+       |SELECT n, sx, sy, sxy, sxx, syy,
+       |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+       |       THEN NULL
+       |       ELSE round((n * sxy - sx * sy)
+       |         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+       |          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 9)
+       |  END AS r
+       |FROM (
+       |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+       |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+       |  FROM xy
+       |)""".stripMargin
 
   /** WEEK-OVER-WEEK revenue deltas — the BI trend shape: per integer
     * week number (epoch-day div 7 — no ISO-week ambiguity), order count
