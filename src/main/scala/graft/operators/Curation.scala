@@ -623,9 +623,21 @@ object Curation {
     *  - `interval_join`: buffered click rows; peak = clicks in the
     *    busiest trailing 10-min join range
     *
-    * Scale: hour/bucket aggregates are dimension-sized; the trailing
-    * peaks join each event to ≤ 2 bucket partials — linear with
-    * map-side combine. */
+    * Scale: hour/bucket aggregates are dimension-sized. The trailing
+    * peaks are EXACT via the 2-bucket band join, whose fan-out is
+    * occupancy² per bucket — quadratic in the EVENT RATE, so (the
+    * [[graft.operators.Dedup.MaxNaiveShingleDf]] convention) the
+    * operator refuses when any horizon bucket holds more than
+    * [[MaxPeakBucketOccupancy]] events rather than detonating; at
+    * higher rates run the audit on a time-slice, or replace the exact
+    * peak with the sorted-sweep formulation (sort by time, concurrency
+    * = rank(t) − rank(first event > t − h) — one total sort, no pair
+    * join). */
+  /** Hot-bucket refusal bound for [[stateAudit]]'s exact peaks: the
+    * band join emits occupancy² rows per bucket. 20k² = 4·10⁸ worst
+    * case — the ceiling of tolerable; beyond it, slice or sweep. */
+  val MaxPeakBucketOccupancy = 20000L
+
   def stateAudit(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("event_type"),
@@ -634,6 +646,14 @@ object Curation {
     def trailingPeak(frame: DataFrame, horizonUs: Long): DataFrame = {
       val b = frame.select(col("us"),
         expr(s"us div $horizonUs").as("bucket"))
+      val occRow = b.groupBy("bucket").agg(count(lit(1)).as("n"))
+        .agg(max("n")).head()
+      val occ = if (occRow.isNullAt(0)) 0L else occRow.getLong(0)
+      require(occ <= MaxPeakBucketOccupancy,
+        s"stateAudit refused: a $horizonUs-us bucket holds $occ events " +
+          s"(> $MaxPeakBucketOccupancy) - the exact-peak band join is " +
+          "occupancy^2; audit a time-slice, or use the sorted-sweep " +
+          "formulation (rank(t) - rank(first event > t - h))")
       // events in (t − horizon, t]: candidates from bucket and bucket−1
       b.select(col("us"), explode(array(col("bucket") - 1, col("bucket")))
           .as("cb"))
