@@ -1188,11 +1188,25 @@ object Relational {
     * Scale: one partial+final (group, value) count — map-side combined,
     * the only corpus-sized stage — then group×|domain| frames. No
     * window, no global sort before the output ORDER BY. */
+  /** Domain-size refusal bound for [[exactMedian]]: the cumulative
+    * triangle join is |distinct values|² per group. Past this, the
+    * domain isn't "bounded" and the sketches are the right tool. */
+  val MaxMedianDomain = 10000L
+
   def exactMedian(s: SparkSession, d: String): DataFrame = {
     val counts = Tables.lineitem(s, d)
       .select(col("l_returnflag").as("grp"),
         col("l_quantity").cast("long").as("v"))
       .groupBy("grp", "v").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // guard + three consumers
+    val domRow = counts.groupBy("grp").agg(count(lit(1)).as("nv"))
+      .agg(max("nv")).head()
+    val dom = if (domRow.isNullAt(0)) 0L else domRow.getLong(0)
+    require(dom <= MaxMedianDomain,
+      s"exactMedian refused: a group has $dom distinct values " +
+        s"(> $MaxMedianDomain) - the cumulative triangle join is " +
+        "domain^2; use histQuantiles (portable sketch) or percentiles " +
+        "(engine sketch) for unbounded domains")
     val cum = counts
       .join(counts.select(col("grp"), col("v").as("v2"), col("c").as("c2")),
         Seq("grp"))
