@@ -318,6 +318,7 @@ object SparkEntry {
     //     LogicalPlan + SparkStrategy + merge executor) — same oracle ---
     "rel_asof_click_purchase" -> (AsOfJoin.clickToPurchase _),
     "rel_asof_native" -> (AsOfJoin.clickToPurchaseNative _),
+    "rel_asof_tolerance" -> (AsOfJoin.clickToPurchaseTolerance _),
     "rel_asof_chain" -> (AsOfJoin.purchaseAttributionChain _),
 
     // --- pivot ---
@@ -1552,6 +1553,22 @@ object SparkEntry {
     // the native custom-plan as-of join must produce byte-identical
     // results to the composed one — one oracle checks both
     "rel_asof_native" -> asofOracle,
+    // DuckDB ASOF has no tolerance: null-out the unique backward match
+    // when it is staler than the window (same semantics by uniqueness)
+    "rel_asof_tolerance" ->
+      s"""WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         |c AS (SELECT * FROM events WHERE event_type = 'click'),
+         |a AS (
+         |  SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+         |    epoch_us(c.ts) AS click_us
+         |  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+         |)
+         |SELECT event_id, user_id, purchase_us,
+         |  CASE WHEN purchase_us - click_us <= ${AsOfJoin.AsOfToleranceUs}
+         |       THEN click_us END AS click_us,
+         |  CASE WHEN purchase_us - click_us <= ${AsOfJoin.AsOfToleranceUs}
+         |       THEN purchase_us - click_us END AS gap_us
+         |FROM a ORDER BY event_id""".stripMargin,
     // chained ASOF: DuckDB chains them natively; the engine's chained
     // native execs must agree
     "rel_asof_chain" ->

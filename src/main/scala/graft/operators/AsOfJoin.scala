@@ -72,6 +72,36 @@ object AsOfJoin {
       .orderBy("event_id")
   }
 
+  /** Staleness tolerance for [[clickToPurchaseTolerance]]: a click
+    * older than an hour no longer explains the purchase. Shared with
+    * the generated oracle. */
+  val AsOfToleranceUs = 3600000000L
+
+  /** [[clickToPurchaseNative]] with the merge operator's STALENESS
+    * TOLERANCE (pandas `merge_asof(tolerance)` / kdb `wj` windowed
+    * convention): the latest prior click attributes the purchase only
+    * while it is at most [[AsOfToleranceUs]] old — stale matches null
+    * out like missing ones, turning "last touch ever" into "last touch
+    * within the attribution window". Same single co-partitioned merge
+    * pass, O(1) extra work per row ([[graft.plans.AsOfJoinExec]]).
+    * DuckDB has no ASOF tolerance, so the oracle applies the identical
+    * staleness predicate to the plain ASOF result — sound because the
+    * backward as-of match is the unique candidate. */
+  def clickToPurchaseTolerance(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("r_user_id"),
+        unix_micros(col("ts")).as("click_us"))
+    graft.plans.NativeAsOf.joinAsOf(purchases, clicks,
+        "user_id", "r_user_id", "purchase_us", "click_us", AsOfToleranceUs)
+      .select(col("event_id"), col("user_id"), col("purchase_us"),
+        col("click_us"), (col("purchase_us") - col("click_us")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
   /** CHAINED native as-of joins: purchase → latest click ≤ purchase →
     * latest view ≤ purchase. The payoff of [[graft.plans.AsOfJoinExec]]
     * declaring its output partitioning (left's user_id clustering) and

@@ -45,7 +45,8 @@ import org.apache.spark.sql.types.LongType
 case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTs: Expression, rightTs: Expression) extends BinaryNode {
+    leftTs: Expression, rightTs: Expression,
+    toleranceUs: Long = -1L) extends BinaryNode {
 
   require(Seq(leftKey, rightKey, leftTs, rightTs).forall(_.dataType == LongType),
     "as-of join requires LongType keys and timestamps (use unix_micros)")
@@ -88,8 +89,8 @@ object PruneAsOfJoinColumns extends Rule[LogicalPlan] {
   * or cluster-wide via `GraftExtensions`. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lts, rts) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lts, rts, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, tol) :: Nil
     case _ => Nil
   }
 }
@@ -102,7 +103,8 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTs: Expression, rightTs: Expression) extends BinaryExecNode {
+    leftTs: Expression, rightTs: Expression,
+    toleranceUs: Long = -1L) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -137,6 +139,7 @@ case class AsOfJoinExec(
     val rk = rightKey
     val lts = leftTs
     val rts = rightTs
+    val tol = toleranceUs
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // (key, ts) extractors; the projections are bound per partition
       val lProj = UnsafeProjection.create(Seq(lk, lts), lOut)
@@ -159,7 +162,8 @@ case class AsOfJoinExec(
         private var rTs = 0L
         private var rValid = false
         private var lastMatch: InternalRow = _ // latest consumed right row …
-        private var lastKey = 0L               // … and its key
+        private var lastKey = 0L               // … its key …
+        private var lastTs = 0L                // … and its ts (tolerance)
         private var haveMatch = false
 
         private def advanceRight(): Unit = {
@@ -189,11 +193,16 @@ case class AsOfJoinExec(
             // the same key have ts' >= ts (sorted), so consumption is safe
             while (rValid && (rKey < k || (rKey == k && rTs <= ts))) {
               if (rKey == k) {
-                lastMatch = rRow.copy(); lastKey = k; haveMatch = true
+                lastMatch = rRow.copy(); lastKey = k; lastTs = rTs
+                haveMatch = true
               }
               advanceRight()
             }
-            if (haveMatch && lastKey == k) {
+            // tolerance (pandas merge_asof convention): the latest
+            // at-or-before row is the ONLY candidate, so a staleness
+            // bound just nulls it out when it is too old
+            if (haveMatch && lastKey == k &&
+                (tol < 0L || ts - lastTs <= tol)) {
               numMatchedRows += 1
               outProj(joined(lRow, lastMatch))
             } else outProj(joined(lRow, nullRight))
@@ -227,7 +236,17 @@ object NativeAsOf {
     * side) and bound against each side's analyzed output. */
   def joinAsOf(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTs: String, rightTs: String): DataFrame = {
+      leftTs: String, rightTs: String): DataFrame =
+    joinAsOf(left, right, leftKey, rightKey, leftTs, rightTs, -1L)
+
+  /** [[joinAsOf]] with a STALENESS TOLERANCE (pandas
+    * `merge_asof(tolerance=...)`): the latest at-or-before match is
+    * kept only while `leftTs − rightTs ≤ toleranceUs`; staler matches
+    * null out exactly like a missing one. Tolerance is a per-row O(1)
+    * check inside the same single merge pass — no extra plan cost. */
+  def joinAsOf(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String, toleranceUs: Long): DataFrame = {
     val spark = left.sparkSession
     ensureRegistered(spark)
     val lPlan = left.queryExecution.analyzed
@@ -250,6 +269,7 @@ object NativeAsOf {
         s"column '$name' not found on the $side side (${plan.output.map(_.name).mkString(", ")})"))
     graftshim.ofRows(spark, AsOfJoinNode(lPlan, rPlan,
       bind(leftKey, lPlan, "left"), bind(rightKey, rPlan, "right"),
-      bind(leftTs, lPlan, "left"), bind(rightTs, rPlan, "right")))
+      bind(leftTs, lPlan, "left"), bind(rightTs, rPlan, "right"),
+      toleranceUs))
   }
 }

@@ -61,6 +61,26 @@ class AsOfJoinSpec extends AnyFunSuite {
       "p5" -> None))
   }
 
+  test("native as-of tolerance nulls stale matches, keeps fresh ones") {
+    val left = Seq(
+      (1L, 10L, "p1"),  // latest right at 9, gap 1 ≤ tol 3 → match
+      (1L, 20L, "p2"),  // latest right at 9, gap 11 > 3 → null
+      (1L, 12L, "p3"),  // gap 3 = tol, inclusive → match
+      (2L, 10L, "p4")   // no right rows → null either way
+    ).toDF("k", "lts", "name")
+    val right = Seq((1L, 5L, 100L), (1L, 9L, 200L)).toDF("rk", "rts", "rv")
+    val got = graft.plans.NativeAsOf.joinAsOf(left, right,
+        "k", "rk", "lts", "rts", 3L)
+      .select($"name", $"rv").as[(String, Option[Long])].collect().toMap
+    assert(got === Map(
+      "p1" -> Some(200L), "p2" -> None, "p3" -> Some(200L), "p4" -> None))
+    // tolerance −1 (disabled) must reproduce the plain native join
+    val plain = graft.plans.NativeAsOf.joinAsOf(left, right,
+        "k", "rk", "lts", "rts")
+      .select($"name", $"rv").as[(String, Option[Long])].collect().toMap
+    assert(plain("p2") === Some(200L))
+  }
+
   test("native as-of join ≡ composed as-of join on the events fixture") {
     val composed = AsOfJoin.clickToPurchase(spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Long, Option[Long], Option[Long])].collect().toSeq
