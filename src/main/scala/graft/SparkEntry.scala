@@ -319,6 +319,7 @@ object SparkEntry {
     "rel_asof_click_purchase" -> (AsOfJoin.clickToPurchase _),
     "rel_asof_native" -> (AsOfJoin.clickToPurchaseNative _),
     "rel_asof_tolerance" -> (AsOfJoin.clickToPurchaseTolerance _),
+    "rel_asof_forward" -> (AsOfJoin.clickToNextPurchase _),
     "rel_asof_chain" -> (AsOfJoin.purchaseAttributionChain _),
 
     // --- pivot ---
@@ -1569,6 +1570,15 @@ object SparkEntry {
          |  CASE WHEN purchase_us - click_us <= ${AsOfJoin.AsOfToleranceUs}
          |       THEN purchase_us - click_us END AS gap_us
          |FROM a ORDER BY event_id""".stripMargin,
+    // forward as-of: DuckDB's <= ASOF picks the first right row >= l.ts
+    "rel_asof_forward" ->
+      """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+        |p AS (SELECT * FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS click_us,
+        |  epoch_us(p.ts) AS purchase_us,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
+        |ORDER BY c.event_id""".stripMargin,
     // chained ASOF: DuckDB chains them natively; the engine's chained
     // native execs must agree
     "rel_asof_chain" ->

@@ -102,6 +102,37 @@ object AsOfJoin {
       .orderBy("event_id")
   }
 
+  /** FORWARD as-of via the NEGATION REDUCTION on the same native
+    * backward merge ([[graft.plans.AsOfJoinExec]]): the EARLIEST right
+    * row at-or-after each left row is exactly the LATEST
+    * at-or-before match under negated timestamps — latest −r ≤ −l ⟺
+    * smallest r ≥ l — so one physical operator serves both directions
+    * (pandas `merge_asof(direction='forward')`; DuckDB expresses it
+    * natively as `ASOF ... ON l.ts <= r.ts`, which the oracle uses).
+    * The query: each click's NEXT purchase — the per-event forward
+    * attribution [[graft.operators.Curation.timeToConvert]] summarizes
+    * corpus-wide.
+    *
+    * Scale: identical to the backward join — one shuffle+sort per
+    * side (on the negated ts), one streaming merge. */
+  def clickToNextPurchase(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("click_us"),
+        (-unix_micros(col("ts"))).as("neg_l"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("r_user_id"),
+        unix_micros(col("ts")).as("purchase_us"),
+        (-unix_micros(col("ts"))).as("neg_r"))
+    graft.plans.NativeAsOf.joinAsOf(clicks, purchases,
+        "user_id", "r_user_id", "neg_l", "neg_r")
+      .select(col("event_id"), col("user_id"), col("click_us"),
+        col("purchase_us"),
+        (col("purchase_us") - col("click_us")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
   /** CHAINED native as-of joins: purchase → latest click ≤ purchase →
     * latest view ≤ purchase. The payoff of [[graft.plans.AsOfJoinExec]]
     * declaring its output partitioning (left's user_id clustering) and

@@ -81,6 +81,31 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(plain("p2") === Some(200L))
   }
 
+  test("forward as-of (negation reduction) picks the first row >= ts") {
+    val got = graft.operators.AsOfJoin.clickToNextPurchase(
+        spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect()
+    assert(got.nonEmpty)
+    // independent recompute: earliest purchase at-or-after each click
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"user_id", $"event_type",
+        org.apache.spark.sql.functions.expr("unix_micros(ts)").as("us"))
+      .as[(Long, Long, String, Long)].collect()
+    val purchByUser = ev.filter(_._3 == "purchase")
+      .groupBy(_._2).view.mapValues(_.map(_._4).sorted).toMap
+    val clicks = ev.filter(_._3 == "click")
+      .map(e => e._1 -> ((e._2, e._4))).toMap
+    got.foreach { case (id, _, cus, pus, gap) =>
+      val (u, cu) = clicks(id)
+      assert(cu === cus)
+      val expected = purchByUser.get(u).flatMap(_.find(_ >= cu))
+      assert(pus === expected, s"click $id")
+      assert(gap === expected.map(_ - cu), s"click $id gap")
+    }
+    // both outcomes exercised
+    assert(got.exists(_._4.isDefined) && got.exists(_._4.isEmpty))
+  }
+
   test("native as-of join ≡ composed as-of join on the events fixture") {
     val composed = AsOfJoin.clickToPurchase(spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Long, Option[Long], Option[Long])].collect().toSeq
