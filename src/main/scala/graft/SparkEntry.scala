@@ -320,6 +320,7 @@ object SparkEntry {
     "rel_asof_native" -> (AsOfJoin.clickToPurchaseNative _),
     "rel_asof_tolerance" -> (AsOfJoin.clickToPurchaseTolerance _),
     "rel_asof_forward" -> (AsOfJoin.clickToNextPurchase _),
+    "rel_asof_nearest" -> (AsOfJoin.clickToNearestPurchase _),
     "rel_asof_chain" -> (AsOfJoin.purchaseAttributionChain _),
 
     // --- pivot ---
@@ -1579,6 +1580,31 @@ object SparkEntry {
         |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
         |ORDER BY c.event_id""".stripMargin,
+    // nearest = closer of the two directions, ties -> the earlier row
+    "rel_asof_nearest" ->
+      """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+        |p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |b AS (
+        |  SELECT c.event_id, c.user_id, epoch_us(c.ts) AS click_us,
+        |    epoch_us(p.ts) AS b_us
+        |  FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        |),
+        |f AS (
+        |  SELECT c.event_id AS f_event, epoch_us(p.ts) AS f_us
+        |  FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
+        |),
+        |n AS (
+        |  SELECT b.event_id, b.user_id, b.click_us,
+        |    CASE WHEN b_us IS NULL AND f_us IS NULL THEN NULL
+        |         WHEN b_us IS NULL THEN f_us
+        |         WHEN f_us IS NULL THEN b_us
+        |         WHEN click_us - b_us <= f_us - click_us THEN b_us
+        |         ELSE f_us END AS purchase_us
+        |  FROM b JOIN f ON b.event_id = f.f_event
+        |)
+        |SELECT event_id, user_id, click_us, purchase_us,
+        |  purchase_us - click_us AS signed_gap_us
+        |FROM n ORDER BY event_id""".stripMargin,
     // chained ASOF: DuckDB chains them natively; the engine's chained
     // native execs must agree
     "rel_asof_chain" ->

@@ -133,6 +133,50 @@ object AsOfJoin {
       .orderBy("event_id")
   }
 
+  /** NEAREST as-of — the third pandas direction, composed from the two
+    * native merges: each click joins its latest prior purchase
+    * (backward) AND its next purchase (forward via the negation
+    * reduction), and one row-local comparison keeps the closer of the
+    * two (ties → the EARLIER purchase, pandas' documented rule). Two
+    * co-partitioned merge passes over the same shuffle keys; the
+    * comparison is a projection. The DuckDB oracle composes its two
+    * native ASOF directions with the identical tie rule. */
+  def clickToNearestPurchase(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val back = graft.plans.NativeAsOf.joinAsOf(
+        ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("click_us")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("rb_user"),
+            unix_micros(col("ts")).as("b_us")),
+        "user_id", "rb_user", "click_us", "b_us")
+      .select(col("event_id"), col("user_id"), col("click_us"), col("b_us"))
+    val fwd = graft.plans.NativeAsOf.joinAsOf(
+        ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("f_event"), col("user_id").as("f_uid"),
+            (-unix_micros(col("ts"))).as("neg_l")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("rf_user"),
+            unix_micros(col("ts")).as("f_us"),
+            (-unix_micros(col("ts"))).as("neg_r")),
+        "f_uid", "rf_user", "neg_l", "neg_r")
+      .select(col("f_event"), col("f_us"))
+    back.join(fwd, col("event_id") === col("f_event"))
+      .select(col("event_id"), col("user_id"), col("click_us"),
+        when(col("b_us").isNull && col("f_us").isNull,
+            lit(null).cast("long"))
+          .when(col("b_us").isNull, col("f_us"))
+          .when(col("f_us").isNull, col("b_us"))
+          .when(col("click_us") - col("b_us") <= col("f_us") - col("click_us"),
+            col("b_us")) // tie → the earlier (backward) purchase
+          .otherwise(col("f_us")).as("purchase_us"))
+      .select(col("event_id"), col("user_id"), col("click_us"),
+        col("purchase_us"),
+        (col("purchase_us") - col("click_us")).as("signed_gap_us"))
+      .orderBy("event_id")
+  }
+
   /** CHAINED native as-of joins: purchase → latest click ≤ purchase →
     * latest view ≤ purchase. The payoff of [[graft.plans.AsOfJoinExec]]
     * declaring its output partitioning (left's user_id clustering) and

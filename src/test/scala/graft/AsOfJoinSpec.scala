@@ -106,6 +106,33 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got.exists(_._4.isDefined) && got.exists(_._4.isEmpty))
   }
 
+  test("nearest as-of keeps the closer direction, ties go backward") {
+    val got = graft.operators.AsOfJoin.clickToNearestPurchase(
+        spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect()
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"user_id", $"event_type",
+        org.apache.spark.sql.functions.expr("unix_micros(ts)").as("us"))
+      .as[(Long, Long, String, Long)].collect()
+    val purch = ev.filter(_._3 == "purchase")
+      .groupBy(_._2).view.mapValues(_.map(_._4).sorted).toMap
+    got.foreach { case (id, u, cus, pus, gap) =>
+      val b = purch.get(u).flatMap(_.reverseIterator.find(_ <= cus))
+      val f = purch.get(u).flatMap(_.find(_ >= cus))
+      val expected = (b, f) match {
+        case (None, x) => x
+        case (x, None) => x
+        case (Some(bb), Some(ff)) =>
+          if (cus - bb <= ff - cus) Some(bb) else Some(ff)
+      }
+      assert(pus === expected, s"click $id")
+      assert(gap === expected.map(_ - cus), s"click $id")
+    }
+    // both directions must win somewhere, or the composition is moot
+    val wins = got.flatMap(r => r._5.map(g => g <= 0L))
+    assert(wins.contains(true) && wins.contains(false))
+  }
+
   test("native as-of join ≡ composed as-of join on the events fixture") {
     val composed = AsOfJoin.clickToPurchase(spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Long, Option[Long], Option[Long])].collect().toSeq
