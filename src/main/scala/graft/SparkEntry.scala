@@ -143,6 +143,7 @@ object SparkEntry {
     // first-active-day cohorts with day-1/day-7 return rates
     "rel_retention" -> (Relational.retention _),
     "events_lifecycle" -> (Relational.lifecycle _),
+    "events_stickiness" -> (Relational.stickiness _),
     "rel_window_funcs" -> (Relational.windowFuncs _),
     "rel_grouping_sets" -> (Relational.groupingSetsAgg _),
     "rel_array_funcs" -> (Relational.arrayFuncs _),
@@ -1230,6 +1231,7 @@ object SparkEntry {
          |   OR n_old <> n_new OR t_old <> t_new
          |ORDER BY o_custkey""".stripMargin,
     "events_lifecycle" -> Relational.lifecycleOracle,
+    "events_stickiness" -> Relational.stickinessOracle,
     "rel_retention" ->
       """WITH ev AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events

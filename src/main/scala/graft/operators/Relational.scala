@@ -1447,6 +1447,71 @@ object Relational {
        |  count(CASE WHEN lastd THEN 1 END) AS n_churning
        |FROM cl GROUP BY cl.day ORDER BY 1""".stripMargin
 
+  /** MAU horizon (days) for [[stickiness]]. */
+  val MauDays = 30L
+
+  /** DAU/MAU STICKINESS — the growth metric [[lifecycle]]'s class
+    * split feeds: per active day, the exact distinct-user count that
+    * day (DAU), in the trailing [[MauDays]]-day window (MAU), and
+    * their ratio in integer ppm (the "how often do monthly users show
+    * up daily" dial; 1e6/30 ≈ 33333 is the pure-churn floor). The
+    * trailing distinct is computed by fanning each (user, day) row out
+    * to the ≤ [[MauDays]] active days it can serve — a BOUNDED ×30
+    * row multiplier (just the band-join trade written as a constant),
+    * then one exact distinct count per day; no sliding-window distinct
+    * state, no window function at all.
+    *
+    * Scale: distinct (user, day) is a partial+final dedup; the fan-out
+    * is 30× that frame with map-side combine into a day-dimension
+    * result. At 100 TB the 30× multiplier is the explicit, fixed price
+    * of EXACT trailing distincts — swap in the portable HLL sketch
+    * (`rel_hll_portable`) when ±2% MAU is acceptable. */
+  def stickiness(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+      .localCheckpoint() // DAU + fan-out + day scaffold
+    val days = ud.select("day").distinct()
+    val dau = ud.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    // (user, day) serves every scaffold day in [day, day + 29] that is
+    // itself an active day — join via the fan-out then distinct-count
+    val mau = ud
+      .select(col("user_id"),
+        explode(expr(s"sequence(day, day + ${MauDays - 1})")).as("day"))
+      .join(days, Seq("day"), "left_semi")
+      .groupBy("day").agg(countDistinct("user_id").as("mau"))
+    dau.join(mau, "day")
+      .select(
+        date_format((col("day") * 86400).cast("timestamp"), "yyyy-MM-dd")
+          .as("day"),
+        col("dau"), col("mau"),
+        expr("dau * 1000000 div mau").as("stickiness_ppm"))
+      .orderBy("day")
+  }
+
+  /** DuckDB twin of [[stickiness]] — identical fan-out and day gate. */
+  private[graft] def stickinessOracle: String =
+    s"""WITH ud AS MATERIALIZED (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+       |  FROM events
+       |),
+       |days AS (SELECT DISTINCT day FROM ud),
+       |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+       |fan AS (
+       |  SELECT ud.user_id, t.d AS day
+       |  FROM ud, unnest(generate_series(ud.day, ud.day + ${MauDays - 1})) t(d)
+       |),
+       |mau AS (
+       |  SELECT f.day, count(DISTINCT f.user_id) AS mau
+       |  FROM fan f JOIN days ON f.day = days.day GROUP BY 1
+       |)
+       |SELECT strftime(epoch_ms(dau.day * 86400000), '%Y-%m-%d') AS day,
+       |  dau.dau, mau.mau,
+       |  CAST((dau.dau * 1000000) // mau.mau AS BIGINT) AS stickiness_ppm
+       |FROM dau JOIN mau ON dau.day = mau.day
+       |ORDER BY day""".stripMargin
+
   def retention(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("user_id"), to_date(col("ts")).as("day"))

@@ -626,6 +626,24 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("stickiness: MAU is the exact trailing-30d distinct recount") {
+    val got = Relational.stickiness(spark, d)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val ud = Tables.events(spark, d)
+      .select($"user_id", expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct().as[(Long, Long)].collect()
+    val byDay = ud.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    got.foreach { case (label, dau, mau, ppm) =>
+      val day = java.time.LocalDate.parse(label).toEpochDay
+      assert(dau === byDay(day).size.toLong, s"$label dau")
+      val expMau = (day - 29 to day).flatMap(byDay.get).flatten.toSet.size
+      assert(mau === expMau.toLong, s"$label mau")
+      assert(ppm === dau * 1000000L / mau)
+      assert(dau <= mau)
+    }
+  }
+
   test("lifecycle: classes partition active days, churn mass conserved") {
     val rows = Relational.lifecycle(spark, d)
       .as[(String, Long, Long, Long, Long, Long, Long)].collect()
