@@ -1,0 +1,282 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling harness: measures how the expensive query plans
+  * actually behave as the data grows, the artifact the reference itself
+  * ships for its engine (`timings.txt:1-17`, its 1–4-node wall-clock
+  * table) and the piece SCALE.md's prose arguments were missing.
+  *
+  * Method: the driver's testdata tops out at sf0.1 (read-only), so the
+  * harness inflates it by KEY-SHIFTED SELF-UNION — factor F concatenates
+  * F copies of every fact table with all join keys shifted by
+  * `copy * KeyShift`, preserving uniqueness, referential integrity and
+  * every per-copy distribution, then writes the result as parquet
+  * scratch (the same trick `SimilaritySpec`'s 10×-corpus contract test
+  * uses, made a reusable artifact). Two columns need more than a key
+  * shift to keep the WORKLOAD shape honest at F×:
+  *
+  *   - `documents.text`: verbatim copies would make every doc an exact
+  *     F-plex — near-dup candidate pairs would then grow ~F² and the
+  *     harness would report superlinear scaling that says nothing about
+  *     the plans. Each copy instead maps letters through a Caesar
+  *     rotation of the alphabet (`translate`, codegen'd): within-copy
+  *     structure (shingle df profile, doc lengths, dup clusters) is
+  *     IDENTICAL to the base corpus under renamed tokens, while
+  *     cross-copy shingle overlap is ~zero — F× more data of the same
+  *     character, which is what a bigger crawl looks like.
+  *   - `embeddings.embedding`: copies rotate the vector cyclically by
+  *     `copy` positions (dim 64 ≥ max copies). Norms and within-copy
+  *     geometry are preserved exactly; cross-copy vectors point in
+  *     unrelated directions, so embedding near-dup stays linear and the
+  *     fixed ANN query set (vec_id < NumQueries, all in copy 0)
+  *     searches an F× corpus — the production "corpus grows, queries
+  *     don't" shape.
+  *
+  * Per factor the shared edge graphs are pre-materialized (timed,
+  * reported as `shared_*` rows — the graph build IS the real scale cost
+  * for the cluster consumers, mirroring Bench's policy). Each panel
+  * query then runs warmup + timed passes (min; the storm hazards from
+  * the verify skill apply at every size) and the artifact records
+  * per-query seconds at each factor plus the least-squares exponent of
+  * ln(t) on ln(F). exponent ≈ 1 = linear scaling; > ~1.3 on this
+  * shuffle-light box earns a SCALE.md explanation or a fix.
+  *
+  * Run: `sbt "runMain graft.Scaling"` → writes SCALING.json (cwd).
+  * Env knobs: SPARK_GRAFT_SCALING_BASE (default /root/testdata/sf0.1),
+  * SPARK_GRAFT_SCALING_DIR (scratch, default /tmp/graft_scaling),
+  * SPARK_GRAFT_SCALING_FACTORS (default "1,4,16"),
+  * SPARK_GRAFT_SCALING_QUERIES (comma list overriding the panel),
+  * SPARK_GRAFT_SCALING_OUT (default SCALING.json).
+  */
+object Scaling {
+  /** Key offset between copies — far above any base key (max ~1.5e6 at
+    * sf0.1) and far below Long overflow at 16 copies. */
+  val KeyShift = 10_000_000_000L
+
+  /** The measured panel: the most expensive batch queries from
+    * BENCH_LOCAL.json (streaming sinks excluded — their bounded-fixture
+    * cost is dominated by fixed micro-batch engine overhead, which
+    * scaling sf would mismeasure) plus two cheap representatives as a
+    * linear-scan control group. */
+  val DefaultPanel: Seq[String] = Seq(
+    // dedup family — candidate generation + verify is the 100 TB risk
+    "dedup_containment_prefix", "dedup_jaccard_prefix",
+    "dedup_threshold_sweep", "dedup_banding_sweep",
+    "dedup_minhash_lsh", "dedup_clusters_lsh", "dedup_clusters",
+    "dedup_kcore", "dedup_keep_best", "dedup_incremental",
+    // ANN family — index build + bounded probe
+    "ann_recall_at_k", "ann_topk_ivfpq", "ann_topk_pq", "ann_mmr_rerank",
+    // relational — wide agg (Expand ×7 reservation) + self-join basket
+    "rel_column_stats", "rel_basket_pairs",
+    // linear-scan control group
+    "bigram_probs", "rel_pricing_summary")
+
+  private case class Sample(factor: Int, sec: Double)
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SCALING_BASE", "/root/testdata/sf0.1")
+    val scratch = sys.env.getOrElse("SPARK_GRAFT_SCALING_DIR", "/tmp/graft_scaling")
+    val factors = sys.env.getOrElse("SPARK_GRAFT_SCALING_FACTORS", "1,4,16")
+      .split(",").map(_.trim.toInt).toSeq
+    val panel = sys.env.get("SPARK_GRAFT_SCALING_QUERIES")
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(DefaultPanel)
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "SCALING.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scaling")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config(Tables.NanosConf, "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // Untimed JIT/codegen warmup at a tiny sf: without it the FIRST
+    // factor's samples absorb all whole-stage-codegen compilation and
+    // the run reports negative exponents (measured on the sf0.01 ×2
+    // smoke: every exponent < 0 before this phase existed). Min-of-N
+    // passes can't fix the shared builds, which run exactly once per
+    // factor (memoized after), so the code paths must be hot BEFORE x1.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_SCALING_WARM", "/root/testdata/sf0.001")
+    if (warmDir.nonEmpty) {
+      val t0 = System.nanoTime()
+      for (b <- Seq[() => DataFrame](
+          () => operators.Dedup.nearDupEdgesShared(spark, warmDir),
+          () => operators.Dedup.minhashEdgesShared(spark, warmDir),
+          () => operators.Dedup.embeddingEdgesShared(spark, warmDir),
+          () => operators.Dedup.truthPairsShared(spark, warmDir)))
+        try b() catch { case _: Throwable => () }
+      for (name <- panel) {
+        try SparkEntry.queries(name)(spark, warmDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        spark.catalog.clearCache()
+      }
+      System.err.println(
+        f"[scaling] warmup at $warmDir done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+
+    // results(query) = samples across factors, in factor order
+    val results = scala.collection.mutable.LinkedHashMap[String, Vector[Sample]]()
+    val rows = scala.collection.mutable.LinkedHashMap[Int, Long]()
+
+    def emit(): Unit = {
+      def f4(v: Double) =
+        BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+      val qjson = results.map { case (name, samples) =>
+        val pts = samples.map(s => s""""x${s.factor}":${f4(s.sec)}""")
+        val expo = exponent(samples)
+        val e = expo.map(v => s""","exponent":${f4(v)}""").getOrElse("")
+        s""""$name":{${pts.mkString(",")}$e}"""
+      }.mkString("{", ",", "}")
+      val rjson = rows.map { case (f, n) => s""""x$f":$n""" }
+        .mkString("{", ",", "}")
+      val line =
+        s"""{"base":"$base","factors":[${factors.mkString(",")}],"lineitem_rows":$rjson,"queries":$qjson}"""
+      try {
+        val p = java.nio.file.Paths.get(out)
+        val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+        java.nio.file.Files.writeString(tmp, line + "\n")
+        java.nio.file.Files.move(tmp, p,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } catch { case e: Exception =>
+        System.err.println(s"[scaling] artifact write failed: ${e.getMessage}")
+      }
+    }
+
+    for (factor <- factors) {
+      val dir = if (factor == 1) base else s"$scratch/x$factor"
+      if (factor != 1) inflate(spark, base, factor, dir)
+      rows(factor) = spark.read.parquet(s"$dir/lineitem.parquet").count()
+      System.err.println(s"[scaling] factor x$factor at $dir: ${rows(factor)} lineitem rows")
+
+      // shared edge graphs: timed builds, then memoized for consumers
+      // (clearCache() does not drop the localCheckpoint memo — Bench's
+      // documented shared-intermediate design)
+      for ((kind, build) <- Seq[(String, () => DataFrame)](
+          "shared_prefix_edges" -> (() => operators.Dedup.nearDupEdgesShared(spark, dir)),
+          "shared_minhash_edges" -> (() => operators.Dedup.minhashEdgesShared(spark, dir)),
+          "shared_embedding_edges" -> (() => operators.Dedup.embeddingEdgesShared(spark, dir)),
+          "shared_truth_pairs" -> (() => operators.Dedup.truthPairsShared(spark, dir)))) {
+        val t0 = System.nanoTime()
+        val sec = try { build(); (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            System.err.println(s"[scaling] $kind x$factor failed: ${e.getMessage}")
+            -1.0
+          }
+        results(kind) = results.getOrElse(kind, Vector.empty) :+ Sample(factor, sec)
+        System.err.println(f"[scaling] $kind%-28s x$factor%-3d ${sec}%8.3f s (build)")
+        spark.catalog.clearCache()
+        emit()
+      }
+
+      def runOnce(name: String): Double = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries(name)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          // guarded baselines may REFUSE oversized input by design —
+          // record the refusal (-2) distinctly from an error (-1)
+          val refused = e.getMessage != null && e.getMessage.contains("refus")
+          System.err.println(s"[scaling] $name x$factor ${if (refused) "refused" else "failed"}: ${e.getMessage}")
+          if (refused) -2.0 else -1.0
+        }
+      }
+
+      for (name <- panel) {
+        val warm = runOnce(name)
+        val sec =
+          if (warm < 0) warm // refusal/failure: don't retry twice
+          else if (warm > 5.0) math.min(warm, runOnce(name)) // slow: 2 samples
+          else Seq(warm, runOnce(name), runOnce(name)).min // fast: 3 samples
+        results(name) = results.getOrElse(name, Vector.empty) :+ Sample(factor, sec)
+        System.err.println(f"[scaling] $name%-28s x$factor%-3d ${sec}%8.3f s")
+        emit()
+      }
+    }
+    emit()
+    spark.stop()
+  }
+
+  /** Least-squares slope of ln(sec) on ln(factor) over valid samples;
+    * None with fewer than two valid points. */
+  def exponent(samples: Seq[Sample]): Option[Double] = {
+    val pts = samples.filter(_.sec > 0)
+      .map(s => (math.log(s.factor.toDouble), math.log(s.sec)))
+    if (pts.size < 2) None
+    else {
+      val n = pts.size.toDouble
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val denom = n * sxx - sx * sx
+      if (denom == 0) None else Some((n * sxy - sx * sy) / denom)
+    }
+  }
+
+  /** Writes the F-fold key-shifted self-union of every table at `base`
+    * into `dest` (same file layout, so `SparkEntry.queries` run on it
+    * unchanged). Idempotent per (base, factor): skips when the dest
+    * `_INFLATED` marker already exists. */
+  def inflate(spark: SparkSession, base: String, factor: Int, dest: String): Unit = {
+    val marker = java.nio.file.Paths.get(dest, "_INFLATED")
+    if (java.nio.file.Files.exists(marker)) {
+      System.err.println(s"[scaling] reusing inflated x$factor at $dest")
+      return
+    }
+    val t0 = System.nanoTime()
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    def rot(s: String, k: Int) = s.drop(k % 26) + s.take(k % 26)
+
+    /** F copies of `df`, transformed per copy index. */
+    def copies(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(k => f(df, k)).reduce(_ unionAll _)
+
+    def shift(df: DataFrame, k: Int, cols: String*): DataFrame =
+      cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(k * KeyShift)))
+
+    val tables: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "region" -> identity,
+      "nation" -> identity,
+      "customer" -> (df => copies(df)(shift(_, _, "c_custkey"))),
+      "supplier" -> (df => copies(df)(shift(_, _, "s_suppkey"))),
+      "part" -> (df => copies(df)(shift(_, _, "p_partkey"))),
+      "orders" -> (df => copies(df)(shift(_, _, "o_orderkey", "o_custkey"))),
+      "lineitem" -> (df => copies(df)(
+        shift(_, _, "l_orderkey", "l_partkey", "l_suppkey"))),
+      "events" -> (df => copies(df)(shift(_, _, "event_id", "user_id"))),
+      "documents" -> (df => copies(df) { (d, k) =>
+        shift(d, k, "doc_id").withColumn("text",
+          if (k == 0) col("text")
+          else translate(col("text"), lower + upper, rot(lower, k) + rot(upper, k)))
+      }),
+      "embeddings" -> (df => copies(df) { (d, k) =>
+        val r = k % 64 // dim = 64; copy 0 is the identity rotation
+        shift(d, k, "vec_id").withColumn("embedding",
+          if (r == 0) col("embedding")
+          else expr(s"concat(slice(embedding, ${r + 1}, 64 - $r), slice(embedding, 1, $r))")
+            .cast("array<float>"))
+      }))
+    for ((name, xform) <- tables) {
+      // events ships TIMESTAMP(NANOS) in some generations: route through
+      // Tables loaders so the normalized schema lands in the scratch copy
+      val src = name match {
+        case "events" => Tables.events(spark, base)
+        case _ => Tables.load(spark, base, name)
+      }
+      xform(src).write.mode("overwrite").parquet(s"$dest/$name.parquet")
+    }
+    java.nio.file.Files.createDirectories(marker.getParent)
+    java.nio.file.Files.writeString(marker, s"base=$base factor=$factor\n")
+    System.err.println(
+      f"[scaling] inflated x$factor to $dest in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+  }
+}
