@@ -33,5 +33,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Janino recompilation and JIT deopt/flush storms (measured 10-100×
   // intermittent slowdowns on identical reruns). Size both for the suite.
   "-Dspark.sql.codegen.cache.maxEntries=5000",
-  "-XX:ReservedCodeCacheSize=1g",
+  // 2g (r8): 1g still showed code-cache flush storms on the 226-query
+  // suite (10 driver values >2× steady with the escape cap exhausted) —
+  // reserved address space is free; only used cache commits memory.
+  "-XX:ReservedCodeCacheSize=2g",
 )

@@ -121,6 +121,47 @@ object Bench {
     val benchStart = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - benchStart) / 1e9
 
+    // Whole-suite codegen/JIT pre-warm at a tiny sf (r8, VERDICT r7 item
+    // 2): the r7 storm tail — 10/226 driver values >2× their steady
+    // prior with the 20 s escape cap exhausted — came from queries whose
+    // FIRST sf0.1 executions still carried Janino compilation + C2
+    // warmup + code-cache churn from neighbors. One untimed sweep at
+    // sf0.001 compiles every query's generated classes up front
+    // (~100-150 s against the 1500 s budget), so the timed loop starts
+    // JIT-hot for the whole suite, not just the query at hand. Disable
+    // with SPARK_GRAFT_BENCH_WARM_DIR="" (and it auto-skips if the
+    // sweep would eat past a third of the budget).
+    val warmDir =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_DIR", "/root/testdata/sf0.001")
+    if (warmDir.nonEmpty) {
+      val t0 = System.nanoTime()
+      val warmCap = budgetSec / 4
+      // Parallel: a serial sweep measured >360 s cold (each query pays
+      // its own Janino compile + planner warmup serially on the driver
+      // thread) — compilation is per-thread work, so an 8-way pool
+      // overlaps it. Streaming sinks are excluded: their cost is
+      // micro-batch engine overhead, not codegen, and their own 2-pass
+      // policy already absorbs the first-stream tax. No clearCache()
+      // inside the sweep (racy across threads); one clear at the end.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val warmed = new java.util.concurrent.atomic.AtomicInteger
+      val batch = names.filterNot(streaming)
+      for (name <- batch) pool.execute { () =>
+        if (elapsed < warmCap) {
+          try {
+            SparkEntry.queries(name)(spark, warmDir)
+              .write.format("noop").mode("overwrite").save()
+            warmed.incrementAndGet()
+          } catch { case _: Throwable => () }
+        }
+      }
+      pool.shutdown()
+      pool.awaitTermination(warmCap.toLong + 60, java.util.concurrent.TimeUnit.SECONDS)
+      spark.catalog.clearCache()
+      System.err.println(
+        f"[bench] pre-warm sweep at $warmDir: ${warmed.get}/${batch.size} queries in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+
     // Pre-materialize the shared edge graphs before any timed pass:
     // every dedup/propagation consumer then measures CONSUMER cost over
     // the memoized graph, even if the wall budget later degrades one of
