@@ -643,8 +643,13 @@ object Curation {
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))
       .localCheckpoint() // five consumers
+    // `frame` carries (event_id, us): the per-event candidate count is
+    // keyed on EVENT IDENTITY, not raw `us` — n co-timestamped events
+    // grouped by `us` alone would merge into one group counting n× the
+    // true trailing-window occupancy, silently inflating peak_keys
+    // relative to its documented meaning (ADVICE r7)
     def trailingPeak(frame: DataFrame, horizonUs: Long): DataFrame = {
-      val b = frame.select(col("us"),
+      val b = frame.select(col("event_id"), col("us"),
         expr(s"us div $horizonUs").as("bucket"))
       val occRow = b.groupBy("bucket").agg(count(lit(1)).as("n"))
         .agg(max("n")).head()
@@ -655,12 +660,12 @@ object Curation {
           "occupancy^2; audit a time-slice, or use the sorted-sweep " +
           "formulation (rank(t) - rank(first event > t - h))")
       // events in (t − horizon, t]: candidates from bucket and bucket−1
-      b.select(col("us"), explode(array(col("bucket") - 1, col("bucket")))
-          .as("cb"))
+      b.select(col("event_id"), col("us"),
+          explode(array(col("bucket") - 1, col("bucket"))).as("cb"))
         .join(b.select(col("us").as("c_us"),
           col("bucket").as("cb")), Seq("cb"))
         .filter(col("c_us") > col("us") - horizonUs && col("c_us") <= col("us"))
-        .groupBy("us").agg(count(lit(1)).as("n"))
+        .groupBy("event_id").agg(count(lit(1)).as("n"))
         .agg(max("n").as("peak"))
     }
     val winAgg = ev
@@ -683,11 +688,12 @@ object Curation {
       .select(lit("sessionize").as("operator"), col("total_keys"),
         col("total_keys").as("peak_keys"))
     val dedupRow = ev.agg(count(lit(1)).as("total_keys"))
-      .crossJoin(trailingPeak(ev.select("us"), 1800000000L)
+      .crossJoin(trailingPeak(ev.select("event_id", "us"), 1800000000L)
         .select(col("peak").as("peak_keys")))
       .select(lit("stream_dedup").as("operator"), col("total_keys"),
         col("peak_keys"))
-    val clicks = ev.filter(col("event_type") === "click").select("us")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "us")
     val joinRow = clicks.agg(count(lit(1)).as("total_keys"))
       .crossJoin(trailingPeak(clicks, 600000000L)
         .select(col("peak").as("peak_keys")))
@@ -699,21 +705,23 @@ object Curation {
 
   /** DuckDB twin of [[stateAudit]] — identical buckets and peaks. */
   private[graft] def stateAuditOracle: String = {
+    // keyed on event_id, not us — see trailingPeak (ADVICE r7)
     def peak(src: String, horizon: Long): String =
       s"""SELECT max(n) FROM (
-         |  SELECT a.us, count(*) AS n
-         |  FROM (SELECT us, unnest([us // $horizon - 1, us // $horizon]) AS cb
+         |  SELECT a.event_id, count(*) AS n
+         |  FROM (SELECT event_id, us,
+         |               unnest([us // $horizon - 1, us // $horizon]) AS cb
          |        FROM $src) a
          |  JOIN (SELECT us AS c_us, us // $horizon AS cb FROM $src) c
          |    USING (cb)
          |  WHERE c.c_us > a.us - $horizon AND c.c_us <= a.us
-         |  GROUP BY a.us)""".stripMargin
+         |  GROUP BY a.event_id)""".stripMargin
     s"""WITH ev AS MATERIALIZED (
        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
        |  FROM events
        |),
        |clicks AS MATERIALIZED (
-       |  SELECT us FROM ev WHERE event_type = 'click'),
+       |  SELECT event_id, us FROM ev WHERE event_type = 'click'),
        |wa AS (SELECT DISTINCT us // 3600000000 AS h, event_type FROM ev),
        |du AS (SELECT DISTINCT us // 3600000000 AS h, user_id FROM ev)
        |SELECT * FROM (

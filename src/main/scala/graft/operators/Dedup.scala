@@ -1586,6 +1586,23 @@ object Dedup {
     val und = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint() // consumed once per round
+    // The single-BIGINT tie key below (−n·2³² + lbl) is exact only
+    // while labels < 2³² and vote counts n < 2³¹. Labels are doc ids
+    // and n ≤ degree+1 ≤ directed-edge count, so both hold on any
+    // real corpus slice — but an out-of-range doc_id would corrupt
+    // tie-breaking SILENTLY (identically in both engines, invisible to
+    // the parity gate), so guard at runtime like the suite's other
+    // refusal guards (ADVICE r7). One scalar agg over the already-
+    // materialized edge frame.
+    val bounds = und.agg(max("a"), count(lit(1))).head()
+    if (!bounds.isNullAt(0)) {
+      val (maxId, nEdges) = (bounds.getLong(0), bounds.getLong(1))
+      require(maxId < (1L << 32) && nEdges + 1 < (1L << 31),
+        s"lpaCommunities refused: max node id $maxId or vote bound " +
+          s"${nEdges + 1} exceeds the exact range of the BIGINT tie key " +
+          "(labels < 2^32, counts < 2^31) - renumber doc ids densely " +
+          "(e.g. zipWithIndex over sorted ids) before LPA")
+    }
     var labels = und.select(col("a").as("v")).distinct()
       .select(col("v"), col("v").as("lbl"))
     for (_ <- 1 to LpaIters) {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1090,12 +1090,33 @@ object Similarity {
   def ivfBalance(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
     val cents = defaultCentroids(e)
-    val cells = e.crossJoin(broadcast(cents))
+    // Assignment argmax in the floor(x·2²⁰) integer space (ADVICE r7):
+    // the float-kernel cosine ranking the other IVF paths use has
+    // matched cross-engine so far on raw↔raw vectors, but an argmax
+    // over 32 near-equal cosines is the shape where a last-ulp
+    // summation-order difference could flip an assignment between
+    // engines. Integer dot + integer norms combined in ONE fixed IEEE
+    // expression (the [[prototypeClassifyOn]] rule) makes the ranking
+    // key bit-identical in both engines; ulp-tie assignments may differ
+    // from [[ivfTopKOn]]'s kernel ranking, which is fine for a balance
+    // AUDIT. max_by over (ccos, −cent_id) replaces the per-vector
+    // window: partial-aggregating, no n×K-row shuffle into a sort.
+    val quant: Column => Column =
+      arr => transform(arr, x => floor(x.cast("double") * lit(1048576.0)).cast("long"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+    val qv = e.select(col("vec_id"), quant(col("embedding")).as("qv"))
+      .select(col("vec_id"), col("qv"), dot(col("qv"), col("qv")).as("nq"))
+    val qc = cents.select(col("cent_id"), quant(col("cv")).as("qc"))
+      .select(col("cent_id"), col("qc"), dot(col("qc"), col("qc")).as("nc"))
+    val cells = qv.crossJoin(broadcast(qc))
       .select(col("vec_id"), col("cent_id"),
-        CosineSimilarity(col("embedding"), col("cv")).as("ccos"))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cent_id"))))
-      .filter(col("crn") === 1)
+        (dot(col("qv"), col("qc")) /
+          (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double"))))
+          .as("ccos"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cent_id"), struct(col("ccos"), -col("cent_id")))
+        .as("cent_id"))
     val sizes = cells.groupBy("cent_id").agg(count(lit(1)).as("cell_size"))
     val tot = sizes.agg(sum("cell_size").as("tot"))
     sizes.crossJoin(broadcast(tot))
@@ -1932,25 +1953,47 @@ object SimilarityOracles {
   }
 
   /** Replicates [[Similarity.ivfBalance]]: the default-codebook
-    * assignment (the [[ivfTopK]] CTEs), cell sizes, exact log2 buckets
-    * and integer-ppm max cell share. */
+    * assignment ranked by the INTEGER-exact cosine (floor(x·2²⁰)
+    * quantized dims, integer dot and norms, the one fixed IEEE
+    * expression `dot / (sqrt(nq)·sqrt(nc))` — bit-identical ranking
+    * keys in both engines, never a float-kernel argmax; ADVICE r7),
+    * cell sizes, exact log2 buckets and integer-ppm max cell share. */
   val ivfBalance: String =
-    s"""WITH seeds AS (
+    s"""WITH dims AS MATERIALIZED (
+       |  SELECT vec_id, d, floor(embedding[d]::DOUBLE * 1048576.0)::BIGINT AS qv
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(d)
+       |),
+       |vn AS (
+       |  SELECT vec_id, CAST(sum(qv * qv) AS BIGINT) AS nq
+       |  FROM dims GROUP BY 1
+       |),
+       |seeds AS (
        |  SELECT ('0x' || substr(md5('cb_' || vec_id), 1, 15))::BIGINT
        |           % ${Similarity.CodebookSize} AS cell,
        |         min(vec_id) AS cent_id
        |  FROM embeddings GROUP BY 1
        |),
-       |cents AS (
-       |  SELECT cent_id, embedding AS cv FROM seeds
-       |  JOIN embeddings ON vec_id = cent_id
+       |cdims AS MATERIALIZED (
+       |  SELECT s.cent_id, dm.d, dm.qv
+       |  FROM seeds s JOIN dims dm ON dm.vec_id = s.cent_id
+       |),
+       |cn AS (
+       |  SELECT cent_id, CAST(sum(qv * qv) AS BIGINT) AS nc
+       |  FROM cdims GROUP BY 1
+       |),
+       |dots AS (
+       |  SELECT dm.vec_id, c.cent_id, CAST(sum(dm.qv * c.qv) AS BIGINT) AS dot
+       |  FROM dims dm JOIN cdims c USING (d)
+       |  GROUP BY 1, 2
        |),
        |assigned AS (
-       |  SELECT e.vec_id, c.cent_id,
-       |    row_number() OVER (PARTITION BY e.vec_id
-       |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
-       |               c.cent_id) AS crn
-       |  FROM embeddings e, cents c
+       |  SELECT dt.vec_id, dt.cent_id,
+       |    row_number() OVER (PARTITION BY dt.vec_id
+       |      ORDER BY dt.dot / (sqrt(vn.nq::DOUBLE) * sqrt(cn.nc::DOUBLE)) DESC,
+       |               dt.cent_id) AS crn
+       |  FROM dots dt
+       |  JOIN vn ON vn.vec_id = dt.vec_id
+       |  JOIN cn ON cn.cent_id = dt.cent_id
        |),
        |sizes AS (
        |  SELECT cent_id, count(*) AS cell_size
