@@ -201,11 +201,12 @@ object Curation {
       .select(col("event_id"), col("event_type"), col("value"),
         (col("value") * lit(281474976710656.0) / (hv + lit(1L)))
           .as("priority"))
-    // K+1 rows: tiny — persist so tau and the K-row re-sort share one
-    // TakeOrdered pass over the input instead of scanning events twice
+    // K+1 rows: tiny — localCheckpoint so tau and the K-row re-sort
+    // share one TakeOrdered pass over the input instead of scanning
+    // events twice, with nothing left in the SQL cache afterwards
     val top = pr.orderBy(desc("priority"), asc("event_id"))
       .limit(PriorityK + 1)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val tau = top.agg(min("priority").as("tau"))
     top.orderBy(desc("priority"), asc("event_id")).limit(PriorityK)
       .crossJoin(broadcast(tau))
@@ -1175,7 +1176,7 @@ object Curation {
     * consumers (sketch + filter) within the query. */
   def selectTopQuality(s: SparkSession, d: String): DataFrame = {
     val q = TextAnalysis.quality(s, d).select(col("doc_id"), col("quality"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint() // doc_id-sized; two consumers, zero cache residue
     val thr = q.agg(graft.functions.HistQuantileAgg(
       col("quality"), 0.0, 1.0, SelectBins, SelectQuantile).as("thr"))
     q.crossJoin(broadcast(thr))

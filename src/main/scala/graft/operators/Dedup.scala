@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{Checkpoints, Tables}
 import graft.functions.{CosineSimilarity, WordShingles}
 
 /** Document deduplication suite — the LLM-data-pipeline operators layered
@@ -311,19 +311,21 @@ object Dedup {
   private def candidateIntersection(
       sh: DataFrame, cands0: DataFrame): DataFrame = {
     // cands is consumed three times (both legs of the doc restriction and
-    // the final join); without a persist each consumer re-evaluates the
-    // whole candidate-generation subtree (bands/windows/self-join). The
-    // candidate set itself is tiny — bounded by the LSH bucket / prefix
-    // collision counts — so caching it is nearly free.
-    val cands = cands0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the final join); without materialization each consumer re-evaluates
+    // the whole candidate-generation subtree (bands/windows/self-join).
+    // The candidate set itself is tiny — bounded by the LSH bucket /
+    // prefix collision counts — so eager localCheckpoint is nearly free,
+    // and unlike persist() it leaves nothing in the SQL cache for callers
+    // that never clearCache() (r7 VERDICT cache-leak class; the
+    // [[simhashPairs]] discipline)
+    val cands = cands0.localCheckpoint()
     val candDocs = cands.select(col("i").as("doc_id"))
       .union(cands.select(col("j").as("doc_id"))).distinct()
     // candDocs is tiny (bounded by the candidate count) → the restriction
-    // is a broadcast join, no shuffle of the shingle frame. Persisted
-    // because it feeds both legs of the intersection join AND the size
-    // aggregation below.
-    val shCand = sh.join(candDocs, "doc_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // is a broadcast join, no shuffle of the shingle frame. Materialized
+    // (localCheckpoint, candidate-bounded rows) because it feeds both
+    // legs of the intersection join AND the size aggregation below.
+    val shCand = sh.join(candDocs, "doc_id").localCheckpoint()
     // |A| per candidate doc from the RESTRICTED frame — identical values
     // (the restriction keeps every shingle of a candidate doc) but avoids
     // re-aggregating + re-shuffling the full corpus-wide shingle frame,
@@ -776,10 +778,11 @@ object Dedup {
       edges: DataFrame, maxIters: Int = MaxCcIterations): DataFrame = {
     val und = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint() // consumed once per round: cut off the (possibly
-                         // expensive) candidate-generation lineage
+      .transform(Checkpoints.iter) // consumed once per round: cut off the
+                         // (possibly expensive) candidate-gen lineage
     val nodes = und.select(col("a").as("v")).distinct()
-    var labels = nodes.select(col("v"), col("v").as("lbl")).localCheckpoint()
+    var labels = nodes.select(col("v"), col("v").as("lbl"))
+      .transform(Checkpoints.iter)
     var changed = 1L
     var iter = 0
     while (changed > 0) {
@@ -808,7 +811,7 @@ object Dedup {
         .select(col("v"), col("prev"),
           coalesce(col("jlbl"), col("lbl")).as("lbl"))
         .observe(obs, count(when(col("lbl") =!= col("prev"), 1)).as("chg"))
-        .localCheckpoint()
+        .transform(Checkpoints.iter)
       changed = obs.get("chg").asInstanceOf[Long]
       labels = jumped.select("v", "lbl")
       iter += 1
@@ -980,7 +983,7 @@ object Dedup {
         .join(reached.select(col("doc_id").as("r")),
           col("doc_id") === col("r"), "left_anti")
         .select(col("doc_id"), lit(h).as("hop"))
-      reached = reached.unionByName(next).localCheckpoint()
+      reached = reached.unionByName(next).transform(Checkpoints.iter)
     }
     reached
   }
@@ -1585,7 +1588,7 @@ object Dedup {
   private[graft] def lpaCommunitiesOn(edges: DataFrame): DataFrame = {
     val und = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint() // consumed once per round
+      .transform(Checkpoints.iter) // consumed once per round
     // The single-BIGINT tie key below (−n·2³² + lbl) is exact only
     // while labels < 2³² and vote counts n < 2³¹. Labels are doc ids
     // and n ≤ degree+1 ≤ directed-edge count, so both hold on any
@@ -1613,7 +1616,7 @@ object Dedup {
         .groupBy("v", "lbl").agg(count(lit(1)).as("n"))
       labels = votes.groupBy("v")
         .agg(expr("min_by(lbl, -n * 4294967296 + lbl)").as("lbl"))
-        .localCheckpoint()
+        .transform(Checkpoints.iter)
     }
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("comm_size"))
     labels.join(sizes, "lbl")
@@ -1659,7 +1662,7 @@ object Dedup {
   private[graft] def kcoreOn(edges: DataFrame): DataFrame = {
     var und = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
+      .transform(Checkpoints.iter)
     var prevEdges = -1L
     var curEdges = und.count()
     var rounds = 0
@@ -1674,7 +1677,7 @@ object Dedup {
         .join(keep.select(col("v").as("a")), "a")
         .join(keep.select(col("v").as("b")), "b")
         .observe(obs, count(lit(1)).as("m"))
-        .localCheckpoint()
+        .transform(Checkpoints.iter)
       prevEdges = curEdges
       curEdges = obs.get("m").asInstanceOf[Long]
       und = next

@@ -855,10 +855,11 @@ object Relational {
     val k = KmvK
     def hashes(df: DataFrame, c: String): DataFrame =
       df.select(Dedup.md5hash60(col(c).cast("string")).as("h")).distinct()
+    // ha/hb each feed exactly one bottomK (itself localCheckpoint'd):
+    // the former persists here were pure SQL-cache residue with no
+    // reuse to pay for them (r7 VERDICT cache-leak class) — dropped
     val ha = hashes(Tables.customer(s, d), "c_custkey")
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val hb = hashes(Tables.orders(s, d), "o_custkey")
-      .persist(StorageLevel.MEMORY_AND_DISK)
     def bottomK(h: DataFrame): DataFrame = h.orderBy("h").limit(k)
     val (ska, skb) = (bottomK(ha).localCheckpoint(),
       bottomK(hb).localCheckpoint())

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{Checkpoints, Tables}
 import graft.functions.{CosineSimilarity, LshBuckets}
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
@@ -243,8 +243,9 @@ object Similarity {
       // logical plan doubles per iteration (each step re-plans every prior
       // crossJoin/window/agg) and analysis/codegen time grows superlinearly.
       // The codebook is k rows — checkpointing it is nearly free. On a
-      // cluster, swap localCheckpoint for a reliable checkpoint dir.
-      cents = next.localCheckpoint()
+      // cluster set SPARK_GRAFT_CHECKPOINT_DIR ([[graft.Checkpoints]])
+      // to swap every loop onto reliable checkpoints.
+      cents = next.transform(Checkpoints.iter)
     }
     cents
   }
@@ -493,7 +494,7 @@ object Similarity {
       val m = t.agg(max(abs(col("t"))).as("ma"))
       v = t.crossJoin(broadcast(m))
         .select(col("d"), expr("t div (ma div 1024 + 1)").as("v"))
-        .localCheckpoint()
+        .transform(Checkpoints.iter)
     }
     v.select(col("d").cast("long").as("d"), col("v").as("comp"))
       .orderBy("d")
@@ -661,7 +662,7 @@ object Similarity {
         .groupBy("m", "cell")
         .agg(expr("transform(sort_array(collect_list(struct(dd, cq)))," +
           " s -> s.cq)").as("cv"))
-      cb = next.localCheckpoint()
+      cb = next.transform(Checkpoints.iter)
     }
     cb
   }
@@ -778,18 +779,9 @@ object Similarity {
   def ivfPqTopKOn(e: DataFrame): DataFrame = {
     import PqParams._
     val cents = defaultCentroids(e)
-    // coarse assignment: same plan as [[ivfTopKOn]] (cosine ranking,
-    // cent_id tie-break; persisted — cells and probes both branch off it)
-    val ranked = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"),
-        CosineSimilarity(col("embedding"), col("cv")).as("ccos"))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cent_id"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cells = ranked.filter(col("crn") === 1).select("vec_id", "cent_id")
-    val probes = ranked
-      .filter(col("crn") <= NProbe && col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("cent_id"))
+    // coarse assignment: the shared [[coarseCellsProbes]] plan (cosine
+    // ranking, cent_id tie-break; no persist, no full-corpus window)
+    val (cells, probes) = coarseCellsProbes(e, cents)
     // integer-quantized vectors; centroid quantization REUSES the
     // member rows (default centroids ARE seed-member vectors)
     val qvec = e.select(col("vec_id"),
@@ -857,23 +849,42 @@ object Similarity {
     rerank(e, shortlist)
   }
 
-  def ivfTopKOn(e: DataFrame, cents: DataFrame): DataFrame = {
-    // nearest-centroid ranking per vector; ccos ordering is total because
-    // cent_id breaks exact ties
-    // persisted: cells and probes both branch off the assignment — cache
-    // the centroid scoring once instead of recomputing the cross join
-    // per branch (Bench/Verify clear the cache between queries)
-    val ranked = e.crossJoin(broadcast(cents))
+  /** Shared IVF coarse assignment: `cells` = every vector's nearest
+    * centroid, `probes` = each query's [[NProbe]] nearest cells. Ranking
+    * is (ccos DESC, cent_id ASC) — total, because cent_id breaks exact
+    * ties.
+    *
+    * r8 hygiene rewrite: the previous shape windowed a persisted
+    * 32n-row `ranked` frame shared by both branches — the persist
+    * outlived the query for any caller that isn't Bench/Verify (the r7
+    * VERDICT cache-leak class). Splitting the branches removes both the
+    * cache entry and the full-corpus window: `cells` is a map-side
+    * partial-aggregating `max_by` argmax over the (ccos, −cent_id)
+    * tuple (no window, no 32n shuffle-sort), and `probes` pushes the
+    * `vec_id < NumQueries` filter below its window, so the only window
+    * left sorts #queries × |codebook| rows. The centroid scoring is
+    * evaluated once per branch, but the probe branch's crossJoin is
+    * filter-pruned to the query rows — cheaper than materializing 32n
+    * rows to share. */
+  private def coarseCellsProbes(
+      e: DataFrame, cents: DataFrame): (DataFrame, DataFrame) = {
+    def scored(src: DataFrame) = src.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cent_id"),
         CosineSimilarity(col("embedding"), col("cv")).as("ccos"))
+    val cells = scored(e).groupBy("vec_id")
+      .agg(max_by(col("cent_id"), struct(col("ccos"), -col("cent_id")))
+        .as("cent_id"))
+    val probes = scored(e.filter(col("vec_id") < NumQueries))
       .withColumn("crn", row_number().over(
         Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cent_id"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cells = ranked.filter(col("crn") === 1)
-      .select(col("vec_id").as("neighbor_id"), col("cent_id"))
-    val probes = ranked
-      .filter(col("crn") <= NProbe && col("vec_id") < NumQueries)
+      .filter(col("crn") <= NProbe)
       .select(col("vec_id").as("query_id"), col("cent_id"))
+    (cells, probes)
+  }
+
+  def ivfTopKOn(e: DataFrame, cents: DataFrame): DataFrame = {
+    val (cells0, probes) = coarseCellsProbes(e, cents)
+    val cells = cells0.select(col("vec_id").as("neighbor_id"), col("cent_id"))
     val cands = probes.join(cells, "cent_id")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
@@ -981,7 +992,7 @@ object Similarity {
           struct(col("rel") - col("pen"), -col("cand_id"))).as("p"))
         .select(col("query_id"), col("p.cand_id").as("neighbor_id"),
           lit(r).as("rank"), col("p.rel").as("rel"), col("p.pen").as("pen"))
-      selected = selected.unionByName(pick).localCheckpoint()
+      selected = selected.unionByName(pick).transform(Checkpoints.iter)
     }
     selected
       .select(col("query_id"), col("rank"), col("neighbor_id"),
@@ -1176,7 +1187,7 @@ object Similarity {
       .select(col("qv").as("cv"))
     var dist = qvec.crossJoin(broadcast(cv1))
       .select(col("vec_id"), col("qv"), d2(col("qv"), col("cv")).as("d2"))
-      .localCheckpoint()
+      .transform(Checkpoints.iter)
     for (k <- 2 to KCenterK) {
       // two-phase deterministic argmax: max distance, then smallest id
       // among its attainers — replicated verbatim by the oracle
@@ -1193,7 +1204,7 @@ object Similarity {
       dist = dist.crossJoin(broadcast(cv))
         .select(col("vec_id"), col("qv"),
           least(col("d2"), d2(col("qv"), col("cv"))).as("d2"))
-        .localCheckpoint()
+        .transform(Checkpoints.iter)
     }
     val cset = centers.localCheckpoint()
     val cdims = qvec.join(broadcast(cset.select("cid")),

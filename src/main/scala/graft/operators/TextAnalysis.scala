@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{Checkpoints, Tables}
 import graft.functions.WordShingles
 
 /** Text-analysis operators for training-data curation: language ID,
@@ -299,11 +299,12 @@ object TextAnalysis {
     *    sums are order-free and the oracle is exact. */
   def docSimilarity(s: SparkSession, d: String): DataFrame = {
     // weights feed norms + both sides of the pair join (3 consumers) —
-    // persist, same rationale as Dedup.shinglesCached
+    // localCheckpoint: one eager materialization of the vocab-bounded
+    // weight frame, zero SQL-cache residue for library callers
     val weights = termStats(s, d)
       .filter(col("df") <= expr("n_docs div 10"))
       .select(col("doc_id"), col("w"), expr(tfIdfExpr).as("wt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val norms = weights.groupBy("doc_id").agg(sum(expr("wt * wt")).as("sq"))
     val dots = weights.toDF("a", "w", "wa")
       .join(weights.toDF("b", "w2", "wb"),
@@ -546,7 +547,7 @@ object TextAnalysis {
         explode(expr("sequence(1, length(w))")).as("pos"))
       .select(col("w"), col("f"), col("pos"),
         expr("substr(w, pos, 1)").as("tok"))
-      .localCheckpoint()
+      .transform(Checkpoints.iter)
     val wOrd = Window.partitionBy("w").orderBy("pos")
     var merges = Seq.empty[DataFrame]
     for (i <- 1 to BpeMerges) {
@@ -582,7 +583,7 @@ object TextAnalysis {
           row_number().over(wOrd).as("pos"),
           when(col("kept"), concat(col("a"), col("b")))
             .otherwise(col("tok")).as("tok"))
-        .localCheckpoint()
+        .transform(Checkpoints.iter)
     }
     (merges.reduce(_ union _).orderBy("merge_idx"), toks)
   }

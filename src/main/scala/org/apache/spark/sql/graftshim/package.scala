@@ -16,4 +16,11 @@ package object graftshim {
   /** Wrap a (custom) logical plan as a DataFrame on a classic session. */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** True when the session's SQL cache holds no entries — the
+    * cache-hygiene gate (`CacheHygieneSpec`): library operators must
+    * not leave `persist()`ed frames behind for callers that never
+    * `clearCache()`. */
+  def sqlCacheIsEmpty(spark: SparkSession): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
 }
