@@ -251,6 +251,7 @@ object SparkEntry {
     "ann_hybrid_rrf" -> (Similarity.hybridRrf _),
     "ann_dominant_direction" -> (Similarity.dominantDirection _),
     "rel_column_stats" -> (Relational.columnStats _),
+    "rel_column_stats_sketch" -> (Relational.columnStatsSketch _),
     // recall@K of each approximate index vs the exact brute baseline —
     // all pipelines deterministic, so recall itself is hash-checked
     "ann_recall_at_k" -> (Similarity.recallAtK _),
@@ -585,6 +586,12 @@ object SparkEntry {
     //     plain batch left join ---
     "events_enriched_stream" ->
       (graft.streaming.EventStream.enrichedStreamVerified _),
+
+    // --- streaming incremental dedup: new docs band map-only in the
+    //     stream, equi-join the static corpus band index, exact-Jaccard
+    //     verify via carried shingle arrays ---
+    "dedup_incremental_stream" ->
+      (graft.streaming.EventStream.incrementalDedupStreamVerified _),
   )
 
   // Shared oracle-SQL fragments (DuckDB dialect), mirroring TextPipeline.
@@ -1455,6 +1462,7 @@ object SparkEntry {
     "ann_hybrid_rrf" -> SimilarityOracles.hybridRrf,
     "ann_dominant_direction" -> SimilarityOracles.dominantDirection,
     "rel_column_stats" -> Relational.columnStatsOracle,
+    "rel_column_stats_sketch" -> Relational.columnStatsSketchOracle,
     "ann_recall_at_k" -> SimilarityOracles.recallAtK,
     "text_langid" -> TextAnalysisOracles.langId,
     "text_quality" -> TextAnalysisOracles.quality,
@@ -1871,6 +1879,9 @@ object SparkEntry {
         |  coalesce(c.c_mktsegment, 'none') AS segment
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         |ORDER BY e.event_id""".stripMargin,
+    // stream-banded new docs vs static corpus index, exact verify —
+    // the per-row stream banding computes the batch pipeline's keys
+    "dedup_incremental_stream" -> DedupOracles.incrementalDedupStream,
     // the hopping twin: same finalization cutoff over overlapping hops
     "events_hopping_stream" ->
       """WITH wm AS (

@@ -126,6 +126,31 @@ object DedupOracles {
        |SELECT doc_id, dup_of, jaccard FROM ranked WHERE rn = 1
        |ORDER BY doc_id""".stripMargin
 
+  /** [[incrementalDedup]] minus the best-match rank — every confirmed
+    * (new doc, corpus doc) match ≥ threshold, in stream orientation:
+    * replicates `EventStream.incrementalDedupStreamVerified` (the
+    * stream's per-row banding computes the identical band keys, so the
+    * batch-shaped SQL is the exact twin). */
+  val incrementalDedupStream: String =
+    s"""WITH $wordsCtes, $shinglesCte,
+       |$minhashBandCtes,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS n, b.doc_id AS o
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey
+       |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+       |),
+       |$sizesCte, $interCte
+       |SELECT cand.n AS doc_id, cand.o AS dup_of,
+       |  round(c * 1.0 / (sn.sz + so.sz - c), 6) AS jaccard
+       |FROM cand
+       |JOIN inter ON least(cand.n, cand.o) = inter.i
+       |          AND greatest(cand.n, cand.o) = inter.j
+       |JOIN sizes sn ON cand.n = sn.doc_id
+       |JOIN sizes so ON cand.o = so.doc_id
+       |WHERE c * 1.0 / (sn.sz + so.sz - c) >= ${Dedup.JaccardThreshold}
+       |ORDER BY doc_id, dup_of""".stripMargin
+
   /** Banding-first containment: the same band-candidate CTEs as
     * [[minhashLsh]], with the |A∩B| / min(|A|,|B|) verify — replicates
     * `Dedup.containmentLshPairs` end-to-end. */

@@ -960,6 +960,115 @@ object Relational {
       .orderBy("column_name")
   }
 
+  /** SKETCH twin of [[columnStats]] — the documented 100 TB default
+    * (r7 VERDICT item 6): the same per-column profile with the exact
+    * NDV (the Expand ×5 the exact twin pays) replaced by the
+    * [[hllPortable]] register sketch per column. The plan has NO
+    * Expand: the columns unpivot through one `stack` projection
+    * (map-side, ×4 rows that collapse in partial aggregation), the
+    * plain stats reduce to 4 rows, and the register aggregation
+    * shuffles ≤ 4×[[HllM]] register rows — at 100 TB the shuffle
+    * carries registers, not distinct values. The exact variant stays
+    * as the audit.
+    *
+    * Parity: HLL hashes the value QUANTIZED to 1e-6 grain
+    * (`floor(v·10⁶)` as BIGINT → string → md5-60) — integer strings
+    * render identically in both engines, sidestepping double→VARCHAR
+    * formatting divergence; the source columns carry ≤ 2 decimal
+    * places, so quantization is NDV-lossless. The estimate itself is
+    * the [[hllPortable]] dyadic-rational arithmetic — bit-identical
+    * cross-engine, so `ndv_est` is hash-checked, not bounds-checked. */
+  def columnStatsSketch(s: SparkSession, d: String): DataFrame = {
+    val m = HllM
+    def stacked = {
+      val args = StatsColumns.map(c => s"'$c', $c").mkString(", ")
+      Tables.lineitem(s, d).select(expr(
+        s"stack(${StatsColumns.size}, $args) AS (column_name, v)"))
+    }
+    val stats = stacked.groupBy("column_name")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        min(col("v")).cast("double").as("min_val"),
+        max(col("v")).cast("double").as("max_val"),
+        sum(col("v").cast(DecimalType(18, 6))).cast("double").as("sum_val"))
+    val reg = stacked.filter(col("v").isNotNull)
+      .select(col("column_name"),
+        Dedup.md5hash60(
+          expr("cast(floor(v * 1000000.0) as bigint)").cast("string"))
+          .as("h"))
+      .select(col("column_name"), (col("h") % m).as("bucket"),
+        expr(s"h div $m").as("rest"))
+      .select(col("column_name"), col("bucket"),
+        when(col("rest") === 0L, lit(53))
+          .otherwise(lit(53) - length(bin(col("rest")))).as("rho"))
+      .groupBy("column_name", "bucket").agg(max("rho").as("mj"))
+    val est = reg.groupBy("column_name")
+      .agg(count(lit(1)).as("nb"),
+        expr("sum(1.0 / shiftleft(cast(1 as bigint), mj))").as("zp"))
+      .select(col("column_name"), (lit(m) - col("nb")).as("v"),
+        expr(s"$hllAlphaM2 / (zp + cast($m - nb as double))").as("raw"))
+      .select(col("column_name"),
+        round(when(col("raw") <= lit(2.5 * m) && col("v") > 0,
+            expr(s"$m * ln(cast($m as double) / v)"))
+          .otherwise(col("raw")), 6).as("ndv_est"))
+    stats.join(est, Seq("column_name"), "left")
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        coalesce(col("ndv_est"), lit(0.0)).as("ndv_est"),
+        col("min_val"), col("max_val"), col("sum_val"))
+      .orderBy("column_name")
+  }
+
+  /** DuckDB twin of [[columnStatsSketch]] — same unpivot, quantized
+    * hash, registers, dyadic sum and correction branch. */
+  private[graft] def columnStatsSketchOracle: String = {
+    val unions = StatsColumns.map(c =>
+      s"SELECT '$c' AS column_name, $c AS v FROM lineitem")
+      .mkString("\n  UNION ALL ")
+    s"""WITH st AS MATERIALIZED (
+       |  $unions
+       |),
+       |stats AS (
+       |  SELECT column_name, count(*) AS n_rows,
+       |    CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_nulls,
+       |    CAST(min(v) AS DOUBLE) AS min_val,
+       |    CAST(max(v) AS DOUBLE) AS max_val,
+       |    CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sum_val
+       |  FROM st GROUP BY 1
+       |),
+       |h AS (
+       |  SELECT column_name,
+       |    ('0x' || substr(md5(CAST(floor(v * 1000000.0) AS BIGINT)::VARCHAR),
+       |      1, 15))::BIGINT AS h
+       |  FROM st WHERE v IS NOT NULL
+       |),
+       |reg AS (
+       |  SELECT column_name, h % $HllM AS bucket,
+       |    max(CASE WHEN h // $HllM = 0 THEN 53
+       |        ELSE 53 - length(bin(h // $HllM)) END) AS mj
+       |  FROM h GROUP BY 1, 2
+       |),
+       |z AS (
+       |  SELECT column_name, $HllM - count(*) AS v,
+       |    $hllAlphaM2 /
+       |      (sum(1.0 / (1::BIGINT << mj)) + CAST($HllM - count(*) AS DOUBLE))
+       |      AS raw
+       |  FROM reg GROUP BY 1
+       |),
+       |est AS (
+       |  SELECT column_name,
+       |    round(CASE WHEN raw <= ${2.5 * HllM} AND v > 0
+       |      THEN $HllM * ln(CAST($HllM AS DOUBLE) / v) ELSE raw END, 6)
+       |      AS ndv_est
+       |  FROM z
+       |)
+       |SELECT s.column_name, s.n_rows, s.n_nulls,
+       |  coalesce(e.ndv_est, 0.0e0) AS ndv_est,
+       |  s.min_val, s.max_val, s.sum_val
+       |FROM stats s LEFT JOIN est e USING (column_name)
+       |ORDER BY column_name""".stripMargin
+  }
+
   /** DuckDB twin of [[columnStats]] — one SELECT per column, unioned. */
   private[graft] def columnStatsOracle: String = {
     val blocks = StatsColumns.map { c =>

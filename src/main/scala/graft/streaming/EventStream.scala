@@ -243,6 +243,108 @@ object EventStream {
   }
 
   // ------------------------------------------------------------------
+  // streaming incremental dedup (stream-static band join)
+  // ------------------------------------------------------------------
+
+  /** STREAMING INCREMENTAL DEDUP — the daily-crawl arrival shape
+    * ([[graft.operators.Dedup.incrementalDedupOn]]) as a real stream
+    * (r7 VERDICT item 3): new documents (the odd-doc_id batch, the
+    * batch twin's convention) arrive on a file stream, shingle +
+    * minhash-band MAP-ONLY inside the stream, equi-join the STATIC
+    * corpus band index, and every band candidate is verified with the
+    * exact shingle Jaccard — the sink holds all confirmed
+    * (new doc, corpus doc) matches ≥ the shared threshold.
+    *
+    * Why each stage is stream-shaped:
+    *  - Banding is PER-ROW: the doc's distinct shingle set, its K
+    *    minhash values and its band keys all derive from the `text`
+    *    column via array higher-order functions over the
+    *    [[graft.functions.WordShingles]] expression — no streaming
+    *    aggregation, no watermark, no state. (The batch path's
+    *    groupBy-per-doc signature would demand stateful aggregation;
+    *    the per-row formulation computes the IDENTICAL band keys — the
+    *    md5/affine-mod minhash math over the same distinct-shingle set,
+    *    `StreamingSpec` pins key equality against `minhashBandsOn`.)
+    *  - The corpus index is the stream-STATIC side (band key → corpus
+    *    doc + its shingle set), materialized once per run — the
+    *    [[graft.operators.Dedup.edgeScratchDir]] write-once pattern is
+    *    the cluster form. Stream-static equi-joins are STATELESS: each
+    *    micro-batch hash-joins its arrivals against the index.
+    *  - Verification is MAP-ONLY: the candidate row carries both
+    *    shingle arrays, so exact Jaccard is `array_intersect`/size
+    *    arithmetic — the same `c / (szₙ + szₒ − c)` the batch verify
+    *    computes, never a co-shingle shuffle in the stream.
+    *  - `dropDuplicates(n, o)` collapses multi-band hits of the same
+    *    pair; its state is one key per CANDIDATE PAIR (band-collision
+    *    bounded). A production deployment keys it
+    *    `dropDuplicatesWithinWatermark` on ingest time so pair state
+    *    ages out with the crawl horizon.
+    *
+    * The oracle replicates the whole pipeline (bands from the shared
+    * coefficients, parity-asymmetric candidates, exact-Jaccard verify)
+    * in SQL, so the stream run is hash-checked end-to-end like the
+    * other streaming queries. */
+  def incrementalDedupStreamVerified(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Dedup
+    import Dedup.MinHashParams
+    import graft.functions.WordShingles
+    val (out, ckpt) = scratchDirs("incdedup")
+    val ss = streamSession(s)
+    val P = Dedup.P
+    // static side: corpus (even ids) band index + shingle-set arrays,
+    // built by the BATCH band pipeline and materialized once
+    val corpusDocs = Tables.documents(ss, d)
+      .filter(col("doc_id") % 2 === 0)
+    val corpusSh = corpusDocs
+      .select(col("doc_id"), explode(WordShingles(col("text"), 3)).as("s"))
+      .distinct()
+    val corpusIdx = Dedup.minhashBandsOn(corpusSh)
+      .select(col("doc_id").as("o"), col("band"), col("bkey"))
+      .join(corpusDocs.select(col("doc_id").as("o"),
+        array_distinct(WordShingles(col("text"), 3)).as("osh")), "o")
+      .localCheckpoint()
+    // stream side: new docs (odd ids), map-only shingles → bands
+    val newDocs = ss.readStream
+      .schema(Tables.load(ss, d, "documents").schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .filter(col("doc_id") % 2 === 1)
+    val withSig = newDocs
+      .select(col("doc_id").as("n"),
+        array_distinct(WordShingles(col("text"), 3)).as("nsh"))
+      .filter(size(col("nsh")) > 0) // shingle-less docs band nowhere
+      .withColumn("hv", transform(col("nsh"), x => Dedup.md5hash60(x) % P))
+    val sig = (0 until MinHashParams.K).map(i =>
+      aggregate(col("hv"), lit(P), (acc, x) =>
+        least(acc, (lit(MinHashParams.A(i)) * x + lit(MinHashParams.B(i))) % P))
+        .as(s"mh$i"))
+    val banded = withSig
+      .select(col("n") +: col("nsh") +: sig: _*)
+      .select(col("n"), col("nsh"),
+        posexplode(array((0 until MinHashParams.Bands).map(b =>
+          col(s"mh${2 * b}") * P + col(s"mh${2 * b + 1}")): _*))
+          .as(Seq("band", "bkey")))
+    val q = banded.join(corpusIdx, Seq("band", "bkey"))
+      .dropDuplicates("n", "o")
+      .select(col("n"), col("o"),
+        size(array_intersect(col("nsh"), col("osh"))).as("c"),
+        size(col("nsh")).as("szn"), size(col("osh")).as("szo"))
+      .filter(col("c") * lit(1.0) / (col("szn") + col("szo") - col("c"))
+        >= Dedup.JaccardThreshold)
+      .select(col("n").as("doc_id"), col("o").as("dup_of"),
+        round(col("c") * lit(1.0) / (col("szn") + col("szo") - col("c")), 6)
+          .as("jaccard"))
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val res = try s.read.parquet(out).localCheckpoint()
+      finally deleteRecursively(out, ckpt)
+    res.orderBy("doc_id", "dup_of")
+  }
+
+  // ------------------------------------------------------------------
   // stream-static dimension enrichment
   // ------------------------------------------------------------------
 

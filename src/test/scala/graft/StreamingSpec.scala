@@ -735,4 +735,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(Curation.ThrottleMaxPerDay === 3L, "spec assumes cap 3")
     assert(got === Set(4L, 5L))
   }
+
+  test("per-row stream banding computes minhashBandsOn's exact band keys") {
+    // incrementalDedupStreamVerified bands arrivals MAP-ONLY (array
+    // higher-order functions over WordShingles) because a streaming
+    // groupBy-per-doc signature would demand stateful aggregation. The
+    // whole stream-vs-oracle equivalence rests on the per-row
+    // formulation producing the IDENTICAL (doc, band, bkey) set as the
+    // batch groupBy pipeline over the same distinct-shingle sets — pin
+    // that on the full sf0.001 documents table.
+    import graft.operators.Dedup
+    import graft.operators.Dedup.MinHashParams
+    import graft.functions.WordShingles
+    val P = Dedup.P
+    val docs = Tables.documents(spark, d)
+    val batch = Dedup.minhashBandsOn(
+      docs.select(col("doc_id"),
+          explode(WordShingles(col("text"), 3)).as("s")).distinct())
+      .as[(Long, Int, Long)].collect().toSet
+    val sig = (0 until MinHashParams.K).map(i =>
+      aggregate(col("hv"), lit(P), (acc, x) =>
+        least(acc,
+          (lit(MinHashParams.A(i)) * x + lit(MinHashParams.B(i))) % P))
+        .as(s"mh$i"))
+    val perRow = docs
+      .select(col("doc_id"),
+        array_distinct(WordShingles(col("text"), 3)).as("nsh"))
+      .filter(size(col("nsh")) > 0)
+      .withColumn("hv", transform(col("nsh"), x => Dedup.md5hash60(x) % P))
+      .select(col("doc_id") +: sig: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until MinHashParams.Bands).map(b =>
+          col(s"mh${2 * b}") * P + col(s"mh${2 * b + 1}")): _*))
+          .as(Seq("band", "bkey")))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(perRow.nonEmpty)
+    assert(perRow === batch)
+  }
 }
