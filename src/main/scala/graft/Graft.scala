@@ -36,4 +36,21 @@ object Graft {
       spark.conf.set(Tables.NanosConf, "true")
     spark
   }
+
+  /** The SQL entry surface: register the star schema at `dir` as temp
+    * views (plain table names), so every analog is writable as
+    * `spark.sql` text — `SELECT … FROM lineitem JOIN orders …` — with
+    * the graft native functions available by name after [[install]].
+    * `events` registers through [[Tables.events]], so the
+    * nanos-vs-micros timestamp normalization applies to the SQL surface
+    * too. A temp view over a parquet-backed DataFrame resolves to the
+    * SAME LogicalRelation the DataFrame API plans, so SQL text and
+    * DataFrame twins optimize to identical plans (`SqlSurfaceSpec`
+    * pins canonicalized-plan equality). */
+  def registerTables(spark: SparkSession, dir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+  }
 }
