@@ -68,8 +68,9 @@ object Scaling {
     "dedup_kcore", "dedup_keep_best", "dedup_incremental",
     // ANN family — index build + bounded probe
     "ann_recall_at_k", "ann_topk_ivfpq", "ann_topk_pq", "ann_mmr_rerank",
-    // relational — wide agg (Expand ×7 reservation) + self-join basket
-    "rel_column_stats", "rel_basket_pairs",
+    // relational — wide agg (Expand ×5 exact vs no-Expand sketch twin)
+    // + self-join basket
+    "rel_column_stats", "rel_column_stats_sketch", "rel_basket_pairs",
     // linear-scan control group
     "bigram_probs", "rel_pricing_summary")
 

@@ -592,6 +592,12 @@ object SparkEntry {
     //     verify via carried shingle arrays ---
     "dedup_incremental_stream" ->
       (graft.streaming.EventStream.incrementalDedupStreamVerified _),
+
+    // --- streaming vector ingest: stateless map-only IVF probing of
+    //     arriving embeddings against the static corpus index, exact
+    //     range verify ---
+    "ann_ingest_stream" ->
+      (graft.streaming.EventStream.vectorIngestStreamVerified _),
   )
 
   // Shared oracle-SQL fragments (DuckDB dialect), mirroring TextPipeline.
@@ -1882,6 +1888,8 @@ object SparkEntry {
     // stream-banded new docs vs static corpus index, exact verify —
     // the per-row stream banding computes the batch pipeline's keys
     "dedup_incremental_stream" -> DedupOracles.incrementalDedupStream,
+    // arriving vectors probe the static IVF index map-only; range verify
+    "ann_ingest_stream" -> SimilarityOracles.vectorIngestStream,
     // the hopping twin: same finalization cutoff over overlapping hops
     "events_hopping_stream" ->
       """WITH wm AS (

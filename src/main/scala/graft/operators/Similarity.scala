@@ -1522,6 +1522,67 @@ object SimilarityOracles {
        |WHERE list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) >= ${Similarity.RangeThreshold}
        |ORDER BY query_id, neighbor_id""".stripMargin
 
+  /** Replicates `EventStream.vectorIngestStreamVerified`: integer-exact
+    * coarse assignment (the [[ivfBalance]] CTE rule) ranks corpus cells
+    * AND arrival probes from one scored frame; the stream's per-row
+    * comparator sort is the window's (ccos DESC, cent_id ASC) order;
+    * candidates are probe × cell-member pairs; verify is the raw↔raw
+    * cosine range filter. */
+  val vectorIngestStream: String =
+    s"""WITH dims AS MATERIALIZED (
+       |  SELECT vec_id, d, floor(embedding[d]::DOUBLE * 1048576.0)::BIGINT AS qv
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(d)
+       |),
+       |vn AS (
+       |  SELECT vec_id, CAST(sum(qv * qv) AS BIGINT) AS nq
+       |  FROM dims GROUP BY 1
+       |),
+       |seeds AS (
+       |  SELECT ('0x' || substr(md5('cb_' || vec_id), 1, 15))::BIGINT
+       |           % ${Similarity.CodebookSize} AS cell,
+       |         min(vec_id) AS cent_id
+       |  FROM embeddings WHERE vec_id % 2 = 0 GROUP BY 1
+       |),
+       |cdims AS MATERIALIZED (
+       |  SELECT s.cent_id, dm.d, dm.qv
+       |  FROM seeds s JOIN dims dm ON dm.vec_id = s.cent_id
+       |),
+       |cn AS (
+       |  SELECT cent_id, CAST(sum(qv * qv) AS BIGINT) AS nc
+       |  FROM cdims GROUP BY 1
+       |),
+       |scored AS MATERIALIZED (
+       |  SELECT dt.vec_id, dt.cent_id,
+       |    row_number() OVER (PARTITION BY dt.vec_id
+       |      ORDER BY dt.dot / (sqrt(vn.nq::DOUBLE) * sqrt(cn.nc::DOUBLE)) DESC,
+       |               dt.cent_id) AS crn
+       |  FROM (
+       |    SELECT dm.vec_id, c.cent_id,
+       |      CAST(sum(dm.qv * c.qv) AS BIGINT) AS dot
+       |    FROM dims dm JOIN cdims c USING (d)
+       |    GROUP BY 1, 2) dt
+       |  JOIN vn ON vn.vec_id = dt.vec_id
+       |  JOIN cn ON cn.cent_id = dt.cent_id
+       |),
+       |cells AS (
+       |  SELECT vec_id AS neighbor_id, cent_id FROM scored
+       |  WHERE crn = 1 AND vec_id % 2 = 0
+       |),
+       |probes AS (
+       |  SELECT vec_id, cent_id FROM scored
+       |  WHERE crn <= ${Similarity.NProbe} AND vec_id % 2 = 1
+       |)
+       |SELECT p.vec_id AS vec_id, m.neighbor_id AS neighbor_id,
+       |  round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)
+       |    AS cosine
+       |FROM probes p
+       |JOIN cells m USING (cent_id)
+       |JOIN embeddings q ON q.vec_id = p.vec_id
+       |JOIN embeddings c ON c.vec_id = m.neighbor_id
+       |WHERE list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+       |  >= ${Similarity.RangeThreshold}
+       |ORDER BY 1, 2""".stripMargin
+
   val lshTopK: String =
     s"""${lshCandCtes(NumQueries)},
        |ranked AS (

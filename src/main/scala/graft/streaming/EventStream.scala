@@ -345,6 +345,115 @@ object EventStream {
   }
 
   // ------------------------------------------------------------------
+  // streaming vector ingest (stateless IVF-probed range search)
+  // ------------------------------------------------------------------
+
+  /** STREAMING VECTOR INGEST — the vector-database write path: each
+    * arriving embedding (odd vec_ids — the incremental-dedup batch
+    * convention) is checked against the STATIC corpus index for
+    * near-duplicates before admission, emitting every corpus neighbor
+    * within cosine ≥ [[graft.operators.Similarity.RangeThreshold]] of
+    * its [[graft.operators.Similarity.NProbe]] probed IVF cells.
+    *
+    * The whole query is STATELESS — no watermark, no state store:
+    *  - Probe selection is MAP-ONLY: the 32-entry quantized codebook
+    *    rides a 1-ROW static frame (`collect_list` into an array —
+    *    never a driver collect) equi-joined on a constant key; each
+    *    arrival scores all centroids with the integer-exact cosine
+    *    (quantized dot/norms in ONE fixed IEEE expression — the
+    *    `ivfBalance` rule, so the oracle replicates the ranking
+    *    bit-exactly) inside array HOFs and takes its NProbe best cells
+    *    via a comparator `array_sort` — per-row work on a 32-element
+    *    array, no aggregation.
+    *  - Candidates come from the stream-STATIC equi-join against the
+    *    corpus cell members (each member in exactly one cell, probes
+    *    distinct ⇒ every (query, neighbor) pair appears once — no
+    *    dedup state needed at all).
+    *  - Verify is one exact raw↔raw cosine per candidate
+    *    (cell-balance-bounded, the IVF contract) with the range filter.
+    *
+    * At cluster scale the static index is the written-once artifact
+    * (cells + members parquet, the edge-dir pattern); micro-batches
+    * hash-join against it. The oracle replicates coarse assignment
+    * (for corpus cells AND arrival probes), the probe rank, and the
+    * range verify end-to-end. */
+  def vectorIngestStreamVerified(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Similarity
+    val (out, ckpt) = scratchDirs("annin")
+    val ss = streamSession(s)
+    def quant(c: org.apache.spark.sql.Column) =
+      transform(c, x => floor(x.cast("double") * lit(1048576.0)).cast("long"))
+    def qdot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+    def icos(dot: org.apache.spark.sql.Column, na: org.apache.spark.sql.Column,
+        nb: org.apache.spark.sql.Column) =
+      dot / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+    // static side: corpus (even ids), integer-exact cell assignment
+    val corpus = Tables.embeddings(ss, d).filter(col("vec_id") % 2 === 0)
+    val qc = Similarity.defaultCentroids(corpus)
+      .select(col("cent_id"), quant(col("cv")).as("qc"))
+      .select(col("cent_id"), col("qc"), qdot(col("qc"), col("qc")).as("nc"))
+    val qv = corpus
+      .select(col("vec_id"), col("embedding"), quant(col("embedding")).as("qv"))
+      .select(col("vec_id"), col("embedding"), col("qv"),
+        qdot(col("qv"), col("qv")).as("nq"))
+    val members = qv.crossJoin(broadcast(qc))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        icos(qdot(col("qv"), col("qc")), col("nq"), col("nc")).as("ccos"))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cent_id"), col("embedding")),
+        struct(col("ccos"), -col("cent_id"))).as("m"))
+      .select(col("m.cent_id").as("cent_id"),
+        col("vec_id").as("neighbor_id"), col("m.embedding").as("cemb"))
+      .localCheckpoint()
+    val centArr = qc
+      .agg(collect_list(struct(col("cent_id"), col("qc"), col("nc")))
+        .as("cents"))
+      .select(lit(1).as("k"), col("cents"))
+      .localCheckpoint()
+    // stream side: arriving vectors, map-only probe selection
+    val arrivals = ss.readStream
+      .schema(Tables.load(ss, d, "embeddings").schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(d)
+      .filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding"),
+        quant(col("embedding")).as("qv"), lit(1).as("k"))
+      .withColumn("nq", qdot(col("qv"), col("qv")))
+      .join(centArr, "k") // 1-row static broadcast: the codebook
+      .withColumn("scored", transform(col("cents"), c =>
+        struct(icos(qdot(col("qv"), c.getField("qc")), col("nq"),
+            c.getField("nc")).as("ccos"),
+          c.getField("cent_id").as("cent_id"))))
+      .withColumn("probes", slice(array_sort(col("scored"), (l, r) =>
+        when(l.getField("ccos") > r.getField("ccos"), lit(-1))
+          .when(l.getField("ccos") < r.getField("ccos"), lit(1))
+          .otherwise(when(l.getField("cent_id") < r.getField("cent_id"),
+            lit(-1))
+            .when(l.getField("cent_id") > r.getField("cent_id"), lit(1))
+            .otherwise(lit(0)))), 1, Similarity.NProbe))
+      .select(col("vec_id"), col("embedding"),
+        explode(col("probes")).as("p"))
+      .select(col("vec_id"), col("embedding"),
+        col("p.cent_id").as("cent_id"))
+    val q = arrivals.join(members, Seq("cent_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        graft.functions.CosineSimilarity(col("embedding"), col("cemb"))
+          .as("cos"))
+      .filter(col("cos") >= Similarity.RangeThreshold)
+      .select(col("vec_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val res = try s.read.parquet(out).localCheckpoint()
+      finally deleteRecursively(out, ckpt)
+    res.orderBy("vec_id", "neighbor_id")
+  }
+
+  // ------------------------------------------------------------------
   // stream-static dimension enrichment
   // ------------------------------------------------------------------
 
