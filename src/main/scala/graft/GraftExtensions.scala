@@ -62,6 +62,9 @@ object GraftFunctions {
     ("bloom_agg", classOf[BloomAgg].getName,
       args => BloomAgg(args.head,
         intArg(args(1), "bloom_agg"), intArg(args(2), "bloom_agg"))
+        .toAggregateExpression()),
+    ("hll_reg_agg", classOf[HllRegAgg].getName,
+      args => HllRegAgg(args.head, intArg(args(1), "hll_reg_agg"))
         .toAggregateExpression()))
 
   /** Register on a live session (temp functions). */

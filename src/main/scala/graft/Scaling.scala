@@ -85,10 +85,15 @@ object Scaling {
       .map(_.split(",").map(_.trim).toSeq).getOrElse(DefaultPanel)
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "SCALING.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // At ×64 (38M lineitem rows) 32 shuffle partitions put ~2M rows in
+    // every sort/join buffer × 32 concurrent tasks — the measured OOM
+    // mode of the first ×64 attempt. More partitions = smaller spillable
+    // units; AQE coalesces them back for the small factors.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-scaling")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config(Tables.NanosConf, "true")

@@ -964,11 +964,14 @@ object Relational {
     * (r7 VERDICT item 6): the same per-column profile with the exact
     * NDV (the Expand ×5 the exact twin pays) replaced by the
     * [[hllPortable]] register sketch per column. The plan has NO
-    * Expand: the columns unpivot through one `stack` projection
-    * (map-side, ×4 rows that collapse in partial aggregation), the
-    * plain stats reduce to 4 rows, and the register aggregation
-    * shuffles ≤ 4×[[HllM]] register rows — at 100 TB the shuffle
-    * carries registers, not distinct values. The exact variant stays
+    * Expand and ONE pass: the columns unpivot through one `stack`
+    * projection (map-side Generate), and counts, min/max/sum AND the
+    * register sketch ([[graft.functions.HllRegAgg]], an m-int
+    * elementwise-max buffer) ride the SAME partial+final aggregation —
+    * the shuffle carries 4 stat rows with their register arrays, not
+    * distinct values (exact NDV) and not a second register
+    * aggregation + join-back (the first r8 formulation; fusing removed
+    * its extra scan and its broadcast join). The exact variant stays
     * as the audit.
     *
     * Parity: HLL hashes the value QUANTIZED to 1e-6 grain
@@ -980,40 +983,42 @@ object Relational {
     * cross-engine, so `ndv_est` is hash-checked, not bounds-checked. */
   def columnStatsSketch(s: SparkSession, d: String): DataFrame = {
     val m = HllM
-    def stacked = {
-      val args = StatsColumns.map(c => s"'$c', $c").mkString(", ")
-      Tables.lineitem(s, d).select(expr(
-        s"stack(${StatsColumns.size}, $args) AS (column_name, v)"))
-    }
-    val stats = stacked.groupBy("column_name")
+    val args = StatsColumns.map(c => s"'$c', $c").mkString(", ")
+    val stacked = Tables.lineitem(s, d).select(expr(
+      s"stack(${StatsColumns.size}, $args) AS (column_name, v)"))
+    // ONE fused aggregation: counts, min/max/sum AND the register
+    // sketch ride the same groupBy — the graft.functions.HllRegAgg
+    // buffer is m ints merged by elementwise max, so the shuffle
+    // carries 4 register arrays + 4 stat rows, full stop (null hashes
+    // are skipped by the aggregate, matching the relational
+    // formulation's WHERE v IS NOT NULL)
+    val one = stacked.groupBy("column_name")
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
         min(col("v")).cast("double").as("min_val"),
         max(col("v")).cast("double").as("max_val"),
-        sum(col("v").cast(DecimalType(18, 6))).cast("double").as("sum_val"))
-    val reg = stacked.filter(col("v").isNotNull)
-      .select(col("column_name"),
-        Dedup.md5hash60(
-          expr("cast(floor(v * 1000000.0) as bigint)").cast("string"))
-          .as("h"))
-      .select(col("column_name"), (col("h") % m).as("bucket"),
-        expr(s"h div $m").as("rest"))
-      .select(col("column_name"), col("bucket"),
-        when(col("rest") === 0L, lit(53))
-          .otherwise(lit(53) - length(bin(col("rest")))).as("rho"))
-      .groupBy("column_name", "bucket").agg(max("rho").as("mj"))
-    val est = reg.groupBy("column_name")
-      .agg(count(lit(1)).as("nb"),
-        expr("sum(1.0 / shiftleft(cast(1 as bigint), mj))").as("zp"))
-      .select(col("column_name"), (lit(m) - col("nb")).as("v"),
-        expr(s"$hllAlphaM2 / (zp + cast($m - nb as double))").as("raw"))
-      .select(col("column_name"),
-        round(when(col("raw") <= lit(2.5 * m) && col("v") > 0,
-            expr(s"$m * ln(cast($m as double) / v)"))
-          .otherwise(col("raw")), 6).as("ndv_est"))
-    stats.join(est, Seq("column_name"), "left")
+        sum(col("v").cast(DecimalType(18, 6))).cast("double").as("sum_val"),
+        graft.functions.HllRegAgg(
+          Dedup.md5hash60(
+            expr("cast(floor(v * 1000000.0) as bigint)").cast("string")),
+          m).as("regs"))
+    // estimate arithmetic per 4-row result: occupied registers, the
+    // dyadic-rational harmonic sum (explicit DOUBLE division — exact
+    // powers of two, association-order-free, replicated by the oracle's
+    // GROUP BY formulation), the shared αm² literal, correction branch.
+    // All-null column degenerate case: zero registers → nb = 0 →
+    // linear counting gives m·ln(m/m) = 0.0, the oracle's coalesce.
+    one
+      .withColumn("nb", expr("size(filter(regs, x -> x > 0))"))
+      .withColumn("zp", expr(
+        "aggregate(filter(regs, x -> x > 0), cast(0.0 as double), " +
+          "(acc, x) -> acc + cast(1.0 as double) / " +
+          "cast(shiftleft(cast(1 as bigint), x) as double))"))
+      .withColumn("raw", expr(s"$hllAlphaM2 / (zp + cast($m - nb as double))"))
       .select(col("column_name"), col("n_rows"), col("n_nulls"),
-        coalesce(col("ndv_est"), lit(0.0)).as("ndv_est"),
+        round(when(col("raw") <= lit(2.5 * m) && col("nb") < m,
+            expr(s"$m * ln(cast($m as double) / cast($m - nb as double))"))
+          .otherwise(col("raw")), 6).as("ndv_est"),
         col("min_val"), col("max_val"), col("sum_val"))
       .orderBy("column_name")
   }

@@ -168,4 +168,37 @@ class SketchSpec extends AnyFunSuite {
       .head().getSeq[Long](0)
     assert(viaSql === bloomOf(spark.table("bloom_in")))
   }
+
+  test("HllRegAgg registers equal the relational GROUP BY formulation") {
+    // rel_column_stats_sketch fuses the register sketch into the stats
+    // aggregation via HllRegAgg; its correctness contract is exact
+    // register equality with the hllPortable-style relational
+    // formulation over the same md5-60 hashes — pin it per column on
+    // the sf0.001 lineitem, registers AND the buckets they imply.
+    import graft.functions.HllRegAgg
+    import graft.operators.Dedup
+    val m = graft.operators.Relational.HllM
+    val d = "/root/testdata/sf0.001"
+    val hashed = Tables.lineitem(spark, d)
+      .select(col("l_returnflag").as("g"),
+        Dedup.md5hash60(
+          expr("cast(floor(l_quantity * 1000000.0) as bigint)")
+            .cast("string")).as("h"))
+    val fused = hashed.groupBy("g")
+      .agg(HllRegAgg(col("h"), m).as("regs"))
+      .select(col("g"), posexplode(col("regs")).as(Seq("bucket", "mj")))
+      .filter(col("mj") > 0)
+      .as[(String, Int, Int)].collect().toSet
+    val relational = hashed
+      .select(col("g"), (col("h") % m).as("bucket"),
+        expr(s"h div $m").as("rest"))
+      .select(col("g"), col("bucket"),
+        when(col("rest") === 0L, lit(53))
+          .otherwise(lit(53) - length(bin(col("rest")))).as("rho"))
+      .groupBy("g", "bucket").agg(max("rho").cast("int").as("mj"))
+      .select(col("g"), col("bucket").cast("int"), col("mj"))
+      .as[(String, Int, Int)].collect().toSet
+    assert(fused.nonEmpty)
+    assert(fused === relational)
+  }
 }
