@@ -42,7 +42,11 @@ object GraftFunctions {
     ("cosine_similarity", classOf[CosineSimilarity].getName,
       args => CosineSimilarity(args.head, args(1))),
     ("lsh_buckets", classOf[LshBuckets].getName,
-      args => LshBuckets(args.head)),
+      args =>
+        if (args.size >= 3)
+          LshBuckets(args.head, intArg(args(1), "lsh_buckets"),
+            intArg(args(2), "lsh_buckets"))
+        else LshBuckets(args.head)),
     ("vector_norm", classOf[VectorNorm].getName,
       args => VectorNorm(args.head)),
     ("simhash_agg", classOf[SimHashAgg].getName,

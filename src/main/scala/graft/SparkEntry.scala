@@ -183,6 +183,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> (Dedup.simhashPairs _),
     "dedup_embedding_pairs" -> (Dedup.embeddingPairs _),
     "dedup_embedding_lsh" -> (Dedup.embeddingLshPairs _),
+    "dedup_embedding_lsh_wide" -> (Dedup.embeddingLshPairsWide _),
     // connected components over the near-dup pair graph (iterative
     // hook+jump min-label; oracle = recursive-CTE transitive closure)
     "dedup_clusters" -> (Dedup.nearDupClusters _),
@@ -1429,6 +1430,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> DedupOracles.simhashPairs,
     "dedup_embedding_pairs" -> DedupOracles.embeddingPairs,
     "dedup_embedding_lsh" -> DedupOracles.embeddingLshPairs,
+    "dedup_embedding_lsh_wide" -> DedupOracles.embeddingLshPairsWide,
     "dedup_clusters" -> DedupOracles.clusters,
     "dedup_clusters_lsh" -> DedupOracles.clustersLsh,
     "dedup_containment_pairs" -> DedupOracles.containmentPairs,

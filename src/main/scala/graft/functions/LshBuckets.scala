@@ -8,8 +8,8 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
 /** Sign-random-projection LSH bucket keys for a float vector:
-  * `Tables` hash tables × `Bits` hyperplane bits each → array<long> of
-  * `Tables` bucket keys. The ANN scale path: vectors sharing a bucket in
+  * `tables` hash tables × `bits` hyperplane bits each → array<long> of
+  * `tables` bucket keys. The ANN scale path: vectors sharing a bucket in
   * ANY table become candidate neighbors, turning the O(n²) pair join into
   * a bucket equi-join.
   *
@@ -22,11 +22,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   *  - the dot-product sign test is an exact BIGINT comparison — no
   *    float summation order to disagree on.
   *
-  * Scale note: 2^Bits buckets per table bounds expected bucket size at
-  * n/2^12; multi-probe or more tables trade recall vs candidate count.
-  * Supports up to [[LshBuckets.MaxDims]] dimensions. */
-case class LshBuckets(child: Expression) extends UnaryExpression {
+  * Geometry is PARAMETERIZED (r8, after SCALING.json measured the
+  * fixed-geometry embedding edge build superlinear at ×16/×64): the
+  * default [[LshBuckets.Tables]]×[[LshBuckets.Bits]] suits the test
+  * corpus; at production scale grow `bits` with log₂(n) (and `tables`
+  * for recall) so expected bucket occupancy n/2^bits stays bounded —
+  * plane weights for a given (t, b, d) are identical at every geometry,
+  * so widening only SPLITS buckets. Supports up to
+  * [[LshBuckets.MaxTables]] × [[LshBuckets.MaxBits]] ×
+  * [[LshBuckets.MaxDims]]. */
+case class LshBuckets(child: Expression,
+    tables: Int = LshBuckets.Tables,
+    bits: Int = LshBuckets.Bits) extends UnaryExpression {
   import LshBuckets._
+
+  require(tables > 0 && tables <= MaxTables && bits > 0 && bits <= MaxBits,
+    s"lsh_buckets geometry out of range: $tables x $bits")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -37,14 +48,15 @@ case class LshBuckets(child: Expression) extends UnaryExpression {
   }
 
   override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(LshBuckets.compute(input.asInstanceOf[ArrayData]))
+    new GenericArrayData(
+      LshBuckets.compute(input.asInstanceOf[ArrayData], tables, bits))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val helper = "graft.functions.LshBuckets$.MODULE$"
     nullSafeCodeGen(ctx, ev, v => {
       s"""
       ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        $helper.compute($v));
+        $helper.compute($v, $tables, $bits));
       """
     })
   }
@@ -60,14 +72,19 @@ object LshBuckets {
   val Tables = 4
   val Bits = 8 // 256 buckets/table: sized for the test corpus (~500-5000
                // vectors); at production scale grow with log2(n) so
-               // expected bucket size stays bounded
+               // expected bucket size stays bounded (pass wider geometry
+               // to the constructor — Dedup.embeddingLshPairsWide)
+  val MaxTables = 8
+  val MaxBits = 16
   val MaxDims = 256
   val QuantScale = 1048576L // 2^20
 
-  /** w(t, b, d), d 1-based — identical to the oracle's md5 formula. */
+  /** w(t, b, d), d 1-based — identical to the oracle's md5 formula;
+    * tabulated once to the maxima so every geometry shares the same
+    * plane for a given (t, b, d). */
   lazy val planes: Array[Array[Array[Long]]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(Tables, Bits, MaxDims) { (t, b, d0) =>
+    Array.tabulate(MaxTables, MaxBits, MaxDims) { (t, b, d0) =>
       val d = d0 + 1
       val hex = md.digest(s"p_${t}_${b}_$d".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.substring(0, 15)
@@ -75,7 +92,7 @@ object LshBuckets {
     }
   }
 
-  def compute(v: ArrayData): Array[Long] = {
+  def compute(v: ArrayData, tables: Int, bits: Int): Array[Long] = {
     val n = v.numElements()
     require(n <= MaxDims, s"lsh_buckets supports <= $MaxDims dims, got $n")
     val q = new Array[Long](n)
@@ -84,12 +101,12 @@ object LshBuckets {
       q(d) = math.floor(v.getFloat(d).toDouble * QuantScale).toLong
       d += 1
     }
-    val out = new Array[Long](Tables)
+    val out = new Array[Long](tables)
     var t = 0
-    while (t < Tables) {
+    while (t < tables) {
       var key = 0L
       var b = 0
-      while (b < Bits) {
+      while (b < bits) {
         var dot = 0L
         var i = 0
         while (i < n) { dot += q(i) * planes(t)(b)(i); i += 1 }
@@ -104,4 +121,7 @@ object LshBuckets {
 
   def apply(vec: Column): Column =
     graftshim.toColumn(LshBuckets(graftshim.toExpression(vec)))
+
+  def apply(vec: Column, tables: Int, bits: Int): Column =
+    graftshim.toColumn(LshBuckets(graftshim.toExpression(vec), tables, bits))
 }

@@ -718,9 +718,53 @@ object Dedup {
     * replicates the ENTIRE pipeline — candidates and verification — in
     * SQL: the approximation itself is cross-engine-checked exactly,
     * rather than pretending the operator equals the brute baseline. */
-  def embeddingLshPairs(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-    val b = graft.operators.Similarity.buckets(e)
+  def embeddingLshPairs(s: SparkSession, d: String): DataFrame =
+    embeddingLshPairsOn(Tables.embeddings(s, d),
+      graft.functions.LshBuckets.Tables, graft.functions.LshBuckets.Bits)
+
+  /** Occupancy guard for the LSH candidate join (r8 — added after
+    * `SCALING.json` MEASURED the fixed-geometry build superlinear, exp
+    * 1.25 at ×16/×64): the in-bucket pair join emits occupancy² rows
+    * per bucket, and with fixed `bits` occupancy grows linearly in n.
+    * 20000² per bucket marks the tolerable ceiling (the
+    * [[graft.operators.Curation.MaxPeakBucketOccupancy]] convention);
+    * the refusal names the executable dial. At the measured ×64 corpus
+    * (128 k vectors / 256 buckets ≈ 500 occupancy) the guard is nowhere
+    * near firing — it exists for the ~5 M-vector zone where the
+    * quadratic term detonates. */
+  val MaxLshBucketOccupancy = 20000L
+
+  /** The widened SRP geometry [[embeddingLshPairsWide]] runs: more
+    * tables recover the recall the extra bits split away; plane
+    * weights for a given (t, b, d) are shared with the default
+    * geometry, so widening only SPLITS buckets. */
+  val WideLshTables = 8
+  val WideLshBits = 10
+
+  /** [[embeddingLshPairs]] at the [[WideLshTables]]×[[WideLshBits]]
+    * geometry — the executable form of the scale dial the default
+    * geometry's guard points at (bucket count 2^10 per table bounds
+    * occupancy at n/1024; grow `bits` with log₂(n)). Same verify, same
+    * threshold; the oracle replicates the widened bucketing
+    * end-to-end, so the different (deterministic) recall set is
+    * hash-checked, not assumed. */
+  def embeddingLshPairsWide(s: SparkSession, d: String): DataFrame =
+    embeddingLshPairsOn(Tables.embeddings(s, d), WideLshTables, WideLshBits)
+
+  private def embeddingLshPairsOn(
+      e: DataFrame, tables: Int, bits: Int): DataFrame = {
+    val b = e.select(col("vec_id"),
+      posexplode(graft.functions.LshBuckets(col("embedding"), tables, bits))
+        .as(Seq("t", "bucket")))
+    val occRow = b.groupBy("t", "bucket").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head()
+    val occ = if (occRow.isNullAt(0)) 0L else occRow.getLong(0)
+    require(occ <= MaxLshBucketOccupancy,
+      s"embeddingLshPairs refused: max bucket occupancy $occ > " +
+        s"$MaxLshBucketOccupancy at $tables x $bits (occupancy^2 pair " +
+        "fan-out; SCALING.json measured this superlinear) - raise bits " +
+        "toward log2(n) (embeddingLshPairsWide is the " +
+        s"$WideLshTables x $WideLshBits form) or shard the corpus")
     val cands = b.toDF("i", "t", "bucket")
       .join(b.toDF("j", "t2", "bucket2"),
         col("t") === col("t2") && col("bucket") === col("bucket2") &&

@@ -388,7 +388,17 @@ object DedupOracles {
     * the `ann_topk_lsh` oracle's CTEs), bucket-collision candidates with
     * i < j, then the exact-cosine threshold verify. */
   val embeddingLshPairs: String = {
-    import graft.functions.LshBuckets.{Bits, QuantScale, Tables => NT}
+    import graft.functions.LshBuckets.{Bits, Tables => NT}
+    embeddingLshPairsAt(NT, Bits)
+  }
+
+  /** [[embeddingLshPairs]] at the widened `Dedup.WideLshTables` ×
+    * `Dedup.WideLshBits` geometry — same CTEs, wider generate_series. */
+  val embeddingLshPairsWide: String =
+    embeddingLshPairsAt(Dedup.WideLshTables, Dedup.WideLshBits)
+
+  private def embeddingLshPairsAt(NT: Int, Bits: Int): String = {
+    import graft.functions.LshBuckets.QuantScale
     s"""WITH dims AS (
        |  SELECT vec_id, d, floor(embedding[d]::DOUBLE * $QuantScale)::BIGINT AS qv
        |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(d)

@@ -422,6 +422,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(b1.forall { case (_, _, k) => k >= 0 && k < (1L << LshBuckets.Bits) })
   }
 
+  test("widened LSH geometry SPLITS the default buckets (shared planes)") {
+    // the embeddingLshPairsWide scale dial rests on this: plane (t,b,d)
+    // is geometry-independent, so a wider key's low Bits bits must EQUAL
+    // the default key in every shared table — extra bits only split
+    // buckets (occupancy can only drop per table), never re-shuffle them
+    import org.apache.spark.sql.functions.{col, posexplode}
+    import graft.functions.LshBuckets
+    import graft.operators.Dedup
+    val e = Tables.embeddings(spark, d)
+    val narrow = e.select(col("vec_id"),
+        posexplode(LshBuckets(col("embedding"))).as(Seq("t", "k")))
+      .as[(Long, Int, Long)].collect()
+      .map { case (v, t, k) => (v, t) -> k }.toMap
+    val wide = e.select(col("vec_id"),
+        posexplode(LshBuckets(col("embedding"),
+          Dedup.WideLshTables, Dedup.WideLshBits)).as(Seq("t", "k")))
+      .as[(Long, Int, Long)].collect()
+    assert(wide.map(_._2).max === Dedup.WideLshTables - 1)
+    val mask = (1L << LshBuckets.Bits) - 1
+    val shared = wide.filter(_._2 < LshBuckets.Tables)
+    assert(shared.nonEmpty)
+    shared.foreach { case (v, t, k) =>
+      assert((k & mask) === narrow((v, t)),
+        s"vec $v table $t: wide key $k does not extend the narrow key")
+    }
+  }
+
   test("IVF candidates per query stay ~NProbe*n/K on a 10x corpus") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
