@@ -302,6 +302,8 @@ object SparkEntry {
     "events_lateness" -> (Curation.lateness _),
     "events_time_to_convert" -> (Curation.timeToConvert _),
     "events_state_audit" -> (Curation.stateAudit _),
+    "dedup_snapshot_diff" -> (Curation.snapshotDiff _),
+    "events_forget_audit" -> (Curation.forgetAudit _),
     "ann_ivf_balance" -> (Similarity.ivfBalance _),
     "rel_hll_portable" -> (Relational.hllPortable _),
     "rel_kmv_sketch" -> (Relational.kmvSketch _),
@@ -1529,6 +1531,8 @@ object SparkEntry {
     "events_lateness_stream" -> Curation.latenessOracle,
     "events_time_to_convert" -> Curation.timeToConvertOracle,
     "events_state_audit" -> Curation.stateAuditOracle,
+    "dedup_snapshot_diff" -> Curation.snapshotDiffOracle,
+    "events_forget_audit" -> Curation.forgetAuditOracle,
     "ann_ivf_balance" -> SimilarityOracles.ivfBalance,
     "rel_hll_portable" -> Relational.hllPortableOracle,
     "rel_kmv_sketch" -> Relational.kmvSketchOracle,

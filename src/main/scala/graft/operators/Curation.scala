@@ -1510,6 +1510,103 @@ object Curation {
         col("ratio_ppm") < IndepLowPpm || col("ratio_ppm") > IndepHighPpm)
       .orderBy("hour_of_day", "event_type")
   }
+
+  /** SNAPSHOT DIFF — crawl-over-crawl change accounting by CONTENT, the
+    * ingestion-side audit every recurring crawl needs: which exact
+    * contents appeared, vanished, or changed multiplicity between the
+    * previous snapshot (even doc_ids — the suite's incremental-batch
+    * convention, standing in for "yesterday's partition") and the new
+    * one (odd doc_ids). Keyed by the md5-60 content hash so renamed /
+    * re-crawled copies of the same text compare equal; emits one row
+    * per distinct content with its old/new multiplicities and status
+    * (`added` / `removed` / `retained`).
+    *
+    * Scale: one map-side hash projection, one (hash)-keyed count
+    * aggregation (partial+final), a status CASE — no joins, no text
+    * shuffled (the 60-bit hash travels, not the document). In a real
+    * pipeline the two sides are two date partitions of the same table;
+    * the parity predicate is this fixture's stand-in, exactly like
+    * [[graft.operators.Dedup.incrementalDedupOn]]'s. */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(Dedup.md5hash60(col("text")).as("content_key"),
+        (col("doc_id") % 2 === 0).as("is_old"))
+      .groupBy("content_key")
+      .agg(sum(when(col("is_old"), 1L).otherwise(0L)).as("n_old"),
+        sum(when(!col("is_old"), 1L).otherwise(0L)).as("n_new"))
+      .select(col("content_key"),
+        when(col("n_old") === 0, lit("added"))
+          .when(col("n_new") === 0, lit("removed"))
+          .otherwise(lit("retained")).as("status"),
+        col("n_old"), col("n_new"))
+      .orderBy("content_key")
+
+  /** DuckDB twin of [[snapshotDiff]]. */
+  private[graft] def snapshotDiffOracle: String =
+    """SELECT ('0x' || substr(md5(text), 1, 15))::BIGINT AS content_key,
+      |  CASE WHEN sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) = 0
+      |         THEN 'added'
+      |       WHEN sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) = 0
+      |         THEN 'removed'
+      |       ELSE 'retained' END AS status,
+      |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_old,
+      |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_new
+      |FROM documents
+      |GROUP BY 1 ORDER BY content_key""".stripMargin
+
+  /** Deterministic stand-in for a right-to-be-forgotten deletion list:
+    * every 13th user id. A real pipeline broadcast-joins the actual
+    * list; the modulus keeps the fixture self-contained (the
+    * [[snapshotDiff]] parity convention). */
+  val ForgetUserModulus = 13L
+
+  /** RIGHT-TO-BE-FORGOTTEN audit — the pre-deletion impact report a
+    * data-governance pass runs before purging users: per event type,
+    * how many events the deletion list touches, how many distinct
+    * listed users actually appear, and the integer-ppm share of the
+    * table that will disappear. Complements the privacy trio
+    * (k-anonymity / l-diversity / t-closeness): those measure
+    * re-identification risk, this measures erasure blast radius.
+    *
+    * Scale: map-only membership predicate (a broadcast semi-join
+    * against the real list at scale), one (event_type)-keyed
+    * aggregation, a 1-row total broadcast for the ppm — never a
+    * user×event shuffle. */
+  def forgetAudit(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("user_id"),
+        (col("user_id") % ForgetUserModulus === 0).as("hit"))
+    val per = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_forget"),
+        countDistinct(when(col("hit"), col("user_id"))).as("n_forget_users"))
+    val tot = per.agg(sum("n_events").as("n_total"))
+    per.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_events"), col("n_forget"),
+        col("n_forget_users"),
+        expr("n_forget * 1000000 div n_events").as("forget_ppm"),
+        expr("n_forget * 1000000 div n_total").as("table_share_ppm"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB twin of [[forgetAudit]]. */
+  private[graft] def forgetAuditOracle: String =
+    s"""WITH per AS (
+       |  SELECT event_type, count(*) AS n_events,
+       |    CAST(sum(CASE WHEN user_id % $ForgetUserModulus = 0
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_forget,
+       |    count(DISTINCT CASE WHEN user_id % $ForgetUserModulus = 0
+       |      THEN user_id END) AS n_forget_users
+       |  FROM events GROUP BY 1
+       |),
+       |tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS n_total FROM per)
+       |SELECT event_type, n_events, n_forget, n_forget_users,
+       |  (n_forget * 1000000) // n_events AS forget_ppm,
+       |  (n_forget * 1000000) // tot.n_total AS table_share_ppm
+       |FROM per, tot
+       |ORDER BY event_type""".stripMargin
 }
 
 /** DuckDB oracles for [[Curation]], generated from the same constants. */
