@@ -601,6 +601,11 @@ object SparkEntry {
     //     range verify ---
     "ann_ingest_stream" ->
       (graft.streaming.EventStream.vectorIngestStreamVerified _),
+
+    // --- streaming media ingest: per-row phash in the stream, banded
+    //     against the static signature index, hamming verify ---
+    "mm_ingest_stream" ->
+      (graft.streaming.EventStream.mediaIngestStreamVerified _),
   )
 
   // Shared oracle-SQL fragments (DuckDB dialect), mirroring TextPipeline.
@@ -1896,6 +1901,9 @@ object SparkEntry {
     "dedup_incremental_stream" -> DedupOracles.incrementalDedupStream,
     // arriving vectors probe the static IVF index map-only; range verify
     "ann_ingest_stream" -> SimilarityOracles.vectorIngestStream,
+    // arriving images phash map-only vs the static signature index;
+    // oracle is the lossless plain parity join (pigeonhole completeness)
+    "mm_ingest_stream" -> MultimodalOracles.mediaIngestStream,
     // the hopping twin: same finalization cutoff over overlapping hops
     "events_hopping_stream" ->
       """WITH wm AS (

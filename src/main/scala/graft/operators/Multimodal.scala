@@ -438,7 +438,9 @@ object MultimodalOracles {
   val phashPairs: String = phashPairsAt(Multimodal.PhashSamples)
   val phashPairsWide: String = phashPairsAt(Multimodal.PhashSamplesWide)
 
-  private def phashPairsAt(s: Int): String = {
+  /** The average-hash signature CTE chain at `s` samples — shared by
+    * the pair oracles and the ingest-stream oracle. */
+  private def phashSigCtes(s: Int): String =
     s"""WITH media AS (
        |  SELECT doc_id AS media_id,
        |    CASE doc_id % ${Multimodal.Kinds.size} $kinds END AS kind,
@@ -462,7 +464,24 @@ object MultimodalOracles {
        |    CAST(sum(CASE WHEN s.sv * $s >= t.tot
        |      THEN (1::BIGINT << s.j) ELSE 0 END) AS BIGINT) AS sig
        |  FROM smp s JOIN tot t USING (media_id) GROUP BY 1
-       |)
+       |)""".stripMargin
+
+  /** Replicates `EventStream.mediaIngestStreamVerified`: the same
+    * signatures, parity-asymmetric pairs (arriving odd ids × even
+    * corpus), hamming ≤ PhashMaxHamming. The plain join is LOSSLESS
+    * against the stream's 4-band pigeonhole candidates (4 bands cannot
+    * all differ at hamming ≤ 3), so banding needs no SQL twin. */
+  val mediaIngestStream: String =
+    s"""${phashSigCtes(Multimodal.PhashSamples)}
+       |SELECT a.media_id AS media_id, b.media_id AS neighbor_id,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+       |FROM sig a JOIN sig b
+       |  ON a.media_id % 2 = 1 AND b.media_id % 2 = 0
+       |WHERE bit_count(xor(a.sig, b.sig)) <= ${Multimodal.PhashMaxHamming}
+       |ORDER BY media_id, neighbor_id""".stripMargin
+
+  private def phashPairsAt(s: Int): String = {
+    s"""${phashSigCtes(s)}
        |SELECT a.media_id AS media_a, b.media_id AS media_b,
        |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
        |FROM sig a JOIN sig b ON a.media_id < b.media_id

@@ -454,6 +454,89 @@ object EventStream {
   }
 
   // ------------------------------------------------------------------
+  // streaming media ingest (phash near-dup check at ingest time)
+  // ------------------------------------------------------------------
+
+  /** STREAMING MEDIA INGEST — the third arrival-path check, completing
+    * the triptych with [[incrementalDedupStreamVerified]] (text) and
+    * [[vectorIngestStreamVerified]] (vectors): arriving image rows (odd
+    * media ids) compute their [[graft.operators.Multimodal]] average
+    * hash MAP-ONLY inside the stream (the sampling/threshold/bit-pack
+    * arithmetic re-expressed over array higher-order functions — no
+    * aggregation, no state), pigeonhole-band against the STATIC corpus
+    * signature index, and emit every corpus image within hamming ≤
+    * [[graft.operators.Multimodal.PhashMaxHamming]].
+    *
+    * The 4 × 8-bit pigeonhole bands give COMPLETE recall at hamming ≤ 3
+    * (4 bands cannot all differ), so the oracle is the lossless plain
+    * parity join over the same signatures — the banding needs no SQL
+    * twin, it only bounds the streamed join's fan-out. The one
+    * stateful piece is the pair `dropDuplicates` collapsing multi-band
+    * hits (candidate-bounded; production keys it WithinWatermark on
+    * ingest time). Payload-encoding caveat as the batch operator:
+    * byte-length vs char-substring sampling agree while the stub
+    * payloads are pure ASCII — a real codec replaces the sampling with
+    * decoded pixels. */
+  def mediaIngestStreamVerified(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Multimodal
+    val (out, ckpt) = scratchDirs("mmin")
+    val ss = streamSession(s)
+    val S = Multimodal.PhashSamples
+    val nBands = 4
+    val bandBits = 8
+    val mask = (1L << bandBits) - 1
+    def chunks = (0 until nBands).map(b =>
+      shiftright(col("sig"), bandBits * b).bitwiseAND(mask))
+    // static: corpus (even ids) signatures via the batch pipeline,
+    // band-exploded into the ingest index
+    val index = Multimodal.phashSigs(ss, d, S)
+      .filter(col("media_id") % 2 === 0)
+      .select(col("media_id").as("neighbor_id"), col("sig"))
+      .select(col("neighbor_id"), col("sig").as("nsig"),
+        posexplode(array(chunks: _*)).as(Seq("band", "bkey")))
+      .localCheckpoint()
+    // stream: arriving image rows, per-row signature (same integer
+    // arithmetic as the batch groupBy formulation — sample offsets,
+    // mean threshold via sv·S ≥ Σ sv, bit pack)
+    val arrivals = ss.readStream
+      .schema(Tables.load(ss, d, "documents").schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .filter(col("doc_id") % 2 === 1 &&
+        col("doc_id") % Multimodal.Kinds.size === Multimodal.Kinds.indexOf("image"))
+      .select(col("doc_id").as("media_id"),
+        col("text").cast("binary").as("bytes"))
+      .withColumn("nb", length(col("bytes")))
+      .filter(col("nb") > 0)
+      .withColumn("bstr", col("bytes").cast("string"))
+      .withColumn("svs", expr(
+        s"transform(sequence(0, ${S - 1}), j -> ascii(substring(bstr, " +
+          s"cast(floor(j * (nb - 1) / ${S - 1}) as int) + 1, 1)))"))
+      .withColumn("tot", expr(
+        "aggregate(svs, cast(0 as bigint), (acc, x) -> acc + x)"))
+      .withColumn("sig", expr(
+        s"aggregate(transform(svs, (sv, j) -> if(sv * $S >= tot, " +
+          "shiftleft(cast(1 as bigint), j), cast(0 as bigint))), " +
+          "cast(0 as bigint), (acc, x) -> acc + x)"))
+      .select(col("media_id"), col("sig"),
+        posexplode(array(chunks: _*)).as(Seq("band", "bkey")))
+    val q = arrivals.join(index, Seq("band", "bkey"))
+      .dropDuplicates("media_id", "neighbor_id")
+      .select(col("media_id"), col("neighbor_id"),
+        bit_count(col("sig").bitwiseXOR(col("nsig"))).cast("int")
+          .as("hamming"))
+      .filter(col("hamming") <= Multimodal.PhashMaxHamming)
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val res = try s.read.parquet(out).localCheckpoint()
+      finally deleteRecursively(out, ckpt)
+    res.orderBy("media_id", "neighbor_id")
+  }
+
+  // ------------------------------------------------------------------
   // stream-static dimension enrichment
   // ------------------------------------------------------------------
 

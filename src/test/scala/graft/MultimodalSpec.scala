@@ -151,4 +151,33 @@ class MultimodalSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long)].head()
     assert(f._2 === 10L && f._3 === 0L && f._4 === 1L && f._5 === 10L)
   }
+
+  test("per-row HOF phash signature equals the batch groupBy signature") {
+    // mm_ingest_stream computes the average hash per ROW (array HOFs —
+    // no streaming aggregation); its oracle equivalence rests on the
+    // per-row formulation producing the IDENTICAL (media_id, sig) as
+    // the batch posexplode+groupBy pipeline — pin on the full catalog.
+    import org.apache.spark.sql.functions._
+    val S = Multimodal.PhashSamples
+    val d = "/root/testdata/sf0.001"
+    val batch = Multimodal.phashSigs(spark, d, S)
+      .as[(Long, Long)].collect().toSet
+    val perRow = Multimodal.catalog(spark, d)
+      .filter(col("kind") === "image")
+      .withColumn("nb", length(col("bytes")))
+      .filter(col("nb") > 0)
+      .withColumn("bstr", col("bytes").cast("string"))
+      .withColumn("svs", expr(
+        s"transform(sequence(0, ${S - 1}), j -> ascii(substring(bstr, " +
+          s"cast(floor(j * (nb - 1) / ${S - 1}) as int) + 1, 1)))"))
+      .withColumn("tot", expr(
+        "aggregate(svs, cast(0 as bigint), (acc, x) -> acc + x)"))
+      .select(col("media_id"), expr(
+        s"aggregate(transform(svs, (sv, j) -> if(sv * $S >= tot, " +
+          "shiftleft(cast(1 as bigint), j), cast(0 as bigint))), " +
+          "cast(0 as bigint), (acc, x) -> acc + x)").as("sig"))
+      .as[(Long, Long)].collect().toSet
+    assert(perRow.nonEmpty)
+    assert(perRow === batch)
+  }
 }
