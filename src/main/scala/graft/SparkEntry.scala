@@ -304,6 +304,7 @@ object SparkEntry {
     "events_state_audit" -> (Curation.stateAudit _),
     "dedup_snapshot_diff" -> (Curation.snapshotDiff _),
     "events_forget_audit" -> (Curation.forgetAudit _),
+    "events_delta_maintenance" -> (Curation.deltaMaintenance _),
     "ann_ivf_balance" -> (Similarity.ivfBalance _),
     "rel_hll_portable" -> (Relational.hllPortable _),
     "rel_kmv_sketch" -> (Relational.kmvSketch _),
@@ -1538,6 +1539,7 @@ object SparkEntry {
     "events_state_audit" -> Curation.stateAuditOracle,
     "dedup_snapshot_diff" -> Curation.snapshotDiffOracle,
     "events_forget_audit" -> Curation.forgetAuditOracle,
+    "events_delta_maintenance" -> Curation.deltaMaintenanceOracle,
     "ann_ivf_balance" -> SimilarityOracles.ivfBalance,
     "rel_hll_portable" -> Relational.hllPortableOracle,
     "rel_kmv_sketch" -> Relational.kmvSketchOracle,

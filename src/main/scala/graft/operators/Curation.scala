@@ -1591,6 +1591,93 @@ object Curation {
       .orderBy("event_type")
   }
 
+  /** INCREMENTAL AGGREGATE MAINTENANCE — the nightly-cube-refresh
+    * algebra, audited: a materialized per-(type, hour) aggregate built
+    * from the EXISTING partition (even event_ids — the suite's arrival
+    * convention) is merged with the DELTA partition's partial aggregate
+    * (odd ids) by pure addition, and the merged cube is checked cell by
+    * cell against a full recompute. `consistent` is computed by EACH
+    * engine over its own merge, so the mergeability property itself —
+    * counts and DECIMAL-exact sums are associative, the reason
+    * map-side partial aggregation works at all — is what the gate
+    * hash-checks, not just the final numbers.
+    *
+    * Scale: two (type, hour)-keyed aggregations (each reads only its
+    * partition — at 100 TB the old side is the stored cube, not a
+    * rescan), a cube-sized full-outer merge, and the audit recompute
+    * (production drops the audit; it's the point of this operator). */
+  def deltaMaintenance(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"),
+        col("value").cast(DecimalType(18, 6)).as("v"))
+    def cube(df: DataFrame) = df.groupBy("event_type", "h")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    val old = cube(ev.filter(col("event_id") % 2 === 0))
+      .select(col("event_type"), col("h"),
+        col("n").as("n_old"), col("sv").as("sv_old"))
+    val delta = cube(ev.filter(col("event_id") % 2 === 1))
+      .select(col("event_type"), col("h"),
+        col("n").as("n_delta"), col("sv").as("sv_delta"))
+    val zero = lit(0).cast(DecimalType(18, 6))
+    val merged = old.join(delta, Seq("event_type", "h"), "full_outer")
+      .select(col("event_type"), col("h"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        (coalesce(col("n_old"), lit(0L)) + coalesce(col("n_delta"), lit(0L)))
+          .as("n_merged"),
+        (coalesce(col("sv_old"), zero) + coalesce(col("sv_delta"), zero))
+          .as("sv_merged"))
+    val full = cube(ev).select(col("event_type"), col("h"),
+      col("n").as("n_full"), col("sv").as("sv_full"))
+    merged.join(full, Seq("event_type", "h"))
+      .select(col("event_type"), col("h").as("hour"),
+        col("n_old"), col("n_delta"), col("n_merged"),
+        col("sv_merged").cast("double").as("sum_merged"),
+        (col("n_merged") === col("n_full") &&
+          col("sv_merged") === col("sv_full")).as("consistent"))
+      .orderBy("event_type", "hour")
+  }
+
+  /** DuckDB twin of [[deltaMaintenance]]. */
+  private[graft] def deltaMaintenanceOracle: String =
+    """WITH ev AS MATERIALIZED (
+      |  SELECT event_id, event_type, epoch_us(ts) // 3600000000 AS h,
+      |    CAST(value AS DECIMAL(18,6)) AS v
+      |  FROM events
+      |),
+      |old AS (
+      |  SELECT event_type, h, count(*) AS n_old, sum(v) AS sv_old
+      |  FROM ev WHERE event_id % 2 = 0 GROUP BY 1, 2
+      |),
+      |delta AS (
+      |  SELECT event_type, h, count(*) AS n_delta, sum(v) AS sv_delta
+      |  FROM ev WHERE event_id % 2 = 1 GROUP BY 1, 2
+      |),
+      |merged AS (
+      |  SELECT coalesce(old.event_type, delta.event_type) AS event_type,
+      |    coalesce(old.h, delta.h) AS h,
+      |    coalesce(n_old, 0) AS n_old,
+      |    coalesce(n_delta, 0) AS n_delta,
+      |    coalesce(n_old, 0) + coalesce(n_delta, 0) AS n_merged,
+      |    coalesce(sv_old, 0::DECIMAL(18,6))
+      |      + coalesce(sv_delta, 0::DECIMAL(18,6)) AS sv_merged
+      |  FROM old FULL OUTER JOIN delta
+      |    ON old.event_type = delta.event_type AND old.h = delta.h
+      |),
+      |f AS (
+      |  SELECT event_type, h, count(*) AS n_full, sum(v) AS sv_full
+      |  FROM ev GROUP BY 1, 2
+      |)
+      |SELECT m.event_type, m.h AS hour,
+      |  CAST(m.n_old AS BIGINT) AS n_old,
+      |  CAST(m.n_delta AS BIGINT) AS n_delta,
+      |  CAST(m.n_merged AS BIGINT) AS n_merged,
+      |  CAST(m.sv_merged AS DOUBLE) AS sum_merged,
+      |  (m.n_merged = f.n_full AND m.sv_merged = f.sv_full) AS consistent
+      |FROM merged m JOIN f ON m.event_type = f.event_type AND m.h = f.h
+      |ORDER BY 1, 2""".stripMargin
+
   /** DuckDB twin of [[forgetAudit]]. */
   private[graft] def forgetAuditOracle: String =
     s"""WITH per AS (
