@@ -81,8 +81,9 @@ object Scaling {
     val scratch = sys.env.getOrElse("SPARK_GRAFT_SCALING_DIR", "/tmp/graft_scaling")
     val factors = sys.env.getOrElse("SPARK_GRAFT_SCALING_FACTORS", "1,4,16")
       .split(",").map(_.trim.toInt).toSeq
-    val panel = sys.env.get("SPARK_GRAFT_SCALING_QUERIES")
-      .map(_.split(",").map(_.trim).toSeq).getOrElse(DefaultPanel)
+    val explicitPanel = sys.env.get("SPARK_GRAFT_SCALING_QUERIES")
+      .map(_.split(",").map(_.trim).toSeq)
+    val panel = explicitPanel.getOrElse(DefaultPanel)
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "SCALING.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // At ×64 (38M lineitem rows) 32 shuffle partitions put ~2M rows in
@@ -113,9 +114,10 @@ object Scaling {
           () => operators.Dedup.nearDupEdgesShared(spark, warmDir),
           () => operators.Dedup.minhashEdgesShared(spark, warmDir),
           () => operators.Dedup.embeddingEdgesShared(spark, warmDir),
+          () => operators.Dedup.embeddingEdgesScaledShared(spark, warmDir),
           () => operators.Dedup.truthPairsShared(spark, warmDir)))
         try b() catch { case _: Throwable => () }
-      for (name <- panel) {
+      for (name <- panel if SparkEntry.queries.contains(name)) {
         try SparkEntry.queries(name)(spark, warmDir)
           .write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
@@ -163,11 +165,16 @@ object Scaling {
       // shared edge graphs: timed builds, then memoized for consumers
       // (clearCache() does not drop the localCheckpoint memo — Bench's
       // documented shared-intermediate design)
+      // an explicit SPARK_GRAFT_SCALING_QUERIES list also selects WHICH
+      // shared builds to time (a focused re-measure run merges its rows
+      // into the committed artifact via tools/merge_scaling.py)
       for ((kind, build) <- Seq[(String, () => DataFrame)](
           "shared_prefix_edges" -> (() => operators.Dedup.nearDupEdgesShared(spark, dir)),
           "shared_minhash_edges" -> (() => operators.Dedup.minhashEdgesShared(spark, dir)),
           "shared_embedding_edges" -> (() => operators.Dedup.embeddingEdgesShared(spark, dir)),
-          "shared_truth_pairs" -> (() => operators.Dedup.truthPairsShared(spark, dir)))) {
+          "shared_embedding_edges_scaled" -> (() => operators.Dedup.embeddingEdgesScaledShared(spark, dir)),
+          "shared_truth_pairs" -> (() => operators.Dedup.truthPairsShared(spark, dir)))
+          if explicitPanel.forall(_.contains(kind))) {
         val t0 = System.nanoTime()
         val sec = try { build(); (System.nanoTime() - t0) / 1e9 }
           catch { case e: Throwable =>
@@ -196,7 +203,7 @@ object Scaling {
         }
       }
 
-      for (name <- panel) {
+      for (name <- panel if SparkEntry.queries.contains(name)) {
         val warm = runOnce(name)
         val sec =
           if (warm < 0) warm // refusal/failure: don't retry twice

@@ -184,6 +184,10 @@ object SparkEntry {
     "dedup_embedding_pairs" -> (Dedup.embeddingPairs _),
     "dedup_embedding_lsh" -> (Dedup.embeddingLshPairs _),
     "dedup_embedding_lsh_wide" -> (Dedup.embeddingLshPairsWide _),
+    // the n-adaptive geometry dial itself, as a hash-checked audit: for
+    // the corpus size and projected 10^3..10^9 corpora, the (tables,
+    // bits) the scaled path selects and the occupancy bound it implies
+    "dedup_lsh_geometry" -> (Dedup.lshGeometry _),
     // connected components over the near-dup pair graph (iterative
     // hook+jump min-label; oracle = recursive-CTE transitive closure)
     "dedup_clusters" -> (Dedup.nearDupClusters _),
@@ -358,6 +362,9 @@ object SparkEntry {
     // (threshold from the deterministic histogram quantile sketch)
     "text_select_quality" -> (Curation.selectTopQuality _),
     "text_domain_rebalance" -> (Curation.domainRebalance _),
+    // temperature-sampling mixture weights (τ=1/2, XLM-R/mT5 style):
+    // tempered share, token allocation and epoch count per source
+    "text_mixture_schedule" -> (Curation.mixtureSchedule _),
     // --- damped quality propagation over the near-dup graph (exact
     //     integer rounds; oracle unrolls them like the k-means one) ---
     "text_quality_propagation" -> (Curation.qualityPropagation _),
@@ -1439,6 +1446,7 @@ object SparkEntry {
     "dedup_embedding_pairs" -> DedupOracles.embeddingPairs,
     "dedup_embedding_lsh" -> DedupOracles.embeddingLshPairs,
     "dedup_embedding_lsh_wide" -> DedupOracles.embeddingLshPairsWide,
+    "dedup_lsh_geometry" -> DedupOracles.lshGeometry,
     "dedup_clusters" -> DedupOracles.clusters,
     "dedup_clusters_lsh" -> DedupOracles.clustersLsh,
     "dedup_containment_pairs" -> DedupOracles.containmentPairs,
@@ -1663,6 +1671,7 @@ object SparkEntry {
     "text_sequence_pack" -> CurationOracles.sequencePack,
     "text_select_quality" -> CurationOracles.selectTopQuality,
     "text_domain_rebalance" -> CurationOracles.domainRebalance,
+    "text_mixture_schedule" -> CurationOracles.mixtureSchedule,
     "text_quality_propagation" -> CurationOracles.qualityPropagation,
     // sketch estimates are engine-specific: the checked contract is a
     // bounds predicate — each engine's own sketch must land within the

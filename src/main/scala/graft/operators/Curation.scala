@@ -1214,6 +1214,57 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Quantization scale (2^20) for the temperature-sampling weights of
+    * [[mixtureSchedule]]. Determinism: IEEE-754 `sqrt` is CORRECTLY
+    * ROUNDED in both engines (unlike log/exp/pow, which libm only
+    * approximates — the reason τ is fixed at ½ instead of a free
+    * exponent), and multiplying by a power of two only shifts the
+    * exponent (exact), so `floor(sqrt(n)·2^20)` is a cross-engine
+    * deterministic BIGINT for any n < 2^53. */
+  val MixtureQuantScale = 1048576L
+
+  /** Token budget the [[mixtureSchedule]] allocates across sources —
+    * sized for the fixture (≈ a few × the corpus), shared with the
+    * oracle; the allocation arithmetic is budget-agnostic DECIMAL. */
+  val MixtureTokenBudget = 10000000L
+
+  /** Temperature-sampling MIXTURE SCHEDULE over sources (XLM-R/mT5-style
+    * multinomial domain weighting at τ = ½): sampling weight
+    * w_d ∝ n_d^τ = sqrt(tokens_d) flattens the natural token
+    * distribution toward uniform — high-resource domains are
+    * down-weighted, low-resource ones up-weighted — without
+    * [[domainRebalance]]'s full inversion to the minimum. Emits, per
+    * source: whitespace-token mass, its natural share, the tempered
+    * sampling share, the token allocation from a [[MixtureTokenBudget]],
+    * and the implied epoch count (ppm; > 10⁶ ⇒ the domain is repeated —
+    * the low-resource upsampling signal a data-mixing pipeline watches).
+    *
+    * Scale: one map-side token count per doc feeding a |sources|-row
+    * aggregate, then scalar broadcasts — no shuffle beyond the per-source
+    * agg at any corpus size. Products route through DECIMAL(38,0) so a
+    * 100 TB token census cannot overflow the ppm arithmetic (the eager
+    * DECIMAL discipline of the exact cross-multiplied tests). */
+  def mixtureSchedule(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("source"),
+        size(graft.functions.WordShingles(col("text"), 1)).cast("long").as("t"))
+      .groupBy("source").agg(sum("t").as("n_tokens"))
+      .withColumn("w_q", expr(
+        s"cast(floor(sqrt(cast(n_tokens as double)) * $MixtureQuantScale) as bigint)"))
+    val tot = toks.agg(sum("w_q").as("w_tot"), sum("n_tokens").as("tok_tot"))
+    toks.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        expr("cast((cast(n_tokens as decimal(38,0)) * 1000000) div tok_tot as bigint)")
+          .as("natural_ppm"),
+        expr("cast((cast(w_q as decimal(38,0)) * 1000000) div w_tot as bigint)")
+          .as("weight_ppm"),
+        expr(s"cast((cast(w_q as decimal(38,0)) * $MixtureTokenBudget) div w_tot as bigint)")
+          .as("alloc_tokens"))
+      .withColumn("epochs_ppm", expr(
+        "cast((cast(alloc_tokens as decimal(38,0)) * 1000000) div n_tokens as bigint)"))
+      .orderBy("source")
+  }
+
   /** Damping (percent) and iteration count for [[qualityPropagation]],
     * shared with the generated oracle (which unrolls the iterations). */
   val PropagationDampPct = 85
@@ -2067,6 +2118,34 @@ object CurationOracles {
        |FROM documents d JOIN r ON d.source = r.source
        |WHERE ${pctBucketSql("d.doc_id::VARCHAR")} < r.rate_pct
        |GROUP BY r.source, r.n_docs, r.rate_pct ORDER BY r.source""".stripMargin
+
+  /** Replicates [[Curation.mixtureSchedule]]: whitespace-token census per
+    * source, the τ=½ weight `floor(sqrt(n)·2^20)` (IEEE sqrt is
+    * correctly rounded in both engines; ×2^20 is an exact exponent
+    * shift), then HUGEINT products mirroring Spark's DECIMAL(38,0)
+    * route, integer-divided to ppm/allocation. */
+  val mixtureSchedule: String =
+    s"""WITH toks AS (
+       |  SELECT source,
+       |    sum(len(list_filter(string_split(text, ' '), x -> x <> '')))::BIGINT AS n_tokens
+       |  FROM documents GROUP BY 1
+       |),
+       |q AS (
+       |  SELECT source, n_tokens,
+       |    floor(sqrt(n_tokens::DOUBLE) * ${Curation.MixtureQuantScale})::BIGINT AS w_q
+       |  FROM toks
+       |),
+       |tot AS (
+       |  SELECT sum(w_q)::HUGEINT AS w_tot, sum(n_tokens)::HUGEINT AS tok_tot FROM q
+       |)
+       |SELECT source, n_tokens,
+       |  ((n_tokens::HUGEINT * 1000000) // tok_tot)::BIGINT AS natural_ppm,
+       |  ((w_q::HUGEINT * 1000000) // w_tot)::BIGINT AS weight_ppm,
+       |  ((w_q::HUGEINT * ${Curation.MixtureTokenBudget}) // w_tot)::BIGINT AS alloc_tokens,
+       |  ((((w_q::HUGEINT * ${Curation.MixtureTokenBudget}) // w_tot) * 1000000)
+       |    // n_tokens)::BIGINT AS epochs_ppm
+       |FROM q, tot
+       |ORDER BY source""".stripMargin
 
   val redactPii: String = {
     val e = Curation.EmailRegex

@@ -780,6 +780,88 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Target EXPECTED bucket occupancy for [[scaledLshGeometry]]: the
+    * in-bucket pair join does ~occupancy²/2 cosine verifies per bucket,
+    * so bounding expected occupancy at a constant keeps total candidate
+    * work ~linear in n (buckets ∝ n, occupancy² constant). 32 keeps the
+    * verify fan-out per bucket ≈ 500 pairs — far under the
+    * [[MaxLshBucketOccupancy]] refusal ceiling, which remains the
+    * backstop for skewed (non-expected) occupancy. */
+  val ScaledLshTargetOccupancy = 32L
+
+  /** Corpus sizes the [[lshGeometry]] audit projects the dial across, in
+    * addition to the actual corpus count — exercises every branch
+    * (default floor, the growth zone, the [[graft.functions.LshBuckets.MaxBits]]
+    * cap where sharding takes over) regardless of fixture size. */
+  val LshGeometryProjectedSizes: Seq[Long] =
+    Seq(1000L, 10000L, 100000L, 1000000L, 10000000L, 100000000L, 1000000000L)
+
+  /** The n-ADAPTIVE SRP geometry — the executable form of the scale dial
+    * the fixed-geometry guard points at, now applied automatically:
+    * smallest `bits` in [[graft.functions.LshBuckets.Bits]]..
+    * [[graft.functions.LshBuckets.MaxBits]] with
+    * n ≤ [[ScaledLshTargetOccupancy]]·2^bits (i.e. bits grows with
+    * log₂(n)); `tables` widens to the maximum once bits exceed the
+    * default, recovering the recall the extra bits split away (the
+    * [[WideLshTables]] rationale). Past the cap (n > 32·2^16 ≈ 2M
+    * vectors per shard) geometry stays at the widest form and the
+    * occupancy guard's "shard the corpus" branch is the documented
+    * next dial. Pure integer arithmetic, shared with the
+    * `dedup_lsh_geometry` oracle. */
+  def scaledLshGeometry(n: Long): (Int, Int) = {
+    import graft.functions.LshBuckets.{Bits, MaxBits, Tables, MaxTables}
+    val bits = (Bits to MaxBits)
+      .find(b => n <= (ScaledLshTargetOccupancy << b)).getOrElse(MaxBits)
+    (if (bits > Bits) MaxTables else Tables, bits)
+  }
+
+  /** [[embeddingLshPairs]] at the [[scaledLshGeometry]] for the corpus'
+    * actual size — the production default: geometry tracks the corpus so
+    * candidate work stays linear (SCALING.json measured the FIXED
+    * geometry superlinear, exp 1.25 at ×16/×64; the scaled build is the
+    * fix, measured in the same artifact as
+    * `shared_embedding_edges_scaled`). At fixture sizes (n ≤ 8192) the
+    * dial resolves to the default geometry, so this is oracle-covered by
+    * `dedup_embedding_lsh` + the `dedup_lsh_geometry` audit. */
+  def embeddingLshPairsScaled(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val (t, b) = scaledLshGeometry(e.count()) // parquet row-count metadata
+    embeddingLshPairsOn(e, t, b)
+  }
+
+  /** Geometry-dial audit: one row per corpus size (the actual count plus
+    * [[LshGeometryProjectedSizes]]) with the [[scaledLshGeometry]] the
+    * dial selects, the resulting per-table occupancy ceiling, and
+    * whether that clears the [[MaxLshBucketOccupancy]] guard. All
+    * integer arithmetic (shiftleft / integer div), replicated exactly by
+    * the DuckDB oracle — this makes the SCALE story itself a
+    * hash-checked first-class result rather than scaladoc prose. */
+  def lshGeometry(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.LshBuckets.{Bits, MaxBits, Tables => DefTables, MaxTables}
+    val actual = Tables.embeddings(s, d)
+      .agg(count(lit(1)).cast("long").as("n_vectors"))
+      .withColumn("scope", lit("corpus"))
+    val projected = LshGeometryProjectedSizes.toDF("n_vectors")
+      .withColumn("scope", lit("projected"))
+    actual.select("scope", "n_vectors")
+      .unionByName(projected.select("scope", "n_vectors"))
+      .withColumn("lsh_bits", expr(
+        s"cast(coalesce(array_min(filter(sequence($Bits, $MaxBits), " +
+          s"b -> n_vectors <= shiftleft(cast($ScaledLshTargetOccupancy as bigint), b))), " +
+          s"$MaxBits) as int)"))
+      .withColumn("lsh_tables",
+        when(col("lsh_bits") > Bits, MaxTables).otherwise(DefTables).cast("int"))
+      .withColumn("occupancy_bound", expr(
+        "cast((n_vectors + shiftleft(cast(1 as bigint), lsh_bits) - 1) " +
+          "div shiftleft(cast(1 as bigint), lsh_bits) as bigint)"))
+      .withColumn("within_guard",
+        (col("occupancy_bound") <= MaxLshBucketOccupancy).cast("int"))
+      .select("scope", "n_vectors", "lsh_tables", "lsh_bits",
+        "occupancy_bound", "within_guard")
+      .orderBy("n_vectors", "scope")
+  }
+
   // ------------------------------------------------------------------
   // 6. near-dup clustering (connected components over the pair graph)
   // ------------------------------------------------------------------
@@ -1044,6 +1126,15 @@ object Dedup {
   def embeddingEdgesShared(s: SparkSession, d: String): DataFrame =
     sharedEdges(s, d, "embedding")(
       embeddingLshPairs(s, d).select(col("vec_a").as("a"),
+        col("vec_b").as("b")))
+
+  /** [[embeddingEdgesShared]] at the n-adaptive [[scaledLshGeometry]] —
+    * the Scaling harness measures this build alongside the
+    * fixed-geometry one to show the dial converts the measured
+    * superlinear exponent back to ~linear. */
+  def embeddingEdgesScaledShared(s: SparkSession, d: String): DataFrame =
+    sharedEdges(s, d, "embedding_scaled")(
+      embeddingLshPairsScaled(s, d).select(col("vec_a").as("a"),
         col("vec_b").as("b")))
 
   /** Corpus-size guard for [[nearDupClusters]]: EXACT clustering at the

@@ -397,6 +397,37 @@ object DedupOracles {
   val embeddingLshPairsWide: String =
     embeddingLshPairsAt(Dedup.WideLshTables, Dedup.WideLshBits)
 
+  /** Replicates [[Dedup.lshGeometry]]: for the actual corpus count plus
+    * the projected sizes, the smallest bits with
+    * n ≤ target·2^bits (list_filter over the same integer range the
+    * Spark plan filters), the table widening rule, the ceil-div
+    * occupancy bound, and the guard flag — all BIGINT shifts and
+    * integer division, no floats anywhere. */
+  val lshGeometry: String = {
+    import graft.functions.LshBuckets.{Bits, MaxBits, Tables => DefTables, MaxTables}
+    val target = Dedup.ScaledLshTargetOccupancy
+    val sizes = Dedup.LshGeometryProjectedSizes.mkString(", ")
+    s"""WITH sizes AS (
+       |  SELECT 'corpus' AS scope, count(*)::BIGINT AS n_vectors FROM embeddings
+       |  UNION ALL
+       |  SELECT 'projected' AS scope, unnest([$sizes])::BIGINT AS n_vectors
+       |),
+       |geo AS (
+       |  SELECT scope, n_vectors,
+       |    COALESCE(list_min(list_filter(range($Bits, ${MaxBits + 1}),
+       |      b -> n_vectors <= (${target}::BIGINT << b))), $MaxBits)::INTEGER AS lsh_bits
+       |  FROM sizes
+       |)
+       |SELECT scope, n_vectors,
+       |  (CASE WHEN lsh_bits > $Bits THEN $MaxTables ELSE $DefTables END)::INTEGER AS lsh_tables,
+       |  lsh_bits,
+       |  ((n_vectors + (1::BIGINT << lsh_bits) - 1) // (1::BIGINT << lsh_bits))::BIGINT AS occupancy_bound,
+       |  (CASE WHEN (n_vectors + (1::BIGINT << lsh_bits) - 1) // (1::BIGINT << lsh_bits)
+       |        <= ${Dedup.MaxLshBucketOccupancy} THEN 1 ELSE 0 END)::INTEGER AS within_guard
+       |FROM geo
+       |ORDER BY n_vectors, scope""".stripMargin
+  }
+
   private def embeddingLshPairsAt(NT: Int, Bits: Int): String = {
     import graft.functions.LshBuckets.QuantScale
     s"""WITH dims AS (

@@ -625,6 +625,32 @@ class CurationSpec extends AnyFunSuite {
     assert(cums.last === 1000000L)
   }
 
+  test("mixtureSchedule: tempered shares flatten toward uniform, mass conserved") {
+    val rows = Curation.mixtureSchedule(spark, d)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length > 1, "fixture needs >1 source to temper")
+    // ppm shares sum to 1e6 up to one integer-floor ulp per source
+    val natSum = rows.map(_._3).sum
+    val wSum = rows.map(_._4).sum
+    assert(natSum <= 1000000L && natSum > 1000000L - rows.length)
+    assert(wSum <= 1000000L && wSum > 1000000L - rows.length)
+    // τ=1/2 flattens: the largest domain's tempered share is below its
+    // natural share, the smallest domain's is above (strict unless the
+    // distribution is already uniform)
+    val big = rows.maxBy(_._2); val small = rows.minBy(_._2)
+    if (big._2 != small._2) {
+      assert(big._4 < big._3, s"largest source not down-weighted: $big")
+      assert(small._4 > small._3, s"smallest source not up-weighted: $small")
+    }
+    // allocation exhausts the budget up to flooring, epochs consistent
+    val alloc = rows.map(_._5).sum
+    assert(alloc <= Curation.MixtureTokenBudget &&
+      alloc > Curation.MixtureTokenBudget - rows.length)
+    rows.foreach { r =>
+      assert(r._6 === r._5 * 1000000L / r._2, s"epochs_ppm inconsistent: $r")
+    }
+  }
+
   test("boilerplateStrip removes exactly the planted shared chunk") {
     // three docs share one identical 32-token leading chunk (the planted
     // boilerplate); their tails and the control docs are unique

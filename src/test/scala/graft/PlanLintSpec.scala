@@ -30,6 +30,8 @@ class PlanLintSpec extends AnyFunSuite {
     "ann_label_purity",                     // reuses brute top-k
     "dedup_clusters", "text_quality_propagation", // scalar min/convergence
     "text_domain_rebalance",                // 1-row min broadcast
+    "text_mixture_schedule",                // 1-row weight-total broadcast
+    "events_forget_audit",                  // 1-row event-total broadcast
     "rel_bloom_semijoin",                   // 16-word filter broadcast
     "rel_cms_freq", "rel_hll_sketch_union", // sketch-as-scalar probes
     "rel_stats_summary", "rel_scalar_funcs", "text_bm25", // corpus scalars

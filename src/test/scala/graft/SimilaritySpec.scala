@@ -449,6 +449,41 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("scaledLshGeometry: bits tracks log2(n), occupancy bound holds") {
+    import graft.functions.LshBuckets
+    import graft.operators.Dedup
+    // floor: fixture-sized corpora resolve to the DEFAULT geometry, so
+    // the scaled pair path is byte-identical to the oracle-checked one
+    assert(Dedup.scaledLshGeometry(0) === (LshBuckets.Tables, LshBuckets.Bits))
+    assert(Dedup.scaledLshGeometry(Dedup.ScaledLshTargetOccupancy << LshBuckets.Bits) ===
+      (LshBuckets.Tables, LshBuckets.Bits))
+    // growth zone: expected occupancy n/2^bits stays <= target, bits
+    // monotone in n, tables widen to the max alongside
+    var prevBits = 0
+    for (exp <- 8 to 26) {
+      val n = 1L << exp
+      val (t, b) = Dedup.scaledLshGeometry(n)
+      assert(b >= prevBits, s"bits not monotone at n=$n")
+      prevBits = b
+      if (n <= (Dedup.ScaledLshTargetOccupancy << LshBuckets.MaxBits)) {
+        assert((n >> b) <= Dedup.ScaledLshTargetOccupancy,
+          s"occupancy bound violated at n=$n: ${n >> b} > target with bits=$b")
+        assert(t === (if (b > LshBuckets.Bits) LshBuckets.MaxTables else LshBuckets.Tables))
+      } else {
+        // past the cap: widest geometry; the occupancy GUARD (refusal
+        // naming the shard dial) is the documented next step
+        assert(b === LshBuckets.MaxBits && t === LshBuckets.MaxTables)
+      }
+    }
+  }
+
+  test("embeddingLshPairsScaled equals the default path at fixture scale") {
+    import graft.operators.Dedup
+    val scaled = Dedup.embeddingLshPairsScaled(spark, d).collect().toSeq
+    val default = Dedup.embeddingLshPairs(spark, d).collect().toSeq
+    assert(scaled === default)
+  }
+
   test("IVF candidates per query stay ~NProbe*n/K on a 10x corpus") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
