@@ -310,6 +310,9 @@ object SparkEntry {
     "events_forget_audit" -> (Curation.forgetAudit _),
     "events_delta_maintenance" -> (Curation.deltaMaintenance _),
     "ann_ivf_balance" -> (Similarity.ivfBalance _),
+    // the K->sqrt(n) coarse-quantizer dial, audited in pure integers
+    // (4^j >= n selection; occupancy / probe / assignment-cost bounds)
+    "ann_ivf_geometry" -> (Similarity.ivfGeometry _),
     "rel_hll_portable" -> (Relational.hllPortable _),
     "rel_kmv_sketch" -> (Relational.kmvSketch _),
     "dedup_cluster_stats" -> (Dedup.clusterStats _),
@@ -1549,6 +1552,7 @@ object SparkEntry {
     "events_forget_audit" -> Curation.forgetAuditOracle,
     "events_delta_maintenance" -> Curation.deltaMaintenanceOracle,
     "ann_ivf_balance" -> SimilarityOracles.ivfBalance,
+    "ann_ivf_geometry" -> SimilarityOracles.ivfGeometry,
     "rel_hll_portable" -> Relational.hllPortableOracle,
     "rel_kmv_sketch" -> Relational.kmvSketchOracle,
     "dedup_cluster_stats" -> DedupOracles.clusterStats,

@@ -167,6 +167,51 @@ object Similarity {
   /** Queries search their [[NProbe]] nearest cells. */
   val NProbe = 2
 
+  /** Cap exponent for [[ivfGeometry]]'s K dial: 2^20 = 1M cells. Past
+    * the corpus size that saturates it (n = 4^20 ≈ 10^12 vectors) the
+    * answer is sharding, as with the LSH dial. */
+  val MaxCodebookExp = 20
+  /** Floor exponent: the committed [[CodebookSize]] = 2^5. */
+  val CodebookExp = 5
+
+  /** IVF K-dial audit — the `dedup_lsh_geometry` twin for the coarse
+    * quantizer: the documented production dial is K → √n (more, smaller
+    * cells bound the per-probe rerank at NProbe·n/K = NProbe·√n). The
+    * selection is PURE INTEGER — the smallest power of two 2^j with
+    * 4^j ≥ n (⟺ 2^j ≥ √n, no float sqrt anywhere), floored at the
+    * committed [[CodebookExp]] and capped at [[MaxCodebookExp]] — and is
+    * emitted for the actual corpus count plus the projected
+    * [[graft.operators.Dedup.LshGeometryProjectedSizes]], with the
+    * occupancy bound ceil(n/K), the per-query probe-candidate bound
+    * NProbe·ceil(n/K), and the n·K assignment-scan cost whose n^1.5
+    * growth is the known IVF trade the audit makes visible.
+    * [[ivfBalance]] measures the ACTUAL occupancy histogram at the
+    * committed K; this projects the dial. */
+  def ivfGeometry(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val actual = emb(s, d)
+      .agg(count(lit(1)).cast("long").as("n_vectors"))
+      .withColumn("scope", lit("corpus"))
+    val projected = Dedup.LshGeometryProjectedSizes.toDF("n_vectors")
+      .withColumn("scope", lit("projected"))
+    actual.select("scope", "n_vectors")
+      .unionByName(projected.select("scope", "n_vectors"))
+      .withColumn("k_exp", expr(
+        s"cast(coalesce(array_min(filter(sequence($CodebookExp, $MaxCodebookExp), " +
+          "j -> n_vectors <= shiftleft(cast(1 as bigint), 2 * j))), " +
+          s"$MaxCodebookExp) as int)"))
+      .withColumn("ivf_cells", expr("shiftleft(cast(1 as bigint), k_exp)"))
+      .withColumn("occupancy_bound", expr(
+        "(n_vectors + ivf_cells - 1) div ivf_cells"))
+      .withColumn("probe_candidates", lit(NProbe) * col("occupancy_bound"))
+      // n·K ≤ 10⁹·2^15 ≈ 3.3e13 over the projected range — BIGINT-safe
+      // (K caps at 2^⌈log₄(n)⌉, so n·K ≈ n^1.5, not n·2^20)
+      .withColumn("assign_score_ops", expr("n_vectors * ivf_cells"))
+      .select("scope", "n_vectors", "k_exp", "ivf_cells",
+        "occupancy_bound", "probe_candidates", "assign_score_ops")
+      .orderBy("n_vectors", "scope")
+  }
+
   /** IVF-style ANN: the second 100 TB path, complementary to LSH.
     * Coarse quantization — every vector is assigned to its nearest
     * centroid cell (broadcast centroid table, one corpus scan, no
@@ -2030,6 +2075,32 @@ object SimilarityOracles {
     * expression `dot / (sqrt(nq)·sqrt(nc))` — bit-identical ranking
     * keys in both engines, never a float-kernel argmax; ADVICE r7),
     * cell sizes, exact log2 buckets and integer-ppm max cell share. */
+  /** Replicates [[Similarity.ivfGeometry]] — the integer 4^j ≥ n dial
+    * over the same projected sizes, BIGINT shifts and ceil-div only. */
+  val ivfGeometry: String = {
+    import Similarity.{CodebookExp, MaxCodebookExp, NProbe}
+    val sizes = graft.operators.Dedup.LshGeometryProjectedSizes.mkString(", ")
+    s"""WITH sizes AS (
+       |  SELECT 'corpus' AS scope, count(*)::BIGINT AS n_vectors FROM embeddings
+       |  UNION ALL
+       |  SELECT 'projected' AS scope, unnest([$sizes])::BIGINT AS n_vectors
+       |),
+       |geo AS (
+       |  SELECT scope, n_vectors,
+       |    COALESCE(list_min(list_filter(range($CodebookExp, ${MaxCodebookExp + 1}),
+       |      j -> n_vectors <= (1::BIGINT << (2 * j)))), $MaxCodebookExp)::INTEGER AS k_exp
+       |  FROM sizes
+       |)
+       |SELECT scope, n_vectors, k_exp,
+       |  (1::BIGINT << k_exp) AS ivf_cells,
+       |  (n_vectors + (1::BIGINT << k_exp) - 1) // (1::BIGINT << k_exp) AS occupancy_bound,
+       |  $NProbe * ((n_vectors + (1::BIGINT << k_exp) - 1) // (1::BIGINT << k_exp))
+       |    AS probe_candidates,
+       |  n_vectors * (1::BIGINT << k_exp) AS assign_score_ops
+       |FROM geo
+       |ORDER BY n_vectors, scope""".stripMargin
+  }
+
   val ivfBalance: String =
     s"""WITH dims AS MATERIALIZED (
        |  SELECT vec_id, d, floor(embedding[d]::DOUBLE * 1048576.0)::BIGINT AS qv

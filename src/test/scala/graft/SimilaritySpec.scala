@@ -477,6 +477,26 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivfGeometry: K ~ sqrt(n) in pure integers, bounds consistent") {
+    import graft.operators.Similarity
+    val rows = Similarity.ivfGeometry(spark, d)
+      .as[(String, Long, Int, Long, Long, Long, Long)].collect()
+    assert(rows.length === 8)
+    rows.foreach { case (_, n, j, k, occ, probe, ops) =>
+      assert(k === (1L << j))
+      // 2^j >= sqrt(n) via the integer 4^j >= n test (above the floor,
+      // below the cap), and 2^(j-1) < sqrt(n) unless floored
+      if (j > Similarity.CodebookExp && j < Similarity.MaxCodebookExp)
+        assert((1L << (2 * (j - 1))) < n && n <= (1L << (2 * j)))
+      assert(occ === (n + k - 1) / k)
+      assert(probe === Similarity.NProbe * occ)
+      assert(ops === n * k)
+      // the dial's point: per-query rerank stays ~NProbe*sqrt(n)
+      if (j < Similarity.MaxCodebookExp)
+        assert(occ <= math.ceil(math.sqrt(n.toDouble)).toLong + 1)
+    }
+  }
+
   test("embeddingLshPairsScaled equals the default path at fixture scale") {
     import graft.operators.Dedup
     val scaled = Dedup.embeddingLshPairsScaled(spark, d).collect().toSeq
