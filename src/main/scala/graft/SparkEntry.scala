@@ -128,6 +128,9 @@ object SparkEntry {
     "rel_incremental_agg" -> (Relational.incrementalAgg _),
     "rel_keys_union" -> (Relational.keysUnion _),
     "rel_keys_intersect" -> (Relational.keysIntersect _),
+    // System-R join-size estimate vs exact, per audited join — the
+    // pre-join planning arithmetic a cost-based optimizer runs at scale
+    "rel_join_cardinality" -> (Relational.joinCardinality _),
     "rel_percentiles" -> (Relational.percentiles _),
     "rel_salted_agg" -> (Relational.saltedAgg _),
     "rel_semi_anti_join" -> (Relational.semiAntiJoin _),
@@ -1132,6 +1135,7 @@ object SparkEntry {
       """SELECT * FROM (
         |  SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey FROM orders
         |) ORDER BY k""".stripMargin,
+    "rel_join_cardinality" -> Relational.joinCardinalityOracle,
     "rel_percentiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS p50,

@@ -197,6 +197,82 @@ object Relational {
       .orderBy("k")
 
   /** Set op: INTERSECT — customer keys that do appear in orders. */
+  /** JOIN-CARDINALITY estimator audit — the System-R selectivity
+    * formula every cost-based planner runs before committing to a join
+    * order at 100 TB: |A ⋈ B| ≈ |A|·|B| / max(ndv(A.k), ndv(B.k)),
+    * compared against the exact join count, per audited join. The FK
+    * join (orders⋈lineitem) satisfies the containment+uniformity
+    * assumptions, so the estimate lands exact (err_ppm 0) — the
+    * baseline; the filtered join (customer⋈urgent orders) shows the
+    * real estimation error a planner lives with when the uniformity
+    * assumption bends. DECIMAL(38,0) products, integer div — both
+    * engines truncate toward zero, so the signed err_ppm matches.
+    *
+    * Scale: per join, two 1-row stat aggregates + the exact count (the
+    * audit cost — production uses the estimate INSTEAD of the join);
+    * at scale the exact NDVs swap for the engine's own KMV/HLL
+    * sketches ([[kmvSketch]], [[hllPortable]]). */
+  def joinCardinality(s: SparkSession, d: String): DataFrame = {
+    def audit(name: String, a: DataFrame, ka: String,
+        b: DataFrame, kb: String): DataFrame = {
+      val sa = a.agg(count(lit(1)).as("rows_a"),
+        countDistinct(col(ka)).as("ndv_a"))
+      val sb = b.agg(count(lit(1)).as("rows_b"),
+        countDistinct(col(kb)).as("ndv_b"))
+      val exact = a.select(col(ka).as("k"))
+        .join(b.select(col(kb).as("k")), "k")
+        .agg(count(lit(1)).as("exact_rows"))
+      sa.crossJoin(broadcast(sb)).crossJoin(broadcast(exact))
+        .select(lit(name).as("join_name"),
+          col("rows_a"), col("ndv_a"), col("rows_b"), col("ndv_b"),
+          expr("cast((cast(rows_a as decimal(38,0)) * rows_b) " +
+            "div greatest(ndv_a, ndv_b) as bigint)").as("est_rows"),
+          col("exact_rows"))
+        .withColumn("err_ppm", expr(
+          "cast(((est_rows - exact_rows) * cast(1000000 as decimal(38,0))) " +
+            "div exact_rows as bigint)"))
+    }
+    audit("orders_lineitem",
+        Tables.orders(s, d), "o_orderkey",
+        Tables.lineitem(s, d), "l_orderkey")
+      .unionByName(audit("customer_urgent_orders",
+        Tables.customer(s, d), "c_custkey",
+        Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+        "o_custkey"))
+      .orderBy("join_name")
+  }
+
+  /** DuckDB twin of [[joinCardinality]] — HUGEINT products mirroring the
+    * DECIMAL(38,0) route, `//` truncation matching Spark's `div`. */
+  private[graft] def joinCardinalityOracle: String =
+    """WITH a1 AS (SELECT count(*)::BIGINT AS rows_a,
+      |    count(DISTINCT o_orderkey)::BIGINT AS ndv_a FROM orders),
+      |b1 AS (SELECT count(*)::BIGINT AS rows_b,
+      |    count(DISTINCT l_orderkey)::BIGINT AS ndv_b FROM lineitem),
+      |e1 AS (SELECT count(*)::BIGINT AS exact_rows
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |u AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |a2 AS (SELECT count(*)::BIGINT AS rows_a,
+      |    count(DISTINCT c_custkey)::BIGINT AS ndv_a FROM customer),
+      |b2 AS (SELECT count(*)::BIGINT AS rows_b,
+      |    count(DISTINCT o_custkey)::BIGINT AS ndv_b FROM u),
+      |e2 AS (SELECT count(*)::BIGINT AS exact_rows
+      |  FROM customer c JOIN u ON c.c_custkey = u.o_custkey),
+      |r AS (
+      |  SELECT 'orders_lineitem' AS join_name, rows_a, ndv_a, rows_b, ndv_b,
+      |    ((rows_a::HUGEINT * rows_b) // greatest(ndv_a, ndv_b))::BIGINT AS est_rows,
+      |    exact_rows
+      |  FROM a1, b1, e1
+      |  UNION ALL
+      |  SELECT 'customer_urgent_orders', rows_a, ndv_a, rows_b, ndv_b,
+      |    ((rows_a::HUGEINT * rows_b) // greatest(ndv_a, ndv_b))::BIGINT,
+      |    exact_rows
+      |  FROM a2, b2, e2
+      |)
+      |SELECT join_name, rows_a, ndv_a, rows_b, ndv_b, est_rows, exact_rows,
+      |  (((est_rows::HUGEINT - exact_rows) * 1000000) // exact_rows)::BIGINT AS err_ppm
+      |FROM r ORDER BY join_name""".stripMargin
+
   def keysIntersect(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d).select(col("c_custkey").as("k"))
       .intersect(Tables.orders(s, d).select(col("o_custkey").as("k")))

@@ -688,6 +688,22 @@ class RelationalSpec extends AnyFunSuite {
     assert(real.find(_._1 == "summary").get._6 === (nViol == 0))
   }
 
+  test("joinCardinality: FK estimate exact, formula consistent") {
+    val rows = Relational.joinCardinality(spark, d)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(rows.size === 2)
+    // containment + uniformity hold on the FK join: System-R is exact
+    val fk = rows("orders_lineitem")
+    assert(fk._6 === fk._7, s"FK estimate not exact: $fk")
+    assert(fk._8 === 0L)
+    rows.values.foreach { r =>
+      assert(r._6 === r._2 * r._4 / math.max(r._3, r._5),
+        s"estimate formula mismatch: $r")
+      assert(r._8 === (r._6 - r._7) * 1000000L / r._7)
+    }
+  }
+
   test("TPC-H final batch keeps its scale plan shapes") {
     // Q6 analog: every predicate reaches the parquet scan, projection
     // pruned to the three columns the query touches
