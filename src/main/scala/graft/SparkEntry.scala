@@ -131,6 +131,8 @@ object SparkEntry {
     // System-R join-size estimate vs exact, per audited join — the
     // pre-join planning arithmetic a cost-based optimizer runs at scale
     "rel_join_cardinality" -> (Relational.joinCardinality _),
+    // same audit with KMV-sketch NDVs: the no-countDistinct 100 TB form
+    "rel_join_cardinality_sketch" -> (Relational.joinCardinalitySketch _),
     "rel_percentiles" -> (Relational.percentiles _),
     "rel_salted_agg" -> (Relational.saltedAgg _),
     "rel_semi_anti_join" -> (Relational.semiAntiJoin _),
@@ -1136,6 +1138,7 @@ object SparkEntry {
         |  SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey FROM orders
         |) ORDER BY k""".stripMargin,
     "rel_join_cardinality" -> Relational.joinCardinalityOracle,
+    "rel_join_cardinality_sketch" -> Relational.joinCardinalitySketchOracle,
     "rel_percentiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS p50,

@@ -242,6 +242,99 @@ object Relational {
       .orderBy("join_name")
   }
 
+  /** [[joinCardinality]] with the NDVs from KMV bottom-k sketches — the
+    * form that actually runs at 100 TB: exact `countDistinct` pays an
+    * Expand over every row, while the k=[[KmvK]] order statistic is a
+    * 64-row frame per side regardless of corpus size (the
+    * [[kmvSketch]] machinery, here in INTEGER arithmetic:
+    * ndv ≈ (k−1)·2^60 div h_(k), DECIMAL(38,0) product, exact `cnt`
+    * when the side has fewer than k distinct keys). exact_rows stays
+    * for the audit; production uses est_rows INSTEAD of joining. */
+  def joinCardinalitySketch(s: SparkSession, d: String): DataFrame = {
+    val k = KmvK
+    def side(df: DataFrame, key: String, suf: String): DataFrame = {
+      val rows = df.agg(count(lit(1)).as(s"rows_$suf"))
+      val ndv = df.select(
+          Dedup.md5hash60(col(key).cast("string")).as("h")).distinct()
+        .orderBy("h").limit(k)
+        .agg(count(lit(1)).as("cnt"), max("h").as("hk"))
+        .select(expr(
+          s"case when cnt < $k then cnt else " +
+            s"cast((cast(${k - 1} as decimal(38,0)) * 1152921504606846976) " +
+            "div hk as bigint) end").as(s"ndv_est_$suf"))
+      rows.crossJoin(broadcast(ndv))
+    }
+    def audit(name: String, a: DataFrame, ka: String,
+        b: DataFrame, kb: String): DataFrame = {
+      val exact = a.select(col(ka).as("k"))
+        .join(b.select(col(kb).as("k")), "k")
+        .agg(count(lit(1)).as("exact_rows"))
+      side(a, ka, "a").crossJoin(broadcast(side(b, kb, "b")))
+        .crossJoin(broadcast(exact))
+        .select(lit(name).as("join_name"),
+          col("rows_a"), col("ndv_est_a"), col("rows_b"), col("ndv_est_b"),
+          expr("cast((cast(rows_a as decimal(38,0)) * rows_b) " +
+            "div greatest(ndv_est_a, ndv_est_b) as bigint)").as("est_rows"),
+          col("exact_rows"))
+        .withColumn("err_ppm", expr(
+          "cast(((est_rows - exact_rows) * cast(1000000 as decimal(38,0))) " +
+            "div exact_rows as bigint)"))
+    }
+    audit("orders_lineitem",
+        Tables.orders(s, d), "o_orderkey",
+        Tables.lineitem(s, d), "l_orderkey")
+      .unionByName(audit("customer_urgent_orders",
+        Tables.customer(s, d), "c_custkey",
+        Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+        "o_custkey"))
+      .orderBy("join_name")
+  }
+
+  /** DuckDB twin of [[joinCardinalitySketch]]. */
+  private[graft] def joinCardinalitySketchOracle: String = {
+    val k = KmvK
+    def sideSql(rel: String, key: String, suf: String): String =
+      s"""h$suf AS (
+         |  SELECT DISTINCT ('0x' || substr(md5($key::VARCHAR), 1, 15))::BIGINT AS h
+         |  FROM $rel
+         |),
+         |sk$suf AS (SELECT count(*)::BIGINT AS cnt, max(h)::BIGINT AS hk
+         |  FROM (SELECT h FROM h$suf ORDER BY h LIMIT $k)),
+         |n$suf AS (SELECT CASE WHEN cnt < $k THEN cnt
+         |  ELSE ((${k - 1}::HUGEINT * 1152921504606846976) // hk)::BIGINT
+         |  END AS ndv_est FROM sk$suf),
+         |r$suf AS (SELECT count(*)::BIGINT AS rows_n FROM $rel)""".stripMargin
+    s"""WITH u AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+       |${sideSql("orders", "o_orderkey", "1a")},
+       |${sideSql("lineitem", "l_orderkey", "1b")},
+       |${sideSql("customer", "c_custkey", "2a")},
+       |${sideSql("u", "o_custkey", "2b")},
+       |e1 AS (SELECT count(*)::BIGINT AS exact_rows
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |e2 AS (SELECT count(*)::BIGINT AS exact_rows
+       |  FROM customer c JOIN u ON c.c_custkey = u.o_custkey),
+       |r AS (
+       |  SELECT 'orders_lineitem' AS join_name,
+       |    r1a.rows_n AS rows_a, n1a.ndv_est AS ndv_est_a,
+       |    r1b.rows_n AS rows_b, n1b.ndv_est AS ndv_est_b,
+       |    ((r1a.rows_n::HUGEINT * r1b.rows_n)
+       |      // greatest(n1a.ndv_est, n1b.ndv_est))::BIGINT AS est_rows,
+       |    e1.exact_rows
+       |  FROM r1a, n1a, r1b, n1b, e1
+       |  UNION ALL
+       |  SELECT 'customer_urgent_orders',
+       |    r2a.rows_n, n2a.ndv_est, r2b.rows_n, n2b.ndv_est,
+       |    ((r2a.rows_n::HUGEINT * r2b.rows_n)
+       |      // greatest(n2a.ndv_est, n2b.ndv_est))::BIGINT,
+       |    e2.exact_rows
+       |  FROM r2a, n2a, r2b, n2b, e2
+       |)
+       |SELECT join_name, rows_a, ndv_est_a, rows_b, ndv_est_b,
+       |  est_rows, exact_rows,
+       |  (((est_rows::HUGEINT - exact_rows) * 1000000) // exact_rows)::BIGINT AS err_ppm
+       |FROM r ORDER BY join_name""".stripMargin
+  }
+
   /** DuckDB twin of [[joinCardinality]] — HUGEINT products mirroring the
     * DECIMAL(38,0) route, `//` truncation matching Spark's `div`. */
   private[graft] def joinCardinalityOracle: String =

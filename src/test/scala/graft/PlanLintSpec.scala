@@ -33,6 +33,7 @@ class PlanLintSpec extends AnyFunSuite {
     "text_mixture_schedule",                // 1-row weight-total broadcast
     "events_forget_audit",                  // 1-row event-total broadcast
     "rel_join_cardinality",                 // 1-row stat-agg broadcasts
+    "rel_join_cardinality_sketch",          // 1-row sketch-agg broadcasts
     "rel_bloom_semijoin",                   // 16-word filter broadcast
     "rel_cms_freq", "rel_hll_sketch_union", // sketch-as-scalar probes
     "rel_stats_summary", "rel_scalar_funcs", "text_bm25", // corpus scalars

@@ -704,6 +704,27 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("joinCardinalitySketch: KMV NDVs land near exact, formula holds") {
+    val exact = Relational.joinCardinality(spark, d)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    val sk = Relational.joinCardinalitySketch(spark, d)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(sk.keySet === exact.keySet)
+    sk.foreach { case (name, r) =>
+      val e = exact(name)
+      assert(r._2 === e._2 && r._4 === e._4, "row counts must agree")
+      assert(r._7 === e._7, "exact join count must agree")
+      // KMV k=64 ~ 12.5% typical relative error; 50% = 4x headroom
+      // (exact cnt short-circuit makes small sides error-free)
+      for ((est, ex) <- Seq(r._3 -> e._3, r._5 -> e._5))
+        assert(math.abs(est - ex) * 2 <= ex,
+          s"$name sketch NDV $est vs exact $ex out of tolerance")
+      assert(r._6 === r._2 * r._4 / math.max(r._3, r._5))
+    }
+  }
+
   test("TPC-H final batch keeps its scale plan shapes") {
     // Q6 analog: every predicate reaches the parquet scan, projection
     // pruned to the three columns the query touches
