@@ -373,6 +373,9 @@ object SparkEntry {
     // temperature-sampling mixture weights (τ=1/2, XLM-R/mT5 style):
     // tempered share, token allocation and epoch count per source
     "text_mixture_schedule" -> (Curation.mixtureSchedule _),
+    // how exact dedup shifts the domain mixture: per-source token mass
+    // before/after survivor selection, ppm shares, signed shift
+    "text_mixture_dedup_shift" -> (Curation.mixtureDedupShift _),
     // --- damped quality propagation over the near-dup graph (exact
     //     integer rounds; oracle unrolls them like the k-means one) ---
     "text_quality_propagation" -> (Curation.qualityPropagation _),
@@ -1683,6 +1686,7 @@ object SparkEntry {
     "text_select_quality" -> CurationOracles.selectTopQuality,
     "text_domain_rebalance" -> CurationOracles.domainRebalance,
     "text_mixture_schedule" -> CurationOracles.mixtureSchedule,
+    "text_mixture_dedup_shift" -> CurationOracles.mixtureDedupShift,
     "text_quality_propagation" -> CurationOracles.qualityPropagation,
     // sketch estimates are engine-specific: the checked contract is a
     // bounds predicate — each engine's own sketch must land within the

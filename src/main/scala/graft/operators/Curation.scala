@@ -1265,6 +1265,46 @@ object Curation {
       .orderBy("source")
   }
 
+  /** DEDUP × MIXTURE interaction audit: exact dedup does not remove
+    * tokens uniformly — boilerplate-heavy sources lose more — so the
+    * post-dedup domain mixture DIFFERS from the one the sampler was
+    * tuned on. Per source: token mass before and after exact dedup
+    * (min-doc_id survivor per distinct text, [[Dedup.exact]]'s rule),
+    * both shares in ppm, the signed share shift, and the duplicated
+    * token mass removed. A data-mixing pipeline re-runs
+    * [[mixtureSchedule]] AFTER dedup; this query is the report that
+    * says by how much that re-run matters.
+    *
+    * Scale: the survivor set is the exact-dedup hash aggregate (never
+    * a pair join) joined back as a semi-join on doc_id; token counting
+    * is the same map-side projection as [[mixtureSchedule]]; everything
+    * downstream is |sources|-sized with 1-row broadcasts. */
+  def mixtureDedupShift(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(graft.functions.WordShingles(col("text"), 1)).cast("long").as("t"),
+        col("text"))
+    val keep = docs.groupBy("text").agg(min("doc_id").as("keep_id"))
+      .select(col("keep_id").as("doc_id"))
+    val before = docs.groupBy("source").agg(sum("t").as("tokens_before"))
+    val after = docs.join(keep, "doc_id")
+      .groupBy("source").agg(sum("t").as("tokens_after"))
+    val joined = before.join(after, Seq("source"), "left")
+      .na.fill(0L, Seq("tokens_after"))
+    val tot = joined.agg(sum("tokens_before").as("tb"),
+      sum("tokens_after").as("ta"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("source"), col("tokens_before"), col("tokens_after"),
+        (col("tokens_before") - col("tokens_after")).as("dup_tokens"),
+        expr("cast((cast(tokens_before as decimal(38,0)) * 1000000) div tb as bigint)")
+          .as("share_before_ppm"),
+        expr("cast((cast(tokens_after as decimal(38,0)) * 1000000) div ta as bigint)")
+          .as("share_after_ppm"))
+      .withColumn("shift_ppm",
+        col("share_after_ppm") - col("share_before_ppm"))
+      .orderBy("source")
+  }
+
   /** Damping (percent) and iteration count for [[qualityPropagation]],
     * shared with the generated oracle (which unrolls the iterations). */
   val PropagationDampPct = 85
@@ -2146,6 +2186,39 @@ object CurationOracles {
        |    // n_tokens)::BIGINT AS epochs_ppm
        |FROM q, tot
        |ORDER BY source""".stripMargin
+
+  /** Replicates [[Curation.mixtureDedupShift]] — same survivor rule,
+    * token census, and HUGEINT ppm arithmetic. */
+  val mixtureDedupShift: String =
+    """WITH docs AS MATERIALIZED (
+      |  SELECT doc_id, source,
+      |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS t,
+      |    text
+      |  FROM documents
+      |),
+      |keep AS (SELECT min(doc_id) AS doc_id FROM docs GROUP BY text),
+      |b AS (SELECT source, sum(t)::BIGINT AS tokens_before FROM docs GROUP BY 1),
+      |a AS (
+      |  SELECT source, sum(t)::BIGINT AS tokens_after
+      |  FROM docs JOIN keep USING (doc_id) GROUP BY 1
+      |),
+      |j AS (
+      |  SELECT b.source, b.tokens_before,
+      |    coalesce(a.tokens_after, 0)::BIGINT AS tokens_after
+      |  FROM b LEFT JOIN a ON b.source = a.source
+      |),
+      |tot AS (
+      |  SELECT sum(tokens_before)::HUGEINT AS tb, sum(tokens_after)::HUGEINT AS ta
+      |  FROM j
+      |)
+      |SELECT source, tokens_before, tokens_after,
+      |  tokens_before - tokens_after AS dup_tokens,
+      |  ((tokens_before::HUGEINT * 1000000) // tb)::BIGINT AS share_before_ppm,
+      |  ((tokens_after::HUGEINT * 1000000) // ta)::BIGINT AS share_after_ppm,
+      |  ((tokens_after::HUGEINT * 1000000) // ta)::BIGINT
+      |    - ((tokens_before::HUGEINT * 1000000) // tb)::BIGINT AS shift_ppm
+      |FROM j, tot
+      |ORDER BY source""".stripMargin
 
   val redactPii: String = {
     val e = Curation.EmailRegex

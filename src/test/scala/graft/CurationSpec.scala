@@ -651,6 +651,28 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("mixtureDedupShift: conservation and consistency with exact dedup") {
+    val rows = Curation.mixtureDedupShift(spark, d)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r._3 <= r._2, s"after > before: $r")
+      assert(r._4 === r._2 - r._3)
+      assert(r._7 === r._6 - r._5)
+    }
+    // shifts are zero-sum up to the per-source flooring ulps
+    assert(math.abs(rows.map(_._7).sum) <= rows.length)
+    // total removed token mass equals the duplicated-copy mass from
+    // the exact-dedup report's own numbers
+    val docs = Tables.documents(spark, d).select(
+      col("doc_id"), col("text"),
+      size(graft.functions.WordShingles(col("text"), 1)).cast("long").as("t"))
+    val dupMass = docs.groupBy("text")
+      .agg((sum("t") - first("t")).as("extra"))
+      .agg(sum("extra")).as[Long].head()
+    assert(rows.map(_._4).sum === dupMass)
+  }
+
   test("boilerplateStrip removes exactly the planted shared chunk") {
     // three docs share one identical 32-token leading chunk (the planted
     // boilerplate); their tails and the control docs are unique
