@@ -587,6 +587,10 @@ object SparkEntry {
       (graft.streaming.EventStream.windowedCountsStreamVerified _),
     "events_hopping_stream" ->
       (graft.streaming.EventStream.hoppingCountsStreamVerified _),
+    // per-window exact p50/p95 through the state store — the latency
+    // dashboard shape; percentile's buffer is window-bounded state
+    "events_quantile_stream" ->
+      (graft.streaming.EventStream.quantileStreamVerified _),
     // chained stateful ops: streaming dedup → windowed distinct count
     "events_distinct_stream" ->
       (graft.streaming.EventStream.distinctUsersStreamVerified _),
@@ -1953,6 +1957,19 @@ object SparkEntry {
         |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |HAVING epoch_us(date_trunc('hour', min(ts)) + INTERVAL 1 HOUR) // 1000
+        |  <= (SELECT wm_ms FROM wm)
+        |ORDER BY 1, 2""".stripMargin,
+    "events_quantile_stream" ->
+      """WITH wm AS (
+        |  SELECT epoch_us(max(ts)) // 1000 - 1800000 AS wm_ms FROM events
+        |)
+        |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  event_type, count(*) AS n,
+        |  quantile_cont(value, 0.5e0) AS p50,
+        |  quantile_cont(value, 0.95e0) AS p95
         |FROM events
         |GROUP BY 1, 2
         |HAVING epoch_us(date_trunc('hour', min(ts)) + INTERVAL 1 HOUR) // 1000

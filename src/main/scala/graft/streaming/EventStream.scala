@@ -112,6 +112,41 @@ object EventStream {
     res.orderBy("hop_start", "event_type")
   }
 
+  /** Driver-surface per-window QUANTILES under the streaming engine —
+    * the p50/p95 latency-monitoring shape an operations dashboard runs
+    * on every service: exact interpolated percentiles of `value` per
+    * (1-hour window, event_type), append mode, same watermark
+    * finalization contract and ms-precision oracle cutoff as
+    * [[windowedCountsStreamVerified]]. `percentile` is a
+    * TypedImperativeAggregate, so its buffer (the window's values)
+    * lives in the state store — bounded by the window's event count
+    * and evicted at the watermark, the shape the engine exists for.
+    * The interpolated result is one fixed IEEE expression over sorted
+    * doubles in both engines (the `rel_percentiles` parity precedent,
+    * here exercised through the streaming state-store path). */
+  def quantileStreamVerified(s: SparkSession, d: String): DataFrame = {
+    val (out, ckpt) = scratchDirs("winq")
+    val ss = streamSession(s)
+    val q = readEventStream(ss, d)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("hour_start"), col("event_type"), col("n"),
+        col("p50"), col("p95"))
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val res = s.read.parquet(out).localCheckpoint()
+    deleteRecursively(out, ckpt)
+    res.orderBy("hour_start", "event_type")
+  }
+
   /** Driver-surface CHAINED STATEFUL OPERATORS under the streaming
     * engine: per-window EXACT distinct users via streaming
     * deduplication on (window, user) FOLLOWED BY a windowed count — two

@@ -222,6 +222,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming per-window quantiles ≡ batch percentile on finalized windows") {
+    val got = EventStream.quantileStreamVerified(spark, d)
+      .as[(String, String, Long, Double, Double)].collect().toSeq.sorted
+    // batch twin with the identical ms-precision watermark cutoff
+    val ev = Tables.events(spark, d)
+    val wmMs = ev.agg(max(unix_micros(col("ts")))).as[Long].head() / 1000 - 1800000
+    val want = ev
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"),
+        (unix_micros(date_trunc("hour", min(col("ts"))) + expr("INTERVAL 1 HOUR"))
+          / lit(1000)).as("wend_ms"))
+      .filter(col("wend_ms") <= wmMs)
+      .select("hour_start", "event_type", "n", "p50", "p95")
+      .as[(String, String, Long, Double, Double)].collect().toSeq.sorted
+    assert(got.nonEmpty && got === want)
+  }
+
   test("csv and json streaming sources ≡ batch windowed counts") {
     import org.apache.spark.sql.functions.col
     val batch = Tables.events(spark, d)
