@@ -1249,6 +1249,10 @@ object Curation {
       .select(col("source"),
         size(graft.functions.WordShingles(col("text"), 1)).cast("long").as("t"))
       .groupBy("source").agg(sum("t").as("n_tokens"))
+      // a source of only empty docs has no token mass to schedule, and
+      // its epochs_ppm division differs cross-engine (Spark div 0 →
+      // NULL, DuckDB // 0 → error) — excluded in BOTH engines
+      .filter(col("n_tokens") > 0)
       .withColumn("w_q", expr(
         s"cast(floor(sqrt(cast(n_tokens as double)) * $MixtureQuantScale) as bigint)"))
     val tot = toks.agg(sum("w_q").as("w_tot"), sum("n_tokens").as("tok_tot"))
@@ -1294,12 +1298,15 @@ object Curation {
     val tot = joined.agg(sum("tokens_before").as("tb"),
       sum("tokens_after").as("ta"))
     joined.crossJoin(broadcast(tot))
+      // nullif: an all-empty corpus zeroes the totals — NULL shares in
+      // BOTH engines instead of a DuckDB division error (the suite's
+      // zero-guarded-ratio convention)
       .select(col("source"), col("tokens_before"), col("tokens_after"),
         (col("tokens_before") - col("tokens_after")).as("dup_tokens"),
-        expr("cast((cast(tokens_before as decimal(38,0)) * 1000000) div tb as bigint)")
-          .as("share_before_ppm"),
-        expr("cast((cast(tokens_after as decimal(38,0)) * 1000000) div ta as bigint)")
-          .as("share_after_ppm"))
+        expr("cast((cast(tokens_before as decimal(38,0)) * 1000000) " +
+          "div nullif(tb, 0) as bigint)").as("share_before_ppm"),
+        expr("cast((cast(tokens_after as decimal(38,0)) * 1000000) " +
+          "div nullif(ta, 0) as bigint)").as("share_after_ppm"))
       .withColumn("shift_ppm",
         col("share_after_ppm") - col("share_before_ppm"))
       .orderBy("source")
@@ -2169,6 +2176,7 @@ object CurationOracles {
        |  SELECT source,
        |    sum(len(list_filter(string_split(text, ' '), x -> x <> '')))::BIGINT AS n_tokens
        |  FROM documents GROUP BY 1
+       |  HAVING n_tokens > 0
        |),
        |q AS (
        |  SELECT source, n_tokens,
@@ -2213,10 +2221,10 @@ object CurationOracles {
       |)
       |SELECT source, tokens_before, tokens_after,
       |  tokens_before - tokens_after AS dup_tokens,
-      |  ((tokens_before::HUGEINT * 1000000) // tb)::BIGINT AS share_before_ppm,
-      |  ((tokens_after::HUGEINT * 1000000) // ta)::BIGINT AS share_after_ppm,
-      |  ((tokens_after::HUGEINT * 1000000) // ta)::BIGINT
-      |    - ((tokens_before::HUGEINT * 1000000) // tb)::BIGINT AS shift_ppm
+      |  ((tokens_before::HUGEINT * 1000000) // nullif(tb, 0))::BIGINT AS share_before_ppm,
+      |  ((tokens_after::HUGEINT * 1000000) // nullif(ta, 0))::BIGINT AS share_after_ppm,
+      |  ((tokens_after::HUGEINT * 1000000) // nullif(ta, 0))::BIGINT
+      |    - ((tokens_before::HUGEINT * 1000000) // nullif(tb, 0))::BIGINT AS shift_ppm
       |FROM j, tot
       |ORDER BY source""".stripMargin
 

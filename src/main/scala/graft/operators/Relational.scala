@@ -226,11 +226,11 @@ object Relational {
         .select(lit(name).as("join_name"),
           col("rows_a"), col("ndv_a"), col("rows_b"), col("ndv_b"),
           expr("cast((cast(rows_a as decimal(38,0)) * rows_b) " +
-            "div greatest(ndv_a, ndv_b) as bigint)").as("est_rows"),
+            "div nullif(greatest(ndv_a, ndv_b), 0) as bigint)").as("est_rows"),
           col("exact_rows"))
         .withColumn("err_ppm", expr(
           "cast(((est_rows - exact_rows) * cast(1000000 as decimal(38,0))) " +
-            "div exact_rows as bigint)"))
+            "div nullif(exact_rows, 0) as bigint)"))
     }
     audit("orders_lineitem",
         Tables.orders(s, d), "o_orderkey",
@@ -274,11 +274,11 @@ object Relational {
         .select(lit(name).as("join_name"),
           col("rows_a"), col("ndv_est_a"), col("rows_b"), col("ndv_est_b"),
           expr("cast((cast(rows_a as decimal(38,0)) * rows_b) " +
-            "div greatest(ndv_est_a, ndv_est_b) as bigint)").as("est_rows"),
+            "div nullif(greatest(ndv_est_a, ndv_est_b), 0) as bigint)").as("est_rows"),
           col("exact_rows"))
         .withColumn("err_ppm", expr(
           "cast(((est_rows - exact_rows) * cast(1000000 as decimal(38,0))) " +
-            "div exact_rows as bigint)"))
+            "div nullif(exact_rows, 0) as bigint)"))
     }
     audit("orders_lineitem",
         Tables.orders(s, d), "o_orderkey",
@@ -318,20 +318,20 @@ object Relational {
        |    r1a.rows_n AS rows_a, n1a.ndv_est AS ndv_est_a,
        |    r1b.rows_n AS rows_b, n1b.ndv_est AS ndv_est_b,
        |    ((r1a.rows_n::HUGEINT * r1b.rows_n)
-       |      // greatest(n1a.ndv_est, n1b.ndv_est))::BIGINT AS est_rows,
+       |      // nullif(greatest(n1a.ndv_est, n1b.ndv_est), 0))::BIGINT AS est_rows,
        |    e1.exact_rows
        |  FROM r1a, n1a, r1b, n1b, e1
        |  UNION ALL
        |  SELECT 'customer_urgent_orders',
        |    r2a.rows_n, n2a.ndv_est, r2b.rows_n, n2b.ndv_est,
        |    ((r2a.rows_n::HUGEINT * r2b.rows_n)
-       |      // greatest(n2a.ndv_est, n2b.ndv_est))::BIGINT,
+       |      // nullif(greatest(n2a.ndv_est, n2b.ndv_est), 0))::BIGINT,
        |    e2.exact_rows
        |  FROM r2a, n2a, r2b, n2b, e2
        |)
        |SELECT join_name, rows_a, ndv_est_a, rows_b, ndv_est_b,
        |  est_rows, exact_rows,
-       |  (((est_rows::HUGEINT - exact_rows) * 1000000) // exact_rows)::BIGINT AS err_ppm
+       |  (((est_rows::HUGEINT - exact_rows) * 1000000) // nullif(exact_rows, 0))::BIGINT AS err_ppm
        |FROM r ORDER BY join_name""".stripMargin
   }
 
@@ -353,17 +353,17 @@ object Relational {
       |  FROM customer c JOIN u ON c.c_custkey = u.o_custkey),
       |r AS (
       |  SELECT 'orders_lineitem' AS join_name, rows_a, ndv_a, rows_b, ndv_b,
-      |    ((rows_a::HUGEINT * rows_b) // greatest(ndv_a, ndv_b))::BIGINT AS est_rows,
+      |    ((rows_a::HUGEINT * rows_b) // nullif(greatest(ndv_a, ndv_b), 0))::BIGINT AS est_rows,
       |    exact_rows
       |  FROM a1, b1, e1
       |  UNION ALL
       |  SELECT 'customer_urgent_orders', rows_a, ndv_a, rows_b, ndv_b,
-      |    ((rows_a::HUGEINT * rows_b) // greatest(ndv_a, ndv_b))::BIGINT,
+      |    ((rows_a::HUGEINT * rows_b) // nullif(greatest(ndv_a, ndv_b), 0))::BIGINT,
       |    exact_rows
       |  FROM a2, b2, e2
       |)
       |SELECT join_name, rows_a, ndv_a, rows_b, ndv_b, est_rows, exact_rows,
-      |  (((est_rows::HUGEINT - exact_rows) * 1000000) // exact_rows)::BIGINT AS err_ppm
+      |  (((est_rows::HUGEINT - exact_rows) * 1000000) // nullif(exact_rows, 0))::BIGINT AS err_ppm
       |FROM r ORDER BY join_name""".stripMargin
 
   def keysIntersect(s: SparkSession, d: String): DataFrame =
