@@ -131,6 +131,9 @@ object SparkEntry {
     // System-R join-size estimate vs exact, per audited join — the
     // pre-join planning arithmetic a cost-based optimizer runs at scale
     "rel_join_cardinality" -> (Relational.joinCardinality _),
+    // per-nation OLS trend of monthly revenue: slope/intercept/r2 as
+    // single integer divisions of exact cross-multiplied moments
+    "rel_revenue_trend" -> (Relational.revenueTrend _),
     // same audit with KMV-sketch NDVs: the no-countDistinct 100 TB form
     "rel_join_cardinality_sketch" -> (Relational.joinCardinalitySketch _),
     "rel_percentiles" -> (Relational.percentiles _),
@@ -1145,6 +1148,7 @@ object SparkEntry {
         |  SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey FROM orders
         |) ORDER BY k""".stripMargin,
     "rel_join_cardinality" -> Relational.joinCardinalityOracle,
+    "rel_revenue_trend" -> Relational.revenueTrendOracle,
     "rel_join_cardinality_sketch" -> Relational.joinCardinalitySketchOracle,
     "rel_percentiles" ->
       """SELECT l_returnflag,

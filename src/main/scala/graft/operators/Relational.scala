@@ -1634,6 +1634,100 @@ object Relational {
       .orderBy("week")
   }
 
+  /** PER-KEY OLS TREND — the regression sibling of [[weekOverWeek]]'s
+    * deltas and [[balanceCorr]]'s Pearson r: per supplier nation, the
+    * least-squares fit of monthly 1997 revenue (exact cents) on the
+    * month index, ENTIRELY in integer/decimal arithmetic. Moments
+    * (Σx, Σx², Σy, Σxy, Σy²) are exact sums (cents BIGINT, y² through
+    * DECIMAL), and each reported coefficient is ONE integer division of
+    * exact products — slope and intercept in micro-cents/month, fit
+    * quality as r²·10⁶ ppm — so no float summation or divide-then-
+    * round parity risk exists anywhere (the closed-form ratios
+    * (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) etc., cross-multiplied instead of
+    * evaluated in doubles). Degenerate slopes (a nation shipping in
+    * one month only) NULL via nullif in both engines.
+    *
+    * Scale: fact scan with a pushed date filter, broadcast
+    * supplier→nation dim, a (nation × month)-keyed partial+final agg,
+    * then a 25-row closed-form projection — no window, no second scan. */
+  def revenueTrend(s: SparkSession, d: String): DataFrame = {
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name")
+    val monthly = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("n_name"), expr("cast(month(l_shipdate) as bigint)").as("m"),
+        // the suite's PROVEN parity path for the computed discounted
+        // price is DECIMAL(28,4) (pricing summary Q1); (18,2) would
+        // round real sub-cent fractions with engine-specific ties.
+        // Sum exactly at (28,4), then floor to whole cents.
+        expr("cast(l_extendedprice * (1 - l_discount) as decimal(28,4))")
+          .as("dp"))
+      .groupBy("n_name", "m")
+      .agg(expr("cast(floor(sum(dp) * 100) as bigint)").as("y"))
+    monthly.groupBy("n_name").agg(
+        count(lit(1)).as("n_months"),
+        sum("m").as("sx"), sum(expr("m * m")).as("sxx"),
+        sum("y").as("sy"), sum(expr("m * y")).as("sxy"),
+        sum(expr("cast(y as decimal(38,0)) * y")).as("syy"))
+      // every product goes through DECIMAL BEFORE multiplying (the
+      // eager-DECIMAL overflow discipline): at 100 TB n·Σxy would
+      // overflow a BIGINT product, exactly like the oracle's
+      // HUGEINT-first casts
+      .withColumn("sn", expr("cast(n_months as decimal(38,0)) * sxy - " +
+        "cast(sx as decimal(38,0)) * sy"))
+      .withColumn("sd", expr("cast(n_months as decimal(38,0)) * sxx - " +
+        "cast(sx as decimal(38,0)) * sx"))
+      .select(col("n_name"), col("n_months"),
+        expr("cast((sn * 1000000) div nullif(sd, 0) as bigint)")
+          .as("slope_micro_cents"),
+        expr("cast(((cast(sy as decimal(38,0)) * sxx - " +
+          "cast(sx as decimal(38,0)) * sxy) * 1000000) " +
+          "div nullif(sd, 0) as bigint)").as("intercept_micro_cents"),
+        expr("cast((sn * sn * 1000000) div nullif(sd * " +
+          "(cast(n_months as decimal(38,0)) * syy - " +
+          "cast(sy as decimal(38,0)) * sy), 0) as bigint)").as("r2_ppm"))
+      .orderBy("n_name")
+  }
+
+  /** DuckDB twin of [[revenueTrend]]. */
+  private[graft] def revenueTrendOracle: String =
+    """WITH sup AS (
+      |  SELECT s_suppkey, n_name FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |),
+      |mo AS (
+      |  SELECT n_name, month(l_shipdate)::BIGINT AS m,
+      |    CAST(floor(sum(CAST(l_extendedprice * (1 - l_discount)
+      |      AS DECIMAL(28,4))) * 100) AS BIGINT) AS y
+      |  FROM lineitem JOIN sup ON l_suppkey = s_suppkey
+      |  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+      |  GROUP BY 1, 2
+      |),
+      |f AS (
+      |  SELECT n_name, count(*)::BIGINT AS n_months,
+      |    sum(m)::BIGINT AS sx, sum(m * m)::BIGINT AS sxx,
+      |    sum(y)::BIGINT AS sy, sum(m * y)::BIGINT AS sxy,
+      |    sum(y::HUGEINT * y) AS syy
+      |  FROM mo GROUP BY 1
+      |)
+      |SELECT n_name, n_months,
+      |  (((n_months::HUGEINT * sxy - sx::HUGEINT * sy) * 1000000)
+      |    // nullif(n_months::HUGEINT * sxx - sx::HUGEINT * sx, 0))::BIGINT
+      |    AS slope_micro_cents,
+      |  (((sy::HUGEINT * sxx - sx::HUGEINT * sxy) * 1000000)
+      |    // nullif(n_months::HUGEINT * sxx - sx::HUGEINT * sx, 0))::BIGINT
+      |    AS intercept_micro_cents,
+      |  (((n_months::HUGEINT * sxy - sx::HUGEINT * sy)
+      |    * (n_months::HUGEINT * sxy - sx::HUGEINT * sy) * 1000000)
+      |    // nullif((n_months::HUGEINT * sxx - sx::HUGEINT * sx)
+      |      * (n_months::HUGEINT * syy - sy::HUGEINT * sy), 0))::BIGINT
+      |    AS r2_ppm
+      |FROM f ORDER BY n_name""".stripMargin
+
   /** DuckDB twin of [[weekOverWeek]]. */
   private[graft] def weekOverWeekOracle: String =
     s"""WITH wk AS (

@@ -688,6 +688,40 @@ class RelationalSpec extends AnyFunSuite {
     assert(real.find(_._1 == "summary").get._6 === (nViol == 0))
   }
 
+  test("revenueTrend: coefficients match a driver-side exact OLS recompute") {
+    val rows = Relational.revenueTrend(spark, d)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, _, _, r2) =>
+      assert(n >= 1 && n <= 12)
+      if (n > 1) assert(r2 >= 0 && r2 <= 1000000,
+        s"r2_ppm out of [0, 1e6]: $r2")
+    }
+    // recompute one nation end-to-end in exact BigInt arithmetic
+    val mo = Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .join(Tables.supplier(spark, d)
+        .join(Tables.nation(spark, d),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "n_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("n_name") === rows.head._1)
+      .select(expr("cast(month(l_shipdate) as bigint)").as("m"),
+        expr("cast(l_extendedprice * (1 - l_discount) as decimal(28,4))")
+          .as("dp"))
+      .groupBy("m").agg(expr("cast(floor(sum(dp) * 100) as bigint)").as("y"))
+      .as[(Long, Long)].collect()
+    val n = BigInt(mo.length)
+    val sx = mo.map(r => BigInt(r._1)).sum
+    val sxx = mo.map(r => BigInt(r._1) * r._1).sum
+    val sy = mo.map(r => BigInt(r._2)).sum
+    val sxy = mo.map(r => BigInt(r._1) * r._2).sum
+    val den = n * sxx - sx * sx
+    val wantSlope = ((n * sxy - sx * sy) * 1000000) / den
+    assert(rows.head._3 === wantSlope.toLong)
+  }
+
   test("joinCardinality: FK estimate exact, formula consistent") {
     val rows = Relational.joinCardinality(spark, d)
       .as[(String, Long, Long, Long, Long, Long, Long, Long)]
