@@ -134,6 +134,9 @@ object SparkEntry {
     // per-nation OLS trend of monthly revenue: slope/intercept/r2 as
     // single integer divisions of exact cross-multiplied moments
     "rel_revenue_trend" -> (Relational.revenueTrend _),
+    // per-nation supplier-revenue concentration: top share, HHI, Gini
+    // (sorted-rank identity) — all single integer divisions in ppm
+    "rel_market_concentration" -> (Relational.marketConcentration _),
     // same audit with KMV-sketch NDVs: the no-countDistinct 100 TB form
     "rel_join_cardinality_sketch" -> (Relational.joinCardinalitySketch _),
     "rel_percentiles" -> (Relational.percentiles _),
@@ -1149,6 +1152,7 @@ object SparkEntry {
         |) ORDER BY k""".stripMargin,
     "rel_join_cardinality" -> Relational.joinCardinalityOracle,
     "rel_revenue_trend" -> Relational.revenueTrendOracle,
+    "rel_market_concentration" -> Relational.marketConcentrationOracle,
     "rel_join_cardinality_sketch" -> Relational.joinCardinalitySketchOracle,
     "rel_percentiles" ->
       """SELECT l_returnflag,

@@ -1728,6 +1728,92 @@ object Relational {
       |    AS r2_ppm
       |FROM f ORDER BY n_name""".stripMargin
 
+  /** MARKET-CONCENTRATION indices — the antitrust/portfolio lens on the
+    * same revenue census [[revenueTrend]] fits: per supplier nation over
+    * its suppliers' 1997 revenue, the Herfindahl–Hirschman index
+    * Σ(shareᵢ)², the Gini coefficient via the sorted-rank identity
+    * (2·Σ i·yᵢ − (n+1)·Y) / (n·Y), and the largest single-supplier
+    * share — each ONE integer division of exact DECIMAL
+    * cross-products (ppm), ranks from a per-nation window with the
+    * (y, suppkey) total order so ties are deterministic rather than
+    * midrank-averaged (documented choice; both engines rank
+    * identically).
+    *
+    * Scale: same pushed-filter fact scan + broadcast dim as the trend;
+    * the window partitions by nation over supplier-sized groups
+    * (bounded, never a global sort); the final frame is 25 rows. */
+  def marketConcentration(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name")
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("n_name"), col("s_suppkey"),
+        expr("cast(l_extendedprice * (1 - l_discount) as decimal(28,4))")
+          .as("dp"))
+      .groupBy("n_name", "s_suppkey")
+      .agg(expr("cast(floor(sum(dp) * 100) as bigint)").as("y"))
+    rev.withColumn("i", row_number().over(
+        Window.partitionBy("n_name").orderBy(col("y"), col("s_suppkey"))))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum("y").as("total_cents"), max("y").as("max_cents"),
+        sum(expr("cast(cast(i as decimal(38,0)) * y as decimal(38,0))"))
+          .as("siy"),
+        sum(expr("cast(y as decimal(38,0)) * y")).as("syy"))
+      .select(col("n_name"), col("n_suppliers"), col("total_cents"),
+        expr("cast((cast(max_cents as decimal(38,0)) * 1000000) " +
+          "div nullif(total_cents, 0) as bigint)").as("top_share_ppm"),
+        expr("cast((syy * 1000000) div nullif(" +
+          "cast(total_cents as decimal(38,0)) * total_cents, 0) as bigint)")
+          .as("hhi_ppm"),
+        expr("cast(((2 * siy - (cast(n_suppliers as decimal(38,0)) + 1) " +
+          "* total_cents) * 1000000) div nullif(" +
+          "cast(n_suppliers as decimal(38,0)) * total_cents, 0) as bigint)")
+          .as("gini_ppm"))
+      .orderBy("n_name")
+  }
+
+  /** DuckDB twin of [[marketConcentration]]. */
+  private[graft] def marketConcentrationOracle: String =
+    """WITH sup AS (
+      |  SELECT s_suppkey, n_name FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |),
+      |rev AS (
+      |  SELECT n_name, s_suppkey,
+      |    CAST(floor(sum(CAST(l_extendedprice * (1 - l_discount)
+      |      AS DECIMAL(28,4))) * 100) AS BIGINT) AS y
+      |  FROM lineitem JOIN sup ON l_suppkey = s_suppkey
+      |  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+      |  GROUP BY 1, 2
+      |),
+      |rk AS (
+      |  SELECT n_name, y,
+      |    row_number() OVER (PARTITION BY n_name ORDER BY y, s_suppkey)
+      |      ::BIGINT AS i
+      |  FROM rev
+      |),
+      |f AS (
+      |  SELECT n_name, count(*)::BIGINT AS n_suppliers,
+      |    sum(y)::BIGINT AS total_cents, max(y)::BIGINT AS max_cents,
+      |    sum(i::HUGEINT * y) AS siy, sum(y::HUGEINT * y) AS syy
+      |  FROM rk GROUP BY 1
+      |)
+      |SELECT n_name, n_suppliers, total_cents,
+      |  ((max_cents::HUGEINT * 1000000) // nullif(total_cents, 0))::BIGINT
+      |    AS top_share_ppm,
+      |  ((syy * 1000000) // nullif(total_cents::HUGEINT * total_cents, 0))
+      |    ::BIGINT AS hhi_ppm,
+      |  (((2 * siy - (n_suppliers::HUGEINT + 1) * total_cents) * 1000000)
+      |    // nullif(n_suppliers::HUGEINT * total_cents, 0))::BIGINT
+      |    AS gini_ppm
+      |FROM f ORDER BY n_name""".stripMargin
+
   /** DuckDB twin of [[weekOverWeek]]. */
   private[graft] def weekOverWeekOracle: String =
     s"""WITH wk AS (

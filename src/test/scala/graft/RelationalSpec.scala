@@ -722,6 +722,21 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.head._3 === wantSlope.toLong)
   }
 
+  test("marketConcentration: indices in range, uniform/monopoly bounds") {
+    val rows = Relational.marketConcentration(spark, d)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (nat, n, tot, top, hhi, gini) =>
+      assert(tot > 0 && n > 0)
+      // HHI in [1e6/n, 1e6]; Gini in [0, 1e6); top share >= 1e6/n
+      assert(hhi >= 1000000L / n - 1 && hhi <= 1000000L, s"$nat hhi=$hhi")
+      assert(gini >= -1 && gini < 1000000L, s"$nat gini=$gini")
+      assert(top >= 1000000L / n - 1 && top <= 1000000L, s"$nat top=$top")
+      // HHI >= (top share)^2 since the max is one of the squared terms
+      assert(hhi * 1000000L >= top * top - 1000000L, s"$nat hhi vs top")
+    }
+  }
+
   test("joinCardinality: FK estimate exact, formula consistent") {
     val rows = Relational.joinCardinality(spark, d)
       .as[(String, Long, Long, Long, Long, Long, Long, Long)]
