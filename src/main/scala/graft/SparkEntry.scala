@@ -137,6 +137,8 @@ object SparkEntry {
     // per-nation supplier-revenue concentration: top share, HHI, Gini
     // (sorted-rank identity) — all single integer divisions in ppm
     "rel_market_concentration" -> (Relational.marketConcentration _),
+    // smallest top-k suppliers covering 80% of revenue, per nation
+    "rel_pareto_coverage" -> (Relational.paretoCoverage _),
     // same audit with KMV-sketch NDVs: the no-countDistinct 100 TB form
     "rel_join_cardinality_sketch" -> (Relational.joinCardinalitySketch _),
     "rel_percentiles" -> (Relational.percentiles _),
@@ -1153,6 +1155,7 @@ object SparkEntry {
     "rel_join_cardinality" -> Relational.joinCardinalityOracle,
     "rel_revenue_trend" -> Relational.revenueTrendOracle,
     "rel_market_concentration" -> Relational.marketConcentrationOracle,
+    "rel_pareto_coverage" -> Relational.paretoCoverageOracle,
     "rel_join_cardinality_sketch" -> Relational.joinCardinalitySketchOracle,
     "rel_percentiles" ->
       """SELECT l_returnflag,

@@ -1778,6 +1778,78 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** PARETO COVERAGE — [[marketConcentration]]'s actionable sibling: per
+    * nation, the smallest number of top suppliers covering ≥80% of 1997
+    * revenue (the "how many vendors until four-fifths" consolidation
+    * question), plus that count as a ppm share of the supplier base.
+    * Descending running sums come from a per-nation window (bounded
+    * partitions); the 80% test is the integer cross-multiplication
+    * `100·cum ≥ 80·total` — no percentage floats anywhere.
+    *
+    * Scale: identical scan/dim shape to the concentration query; the
+    * windows partition by nation; result is 25 rows. */
+  def paretoCoverage(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name")
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("n_name"), col("s_suppkey"),
+        expr("cast(l_extendedprice * (1 - l_discount) as decimal(28,4))")
+          .as("dp"))
+      .groupBy("n_name", "s_suppkey")
+      .agg(expr("cast(floor(sum(dp) * 100) as bigint)").as("y"))
+    val w = Window.partitionBy("n_name")
+      .orderBy(col("y").desc, col("s_suppkey"))
+    rev.withColumn("i", row_number().over(w))
+      .withColumn("cum", sum("y").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum("y").over(Window.partitionBy("n_name")))
+      .groupBy("n_name")
+      .agg(max("i").as("n_suppliers"), max("tot").as("total_cents"),
+        min(when(expr("cum * 100 >= tot * 80"), col("i")))
+          .cast("long").as("k_80"))
+      .withColumn("k_80_share_ppm",
+        expr("k_80 * 1000000 div nullif(n_suppliers, 0)"))
+      .select(col("n_name"), col("n_suppliers").cast("long").as("n_suppliers"),
+        col("total_cents"), col("k_80"), col("k_80_share_ppm"))
+      .orderBy("n_name")
+  }
+
+  /** DuckDB twin of [[paretoCoverage]]. */
+  private[graft] def paretoCoverageOracle: String =
+    """WITH sup AS (
+      |  SELECT s_suppkey, n_name FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |),
+      |rev AS (
+      |  SELECT n_name, s_suppkey,
+      |    CAST(floor(sum(CAST(l_extendedprice * (1 - l_discount)
+      |      AS DECIMAL(28,4))) * 100) AS BIGINT) AS y
+      |  FROM lineitem JOIN sup ON l_suppkey = s_suppkey
+      |  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+      |  GROUP BY 1, 2
+      |),
+      |rk AS (
+      |  SELECT n_name, y,
+      |    row_number() OVER (PARTITION BY n_name ORDER BY y DESC, s_suppkey)
+      |      ::BIGINT AS i,
+      |    sum(y) OVER (PARTITION BY n_name ORDER BY y DESC, s_suppkey
+      |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+      |    sum(y) OVER (PARTITION BY n_name)::BIGINT AS tot
+      |  FROM rev
+      |)
+      |SELECT n_name, max(i)::BIGINT AS n_suppliers,
+      |  max(tot)::BIGINT AS total_cents,
+      |  min(CASE WHEN cum * 100 >= tot * 80 THEN i END)::BIGINT AS k_80,
+      |  (min(CASE WHEN cum * 100 >= tot * 80 THEN i END) * 1000000
+      |    // nullif(max(i), 0))::BIGINT AS k_80_share_ppm
+      |FROM rk GROUP BY 1 ORDER BY n_name""".stripMargin
+
   /** DuckDB twin of [[marketConcentration]]. */
   private[graft] def marketConcentrationOracle: String =
     """WITH sup AS (

@@ -737,6 +737,25 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("paretoCoverage: k_80 is the minimal prefix crossing 80%") {
+    val rows = Relational.paretoCoverage(spark, d)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val conc = Relational.marketConcentration(spark, d)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    rows.foreach { case (nat, n, tot, k, share) =>
+      assert(k >= 1 && k <= n, s"$nat k_80=$k of $n")
+      assert(share === k * 1000000L / n)
+      // same census as the concentration query
+      val c = conc(nat)
+      assert(n === c._2 && tot === c._3)
+      // more concentrated nations need a smaller prefix: if one
+      // supplier holds >= 80%, k must be 1
+      if (c._4 >= 800000L) assert(k === 1L)
+    }
+  }
+
   test("joinCardinality: FK estimate exact, formula consistent") {
     val rows = Relational.joinCardinality(spark, d)
       .as[(String, Long, Long, Long, Long, Long, Long, Long)]
