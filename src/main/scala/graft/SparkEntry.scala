@@ -278,6 +278,9 @@ object SparkEntry {
     "text_langid" -> (TextAnalysis.langId _),
     "text_quality" -> (TextAnalysis.quality _),
     "text_token_counts" -> (TextAnalysis.tokenCounts _),
+    // log2 token-length histogram with ppm doc/token shares — the
+    // sequence-packing planning input
+    "text_length_profile" -> (TextAnalysis.lengthProfile _),
     "text_fingerprint" -> (TextAnalysis.fingerprint _),
     // BPE merge-candidate pair statistics (tokenizer induction step)
     "text_bpe_pair_stats" -> (TextAnalysis.bpePairStats _),
@@ -1519,6 +1522,7 @@ object SparkEntry {
     "text_langid" -> TextAnalysisOracles.langId,
     "text_quality" -> TextAnalysisOracles.quality,
     "text_token_counts" -> TextAnalysisOracles.tokenCounts,
+    "text_length_profile" -> TextAnalysisOracles.lengthProfile,
     "text_fingerprint" -> TextAnalysisOracles.fingerprint,
     "text_bpe_pair_stats" -> TextAnalysisOracles.bpePairStats,
     "text_bpe_vocab" -> TextAnalysisOracles.bpeVocab,

@@ -180,6 +180,32 @@ object TextAnalysis {
 
   /** Whitespace token count + a BPE-ish regex token count (letter runs,
     * digit runs, single other non-space chars) + char count. */
+  /** DOC-LENGTH PROFILE in log₂ token buckets — the planning input for
+    * sequence packing (`text_sequence_pack`): how much of the corpus is
+    * short enough to pack many-per-context, how much needs chunking.
+    * Per bucket (floor(log₂ tokens) via the `length(bin(x))−1` integer
+    * trick, bucket 0 holding 0- and 1-token docs): doc count, token
+    * mass, and both as ppm shares of the corpus (1-row total
+    * broadcast). Map-side token counting, ≤64-row result at any
+    * corpus size. */
+  def lengthProfile(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(size(WordShingles(col("text"), 1)).cast("long").as("t"))
+      .select((length(bin(col("t"))) - 1).as("log2_bucket"), col("t"))
+      .groupBy("log2_bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("t").as("total_tokens"))
+    val tot = docs.agg(sum("n_docs").as("nd"), sum("total_tokens").as("nt"))
+    docs.crossJoin(broadcast(tot))
+      .select(col("log2_bucket").cast("int").as("log2_bucket"),
+        expr("shiftleft(cast(1 as bigint), log2_bucket)").as("tokens_lo"),
+        col("n_docs"), col("total_tokens"),
+        expr("cast((cast(n_docs as decimal(38,0)) * 1000000) " +
+          "div nullif(nd, 0) as bigint)").as("docs_ppm"),
+        expr("cast((cast(total_tokens as decimal(38,0)) * 1000000) " +
+          "div nullif(nt, 0) as bigint)").as("tokens_ppm"))
+      .orderBy("log2_bucket")
+  }
+
   def tokenCounts(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"),
@@ -959,6 +985,28 @@ object TextAnalysisOracles {
        |SELECT doc_id, rank, w AS term, score FROM ranked
        |WHERE rank <= ${TextAnalysis.TopTermsK}
        |ORDER BY doc_id, rank""".stripMargin
+
+  /** Replicates [[TextAnalysis.lengthProfile]] — same bin-length bucket,
+    * HUGEINT ppm arithmetic. */
+  val lengthProfile: String =
+    """WITH dl AS (
+      |  SELECT len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS t
+      |  FROM documents
+      |),
+      |b AS (
+      |  SELECT CAST(length(bin(t)) - 1 AS INTEGER) AS log2_bucket,
+      |    count(*)::BIGINT AS n_docs, sum(t)::BIGINT AS total_tokens
+      |  FROM dl GROUP BY 1
+      |),
+      |tot AS (
+      |  SELECT sum(n_docs)::HUGEINT AS nd, sum(total_tokens)::HUGEINT AS nt FROM b
+      |)
+      |SELECT log2_bucket, (1::BIGINT << log2_bucket) AS tokens_lo,
+      |  n_docs, total_tokens,
+      |  ((n_docs::HUGEINT * 1000000) // nullif(nd, 0))::BIGINT AS docs_ppm,
+      |  ((total_tokens::HUGEINT * 1000000) // nullif(nt, 0))::BIGINT AS tokens_ppm
+      |FROM b, tot
+      |ORDER BY log2_bucket""".stripMargin
 
   val tokenCounts: String =
     """SELECT doc_id,

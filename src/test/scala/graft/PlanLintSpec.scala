@@ -32,6 +32,7 @@ class PlanLintSpec extends AnyFunSuite {
     "text_domain_rebalance",                // 1-row min broadcast
     "text_mixture_schedule",                // 1-row weight-total broadcast
     "text_mixture_dedup_shift",             // 1-row token-total broadcast
+    "text_length_profile",                  // 1-row corpus-total broadcast
     "events_forget_audit",                  // 1-row event-total broadcast
     "rel_join_cardinality",                 // 1-row stat-agg broadcasts
     "rel_join_cardinality_sketch",          // 1-row sketch-agg broadcasts

@@ -12,6 +12,28 @@ class TextAnalysisSpec extends AnyFunSuite {
 
   private val d = "/root/testdata/sf0.001"
 
+  test("lengthProfile: buckets conserve docs and tokens, bounds hold") {
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.lengthProfile(spark, d)
+      .as[(Int, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, d)
+    assert(rows.map(_._3).sum === docs.count())
+    val totTokens = docs.select(
+        size(graft.functions.WordShingles(col("text"), 1)).cast("long"))
+      .as[Long].collect().sum
+    assert(rows.map(_._4).sum === totTokens)
+    rows.foreach { case (b, lo, n, t, _, _) =>
+      assert(lo === (1L << b))
+      // bucket b holds token counts in [2^b, 2^(b+1)) (plus 0 in b=0),
+      // so the bucket's token mass is bounded by n * (2^(b+1) - 1)
+      assert(t <= n * ((lo << 1) - 1), s"bucket $b mass $t exceeds bound")
+      if (b > 0) assert(t >= n * lo, s"bucket $b mass $t below 2^$b floor")
+    }
+    assert(math.abs(rows.map(_._5).sum - 1000000L) < rows.length + 1)
+    assert(math.abs(rows.map(_._6).sum - 1000000L) < rows.length + 1)
+  }
+
   test("bpePairStats: full re-derivation from raw text in plain Scala") {
     val got = TextAnalysis.bpePairStats(spark, d)
       .as[(String, Long, Long)].collect().toSeq
