@@ -329,6 +329,9 @@ object SparkEntry {
     // the K->sqrt(n) coarse-quantizer dial, audited in pure integers
     // (4^j >= n selection; occupancy / probe / assignment-cost bounds)
     "ann_ivf_geometry" -> (Similarity.ivfGeometry _),
+    // cluster-confidence: per cell, integer top1-vs-top2 cosine margins
+    // and the ppm of boundary vectors (the NProbe>1 rationale, audited)
+    "ann_assignment_margin" -> (Similarity.assignmentMargin _),
     "rel_hll_portable" -> (Relational.hllPortable _),
     "rel_kmv_sketch" -> (Relational.kmvSketch _),
     "dedup_cluster_stats" -> (Dedup.clusterStats _),
@@ -1582,6 +1585,7 @@ object SparkEntry {
     "events_delta_maintenance" -> Curation.deltaMaintenanceOracle,
     "ann_ivf_balance" -> SimilarityOracles.ivfBalance,
     "ann_ivf_geometry" -> SimilarityOracles.ivfGeometry,
+    "ann_assignment_margin" -> SimilarityOracles.assignmentMargin,
     "rel_hll_portable" -> Relational.hllPortableOracle,
     "rel_kmv_sketch" -> Relational.kmvSketchOracle,
     "dedup_cluster_stats" -> DedupOracles.clusterStats,

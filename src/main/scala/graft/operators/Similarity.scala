@@ -1185,6 +1185,61 @@ object Similarity {
       .orderBy("log2_bucket")
   }
 
+  /** Boundary threshold for [[assignmentMargin]] in floor(cos·2^20)
+    * units: a top-1 vs top-2 centroid-cosine gap under ~0.01 marks the
+    * vector as sitting on a cell boundary. Shared with the oracle. */
+  val AssignMarginBoundaryQ = 10486L
+
+  /** ASSIGNMENT-MARGIN audit — the cluster-CONFIDENCE report next to
+    * [[ivfBalance]]'s occupancy histogram (the simplified-silhouette
+    * idea, stated honestly for an argmax assignment): per assigned
+    * cell, how decisively its members belong there — mean own-centroid
+    * cosine, the mean and minimum top-1 vs top-2 margin, and the ppm of
+    * members within [[AssignMarginBoundaryQ]] of the runner-up cell
+    * (the vectors NProbe>1 probing exists for; a cell full of boundary
+    * vectors is a quantizer-quality smell). Every per-pair cosine is
+    * floor-quantized to ×2^20 BEFORE ranking or averaging, so the
+    * ranking key and all the sums are integers — no float argmax or
+    * summation-order surface (the r7-advice ivf_balance discipline,
+    * extended to the aggregates).
+    *
+    * Scale: n×K broadcast score (the IVF assignment shape), a window
+    * over vec_id partitions of exactly K rows, and a K-row result. */
+  def assignmentMargin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, d)
+    val cents = defaultCentroids(e)
+    val quant: Column => Column =
+      arr => transform(arr, x => floor(x.cast("double") * lit(1048576.0)).cast("long"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+    val qv = e.select(col("vec_id"), quant(col("embedding")).as("qv"))
+      .select(col("vec_id"), col("qv"), dot(col("qv"), col("qv")).as("nq"))
+    val qc = cents.select(col("cent_id"), quant(col("cv")).as("qc"))
+      .select(col("cent_id"), col("qc"), dot(col("qc"), col("qc")).as("nc"))
+    val scored = qv.crossJoin(broadcast(qc))
+      .select(col("vec_id"), col("cent_id"),
+        floor((dot(col("qv"), col("qc")) /
+          (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double"))))
+          * lit(1048576.0)).cast("long").as("qcos"))
+    val ranked = scored.withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("qcos").desc, col("cent_id"))))
+      .filter(col("crn") <= 2)
+    ranked.groupBy("vec_id")
+      .agg(max(when(col("crn") === 1, col("cent_id"))).as("cell"),
+        max(when(col("crn") === 1, col("qcos"))).as("q1"),
+        max(when(col("crn") === 2, col("qcos"))).as("q2"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vectors"),
+        expr("sum(q1) div count(1)").as("mean_own_q"),
+        expr("sum(q1 - q2) div count(1)").as("mean_gap_q"),
+        min(expr("q1 - q2")).as("min_gap_q"),
+        expr(s"count(case when q1 - q2 < $AssignMarginBoundaryQ then 1 end) " +
+          "* 1000000 div count(1)").as("boundary_ppm"))
+      .orderBy("cell")
+  }
+
   /** Centers [[kcenterSelect]] picks (fixed so the oracle unrolls the
     * same greedy rounds). */
   val KCenterK = 8
@@ -2149,6 +2204,66 @@ object SimilarityOracles {
        |    AS max_cell_ppm
        |FROM sizes, tot
        |GROUP BY 1 ORDER BY log2_bucket""".stripMargin
+
+  /** Replicates [[Similarity.assignmentMargin]] — the [[ivfBalance]]
+    * CTE skeleton with the cosine floor-quantized to ×2^20 BEFORE the
+    * rank, then the same integer margin aggregates. */
+  val assignmentMargin: String =
+    s"""WITH dims AS MATERIALIZED (
+       |  SELECT vec_id, d, floor(embedding[d]::DOUBLE * 1048576.0)::BIGINT AS qv
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(d)
+       |),
+       |vn AS (
+       |  SELECT vec_id, CAST(sum(qv * qv) AS BIGINT) AS nq
+       |  FROM dims GROUP BY 1
+       |),
+       |seeds AS (
+       |  SELECT ('0x' || substr(md5('cb_' || vec_id), 1, 15))::BIGINT
+       |           % ${Similarity.CodebookSize} AS cell,
+       |         min(vec_id) AS cent_id
+       |  FROM embeddings GROUP BY 1
+       |),
+       |cdims AS MATERIALIZED (
+       |  SELECT s.cent_id, dm.d, dm.qv
+       |  FROM seeds s JOIN dims dm ON dm.vec_id = s.cent_id
+       |),
+       |cn AS (
+       |  SELECT cent_id, CAST(sum(qv * qv) AS BIGINT) AS nc
+       |  FROM cdims GROUP BY 1
+       |),
+       |dots AS (
+       |  SELECT dm.vec_id, c.cent_id, CAST(sum(dm.qv * c.qv) AS BIGINT) AS dot
+       |  FROM dims dm JOIN cdims c USING (d)
+       |  GROUP BY 1, 2
+       |),
+       |scored AS (
+       |  SELECT dt.vec_id, dt.cent_id,
+       |    floor((dt.dot / (sqrt(vn.nq::DOUBLE) * sqrt(cn.nc::DOUBLE)))
+       |      * 1048576.0)::BIGINT AS qcos
+       |  FROM dots dt
+       |  JOIN vn ON vn.vec_id = dt.vec_id
+       |  JOIN cn ON cn.cent_id = dt.cent_id
+       |),
+       |rk AS (
+       |  SELECT vec_id, cent_id, qcos,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY qcos DESC, cent_id) AS crn
+       |  FROM scored
+       |),
+       |pv AS (
+       |  SELECT vec_id,
+       |    max(CASE WHEN crn = 1 THEN cent_id END) AS cell,
+       |    max(CASE WHEN crn = 1 THEN qcos END) AS q1,
+       |    max(CASE WHEN crn = 2 THEN qcos END) AS q2
+       |  FROM rk WHERE crn <= 2 GROUP BY 1
+       |)
+       |SELECT cell, count(*)::BIGINT AS n_vectors,
+       |  (sum(q1) // count(*))::BIGINT AS mean_own_q,
+       |  (sum(q1 - q2) // count(*))::BIGINT AS mean_gap_q,
+       |  min(q1 - q2)::BIGINT AS min_gap_q,
+       |  (count(CASE WHEN q1 - q2 < ${Similarity.AssignMarginBoundaryQ}
+       |     THEN 1 END) * 1000000 // count(*))::BIGINT AS boundary_ppm
+       |FROM pv GROUP BY 1 ORDER BY cell""".stripMargin
 
   /** Replicates [[Similarity.kcenterSelectOn]]: the same
     * [[Similarity.KCenterK]]−1 unrolled greedy rounds in exact integer

@@ -68,6 +68,7 @@ class PlanLintSpec extends AnyFunSuite {
     "events_lateness",                      // 1-row grand-total broadcast
     "events_time_to_convert",               // 1-row grand-total broadcast
     "ann_ivf_balance",                      // codebook score + 1-row total
+    "ann_assignment_margin",                // broadcast codebook score
     "ann_kcenter",                          // 1-row max/center broadcasts
     "rel_t_closeness",                      // 5-row global-dist scaffold
     "events_state_audit")                   // 1-row total×peak combines

@@ -497,6 +497,26 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("assignmentMargin: margins nonneg, census conserves vectors") {
+    import graft.operators.Similarity
+    val rows = Similarity.assignmentMargin(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // every vector is assigned exactly once
+    assert(rows.map(_._2).sum === Tables.embeddings(spark, d).count())
+    rows.foreach { case (cell, n, own, gap, minGap, bppm) =>
+      assert(n > 0)
+      // argmax construction: top-1 >= top-2 per vector, so every gap
+      // statistic is nonnegative and own >= gap-implied runner-up
+      assert(minGap >= 0, s"cell $cell min gap $minGap < 0")
+      assert(gap >= 0 && bppm >= 0 && bppm <= 1000000)
+      assert(own >= -1048576L && own <= 1048576L)
+      // boundary ppm consistent with the min gap: a cell whose minimum
+      // gap clears the threshold has zero boundary vectors
+      if (minGap >= Similarity.AssignMarginBoundaryQ) assert(bppm === 0)
+    }
+  }
+
   test("embeddingLshPairsScaled equals the default path at fixture scale") {
     import graft.operators.Dedup
     val scaled = Dedup.embeddingLshPairsScaled(spark, d).collect().toSeq
