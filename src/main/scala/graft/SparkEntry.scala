@@ -201,6 +201,8 @@ object SparkEntry {
     // the corpus size and projected 10^3..10^9 corpora, the (tables,
     // bits) the scaled path selects and the occupancy bound it implies
     "dedup_lsh_geometry" -> (Dedup.lshGeometry _),
+    // crawl triage: exact- and near-dup membership rates per source
+    "dedup_rate_by_source" -> (Dedup.dupRateBySource _),
     // connected components over the near-dup pair graph (iterative
     // hook+jump min-label; oracle = recursive-CTE transitive closure)
     "dedup_clusters" -> (Dedup.nearDupClusters _),
@@ -1481,6 +1483,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> DedupOracles.embeddingLshPairs,
     "dedup_embedding_lsh_wide" -> DedupOracles.embeddingLshPairsWide,
     "dedup_lsh_geometry" -> DedupOracles.lshGeometry,
+    "dedup_rate_by_source" -> DedupOracles.dupRateBySource,
     "dedup_clusters" -> DedupOracles.clusters,
     "dedup_clusters_lsh" -> DedupOracles.clustersLsh,
     "dedup_containment_pairs" -> DedupOracles.containmentPairs,

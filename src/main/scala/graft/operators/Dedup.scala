@@ -1176,6 +1176,37 @@ object Dedup {
   def nearDupClustersLsh(s: SparkSession, d: String): DataFrame =
     clustersFromEdges(minhashEdgesShared(s, d))
 
+  /** DUPLICATION RATE BY SOURCE — the crawl-triage report: per source,
+    * how much of its volume is EXACT-duplicated (member of a multi-copy
+    * text group) and how much is NEAR-duplicated (member of the
+    * production LSH cluster graph, [[nearDupClustersLsh]]) — in ppm,
+    * so the crawl scheduler can deprioritize the template-heavy feeds
+    * and the mixture sampler can anticipate the post-dedup shift
+    * (`text_mixture_dedup_shift` reports the realized shift; this
+    * report names the sources CAUSING it).
+    *
+    * Scale: exact side is one windowed count partitioned by text
+    * (group-sized partitions); near side rides the memoized shared
+    * minhash edge graph; the roll-up is |sources|-sized. */
+  def dupRateBySource(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+      .withColumn("n_copies", count(lit(1)).over(Window.partitionBy("text")))
+    val near = nearDupClustersLsh(s, d).select(col("doc_id").as("nd_id"))
+    docs.join(near, col("doc_id") === col("nd_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("n_copies") > 1, lit(1))).as("n_exact_dup"),
+        count(col("nd_id")).as("n_near_dup"))
+      .select(col("source"), col("n_docs"), col("n_exact_dup"),
+        col("n_near_dup"),
+        expr("cast((cast(n_exact_dup as decimal(38,0)) * 1000000) " +
+          "div nullif(n_docs, 0) as bigint)").as("exact_dup_ppm"),
+        expr("cast((cast(n_near_dup as decimal(38,0)) * 1000000) " +
+          "div nullif(n_docs, 0) as bigint)").as("near_dup_ppm"))
+      .orderBy("source")
+  }
+
   /** CLUSTER-SIZE DISTRIBUTION of the production LSH clustering — the
     * one-line health report a dedup pipeline owner reads before
     * collapsing: for each cluster size, how many clusters, how many

@@ -272,6 +272,36 @@ object DedupOracles {
        |FROM lab l JOIN csz USING (cluster_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Replicates [[Dedup.dupRateBySource]] — the [[clustersLsh]]
+    * transitive-closure pipeline for the near-dup membership set, a
+    * windowed copy count for the exact side, HUGEINT ppm roll-up. */
+  val dupRateBySource: String =
+    s"""WITH RECURSIVE lshp AS ($minhashLsh),
+       |und AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM lshp
+       |  UNION SELECT doc_b, doc_a FROM lshp
+       |),
+       |reach AS (
+       |  SELECT a AS node, a AS r FROM und
+       |  UNION
+       |  SELECT u.a, re.r FROM und u JOIN reach re ON u.b = re.node
+       |),
+       |lab AS (SELECT node AS doc_id FROM reach GROUP BY 1),
+       |dup AS (
+       |  SELECT doc_id, source,
+       |    count(*) OVER (PARTITION BY text) AS n_copies
+       |  FROM documents
+       |)
+       |SELECT dup.source, count(*)::BIGINT AS n_docs,
+       |  count(CASE WHEN dup.n_copies > 1 THEN 1 END)::BIGINT AS n_exact_dup,
+       |  count(lab.doc_id)::BIGINT AS n_near_dup,
+       |  ((count(CASE WHEN dup.n_copies > 1 THEN 1 END)::HUGEINT * 1000000)
+       |    // nullif(count(*), 0))::BIGINT AS exact_dup_ppm,
+       |  ((count(lab.doc_id)::HUGEINT * 1000000)
+       |    // nullif(count(*), 0))::BIGINT AS near_dup_ppm
+       |FROM dup LEFT JOIN lab ON lab.doc_id = dup.doc_id
+       |GROUP BY 1 ORDER BY dup.source""".stripMargin
+
   /** Cross-modal audit: the full [[minhashLsh]] pipeline as a derived
     * table, each pair scored with the exact embedding cosine and the
     * same unrounded-threshold agree flag — replicates

@@ -708,6 +708,26 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.forall(!_._6))
   }
 
+  test("dupRateBySource: counts match the underlying dedup queries") {
+    val rows = Dedup.dupRateBySource(spark, d)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).sum === Tables.documents(spark, d).count())
+    // exact-dup total = docs in multi-copy text groups (exact dedup's
+    // duplicate mass plus one keeper per group)
+    val exactTotal = Dedup.exact(spark, d)
+      .filter(col("n_copies") > 1)
+      .agg(coalesce(sum("n_copies"), lit(0L))).as[Long].head()
+    assert(rows.map(_._3).sum === exactTotal)
+    // near-dup total = members of the LSH cluster graph
+    assert(rows.map(_._4).sum === Dedup.nearDupClustersLsh(spark, d).count())
+    rows.foreach { r =>
+      assert(r._3 <= r._2 && r._4 <= r._2)
+      assert(r._5 === r._3 * 1000000L / r._2)
+      assert(r._6 === r._4 * 1000000L / r._2)
+    }
+  }
+
   test("winnowingPairs: shared run yields a pair, exact dup is total") {
     def words(pfx: String, n: Int) = (1 to n).map(i => s"$pfx$i")
     val run = words("shared", 16) // 16-word common run
