@@ -279,6 +279,8 @@ object SparkEntry {
     // --- text analysis (curation ops) ---
     "text_langid" -> (TextAnalysis.langId _),
     "text_quality" -> (TextAnalysis.quality _),
+    // per-source quality triage: mean/min score and low-quality share
+    "text_quality_by_source" -> (TextAnalysis.qualityBySource _),
     "text_token_counts" -> (TextAnalysis.tokenCounts _),
     // log2 token-length histogram with ppm doc/token shares — the
     // sequence-packing planning input
@@ -1527,6 +1529,7 @@ object SparkEntry {
     "ann_recall_at_k" -> SimilarityOracles.recallAtK,
     "text_langid" -> TextAnalysisOracles.langId,
     "text_quality" -> TextAnalysisOracles.quality,
+    "text_quality_by_source" -> TextAnalysisOracles.qualityBySource,
     "text_token_counts" -> TextAnalysisOracles.tokenCounts,
     "text_length_profile" -> TextAnalysisOracles.lengthProfile,
     "text_fingerprint" -> TextAnalysisOracles.fingerprint,

@@ -178,6 +178,36 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Low-quality threshold for [[qualityBySource]] in quality·10⁶
+    * units (score < 0.5). Shared with the oracle. */
+  val LowQualityPpm = 500000L
+
+  /** QUALITY TRIAGE BY SOURCE — the third leg of the by-source report
+    * family (`dedup_rate_by_source` names the duplicated feeds,
+    * `text_mixture_dedup_shift` the mixture consequences; this names
+    * the LOW-QUALITY feeds a filtering pass would cut): per source,
+    * mean/min document quality and the share under [[LowQualityPpm]].
+    * Each doc's 6-dp [[quality]] score is rounded to an exact ×10⁶
+    * integer BEFORE aggregating, so the per-source means are integer
+    * sums — no float summation order (per-doc scores themselves are
+    * the hash-checked `text_quality` values).
+    *
+    * Scale: the quality projection is per-doc map-side work; the
+    * roll-up is |sources|-sized. */
+  def qualityBySource(s: SparkSession, d: String): DataFrame = {
+    val q = quality(s, d).select(col("doc_id"),
+      round(col("quality") * 1000000).cast("long").as("q"))
+    q.join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("cast(sum(cast(q as decimal(38,0))) div count(1) as bigint)")
+          .as("mean_quality_ppm"),
+        min("q").as("min_quality_ppm"),
+        expr(s"count(case when q < $LowQualityPpm then 1 end) " +
+          "* 1000000 div count(1)").as("low_quality_ppm"))
+      .orderBy("source")
+  }
+
   /** Whitespace token count + a BPE-ish regex token count (letter runs,
     * digit runs, single other non-space chars) + char count. */
   /** DOC-LENGTH PROFILE in log₂ token buckets — the planning input for
@@ -891,6 +921,22 @@ object TextAnalysisOracles {
   }
 
   val quality: String = s"$qualityCore ORDER BY doc_id"
+
+  /** Replicates [[TextAnalysis.qualityBySource]] — the [[qualityCore]]
+    * pipeline as a derived table, per-doc ×10⁶ integerization, HUGEINT
+    * roll-up. */
+  val qualityBySource: String =
+    s"""WITH qx AS (SELECT doc_id, quality FROM ($qualityCore) t),
+       |j AS (
+       |  SELECT d.source, round(q.quality * 1000000)::BIGINT AS q
+       |  FROM qx q JOIN documents d USING (doc_id)
+       |)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |  (sum(q)::HUGEINT // count(*))::BIGINT AS mean_quality_ppm,
+       |  min(q)::BIGINT AS min_quality_ppm,
+       |  (count(CASE WHEN q < ${TextAnalysis.LowQualityPpm} THEN 1 END)
+       |    * 1000000 // count(*))::BIGINT AS low_quality_ppm
+       |FROM j GROUP BY 1 ORDER BY source""".stripMargin
 
   val docSimilarity: String =
     s"""WITH $toksCte,

@@ -12,6 +12,20 @@ class TextAnalysisSpec extends AnyFunSuite {
 
   private val d = "/root/testdata/sf0.001"
 
+  test("qualityBySource: conserves docs, means bounded by min and 1e6") {
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.qualityBySource(spark, d)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).sum === Tables.documents(spark, d).count())
+    rows.foreach { case (src, n, mean, mn, low) =>
+      assert(n > 0)
+      assert(mn <= mean && mean <= 1000000L, s"$src mean $mean vs min $mn")
+      assert(low >= 0 && low <= 1000000L)
+      if (mn >= TextAnalysis.LowQualityPpm) assert(low === 0L, src)
+    }
+  }
+
   test("lengthProfile: buckets conserve docs and tokens, bounds hold") {
     import org.apache.spark.sql.functions._
     val rows = TextAnalysis.lengthProfile(spark, d)
