@@ -571,6 +571,10 @@ object SparkEntry {
     //     under the actual streaming engine; both checked against ONE
     //     oracle) ---
     "events_sessionized" -> (graft.streaming.EventStream.sessionizeBatch _),
+    // per-day session health: exact p50/p95 duration, median + mean
+    // events per session, over the same oracle-checked sessionization
+    "events_session_quantiles" ->
+      (graft.streaming.EventStream.sessionQuantiles _),
     "events_session_stats" -> (graft.streaming.EventStream.sessionStats _),
     "events_sessionized_native" ->
       (graft.streaming.EventStream.sessionizeNative _),
@@ -1829,6 +1833,18 @@ object SparkEntry {
     "mm_phash_pairs_wide" -> MultimodalOracles.phashPairsWide,
     "mm_resize" -> MultimodalOracles.resize,
     "events_sessionized" -> sessionizedOracle,
+    "events_session_quantiles" ->
+      s"""WITH sess AS (SELECT * FROM ($sessionizedOracle) t)
+         |SELECT start_us // 86400000000 AS day,
+         |  strftime(epoch_ms((start_us // 86400000000) * 86400000),
+         |    '%Y-%m-%d') AS day_date,
+         |  count(*)::BIGINT AS n_sessions,
+         |  quantile_cont(end_us - start_us, 0.5e0) AS p50_dur_us,
+         |  quantile_cont(end_us - start_us, 0.95e0) AS p95_dur_us,
+         |  quantile_cont(n_events::BIGINT, 0.5e0) AS p50_events,
+         |  ((sum(n_events)::HUGEINT * 1000000) // count(*))::BIGINT
+         |    AS mean_events_ppm
+         |FROM sess GROUP BY 1 ORDER BY day""".stripMargin,
     // count-of-counts rollup over the SAME sessionization pipeline
     "events_session_stats" ->
       s"""WITH sess AS (SELECT * FROM ($sessionizedOracle) t)

@@ -930,6 +930,36 @@ object EventStream {
       .orderBy("user_id", "session_idx")
   }
 
+  /** SESSION-HEALTH QUANTILES — the monitoring roll-up over the same
+    * oracle-checked sessionization: per session-start day, session
+    * count, exact interpolated p50/p95 session duration (µs), median
+    * events per session, and the mean in integer ppm. Percentile
+    * interpolation over integer-valued durations is the proven
+    * `rel_percentiles`/`events_quantile_stream` parity surface; the
+    * mean routes through DECIMAL. Day buckets are integer epoch-day
+    * division (no calendar ambiguity).
+    *
+    * Scale: rides [[sessionizeBatch]]'s per-user windows (user-sized
+    * partitions), then a day-keyed aggregate over the session frame —
+    * sessions ≪ events, result ≤ #days rows. */
+  def sessionQuantiles(s: SparkSession, d: String): DataFrame =
+    sessionizeBatch(s, d)
+      .select(expr("start_us div 86400000000").as("day"),
+        (col("end_us") - col("start_us")).as("dur_us"),
+        col("n_events").cast("long").as("ne"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_sessions"),
+        expr("percentile(dur_us, 0.5)").as("p50_dur_us"),
+        expr("percentile(dur_us, 0.95)").as("p95_dur_us"),
+        expr("percentile(ne, 0.5)").as("p50_events"),
+        expr("cast((cast(sum(ne) as decimal(38,0)) * 1000000) " +
+          "div count(1) as bigint)").as("mean_events_ppm"))
+      .withColumn("day_date", date_format(
+        (col("day") * 86400).cast("timestamp"), "yyyy-MM-dd"))
+      .select("day", "day_date", "n_sessions", "p50_dur_us",
+        "p95_dur_us", "p50_events", "mean_events_ppm")
+      .orderBy("day")
+
   /** Driver-surface STREAMING sessionization — the stateful
     * [[sessionizeStateful]] pipeline run under the actual streaming
     * engine (file source → keyed state store → parquet sink,

@@ -645,6 +645,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(!expected.exists(_ <= 35L), "quiet prefix must not alarm")
   }
 
+  test("sessionQuantiles conserves sessions; quantile ordering holds") {
+    val rows = EventStream.sessionQuantiles(spark, d)
+      .as[(Long, String, Long, Double, Double, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._3).sum === EventStream.sessionizeBatch(spark, d).count())
+    rows.foreach { r =>
+      assert(r._4 >= 0 && r._4 <= r._5, s"p50 > p95 on day ${r._1}")
+      assert(r._6 >= 1.0, s"median events < 1 on day ${r._1}")
+      assert(r._7 >= 1000000L, s"mean events < 1 on day ${r._1}")
+    }
+  }
+
   test("sessionStats conserves sessions, events, and durations") {
     val d = "/root/testdata/sf0.001"
     val sess = EventStream.sessionizeBatch(spark, d)
