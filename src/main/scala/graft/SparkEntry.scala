@@ -201,6 +201,9 @@ object SparkEntry {
     // the corpus size and projected 10^3..10^9 corpora, the (tables,
     // bits) the scaled path selects and the occupancy bound it implies
     "dedup_lsh_geometry" -> (Dedup.lshGeometry _),
+    // the recall side of the dial: candidates/pairs/recall per geometry
+    // vs the brute truth (audit-slice query, guarded)
+    "dedup_lsh_geometry_eval" -> (Dedup.lshGeometryEval _),
     // crawl triage: exact- and near-dup membership rates per source
     "dedup_rate_by_source" -> (Dedup.dupRateBySource _),
     // connected components over the near-dup pair graph (iterative
@@ -1489,6 +1492,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> DedupOracles.embeddingLshPairs,
     "dedup_embedding_lsh_wide" -> DedupOracles.embeddingLshPairsWide,
     "dedup_lsh_geometry" -> DedupOracles.lshGeometry,
+    "dedup_lsh_geometry_eval" -> DedupOracles.lshGeometryEval,
     "dedup_rate_by_source" -> DedupOracles.dupRateBySource,
     "dedup_clusters" -> DedupOracles.clusters,
     "dedup_clusters_lsh" -> DedupOracles.clustersLsh,

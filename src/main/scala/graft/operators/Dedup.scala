@@ -829,6 +829,58 @@ object Dedup {
     embeddingLshPairsOn(e, t, b)
   }
 
+  /** RECALL SIDE of the geometry dial — SCALING.json measures what the
+    * widened geometry SAVES (exp 1.12 → 0.76); this measures what it
+    * COSTS: for the default and wide SRP geometries, the bucket-join
+    * candidate count (the work), the verified pair count, and recall
+    * vs the brute-force truth set at the same threshold (pairs the
+    * bucketing never collides are the loss; precision is 1 by
+    * construction since every candidate is exact-cosine verified).
+    * Guarded by [[MaxBrutePairVectors]] — the truth set is the
+    * quadratic audit baseline, so this is an AUDIT-SLICE query, never
+    * the production path.
+    *
+    * Scale note: run it on a bounded sample of the corpus (the
+    * standard recall-estimation move); the audited quantities
+    * themselves are corpus-size-free ratios. */
+  def lshGeometryEval(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.LshBuckets
+    val e = Tables.embeddings(s, d)
+    val n = e.count() // parquet row-count metadata
+    require(n <= MaxBrutePairVectors,
+      s"lshGeometryEval refused: $n vectors > $MaxBrutePairVectors " +
+        "(the truth set is a brute pair join); run on an audit sample")
+    val a = e.select(col("vec_id").as("i"), col("embedding").as("va"))
+    val b2 = e.select(col("vec_id").as("j"), col("embedding").as("vb"))
+    val truth = a.join(b2, col("i") < col("j"))
+      .filter(CosineSimilarity(col("va"), col("vb")) >= CosineLshThreshold)
+      .agg(count(lit(1)).as("n_truth"))
+    def leg(tables: Int, bits: Int, name: String): DataFrame = {
+      val bkt = e.select(col("vec_id"),
+        posexplode(LshBuckets(col("embedding"), tables, bits))
+          .as(Seq("t", "bucket")))
+      val cands = bkt.toDF("i", "t", "bucket")
+        .join(bkt.toDF("j", "t2", "bucket2"),
+          col("t") === col("t2") && col("bucket") === col("bucket2") &&
+            col("i") < col("j"))
+        .select("i", "j").distinct()
+      val verified = cands.join(a, "i").join(b2, "j")
+        .filter(CosineSimilarity(col("va"), col("vb")) >= CosineLshThreshold)
+      cands.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(broadcast(verified.agg(count(lit(1)).as("n_pairs"))))
+        .select(lit(name).as("geometry"),
+          lit(tables).cast("int").as("lsh_tables"),
+          lit(bits).cast("int").as("lsh_bits"),
+          col("n_candidates"), col("n_pairs"))
+    }
+    leg(LshBuckets.Tables, LshBuckets.Bits, "default")
+      .unionByName(leg(WideLshTables, WideLshBits, "wide"))
+      .crossJoin(broadcast(truth))
+      .withColumn("recall_ppm",
+        expr("n_pairs * 1000000 div nullif(n_truth, 0)"))
+      .orderBy("geometry")
+  }
+
   /** Geometry-dial audit: one row per corpus size (the actual count plus
     * [[LshGeometryProjectedSizes]]) with the [[scaledLshGeometry]] the
     * dial selects, the resulting per-table occupancy ceiling, and

@@ -458,6 +458,73 @@ object DedupOracles {
        |ORDER BY n_vectors, scope""".stripMargin
   }
 
+  /** Replicates [[Dedup.lshGeometryEval]]: shared quantized dims +
+    * plane table generated to the WIDE maxima (plane (t,b,d) is
+    * geometry-independent), per-geometry bucket keys as bit-subset
+    * sums, candidate/verified counts per geometry, brute truth at the
+    * same threshold. dims/planes MATERIALIZED (referenced by both
+    * geometry legs — the CTE-inlining explosion hazard). */
+  val lshGeometryEval: String = {
+    import graft.functions.LshBuckets.{Bits, Tables => NT, QuantScale}
+    val (wt, wb) = (Dedup.WideLshTables, Dedup.WideLshBits)
+    def legSql(t: Int, b: Int, name: String): String =
+      s"""SELECT '$name' AS geometry, $t::INTEGER AS lsh_tables,
+         |  $b::INTEGER AS lsh_bits,
+         |  (SELECT count(*) FROM cand_$name)::BIGINT AS n_candidates,
+         |  (SELECT count(*) FROM ver_$name)::BIGINT AS n_pairs""".stripMargin
+    def legCtes(t: Int, b: Int, name: String): String =
+      s"""buckets_$name AS (
+         |  SELECT vec_id, t,
+         |    sum(CASE WHEN dot >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS bucket
+         |  FROM dots WHERE t < $t AND b < $b GROUP BY 1, 2
+         |),
+         |cand_$name AS (
+         |  SELECT DISTINCT a.vec_id AS i, bb.vec_id AS j
+         |  FROM buckets_$name a JOIN buckets_$name bb
+         |    ON a.t = bb.t AND a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+         |),
+         |ver_$name AS (
+         |  SELECT i, j FROM cand_$name
+         |  JOIN embeddings va ON va.vec_id = i
+         |  JOIN embeddings vb ON vb.vec_id = j
+         |  WHERE list_cosine_similarity(va.embedding::DOUBLE[],
+         |    vb.embedding::DOUBLE[]) >= ${Dedup.CosineLshThreshold}
+         |)""".stripMargin
+    s"""WITH dims AS MATERIALIZED (
+       |  SELECT vec_id, d, floor(embedding[d]::DOUBLE * $QuantScale)::BIGINT AS qv
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(d)
+       |),
+       |planes AS MATERIALIZED (
+       |  SELECT t, b, d,
+       |    ('0x' || substr(md5('p_' || t || '_' || b || '_' || d), 1, 15))::BIGINT % 2001 - 1000 AS w
+       |  FROM unnest(generate_series(0, ${wt - 1})) tt(t),
+       |       unnest(generate_series(0, ${wb - 1})) bb(b),
+       |       unnest(generate_series(1,
+       |         (SELECT max(len(embedding)) FROM embeddings))) dd(d)
+       |),
+       |dots AS MATERIALIZED (
+       |  SELECT vec_id, t, b, sum(qv * w) AS dot
+       |  FROM dims JOIN planes USING (d) GROUP BY 1, 2, 3
+       |),
+       |${legCtes(NT, Bits, "default")},
+       |${legCtes(wt, wb, "wide")},
+       |truth AS (
+       |  SELECT count(*)::BIGINT AS n_truth
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+       |    b.embedding::DOUBLE[]) >= ${Dedup.CosineLshThreshold}
+       |),
+       |legs AS (
+       |  ${legSql(NT, Bits, "default")}
+       |  UNION ALL
+       |  ${legSql(wt, wb, "wide")}
+       |)
+       |SELECT geometry, lsh_tables, lsh_bits, n_candidates, n_pairs, n_truth,
+       |  (n_pairs * 1000000 // nullif(n_truth, 0))::BIGINT AS recall_ppm
+       |FROM legs, truth
+       |ORDER BY geometry""".stripMargin
+  }
+
   private def embeddingLshPairsAt(NT: Int, Bits: Int): String = {
     import graft.functions.LshBuckets.QuantScale
     s"""WITH dims AS (

@@ -23,6 +23,7 @@ class PlanLintSpec extends AnyFunSuite {
   private val scalarBnlj = Set(
     "bigram_probs", "bigram_probs_onlyone", // grand-total scalar
     "dedup_embedding_pairs",                // guarded brute pair join
+    "dedup_lsh_geometry_eval",              // guarded brute truth + 1-row aggs
     "ann_topk_brute",                       // broadcast query side, i<j
     "ann_knn_classify",                     // reuses brute top-k stage
     "ann_topk_ivf", "ann_topk_ivf_kmeans",  // broadcast codebook score

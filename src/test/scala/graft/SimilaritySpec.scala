@@ -517,6 +517,27 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("lshGeometryEval: recall and candidate counts consistent with pairs") {
+    import graft.operators.Dedup
+    val rows = Dedup.lshGeometryEval(spark, d)
+      .as[(String, Int, Int, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows.keySet === Set("default", "wide"))
+    val df = rows("default"); val w = rows("wide")
+    // verified pairs equal the corresponding pair queries' row counts
+    assert(df._5 === Dedup.embeddingLshPairs(spark, d).count())
+    assert(w._5 === Dedup.embeddingLshPairsWide(spark, d).count())
+    rows.values.foreach { r =>
+      assert(r._5 <= r._4, "verified pairs exceed candidates")
+      assert(r._5 <= r._6, "verified pairs exceed truth")
+      assert(r._7 === r._5 * 1000000L / r._6)
+    }
+    // wider geometry only SPLITS buckets per shared table, but its 4
+    // EXTRA tables add candidates independently — no ordering between
+    // total candidate counts is guaranteed, only the recall identity
+    assert(df._6 === w._6, "truth set must be geometry-independent")
+  }
+
   test("embeddingLshPairsScaled equals the default path at fixture scale") {
     import graft.operators.Dedup
     val scaled = Dedup.embeddingLshPairsScaled(spark, d).collect().toSeq
