@@ -129,8 +129,8 @@ object Bench {
     // sf0.001 compiles every query's generated classes up front
     // (~100-150 s against the 1500 s budget), so the timed loop starts
     // JIT-hot for the whole suite, not just the query at hand. Disable
-    // with SPARK_GRAFT_BENCH_WARM_DIR="" (and it auto-skips if the
-    // sweep would eat past a third of the budget).
+    // with SPARK_GRAFT_BENCH_WARM_DIR="" (and it auto-skips once the
+    // sweep has eaten a quarter of the budget).
     val warmDir =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_DIR", "/root/testdata/sf0.001")
     if (warmDir.nonEmpty) {
@@ -156,7 +156,20 @@ object Bench {
         }
       }
       pool.shutdown()
-      pool.awaitTermination(warmCap.toLong + 60, java.util.concurrent.TimeUnit.SECONDS)
+      val drained = pool.awaitTermination(
+        warmCap.toLong + 60, java.util.concurrent.TimeUnit.SECONDS)
+      if (!drained) {
+        // stragglers past the cap must not overlap the timed loop (CPU
+        // contention + clearCache() racing their cache writes — ADVICE
+        // r8): interrupt them (Spark jobs are interruptible) and wait
+        // out the unwind before timing starts
+        System.err.println("[bench] pre-warm stragglers at cap; interrupting")
+        pool.shutdownNow()
+        if (!pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS))
+          System.err.println(
+            "[bench] WARNING: pre-warm stragglers still running; timed " +
+              "passes may be contaminated")
+      }
       spark.catalog.clearCache()
       System.err.println(
         f"[bench] pre-warm sweep at $warmDir: ${warmed.get}/${batch.size} queries in ${(System.nanoTime() - t0) / 1e9}%.1f s")

@@ -114,7 +114,7 @@ object Scaling {
           () => operators.Dedup.nearDupEdgesShared(spark, warmDir),
           () => operators.Dedup.minhashEdgesShared(spark, warmDir),
           () => operators.Dedup.embeddingEdgesShared(spark, warmDir),
-          () => operators.Dedup.embeddingEdgesScaledShared(spark, warmDir),
+          () => operators.Dedup.embeddingEdgesFixedShared(spark, warmDir),
           () => operators.Dedup.truthPairsShared(spark, warmDir)))
         try b() catch { case _: Throwable => () }
       for (name <- panel if SparkEntry.queries.contains(name)) {
@@ -171,8 +171,11 @@ object Scaling {
       for ((kind, build) <- Seq[(String, () => DataFrame)](
           "shared_prefix_edges" -> (() => operators.Dedup.nearDupEdgesShared(spark, dir)),
           "shared_minhash_edges" -> (() => operators.Dedup.minhashEdgesShared(spark, dir)),
+          // the DEFAULT build runs the n-adaptive geometry dial (r9);
+          // the fixed-geometry audit variant is the superlinear plan the
+          // r8 artifact measured — kept so the comparison stays measured
           "shared_embedding_edges" -> (() => operators.Dedup.embeddingEdgesShared(spark, dir)),
-          "shared_embedding_edges_scaled" -> (() => operators.Dedup.embeddingEdgesScaledShared(spark, dir)),
+          "shared_embedding_edges_fixed" -> (() => operators.Dedup.embeddingEdgesFixedShared(spark, dir)),
           "shared_truth_pairs" -> (() => operators.Dedup.truthPairsShared(spark, dir)))
           if explicitPanel.forall(_.contains(kind))) {
         val t0 = System.nanoTime()
@@ -239,6 +242,15 @@ object Scaling {
     * unchanged). Idempotent per (base, factor): skips when the dest
     * `_INFLATED` marker already exists. */
   def inflate(spark: SparkSession, base: String, factor: Int, dest: String): Unit = {
+    // the per-copy embedding rotation (below) has only dim = 64 distinct
+    // rotations: copy 64 would repeat copy 0's directions verbatim and
+    // reintroduce the F² duplicate-pair blowup the rotation exists to
+    // avoid, silently invalidating the measurement (ADVICE r8) — refuse
+    // rather than mismeasure if SPARK_GRAFT_SCALING_FACTORS overreaches
+    require(factor <= 64,
+      s"inflate refused: factor $factor > 64 distinct embedding " +
+        "rotations (dim 64); copies would repeat directions and the " +
+        "near-dup workload would go quadratic in F")
     val marker = java.nio.file.Paths.get(dest, "_INFLATED")
     if (java.nio.file.Files.exists(marker)) {
       System.err.println(s"[scaling] reusing inflated x$factor at $dest")

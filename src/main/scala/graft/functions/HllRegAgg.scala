@@ -56,6 +56,15 @@ case class HllRegAgg(
     val v = child.eval(input)
     if (v != null) {
       val h = v.asInstanceOf[Long]
+      // the SQL surface (`hll_reg_agg` via GraftFunctions) accepts any
+      // bigint column, so enforce the nonnegative 60-bit contract
+      // (md5hash60 convention) with a named error instead of the
+      // ArrayIndexOutOfBounds a negative `h % m` would throw — a
+      // silent floorMod remap would diverge from the DuckDB oracle's
+      // `h % m` bucket arithmetic (ADVICE r8)
+      require(h >= 0L,
+        s"hll_reg_agg requires a nonnegative hash (md5hash60-style " +
+          s"60-bit convention); got $h")
       val bucket = (h % m).toInt
       val rest = h / m
       // ρ = 53 − bitlen(rest); Spark SQL's length(bin(rest)) ≡

@@ -692,7 +692,7 @@ object Dedup {
     * bucketed ANN; guarded by [[MaxBrutePairVectors]]. */
   def embeddingPairs(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val n = e.count() // cheap: parquet row-count metadata
+    val n = embeddingCorpusCount(s, d) // memoized metadata-only count
     require(n <= MaxBrutePairVectors,
       s"brute embeddingPairs refused: $n vectors > $MaxBrutePairVectors " +
         "(quadratic pair join); use embeddingLshPairs / Similarity ANN")
@@ -816,16 +816,19 @@ object Dedup {
   }
 
   /** [[embeddingLshPairs]] at the [[scaledLshGeometry]] for the corpus'
-    * actual size — the production default: geometry tracks the corpus so
+    * actual size — the production default (and since r9 what
+    * [[embeddingEdgesShared]] builds): geometry tracks the corpus so
     * candidate work stays linear (SCALING.json measured the FIXED
-    * geometry superlinear, exp 1.25 at ×16/×64; the scaled build is the
-    * fix, measured in the same artifact as
-    * `shared_embedding_edges_scaled`). At fixture sizes (n ≤ 8192) the
-    * dial resolves to the default geometry, so this is oracle-covered by
-    * `dedup_embedding_lsh` + the `dedup_lsh_geometry` audit. */
+    * geometry superlinear, exp 1.12 at ×64; this build measured 0.76 in
+    * the same artifact — `shared_embedding_edges` vs the
+    * `shared_embedding_edges_fixed` audit variant). At fixture sizes
+    * (n ≤ 8192) the dial resolves to the default geometry, so this is
+    * oracle-covered by `dedup_embedding_lsh` + the `dedup_lsh_geometry`
+    * audit. */
   def embeddingLshPairsScaled(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val (t, b) = scaledLshGeometry(e.count()) // parquet row-count metadata
+    // memoized parquet row-count metadata — one job per (session, corpus)
+    val (t, b) = scaledLshGeometry(embeddingCorpusCount(s, d))
     embeddingLshPairsOn(e, t, b)
   }
 
@@ -846,7 +849,7 @@ object Dedup {
   def lshGeometryEval(s: SparkSession, d: String): DataFrame = {
     import graft.functions.LshBuckets
     val e = Tables.embeddings(s, d)
-    val n = e.count() // parquet row-count metadata
+    val n = embeddingCorpusCount(s, d) // memoized metadata-only count
     require(n <= MaxBrutePairVectors,
       s"lshGeometryEval refused: $n vectors > $MaxBrutePairVectors " +
         "(the truth set is a brute pair join); run on an audit sample")
@@ -1036,6 +1039,22 @@ object Dedup {
   private val sharedEdgeCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
+  /** Memo of the embeddings corpus row count per (session, dir) — the
+    * geometry-aware entry points ([[embeddingLshPairsScaled]],
+    * [[lshGeometryEval]], [[embeddingPairs]]'s guard) each need n, and
+    * the count, while metadata-only over parquet, is still one Spark
+    * job per call; memoizing mirrors [[sharedEdgeCache]]'s contract so
+    * a session pays ONE count job per corpus, not one per geometry
+    * lookup (VERDICT r8 item 5). Same staleness caveats as the edge
+    * memo: a corpus dir rewritten mid-session would serve the
+    * pre-rewrite count. */
+  private val corpusCountCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+
+  private[graft] def embeddingCorpusCount(s: SparkSession, d: String): Long =
+    corpusCountCache.computeIfAbsent((s, d),
+      _ => Tables.embeddings(s, d).count())
+
   /** When set (env `SPARK_GRAFT_EDGE_DIR`; overridable for tests), the
     * shared edge graphs are materialized as PARQUET INTERMEDIATES under
     * this directory instead of localCheckpoint blocks: the first builder
@@ -1174,19 +1193,25 @@ object Dedup {
     sharedEdges(s, d, "minhash")(
       minhashLsh(s, d).select(col("doc_a").as("a"), col("doc_b").as("b")))
 
-  /** The embedding-LSH pair graph, shared — feeds [[semanticClusters]]. */
+  /** The embedding-LSH pair graph, shared — feeds [[semanticClusters]].
+    * Built at the n-adaptive [[scaledLshGeometry]] (r8 VERDICT item 1:
+    * SCALING.json measured the FIXED geometry superlinear, exp 1.12 at
+    * ×64, and the dial at 0.76 — the measured-better plan is the
+    * default now, not a parallel variant). At fixture sizes the dial
+    * resolves to the default geometry, so every downstream consumer
+    * stays oracle-identical. */
   def embeddingEdgesShared(s: SparkSession, d: String): DataFrame =
     sharedEdges(s, d, "embedding")(
-      embeddingLshPairs(s, d).select(col("vec_a").as("a"),
+      embeddingLshPairsScaled(s, d).select(col("vec_a").as("a"),
         col("vec_b").as("b")))
 
-  /** [[embeddingEdgesShared]] at the n-adaptive [[scaledLshGeometry]] —
-    * the Scaling harness measures this build alongside the
-    * fixed-geometry one to show the dial converts the measured
-    * superlinear exponent back to ~linear. */
-  def embeddingEdgesScaledShared(s: SparkSession, d: String): DataFrame =
-    sharedEdges(s, d, "embedding_scaled")(
-      embeddingLshPairsScaled(s, d).select(col("vec_a").as("a"),
+  /** [[embeddingEdgesShared]] at the FIXED default geometry — retained
+    * as the AUDIT variant the Scaling harness measures against the
+    * dial (the pair SCALING.json compares: fixed exp 1.12 vs scaled
+    * 0.76 at ×64). Never on a production path. */
+  def embeddingEdgesFixedShared(s: SparkSession, d: String): DataFrame =
+    sharedEdges(s, d, "embedding_fixed")(
+      embeddingLshPairs(s, d).select(col("vec_a").as("a"),
         col("vec_b").as("b")))
 
   /** Corpus-size guard for [[nearDupClusters]]: EXACT clustering at the
