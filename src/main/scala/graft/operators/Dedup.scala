@@ -210,15 +210,65 @@ object Dedup {
 
   /** doc_id → (band, bkey) LSH band keys from the minhash signatures —
     * the shared band frame for the symmetric ([[minhashCandidatesOn]])
-    * and asymmetric ([[incrementalDedup]]) band joins. */
-  private[graft] def minhashBandsOn(sh: DataFrame): DataFrame = {
-    import MinHashParams._
+    * and asymmetric ([[incrementalDedup]]) band joins. Default
+    * [[MinHashParams]] geometry; [[minhashBandsGeomOn]] is the
+    * dialable form. */
+  private[graft] def minhashBandsOn(sh: DataFrame): DataFrame =
+    minhashBandsGeomOn(sh, MinHashParams.Bands,
+      MinHashParams.K / MinHashParams.Bands)
+
+  /** [[minhashBandsOn]] at an explicit (bands, rowsPerBand) geometry
+    * (bands·rows ≤ [[MinHashParams.K]]). */
+  private[graft] def minhashBandsGeomOn(
+      sh: DataFrame, bands: Int, rows: Int): DataFrame = {
     val sig = minhashSignaturesOn(sh)
-    val bandKeys = (0 until Bands).map(b =>
-      col(s"mh${2 * b}") * P + col(s"mh${2 * b + 1}"))
     sig.select(col("doc_id"),
-      posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+      posexplode(array(bandKeyCols(bands, rows, i => col(s"mh$i")): _*))
+        .as(Seq("band", "bkey")))
   }
+
+  /** The per-band key expressions for a (bands, rowsPerBand) geometry
+    * over minhash columns `mh(0..bands·rows−1)` — shared between the
+    * batch band frames and the per-row STREAMING formulation
+    * (`EventStream.incrementalDedupStreamVerified`), so both sides of a
+    * stream-static band join always compute identical keys. r = 2 keeps
+    * the legacy exact arithmetic (`mh·P + mh` — the form every
+    * committed oracle replicates); wider rows pack the r values through
+    * [[md5hash60]] over a `_`-joined string (the `P`-base positional
+    * encoding would overflow BIGINT at r ≥ 3), whose DuckDB twin is the
+    * standard `('0x' || substr(md5(mh0 || '_' || …), 1, 15))::BIGINT`. */
+  private[graft] def bandKeyCols(
+      bands: Int, rows: Int, mh: Int => Column): Seq[Column] = {
+    require(bands > 0 && rows > 0 && bands * rows <= MinHashParams.K,
+      s"band geometry $bands x $rows exceeds the ${MinHashParams.K}-value " +
+        "signature")
+    (0 until bands).map { b =>
+      if (rows == 2) mh(rows * b) * P + mh(rows * b + 1)
+      else md5hash60(concat_ws("_",
+        (0 until rows).map(i => mh(rows * b + i).cast("string")): _*))
+    }
+  }
+
+  /** n-ADAPTIVE MinHash band geometry — the streaming analog of
+    * [[scaledLshGeometry]] (VERDICT r8 item 8): (bands, rowsPerBand)
+    * with bands·rows = [[MinHashParams.K]], rows DOUBLING as the corpus
+    * grows. Cost side: a band bucket holding o docs fans out o (stream)
+    * — or o² (symmetric) — verify candidates, and at the default r = 2
+    * a pair of mere 0.5-Jaccard docs still collides in some band with
+    * probability 1 − (1 − 0.5²)⁸ ≈ 0.90 — at dup-heavy crawl scale
+    * nearly every moderately-similar pair becomes a candidate. Raising
+    * r sharpens the S-curve (j^r per band): at r = 4 the same j = 0.5
+    * pair collides with probability ≈ 0.23, bounding bucket occupancy
+    * where it actually detonates. Recall at the J = 0.8 operating
+    * threshold stays high (r2: 0.9997, r4: 0.88, r8: 0.31 — the r8 leg
+    * is the documented last resort before sharding). Thresholds are
+    * powers of ten so the dial is trivially oracle-replicable; fixture
+    * corpora resolve to the default (8, 2), keeping every committed
+    * oracle byte-identical. */
+  def scaledBandGeometry(n: Long): (Int, Int) =
+    if (n <= 1000000L) (MinHashParams.Bands, MinHashParams.K / MinHashParams.Bands)
+    else if (n <= 100000000L) (4, MinHashParams.K / 4)
+    else (2, MinHashParams.K / 2)
 
   /** [[minhashCandidates]] over any (doc_id, s) shingle frame. */
   private[graft] def minhashCandidatesOn(sh: DataFrame): DataFrame = {

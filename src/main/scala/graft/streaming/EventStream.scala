@@ -327,13 +327,21 @@ object EventStream {
     val ss = streamSession(s)
     val P = Dedup.P
     // static side: corpus (even ids) band index + shingle-set arrays,
-    // built by the BATCH band pipeline and materialized once
+    // built by the BATCH band pipeline and materialized once. Band
+    // geometry comes from the n-adaptive dial (r8 VERDICT item 8 — the
+    // streaming inheritor of the scaledLshGeometry fix): the static
+    // corpus count is known at stream start, and BOTH the corpus index
+    // and the per-row stream banding below derive their keys from the
+    // same [[Dedup.bandKeyCols]], so the stream-static equi-join stays
+    // key-compatible at any geometry. Fixture corpora resolve to the
+    // default (8, 2) — oracle-identical.
     val corpusDocs = Tables.documents(ss, d)
       .filter(col("doc_id") % 2 === 0)
+    val (nBands, nRows) = Dedup.scaledBandGeometry(corpusDocs.count())
     val corpusSh = corpusDocs
       .select(col("doc_id"), explode(WordShingles(col("text"), 3)).as("s"))
       .distinct()
-    val corpusIdx = Dedup.minhashBandsOn(corpusSh)
+    val corpusIdx = Dedup.minhashBandsGeomOn(corpusSh, nBands, nRows)
       .select(col("doc_id").as("o"), col("band"), col("bkey"))
       .join(corpusDocs.select(col("doc_id").as("o"),
         array_distinct(WordShingles(col("text"), 3)).as("osh")), "o")
@@ -355,8 +363,8 @@ object EventStream {
     val banded = withSig
       .select(col("n") +: col("nsh") +: sig: _*)
       .select(col("n"), col("nsh"),
-        posexplode(array((0 until MinHashParams.Bands).map(b =>
-          col(s"mh${2 * b}") * P + col(s"mh${2 * b + 1}")): _*))
+        posexplode(array(
+          Dedup.bandKeyCols(nBands, nRows, i => col(s"mh$i")): _*))
           .as(Seq("band", "bkey")))
     val q = banded.join(corpusIdx, Seq("band", "bkey"))
       .dropDuplicates("n", "o")

@@ -804,4 +804,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(perRow.nonEmpty)
     assert(perRow === batch)
   }
+
+  test("streaming band-geometry dial: fixture resolves to default; wide keys agree") {
+    // the n-adaptive dial (r8 VERDICT item 8): fixture corpora must
+    // resolve to the default (8, 2) — that is what keeps every committed
+    // stream oracle byte-identical — and rows double at the documented
+    // power-of-ten thresholds
+    import graft.operators.Dedup
+    import graft.operators.Dedup.MinHashParams
+    import graft.functions.WordShingles
+    assert(Dedup.scaledBandGeometry(3000L) === (8, 2))
+    assert(Dedup.scaledBandGeometry(1000000L) === (8, 2))
+    assert(Dedup.scaledBandGeometry(1000001L) === (4, 4))
+    assert(Dedup.scaledBandGeometry(100000000L) === (4, 4))
+    assert(Dedup.scaledBandGeometry(100000001L) === (2, 8))
+
+    // wide-geometry key equality: at a forced (4, 4) the per-row stream
+    // formulation must still compute minhashBandsGeomOn's exact keys
+    // (the md5-packed wide-row path, not the legacy r=2 arithmetic)
+    val P = Dedup.P
+    val docs = Tables.documents(spark, d)
+    val batch = Dedup.minhashBandsGeomOn(
+      docs.select(col("doc_id"),
+          explode(WordShingles(col("text"), 3)).as("s")).distinct(), 4, 4)
+      .as[(Long, Int, Long)].collect().toSet
+    val sig = (0 until MinHashParams.K).map(i =>
+      aggregate(col("hv"), lit(P), (acc, x) =>
+        least(acc,
+          (lit(MinHashParams.A(i)) * x + lit(MinHashParams.B(i))) % P))
+        .as(s"mh$i"))
+    val perRow = docs
+      .select(col("doc_id"),
+        array_distinct(WordShingles(col("text"), 3)).as("nsh"))
+      .filter(size(col("nsh")) > 0)
+      .withColumn("hv", transform(col("nsh"), x => Dedup.md5hash60(x) % P))
+      .select(col("doc_id") +: sig: _*)
+      .select(col("doc_id"),
+        posexplode(array(Dedup.bandKeyCols(4, 4, i => col(s"mh$i")): _*))
+          .as(Seq("band", "bkey")))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(perRow.nonEmpty)
+    assert(perRow === batch)
+  }
 }
