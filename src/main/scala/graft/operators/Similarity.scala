@@ -574,7 +574,10 @@ object Similarity {
       "lsh" -> lshTopKOn(e),
       "pq" -> pqTopKOn(e),
       "pq_trained" -> pqTrainedTopKOn(e),
-      "ivfpq" -> ivfPqTopKOn(e))
+      "ivfpq" -> ivfPqTopKOn(e),
+      // the raw-encoded audit leg: same cells/seeds/probes, PQ over raw
+      // vectors — the panel makes "residual ≥ raw" a measured result
+      "ivfpq_raw" -> ivfPqTopKOn(e, residual = false))
     val unioned = approx.map { case (m, df) =>
       df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
     }.reduce(_ union _)
@@ -820,8 +823,16 @@ object Similarity {
     * small-multiple shortlist of two-stage PQ retrieval. */
   val IvfPqShortlist = 4 * K
 
-  /** [[ivfPqTopK]] over any (vec_id, embedding) DataFrame. */
-  def ivfPqTopKOn(e: DataFrame): DataFrame = {
+  /** [[ivfPqTopK]] over any (vec_id, embedding) DataFrame.
+    *
+    * `residual = false` is the RAW-ENCODED audit variant (r8 VERDICT
+    * item 6): identical coarse cells, seeds, probe set and scoring, but
+    * PQ encodes the raw vector instead of (vector − centroid) — the
+    * design residual encoding exists to beat (Jégou §IV: residuals
+    * concentrate near the origin, so the same codebook budget quantizes
+    * them more finely). The recall panel carries both legs so
+    * "residual ≥ raw" is a hash-checked result, not scaladoc. */
+  def ivfPqTopKOn(e: DataFrame, residual: Boolean = true): DataFrame = {
     import PqParams._
     val cents = defaultCentroids(e)
     // coarse assignment: the shared [[coarseCellsProbes]] plan (cosine
@@ -835,11 +846,13 @@ object Similarity {
     val centsQ = cents.select("cent_id")
       .join(qvec, col("cent_id") === col("vec_id"))
       .select(col("cent_id"), col("qv").as("cq"))
-    // residuals r = qv − centroid(qv), split into M subvectors
+    // residuals r = qv − centroid(qv) — or the raw qv on the
+    // raw-encoded audit leg — split into M subvectors
     val rsubs = qvec.join(cells, "vec_id")
       .join(broadcast(centsQ), "cent_id")
       .select(col("vec_id"), col("cent_id"),
-        zip_with(col("qv"), col("cq"), (x, y) => x - y).as("rv"))
+        (if (residual) zip_with(col("qv"), col("cq"), (x, y) => x - y)
+         else col("qv")).as("rv"))
       .select(col("vec_id"), col("cent_id"),
         posexplode(array(
           (0 until M).map(m => slice(col("rv"), m * SubDim + 1, SubDim)): _*))
@@ -870,7 +883,8 @@ object Similarity {
       .join(qvec.select(col("vec_id").as("query_id"), col("qv")), "query_id")
       .join(broadcast(centsQ), "cent_id")
       .select(col("query_id"), col("cent_id"),
-        zip_with(col("qv"), col("cq"), (x, y) => x - y).as("rv"))
+        (if (residual) zip_with(col("qv"), col("cq"), (x, y) => x - y)
+         else col("qv")).as("rv"))
       .select(col("query_id"), col("cent_id"),
         posexplode(array(
           (0 until M).map(m => slice(col("rv"), m * SubDim + 1, SubDim)): _*))
@@ -1475,8 +1489,15 @@ object SimilarityOracles {
     * [[Similarity.ivfPqTopKOn]] computes it (residual arithmetic is all
     * integer, so order cannot diverge), then the same exact cosine on
     * the winners. */
-  val ivfPqTopK: String = {
+  val ivfPqTopK: String = ivfPqTopKSql(residual = true)
+
+  /** The IVF-PQ oracle at either encoding — `residual = false` swaps
+    * the residual subtraction for the raw quantized vector in BOTH the
+    * corpus encoding and the query LUTs, exactly as
+    * [[Similarity.ivfPqTopKOn]]'s flag does. */
+  private[operators] def ivfPqTopKSql(residual: Boolean): String = {
     import Similarity.PqParams.{M, SubDim, Codes}
+    val rv = if (residual) "v.qv - c.qv" else "v.qv"
     s"""WITH dims AS (
        |  SELECT vec_id, d, floor(embedding[d]::DOUBLE * $QuantScale)::BIGINT AS qv
        |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(d)
@@ -1504,7 +1525,7 @@ object SimilarityOracles {
        |  WHERE crn <= ${Similarity.NProbe} AND vec_id < $NumQueries
        |),
        |rdims AS (
-       |  SELECT v.vec_id, cl.cent_id, v.d, v.qv - c.qv AS rv,
+       |  SELECT v.vec_id, cl.cent_id, v.d, $rv AS rv,
        |    (v.d - 1) // $SubDim AS m, (v.d - 1) % $SubDim AS dd
        |  FROM dims v
        |  JOIN cells cl ON cl.vec_id = v.vec_id
@@ -1532,7 +1553,7 @@ object SimilarityOracles {
        |  ) WHERE rn = 1
        |),
        |qrdims AS (
-       |  SELECT p.query_id, p.cent_id, v.d, v.qv - c.qv AS rv,
+       |  SELECT p.query_id, p.cent_id, v.d, $rv AS rv,
        |    (v.d - 1) // $SubDim AS m, (v.d - 1) % $SubDim AS dd
        |  FROM probes p
        |  JOIN dims v ON v.vec_id = p.query_id
@@ -1784,6 +1805,7 @@ object SimilarityOracles {
        |pq AS (SELECT * FROM ($pqTopK) p),
        |pqt AS (SELECT * FROM ($pqTrainedTopK) pt),
        |ivfpq AS (SELECT * FROM ($ivfPqTopK) ip),
+       |ivfpqr AS (SELECT * FROM (${ivfPqTopKSql(residual = false)}) ipr),
        |m AS (
        |  SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf
        |  UNION ALL
@@ -1796,6 +1818,8 @@ object SimilarityOracles {
        |  SELECT 'pq_trained', query_id, neighbor_id FROM pqt
        |  UNION ALL
        |  SELECT 'ivfpq', query_id, neighbor_id FROM ivfpq
+       |  UNION ALL
+       |  SELECT 'ivfpq_raw', query_id, neighbor_id FROM ivfpqr
        |),
        |base AS (SELECT query_id, count(*) AS k FROM brute GROUP BY 1),
        |hits AS (
@@ -1804,8 +1828,8 @@ object SimilarityOracles {
        |    ON m.query_id = b.query_id AND m.neighbor_id = b.neighbor_id
        |  GROUP BY 1, 2
        |),
-       |methods AS (SELECT unnest(['ivf', 'ivf_kmeans', 'ivfpq', 'lsh',
-       |  'pq', 'pq_trained']) AS method)
+       |methods AS (SELECT unnest(['ivf', 'ivf_kmeans', 'ivfpq',
+       |  'ivfpq_raw', 'lsh', 'pq', 'pq_trained']) AS method)
        |SELECT mm.method AS method, base.query_id, base.k,
        |  coalesce(h.n_hit, 0) AS n_hit,
        |  round(coalesce(h.n_hit, 0) * 1.0 / base.k, 6) AS recall
