@@ -43,6 +43,16 @@ import org.apache.spark.sql.functions._
   * ln(t) on ln(F). exponent ≈ 1 = linear scaling; > ~1.3 on this
   * shuffle-light box earns a SCALE.md explanation or a fix.
   *
+  * r9 columns (VERDICT r8 items 2 + 4): every row also records the
+  * run's shuffle WRITE volume (`shuffle_mb_x{F}` + `shuffle_exponent`)
+  * — on a memory-resident box, bytes that grow superlinearly are a
+  * 100 TB risk wall time can't show yet — and the [[StreamPanel]]
+  * streaming queries run at ×1/×4/×16 with the peak state-store
+  * footprint from their progress events (`state_rows_x{F}` /
+  * `state_mb_x{F}` + `state_rows_exponent`), the reference's own
+  * scaling-table shape (`timings.txt:1-17`) extended to the streaming
+  * half of the engine.
+  *
   * Run: `sbt "runMain graft.Scaling"` → writes SCALING.json (cwd).
   * Env knobs: SPARK_GRAFT_SCALING_BASE (default /root/testdata/sf0.1),
   * SPARK_GRAFT_SCALING_DIR (scratch, default /tmp/graft_scaling),
@@ -74,7 +84,31 @@ object Scaling {
     // linear-scan control group
     "bigram_probs", "rel_pricing_summary")
 
-  private case class Sample(factor: Int, sec: Double)
+  /** One (query, factor) measurement. `sec` < 0 encodes refusal (−2) /
+    * failure (−1). `shufMb` is the per-run shuffle WRITE volume in MiB
+    * (read ≈ write on this one-box topology; −1 = not captured) — the
+    * r8 VERDICT item 4 column: the ×64 box is still memory-resident,
+    * so a plan whose shuffle BYTES grow superlinearly is a 100 TB risk
+    * even while wall time stays flat. `stateRows`/`stateMb` are the
+    * peak state-store footprint for streaming runs (−1 = batch). */
+  private case class Sample(factor: Int, sec: Double,
+      shufMb: Double = -1.0, stateRows: Long = -1L, stateMb: Double = -1.0)
+
+  /** The streaming slice of the panel (VERDICT r8 item 2): the heaviest
+    * stream queries — the three stateful join shapes plus the
+    * incremental-dedup and vector-ingest stream-static pipelines — run
+    * at ×1/×4/×16 (AvailableNow over the inflated fixtures; ×64 stays
+    * batch-only: micro-batch engine overhead dominates far past the
+    * point where the state trend is established). Each row records
+    * wall seconds AND the peak state-store rows/bytes from the
+    * progress events ([[graft.streaming.StreamObserver]]). */
+  val StreamPanel: Seq[String] = Seq(
+    "events_outer_join_stream", "events_range_join_stream",
+    "events_semi_join_stream", "dedup_incremental_stream",
+    "ann_ingest_stream")
+
+  /** Streaming factor ceiling (see [[StreamPanel]]). */
+  val StreamMaxFactor = 16
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SCALING_BASE", "/root/testdata/sf0.1")
@@ -83,7 +117,9 @@ object Scaling {
       .split(",").map(_.trim.toInt).toSeq
     val explicitPanel = sys.env.get("SPARK_GRAFT_SCALING_QUERIES")
       .map(_.split(",").map(_.trim).toSeq)
-    val panel = explicitPanel.getOrElse(DefaultPanel)
+    val panel = explicitPanel.getOrElse(DefaultPanel).filterNot(_.endsWith("_stream"))
+    val streamPanel = explicitPanel.getOrElse(StreamPanel)
+      .filter(_.endsWith("_stream"))
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "SCALING.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // At ×64 (38M lineitem rows) 32 shuffle partitions put ~2M rows in
@@ -117,7 +153,10 @@ object Scaling {
           () => operators.Dedup.embeddingEdgesFixedShared(spark, warmDir),
           () => operators.Dedup.truthPairsShared(spark, warmDir)))
         try b() catch { case _: Throwable => () }
-      for (name <- panel if SparkEntry.queries.contains(name)) {
+      // streams included: the FIRST streaming invocation in a JVM pays
+      // ~1.5-1.7 s of micro-batch-planner/state-store/sink JIT (Bench's
+      // measured stream-2pass rationale) — warm it off the x1 samples
+      for (name <- panel ++ streamPanel if SparkEntry.queries.contains(name)) {
         try SparkEntry.queries(name)(spark, warmDir)
           .write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
@@ -131,14 +170,56 @@ object Scaling {
     val results = scala.collection.mutable.LinkedHashMap[String, Vector[Sample]]()
     val rows = scala.collection.mutable.LinkedHashMap[Int, Long]()
 
+    // --- shuffle-volume accounting (VERDICT r8 item 4) ---------------
+    // Stage-level shuffle WRITE bytes, accumulated by a listener; each
+    // pass snapshots the counter around its run. Listener delivery is
+    // async and listenerBus.waitUntilEmpty is private[spark], so the
+    // snapshots poll the counters until stable (the CcJobCountSpec
+    // pattern) — the poll sits OUTSIDE the timed window.
+    val shufWritten = new java.util.concurrent.atomic.AtomicLong(0L)
+    val stagesSeen = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        if (m != null) shufWritten.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        stagesSeen.incrementAndGet()
+      }
+    })
+    def quiesce(extra: () => Long = () => 0L): Unit = {
+      def state() = stagesSeen.get() + shufWritten.get() + extra()
+      var n = state()
+      var since = System.nanoTime()
+      while (System.nanoTime() - since < 400L * 1000 * 1000) {
+        Thread.sleep(40)
+        val c = state()
+        if (c != n) { n = c; since = System.nanoTime() }
+      }
+    }
+
     def emit(): Unit = {
       def f4(v: Double) =
         BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
       val qjson = results.map { case (name, samples) =>
-        val pts = samples.map(s => s""""x${s.factor}":${f4(s.sec)}""")
+        val pts = samples.map(s => s""""x${s.factor}":${f4(s.sec)}""") ++
+          samples.filter(_.shufMb >= 0).map(s =>
+            s""""shuffle_mb_x${s.factor}":${f4(s.shufMb)}""") ++
+          samples.filter(_.stateRows >= 0).map(s =>
+            s""""state_rows_x${s.factor}":${s.stateRows}""") ++
+          samples.filter(_.stateMb >= 0).map(s =>
+            s""""state_mb_x${s.factor}":${f4(s.stateMb)}""")
         val expo = exponent(samples)
         val e = expo.map(v => s""","exponent":${f4(v)}""").getOrElse("")
-        s""""$name":{${pts.mkString(",")}$e}"""
+        // bytes exponents: the scale-risk signal wall time can hide on
+        // a memory-resident box (zero-shuffle/zero-state runs carry no
+        // exponent — nothing to fit)
+        val se = fitExponent(samples.filter(_.shufMb > 0)
+            .map(s => (s.factor, s.shufMb)))
+          .map(v => s""","shuffle_exponent":${f4(v)}""").getOrElse("")
+        val ste = fitExponent(samples.filter(_.stateRows > 0)
+            .map(s => (s.factor, s.stateRows.toDouble)))
+          .map(v => s""","state_rows_exponent":${f4(v)}""").getOrElse("")
+        s""""$name":{${pts.mkString(",")}$e$se$ste}"""
       }.mkString("{", ",", "}")
       val rjson = rows.map { case (f, n) => s""""x$f":$n""" }
         .mkString("{", ",", "}")
@@ -178,43 +259,102 @@ object Scaling {
           "shared_embedding_edges_fixed" -> (() => operators.Dedup.embeddingEdgesFixedShared(spark, dir)),
           "shared_truth_pairs" -> (() => operators.Dedup.truthPairsShared(spark, dir)))
           if explicitPanel.forall(_.contains(kind))) {
+        spark.catalog.clearCache()
+        quiesce()
+        val mb0 = shufWritten.get()
         val t0 = System.nanoTime()
         val sec = try { build(); (System.nanoTime() - t0) / 1e9 }
           catch { case e: Throwable =>
             System.err.println(s"[scaling] $kind x$factor failed: ${e.getMessage}")
             -1.0
           }
-        results(kind) = results.getOrElse(kind, Vector.empty) :+ Sample(factor, sec)
-        System.err.println(f"[scaling] $kind%-28s x$factor%-3d ${sec}%8.3f s (build)")
+        quiesce()
+        val mb = if (sec < 0) -1.0 else (shufWritten.get() - mb0) / 1048576.0
+        results(kind) = results.getOrElse(kind, Vector.empty) :+
+          Sample(factor, sec, shufMb = mb)
+        System.err.println(
+          f"[scaling] $kind%-28s x$factor%-3d ${sec}%8.3f s  shuffle=${mb}%10.1f MiB (build)")
         spark.catalog.clearCache()
         emit()
       }
 
-      def runOnce(name: String): Double = {
+      // one timed pass; shuffle bytes snapshot around it (bytes are
+      // plan-deterministic across passes, so the warm pass's volume
+      // stands for the query)
+      def runOnce(name: String): (Double, Double) = {
         spark.catalog.clearCache()
+        quiesce()
+        val mb0 = shufWritten.get()
         val t0 = System.nanoTime()
         try {
           SparkEntry.queries(name)(spark, dir)
             .write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+          val sec = (System.nanoTime() - t0) / 1e9
+          quiesce()
+          (sec, (shufWritten.get() - mb0) / 1048576.0)
         } catch { case e: Throwable =>
           // guarded baselines may REFUSE oversized input by design —
           // record the refusal (-2) distinctly from an error (-1)
           val refused = e.getMessage != null && e.getMessage.contains("refus")
           System.err.println(s"[scaling] $name x$factor ${if (refused) "refused" else "failed"}: ${e.getMessage}")
-          if (refused) -2.0 else -1.0
+          (if (refused) -2.0 else -1.0, -1.0)
         }
       }
 
       for (name <- panel if SparkEntry.queries.contains(name)) {
-        val warm = runOnce(name)
+        val (warm, warmMb) = runOnce(name)
         val sec =
           if (warm < 0) warm // refusal/failure: don't retry twice
-          else if (warm > 5.0) math.min(warm, runOnce(name)) // slow: 2 samples
-          else Seq(warm, runOnce(name), runOnce(name)).min // fast: 3 samples
-        results(name) = results.getOrElse(name, Vector.empty) :+ Sample(factor, sec)
-        System.err.println(f"[scaling] $name%-28s x$factor%-3d ${sec}%8.3f s")
+          else if (warm > 5.0) math.min(warm, runOnce(name)._1) // slow: 2 samples
+          else Seq(warm, runOnce(name)._1, runOnce(name)._1).min // fast: 3 samples
+        results(name) = results.getOrElse(name, Vector.empty) :+
+          Sample(factor, sec, shufMb = warmMb)
+        System.err.println(
+          f"[scaling] $name%-28s x$factor%-3d ${sec}%8.3f s  shuffle=${warmMb}%10.1f MiB")
         emit()
+      }
+
+      // ---- streaming rows (VERDICT r8 item 2) ------------------------
+      // AvailableNow streams over the same inflated dir; 2-pass min
+      // (Bench's stream policy), peak state-store rows/bytes from the
+      // progress events of the pass that achieved the min
+      if (factor <= StreamMaxFactor) {
+        import graft.streaming.StreamObserver
+        def streamOnce(name: String): Sample = {
+          spark.catalog.clearCache()
+          quiesce(() => StreamObserver.deliveries)
+          val mb0 = shufWritten.get()
+          StreamObserver.arm()
+          val t0 = System.nanoTime()
+          try {
+            SparkEntry.queries(name)(spark, dir)
+              .write.format("noop").mode("overwrite").save()
+            val sec = (System.nanoTime() - t0) / 1e9
+            quiesce(() => StreamObserver.deliveries)
+            val (srows, sbytes) = StreamObserver.disarm()
+            Sample(factor, sec, (shufWritten.get() - mb0) / 1048576.0,
+              srows, sbytes / 1048576.0)
+          } catch { case e: Throwable =>
+            StreamObserver.disarm()
+            System.err.println(s"[scaling] $name x$factor failed: ${e.getMessage}")
+            Sample(factor, -1.0)
+          }
+        }
+        for (name <- streamPanel if SparkEntry.queries.contains(name)) {
+          val first = streamOnce(name)
+          val best =
+            if (first.sec < 0) first
+            else {
+              val second = streamOnce(name)
+              if (second.sec >= 0 && second.sec < first.sec) second else first
+            }
+          results(name) = results.getOrElse(name, Vector.empty) :+ best
+          System.err.println(
+            f"[scaling] $name%-28s x$factor%-3d ${best.sec}%8.3f s  " +
+              f"state=${best.stateRows}%8d rows/${best.stateMb}%8.2f MiB  " +
+              f"shuffle=${best.shufMb}%8.1f MiB (stream)")
+          emit()
+        }
       }
     }
     emit()
@@ -223,9 +363,13 @@ object Scaling {
 
   /** Least-squares slope of ln(sec) on ln(factor) over valid samples;
     * None with fewer than two valid points. */
-  def exponent(samples: Seq[Sample]): Option[Double] = {
-    val pts = samples.filter(_.sec > 0)
-      .map(s => (math.log(s.factor.toDouble), math.log(s.sec)))
+  def exponent(samples: Seq[Sample]): Option[Double] =
+    fitExponent(samples.filter(_.sec > 0).map(s => (s.factor, s.sec)))
+
+  /** ln-ln least-squares slope over (factor, value) points. */
+  def fitExponent(raw: Seq[(Int, Double)]): Option[Double] = {
+    val pts = raw.filter(_._2 > 0)
+      .map(s => (math.log(s._1.toDouble), math.log(s._2)))
     if (pts.size < 2) None
     else {
       val n = pts.size.toDouble

@@ -188,15 +188,23 @@ object EventStream {
   /** File-based streaming source over the events parquet (ts
     * normalization matching [[graft.Tables.events]] — handles both the
     * nanos-as-long and the TIMESTAMP_NTZ micros testdata layouts). The
-    * streaming file source monitors a DIRECTORY; `pathGlobFilter`
-    * narrows it to the events table. */
+    * source monitors the TABLE path through a brace glob —
+    * `events.parquet` plus the brace-alternation of "" and "/&#42;" —
+    * that matches both corpus layouts: the
+    * fixture's single flat file AND the part files inside a
+    * Spark-written directory (e.g. the Scaling harness' inflated
+    * scratch). The former `pathGlobFilter` over the parent dir matched
+    * only the flat-file layout (the filter tests LEAF file names, and
+    * a directory's `part-*` members never match `events.parquet`), and
+    * a direct non-glob file path trips FileStreamSource's
+    * `basePath must be a directory` check — the glob form keeps
+    * basePath unset and lists exactly the table's data files. */
   def readEventStream(s: SparkSession, dir: String): DataFrame = {
     if (!s.conf.getOption(Tables.NanosConf).contains("true"))
       s.conf.set(Tables.NanosConf, "true")
     Tables.normalizeEventTs(s.readStream
       .schema(Tables.load(s, dir, "events").schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir))
+      .parquet(s"$dir/events.parquet{,/*}"))
   }
 
   /** Streaming CSV source. Streaming file sources cannot infer schemas
@@ -349,7 +357,7 @@ object EventStream {
     // stream side: new docs (odd ids), map-only shingles → bands
     val newDocs = ss.readStream
       .schema(Tables.load(ss, d, "documents").schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .parquet(s"$d/documents.parquet{,/*}") // file or part-dir (readEventStream rule)
       .filter(col("doc_id") % 2 === 1)
     val withSig = newDocs
       .select(col("doc_id").as("n"),
@@ -457,7 +465,7 @@ object EventStream {
     // stream side: arriving vectors, map-only probe selection
     val arrivals = ss.readStream
       .schema(Tables.load(ss, d, "embeddings").schema)
-      .option("pathGlobFilter", "embeddings.parquet").parquet(d)
+      .parquet(s"$d/embeddings.parquet{,/*}") // file or part-dir (readEventStream rule)
       .filter(col("vec_id") % 2 === 1)
       .select(col("vec_id"), col("embedding"),
         quant(col("embedding")).as("qv"), lit(1).as("k"))
@@ -543,7 +551,7 @@ object EventStream {
     // mean threshold via sv·S ≥ Σ sv, bit pack)
     val arrivals = ss.readStream
       .schema(Tables.load(ss, d, "documents").schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .parquet(s"$d/documents.parquet{,/*}") // file or part-dir (readEventStream rule)
       .filter(col("doc_id") % 2 === 1 &&
         col("doc_id") % Multimodal.Kinds.size === Multimodal.Kinds.indexOf("image"))
       .select(col("doc_id").as("media_id"),
@@ -698,6 +706,10 @@ object EventStream {
     // shift every date_format'd window label; inherit it explicitly
     ss.conf.set("spark.sql.session.timeZone",
       s.conf.get("spark.sql.session.timeZone"))
+    // harness observability: every driver-surface stream reports its
+    // per-batch state-store footprint through the shared observer (a
+    // no-op unless a harness armed it — see [[StreamObserver]])
+    ss.streams.addListener(StreamObserver)
     ss
   }
 
