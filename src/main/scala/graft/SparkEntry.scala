@@ -201,6 +201,7 @@ object SparkEntry {
     // the corpus size and projected 10^3..10^9 corpora, the (tables,
     // bits) the scaled path selects and the occupancy bound it implies
     "dedup_lsh_geometry" -> (Dedup.lshGeometry _),
+    "dedup_band_geometry" -> (Dedup.bandGeometry _),
     // the recall side of the dial: candidates/pairs/recall per geometry
     // vs the brute truth (audit-slice query, guarded)
     "dedup_lsh_geometry_eval" -> (Dedup.lshGeometryEval _),
@@ -261,6 +262,7 @@ object SparkEntry {
     "ann_topk_pq_trained" -> (Similarity.pqTrainedTopK _),
     // IVFADC: coarse cells bound the search, PQ residual codes the memory
     "ann_topk_ivfpq" -> (Similarity.ivfPqTopK _),
+    "ann_pq_distortion" -> (Similarity.pqDistortion _),
     // radius search: every neighbor within cosine >= t (data-dependent
     // result size), SRP bucket candidates, no ranking stage at all
     "ann_range_search" -> (Similarity.rangeSearch _),
@@ -1492,6 +1494,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> DedupOracles.embeddingLshPairs,
     "dedup_embedding_lsh_wide" -> DedupOracles.embeddingLshPairsWide,
     "dedup_lsh_geometry" -> DedupOracles.lshGeometry,
+    "dedup_band_geometry" -> DedupOracles.bandGeometry,
     "dedup_lsh_geometry_eval" -> DedupOracles.lshGeometryEval,
     "dedup_rate_by_source" -> DedupOracles.dupRateBySource,
     "dedup_clusters" -> DedupOracles.clusters,
@@ -1525,6 +1528,7 @@ object SparkEntry {
     "ann_topk_pq" -> SimilarityOracles.pqTopK,
     "ann_topk_pq_trained" -> SimilarityOracles.pqTrainedTopK,
     "ann_topk_ivfpq" -> SimilarityOracles.ivfPqTopK,
+    "ann_pq_distortion" -> SimilarityOracles.pqDistortion,
     "ann_label_purity" -> SimilarityOracles.labelPurity,
     "ann_knn_classify" -> SimilarityOracles.knnClassify,
     "ann_prototype_classify" -> SimilarityOracles.prototypeClassify,

@@ -270,6 +270,75 @@ object Dedup {
     else if (n <= 100000000L) (4, MinHashParams.K / 4)
     else (2, MinHashParams.K / 2)
 
+  /** Corpus sizes [[bandGeometry]] projects the dial across (besides
+    * the actual count) — covers all three rows-per-band branches. */
+  val BandGeometryProjectedSizes: Seq[Long] = Seq(1000L, 10000L,
+    100000L, 1000000L, 10000000L, 100000000L, 1000000000L, 10000000000L)
+
+  /** The J = 0.8 operating threshold and the j = 0.5 "moderately
+    * similar" false-candidate driver, in ppm — the two points the
+    * [[bandGeometry]] audit evaluates each geometry's S-curve at. */
+  val BandJaccardPpm = 800000L
+  val BandModeratePpm = 500000L
+
+  /** (per-band collision, any-band candidate) probability in ppm for a
+    * pair of Jaccard `jPpm` docs under a (bands, rows) geometry —
+    * j^r and 1 − (1−j^r)^b by ITERATED integer floor (each step stays
+    * under 10¹², so the arithmetic is pure BIGINT and, precomputed
+    * here, shared as literals with the oracle — the co-located
+    * constants rule). Floor error compounds a few ppm downward per
+    * step, identically on both sides of the compare. */
+  private[graft] def bandPpm(jPpm: Long, bands: Int, rows: Int): (Long, Long) = {
+    var c = 1000000L
+    for (_ <- 0 until rows) c = c * jPpm / 1000000L
+    var miss = 1000000L
+    for (_ <- 0 until bands) miss = miss * (1000000L - c) / 1000000L
+    (c, 1000000L - miss)
+  }
+
+  /** The three dial geometries with their ppm stats — the literal rows
+    * BOTH the Spark plan and the DuckDB oracle join against. */
+  private[graft] def bandGeometryRows: Seq[(Int, Int, Long, Long, Long, Long)] =
+    Seq(2, 4, 8).map { r =>
+      val b = MinHashParams.K / r
+      val (ct, recall) = bandPpm(BandJaccardPpm, b, r)
+      val (cf, fpCand) = bandPpm(BandModeratePpm, b, r)
+      (r, b, ct, recall, cf, fpCand)
+    }
+
+  /** Band-geometry dial audit — the [[lshGeometry]] twin for the
+    * MINHASH banding dial (r8 VERDICT item 8's streaming geometry):
+    * one row per corpus size (actual + [[BandGeometryProjectedSizes]])
+    * with the (bands, rows) [[scaledBandGeometry]] selects and the
+    * geometry's S-curve evaluated in integer ppm at the J = 0.8
+    * operating threshold (per-band collision + recall) and at j = 0.5
+    * (the false-candidate driver the dial exists to suppress: 900 k ppm
+    * of moderate pairs become candidates at (8, 2), 228 k at (4, 4),
+    * 7.8 k at (2, 8)). All BIGINT arithmetic, literals shared with the
+    * oracle — the streaming dial's scale story is itself hash-checked,
+    * like `dedup_lsh_geometry` is for the SRP dial. */
+  def bandGeometry(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val actual = Tables.documents(s, d)
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .withColumn("scope", lit("corpus"))
+    val projected = BandGeometryProjectedSizes.toDF("n_docs")
+      .withColumn("scope", lit("projected"))
+    val geoms = bandGeometryRows.toDF("rows_per_band", "bands",
+      "collide_ppm", "recall_ppm", "fp_band_ppm", "fp_cand_ppm")
+    actual.select("scope", "n_docs")
+      .unionByName(projected.select("scope", "n_docs"))
+      .withColumn("rows_per_band",
+        when(col("n_docs") <= 1000000L, 2)
+          .when(col("n_docs") <= 100000000L, 4)
+          .otherwise(8).cast("int"))
+      .join(broadcast(geoms), "rows_per_band")
+      .select(col("scope"), col("n_docs"), col("bands").cast("int"),
+        col("rows_per_band"), col("collide_ppm"), col("recall_ppm"),
+        col("fp_band_ppm"), col("fp_cand_ppm"))
+      .orderBy("n_docs", "scope")
+  }
+
   /** [[minhashCandidates]] over any (doc_id, s) shingle frame. */
   private[graft] def minhashCandidatesOn(sh: DataFrame): DataFrame = {
     val bands = minhashBandsOn(sh)

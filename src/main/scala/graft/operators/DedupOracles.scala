@@ -458,6 +458,35 @@ object DedupOracles {
        |ORDER BY n_vectors, scope""".stripMargin
   }
 
+  /** Replicates [[Dedup.bandGeometry]]: the same dial thresholds and
+    * the SAME precomputed ppm literals ([[Dedup.bandGeometryRows]] —
+    * iterated-floor integer arithmetic evaluated once in Scala and
+    * emitted into both plans, the co-located-constants rule). */
+  val bandGeometry: String = {
+    val sizes = Dedup.BandGeometryProjectedSizes.mkString(", ")
+    val geomValues = Dedup.bandGeometryRows.map {
+      case (r, b, ct, recall, cf, fp) => s"($r, $b, $ct, $recall, $cf, $fp)"
+    }.mkString(", ")
+    s"""WITH sizes AS (
+       |  SELECT 'corpus' AS scope, count(*)::BIGINT AS n_docs FROM documents
+       |  UNION ALL
+       |  SELECT 'projected' AS scope, unnest([$sizes])::BIGINT AS n_docs
+       |),
+       |geoms(rows_per_band, bands, collide_ppm, recall_ppm, fp_band_ppm,
+       |      fp_cand_ppm) AS (VALUES $geomValues)
+       |SELECT s.scope, s.n_docs, g.bands::INTEGER AS bands,
+       |  g.rows_per_band::INTEGER AS rows_per_band,
+       |  g.collide_ppm::BIGINT AS collide_ppm,
+       |  g.recall_ppm::BIGINT AS recall_ppm,
+       |  g.fp_band_ppm::BIGINT AS fp_band_ppm,
+       |  g.fp_cand_ppm::BIGINT AS fp_cand_ppm
+       |FROM sizes s
+       |JOIN geoms g ON g.rows_per_band =
+       |  (CASE WHEN s.n_docs <= 1000000 THEN 2
+       |        WHEN s.n_docs <= 100000000 THEN 4 ELSE 8 END)
+       |ORDER BY n_docs, scope""".stripMargin
+  }
+
   /** Replicates [[Dedup.lshGeometryEval]]: shared quantized dims +
     * plane table generated to the WIDE maxima (plane (t,b,d) is
     * geometry-independent), per-geometry bucket keys as bit-subset

@@ -833,6 +833,18 @@ object Similarity {
     * them more finely). The recall panel carries both legs so
     * "residual ≥ raw" is a hash-checked result, not scaladoc. */
   def ivfPqTopKOn(e: DataFrame, residual: Boolean = true): DataFrame = {
+    val parts = ivfPqParts(e, residual)
+    ivfPqSearch(e, parts)
+  }
+
+  /** The IVF-PQ index-build half, shared with [[pqDistortion]]:
+    * quantized vectors, quantized coarse centroids, cell assignment,
+    * probe sets, (residual or raw) subvectors and their codebooks. */
+  private case class IvfPqParts(qvec: DataFrame, centsQ: DataFrame,
+      cells: DataFrame, probes: DataFrame, rsubs: DataFrame, cb: DataFrame,
+      residual: Boolean)
+
+  private def ivfPqParts(e: DataFrame, residual: Boolean): IvfPqParts = {
     import PqParams._
     val cents = defaultCentroids(e)
     // coarse assignment: the shared [[coarseCellsProbes]] plan (cosine
@@ -869,6 +881,14 @@ object Similarity {
           col("sub").as("cv")),
         Seq("cent_vec", "m"))
       .select("m", "cell", "cv")
+    IvfPqParts(qvec, centsQ, cells, probes, rsubs, cb, residual)
+  }
+
+  /** The IVF-PQ search half: encode, query LUTs, ADC shortlist, exact
+    * rerank. */
+  private def ivfPqSearch(e: DataFrame, parts: IvfPqParts): DataFrame = {
+    import PqParams._
+    val IvfPqParts(qvec, centsQ, _, probes, rsubs, cb, residual) = parts
     // encode: nearest residual-codebook entry, exact integer L2²,
     // min_by argmin (map-side partial agg, no window)
     val codes = rsubs.join(broadcast(cb), Seq("m"))
@@ -906,6 +926,54 @@ object Similarity {
       .select(col("query_id"), explode(col("topk")).as("nb"))
       .select(col("query_id"), col("nb.id").as("neighbor_id"))
     rerank(e, shortlist)
+  }
+
+  /** QUANTIZATION-DISTORTION audit — the metric each PQ design choice
+    * exists to move, as a first-class hash-checked result: for every
+    * encoding the library ships (seeded PQ, Lloyd-trained PQ, residual
+    * IVFADC, raw-encoded IVFADC) the total and mean integer L2² between
+    * each subvector and its NEAREST codebook entry. This pins the two
+    * design claims numerically: training lowers distortion
+    * (pq_trained < pq — what the Lloyd iterations optimize), and
+    * residuals quantize more finely than raw vectors under the same
+    * codebook budget when the data is CLUSTERED (Jégou §IV, the reason
+    * production systems encode residuals — pinned on a planted-cluster
+    * corpus in `SimilaritySpec`). Honest fixture caveat: on the
+    * near-orthogonal parquet fixture the coarse seeds are effectively
+    * random directions, so subtracting them √2-INFLATES residual
+    * magnitudes — the fixture rows show ivfpq > ivfpq_raw distortion
+    * (while reranked recall still favors residuals); the distortion win
+    * appears exactly where the encoding's premise (cluster structure)
+    * holds. All arithmetic is the floor(x·2²⁰) integer space, so both
+    * engines agree bit-exactly.
+    *
+    * Scale: each leg is one n×M×Codes broadcast cross-score into a
+    * map-side min + a global sum — linear in n, no pairwise math, the
+    * same shape as the encode step every index build already runs. */
+  def pqDistortion(s: SparkSession, d: String): DataFrame =
+    pqDistortionOn(emb(s, d))
+
+  /** [[pqDistortion]] over any (vec_id, embedding) DataFrame. */
+  private[graft] def pqDistortionOn(e: DataFrame): DataFrame = {
+    val subs = pqSubvectors(e)
+    def minD2(sv: DataFrame, cb: DataFrame): DataFrame =
+      sv.join(broadcast(cb), Seq("m"))
+        .select(col("vec_id"), col("m"),
+          aggregate(zip_with(col("sub"), col("cv"),
+            (x, y) => (x - y) * (x - y)), lit(0L), _ + _).as("d2"))
+        .groupBy("vec_id", "m").agg(min("d2").as("d2"))
+    def leg(name: String, md: DataFrame): DataFrame =
+      md.agg(count(lit(1)).as("n_subvectors"), sum("d2").as("total_d2"))
+        .select(lit(name).as("method"), col("n_subvectors"),
+          col("total_d2"), expr("total_d2 div n_subvectors").as("mean_d2"))
+    val res = ivfPqParts(e, residual = true)
+    val raw = ivfPqParts(e, residual = false)
+    leg("ivfpq", minD2(res.rsubs, res.cb))
+      .unionByName(leg("ivfpq_raw", minD2(raw.rsubs, raw.cb)))
+      .unionByName(leg("pq", minD2(subs, pqCodebook(e, subs))))
+      .unionByName(leg("pq_trained",
+        minD2(subs, pqCodebookTrained(e, subs, PqIters))))
+      .orderBy("method")
   }
 
   /** Shared IVF coarse assignment: `cells` = every vector's nearest
@@ -1404,9 +1472,11 @@ object SimilarityOracles {
     * the trained codebooks are bit-identical cross-engine. */
   val pqTrainedTopK: String = pqSqlAt(Similarity.PqIters)
 
-  private def pqSqlAt(iters: Int): String = {
+  /** The PQ codebook CTE chain (dims → sdims → seeds → cb0 → Lloyd
+    * rounds) shared by the top-K oracles and [[pqDistortion]]; returns
+    * (CTE text, final-codebook CTE name). */
+  private def pqCbCtes(iters: Int): (String, String) = {
     import Similarity.PqParams.{M, SubDim, Codes}
-    val cbFinal = s"cb$iters"
     val lloyd = (1 to iters).map { i =>
       s"""tc$i AS (
          |  SELECT vec_id, m, cell FROM (
@@ -1423,8 +1493,8 @@ object SimilarityOracles {
          |  GROUP BY 1, 2, 3
          |)""".stripMargin
     }.mkString(",\n")
-    val lloydSection = if (iters == 0) "" else lloyd + ",\n"
-    s"""WITH dims AS (
+    val lloydSection = if (iters == 0) "" else ",\n" + lloyd
+    val ctes = s"""dims AS (
        |  SELECT vec_id, d, floor(embedding[d]::DOUBLE * $QuantScale)::BIGINT AS qv
        |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(d)
        |),
@@ -1443,8 +1513,15 @@ object SimilarityOracles {
        |cb0 AS (
        |  SELECT s.m, s.cell, sd.dd, sd.qv AS cv
        |  FROM seeds s JOIN sdims sd ON sd.vec_id = s.cent_vec AND sd.m = s.m
-       |),
-       |$lloydSection codes AS (
+       |)$lloydSection""".stripMargin
+    (ctes, s"cb$iters")
+  }
+
+  private def pqSqlAt(iters: Int): String = {
+    import Similarity.PqParams.{M, SubDim, Codes}
+    val (cbCtes, cbFinal) = pqCbCtes(iters)
+    s"""WITH $cbCtes,
+       |codes AS (
        |  SELECT vec_id, m, cell FROM (
        |    SELECT sd.vec_id, sd.m, cb.cell,
        |      row_number() OVER (PARTITION BY sd.vec_id, sd.m
@@ -1495,10 +1572,14 @@ object SimilarityOracles {
     * the residual subtraction for the raw quantized vector in BOTH the
     * corpus encoding and the query LUTs, exactly as
     * [[Similarity.ivfPqTopKOn]]'s flag does. */
-  private[operators] def ivfPqTopKSql(residual: Boolean): String = {
+  /** The IVF-PQ index-build CTE chain (dims → coarse cells/probes →
+    * (residual|raw) rdims → residual codebooks rcb), shared by the
+    * top-K oracle and [[pqDistortion]] — mirrors
+    * [[Similarity.ivfPqParts]]'s split. */
+  private def ivfPqCbCtes(residual: Boolean): String = {
     import Similarity.PqParams.{M, SubDim, Codes}
     val rv = if (residual) "v.qv - c.qv" else "v.qv"
-    s"""WITH dims AS (
+    s"""dims AS (
        |  SELECT vec_id, d, floor(embedding[d]::DOUBLE * $QuantScale)::BIGINT AS qv
        |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(d)
        |),
@@ -1542,7 +1623,13 @@ object SimilarityOracles {
        |rcb AS (
        |  SELECT s.m, s.cell, r.dd, r.rv AS cv
        |  FROM seeds2 s JOIN rdims r ON r.vec_id = s.cent_vec AND r.m = s.m
-       |),
+       |)""".stripMargin
+  }
+
+  private[operators] def ivfPqTopKSql(residual: Boolean): String = {
+    import Similarity.PqParams.{M, SubDim, Codes}
+    val rv = if (residual) "v.qv - c.qv" else "v.qv"
+    s"""WITH ${ivfPqCbCtes(residual)},
        |codes AS (
        |  SELECT vec_id, cent_id, m, cell FROM (
        |    SELECT r.vec_id, r.cent_id, r.m, cb.cell,
@@ -1592,6 +1679,49 @@ object SimilarityOracles {
        |)
        |SELECT query_id, neighbor_id, rank, cosine FROM rr
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Replicates [[Similarity.pqDistortion]]: for each of the four
+    * encodings, the min integer L2² to the leg's codebook per
+    * (vector, subspace), summed and integer-mean'd — composed from the
+    * same codebook CTE chains the top-K oracles use ([[pqCbCtes]] /
+    * [[ivfPqCbCtes]]), so the codebooks are definitionally the ones the
+    * search oracles search. DuckDB `sum(BIGINT)` is HUGEINT — cast back
+    * to BIGINT on both aggregate outputs (verify-skill rule). */
+  val pqDistortion: String = {
+    def agg(name: String, subsRel: String, cbRel: String, vCol: String,
+        ctes: String): String =
+      s"""SELECT * FROM (
+         |  WITH $ctes,
+         |  mind AS (
+         |    SELECT vec_id, m, min(d2) AS d2 FROM (
+         |      SELECT sv.vec_id, sv.m, cb.cell,
+         |        CAST(sum((sv.$vCol - cb.cv) * (sv.$vCol - cb.cv)) AS BIGINT) AS d2
+         |      FROM $subsRel sv JOIN $cbRel cb
+         |        ON cb.m = sv.m AND cb.dd = sv.dd
+         |      GROUP BY 1, 2, 3
+         |    ) GROUP BY 1, 2
+         |  )
+         |  SELECT '$name' AS method, count(*)::BIGINT AS n_subvectors,
+         |    CAST(sum(d2) AS BIGINT) AS total_d2,
+         |    (CAST(sum(d2) AS BIGINT) // count(*))::BIGINT AS mean_d2
+         |  FROM mind
+         |) t_$name""".stripMargin
+    def pqLeg(name: String, iters: Int): String = {
+      val (ctes, cbFinal) = pqCbCtes(iters)
+      agg(name, "sdims", cbFinal, "qv", ctes)
+    }
+    def ivfLeg(name: String, residual: Boolean): String =
+      agg(name, "rdims", "rcb", "rv", ivfPqCbCtes(residual))
+    s"""SELECT * FROM (
+       |  ${ivfLeg("ivfpq", residual = true)}
+       |  UNION ALL
+       |  ${ivfLeg("ivfpq_raw", residual = false)}
+       |  UNION ALL
+       |  ${pqLeg("pq", 0)}
+       |  UNION ALL
+       |  ${pqLeg("pq_trained", Similarity.PqIters)}
+       |) ORDER BY method""".stripMargin
   }
 
   /** Replicates the integer-quantized sign-random-projection bucketing:

@@ -817,4 +817,26 @@ class DedupSpec extends AnyFunSuite {
     assert(Seq(1L, 2L, 3L).map(got(_)._1).distinct.size === 1)
     assert(Seq(10L, 11L, 12L).map(got(_)._1).distinct.size === 1)
   }
+
+  test("bandGeometry audit agrees with the dial and orders the S-curve") {
+    val rows = Dedup.bandGeometry(spark, d).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val n = r.getAs[Long]("n_docs")
+      val (b, rp) = Dedup.scaledBandGeometry(n)
+      assert(r.getAs[Int]("bands") === b, s"bands at n=$n")
+      assert(r.getAs[Int]("rows_per_band") === rp, s"rows at n=$n")
+      assert(b * rp === Dedup.MinHashParams.K)
+    }
+    // wider rows sharpen the S-curve: recall at the operating threshold
+    // and false-candidate rate at j=0.5 both fall monotonically
+    val byRows = rows.map(r => r.getAs[Int]("rows_per_band") ->
+      (r.getAs[Long]("recall_ppm"), r.getAs[Long]("fp_cand_ppm"))).toMap
+    val ladder = byRows.keys.toSeq.sorted.map(byRows)
+    assert(ladder.map(_._1) === ladder.map(_._1).sorted.reverse, "recall not decreasing")
+    assert(ladder.map(_._2) === ladder.map(_._2).sorted.reverse, "fp rate not decreasing")
+    // the dial's point: at (2, 8) only ~0.8% of moderate (j=0.5) pairs
+    // collide vs ~90% at the default — while J=0.8 recall stays > 30%
+    assert(byRows(2)._2 > 850000L && byRows(8)._2 < 10000L)
+  }
 }

@@ -302,6 +302,36 @@ class SimilaritySpec extends AnyFunSuite {
       f"residual ${means("ivfpq")}%.3f < raw ${means("ivfpq_raw")}%.3f")
   }
 
+  test("pqDistortion: training wins always; residual wins on clustered data") {
+    import org.apache.spark.sql.functions._
+    // planted-cluster corpus (the residual encoding's premise): 10
+    // centers, 40 noisy members each — coarse seeds land inside
+    // clusters, so residuals concentrate near the origin
+    val rnd = new scala.util.Random(43)
+    val dim = 64
+    val centers = Seq.fill(10)(Array.fill(dim)(rnd.nextFloat() - 0.5f))
+    val e = (for {
+      (c, ci) <- centers.zipWithIndex
+      k <- 0 until 40
+    } yield ((ci * 40 + k).toLong,
+        c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f).toSeq))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val d2 = Similarity.pqDistortionOn(e)
+      .select("method", "mean_d2").as[(String, Long)].collect().toMap
+    info(s"planted mean_d2: $d2")
+    assert(d2("pq_trained") <= d2("pq"),
+      s"training raised distortion: ${d2("pq_trained")} > ${d2("pq")}")
+    assert(d2("ivfpq") < d2("ivfpq_raw"),
+      s"residual encoding did not win on clustered data: " +
+        s"${d2("ivfpq")} >= ${d2("ivfpq_raw")}")
+    // the fixture corpus direction (training wins there too) is pinned
+    // by the hash-checked driver query; assert it locally as well
+    val fx = Similarity.pqDistortion(spark, d)
+      .select("method", "mean_d2").as[(String, Long)].collect().toMap
+    assert(fx("pq_trained") <= fx("pq"))
+  }
+
   test("Lloyd-trained PQ: distortion never increases, planted recall intact") {
     import org.apache.spark.sql.functions._
     // dim-64 planted corpus (PQ needs M*SubDim = 64): 200 random base
