@@ -263,6 +263,7 @@ object SparkEntry {
     // IVFADC: coarse cells bound the search, PQ residual codes the memory
     "ann_topk_ivfpq" -> (Similarity.ivfPqTopK _),
     "ann_pq_distortion" -> (Similarity.pqDistortion _),
+    "ann_nprobe_sweep" -> (Similarity.nprobeSweep _),
     // radius search: every neighbor within cosine >= t (data-dependent
     // result size), SRP bucket candidates, no ranking stage at all
     "ann_range_search" -> (Similarity.rangeSearch _),
@@ -1529,6 +1530,7 @@ object SparkEntry {
     "ann_topk_pq_trained" -> SimilarityOracles.pqTrainedTopK,
     "ann_topk_ivfpq" -> SimilarityOracles.ivfPqTopK,
     "ann_pq_distortion" -> SimilarityOracles.pqDistortion,
+    "ann_nprobe_sweep" -> SimilarityOracles.nprobeSweep,
     "ann_label_purity" -> SimilarityOracles.labelPurity,
     "ann_knn_classify" -> SimilarityOracles.knnClassify,
     "ann_prototype_classify" -> SimilarityOracles.prototypeClassify,

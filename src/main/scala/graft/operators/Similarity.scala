@@ -1018,6 +1018,63 @@ object Similarity {
     rerank(e, cands)
   }
 
+  /** The probe counts [[nprobeSweep]] evaluates — brackets the
+    * operating [[NProbe]] from below and above. */
+  val NProbeSweep: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** NPROBE recall/cost dial audit — the last undialed ANN knob after
+    * the SRP bits/tables dial (`dedup_lsh_geometry`), the banding
+    * (bands, rows) dial (`dedup_band_geometry`) and the IVF cell-count
+    * dial (`ann_ivf_geometry`): for each probe count in [[NProbeSweep]],
+    * the candidate volume the IVF search would score (the cost — grows
+    * ~nprobe·n/K) and its recall against the exact top-[[K]] truth (the
+    * return — saturates once the true neighbors' home cells are
+    * covered). One assignment pass serves every leg: each (query,
+    * corpus vector) candidate carries the RANK of the best probed cell
+    * containing it, and a leg is just `cell_rank ≤ nprobe`. Counts and
+    * integer-ppm recall only, so the oracle is hash-exact. */
+  def nprobeSweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, d)
+    val cents = defaultCentroids(e)
+    def scored(src: DataFrame) = src.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        CosineSimilarity(col("embedding"), col("cv")).as("ccos"))
+    val cells = scored(e).groupBy("vec_id")
+      .agg(max_by(col("cent_id"), struct(col("ccos"), -col("cent_id")))
+        .as("cent_id"))
+      .select(col("vec_id").as("neighbor_id"), col("cent_id"))
+    val probes = scored(e.filter(col("vec_id") < NumQueries))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cent_id"))))
+      .filter(col("crn") <= NProbeSweep.max)
+      .select(col("vec_id").as("query_id"), col("cent_id"), col("crn"))
+    val candRank = probes.join(cells, "cent_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id").agg(min("crn").as("cell_rank"))
+    // truth consumed twice (hit join + denominator): #queries × K rows,
+    // localCheckpoint not persist (the recallAtK hygiene rule)
+    val brute = bruteTopKOn(e).select("query_id", "neighbor_id")
+      .localCheckpoint()
+    val legged = candRank
+      .select(col("query_id"), col("neighbor_id"),
+        col("cell_rank"), explode(typedlit(NProbeSweep)).as("nprobe"))
+      .filter(col("cell_rank") <= col("nprobe"))
+    val cands = legged.groupBy("nprobe").agg(count(lit(1)).as("n_candidates"))
+    val hits = legged.join(brute, Seq("query_id", "neighbor_id"))
+      .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
+    val truth = brute.agg(count(lit(1)).as("n_truth"))
+    NProbeSweep.toDF("nprobe")
+      .join(cands, Seq("nprobe"), "left")
+      .join(hits, Seq("nprobe"), "left")
+      .crossJoin(broadcast(truth))
+      .select(col("nprobe").cast("int"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr("coalesce(n_hits, 0) * 1000000 div n_truth").as("recall_ppm"))
+      .orderBy("nprobe")
+  }
+
   /** Candidate pool per query feeding [[mmrRerank]]'s greedy selection. */
   val MmrCands = 20
 
@@ -2104,6 +2161,69 @@ object SimilarityOracles {
        |)
        |SELECT query_id, neighbor_id, rank, cosine FROM rr
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  /** Replicates [[Similarity.nprobeSweep]]: the shared coarse
+    * assignment window (crn ≤ max sweep), per-(query, vector) best
+    * probed-cell rank, and the four nprobe legs as a rank filter —
+    * counts + integer-ppm recall. `brute` and `legged` are each
+    * referenced twice, wrapping join-heavy pipelines → MATERIALIZED
+    * (the CTE-inlining explosion rule). */
+  val nprobeSweep: String = {
+    val legs = Similarity.NProbeSweep.mkString(", ")
+    s"""WITH seeds AS (
+       |  SELECT ('0x' || substr(md5('cb_' || vec_id), 1, 15))::BIGINT
+       |           % ${Similarity.CodebookSize} AS cell,
+       |         min(vec_id) AS cent_id
+       |  FROM embeddings GROUP BY 1
+       |),
+       |cents AS (
+       |  SELECT cent_id, embedding AS cv FROM seeds
+       |  JOIN embeddings ON vec_id = cent_id
+       |),
+       |assigned AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+       |               c.cent_id) AS crn
+       |  FROM embeddings e, cents c
+       |),
+       |cells AS (SELECT vec_id AS neighbor_id, cent_id FROM assigned WHERE crn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cent_id, crn FROM assigned
+       |  WHERE crn <= ${Similarity.NProbeSweep.max} AND vec_id < $NumQueries
+       |),
+       |candrank AS (
+       |  SELECT p.query_id, cl.neighbor_id, min(p.crn) AS cell_rank
+       |  FROM probes p JOIN cells cl USING (cent_id)
+       |  WHERE cl.neighbor_id <> p.query_id
+       |  GROUP BY 1, 2
+       |),
+       |brute AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM ($bruteTopK) b
+       |),
+       |legs AS (SELECT unnest([$legs]) AS nprobe),
+       |legged AS MATERIALIZED (
+       |  SELECT l.nprobe, c.query_id, c.neighbor_id
+       |  FROM legs l JOIN candrank c ON c.cell_rank <= l.nprobe
+       |),
+       |cands AS (SELECT nprobe, count(*) AS n_candidates FROM legged GROUP BY 1),
+       |hits AS (
+       |  SELECT l.nprobe, count(*) AS n_hits FROM legged l
+       |  JOIN brute b ON b.query_id = l.query_id
+       |    AND b.neighbor_id = l.neighbor_id
+       |  GROUP BY 1
+       |),
+       |truth AS (SELECT count(*) AS n_truth FROM brute)
+       |SELECT l.nprobe::INTEGER AS nprobe,
+       |  coalesce(c.n_candidates, 0)::BIGINT AS n_candidates,
+       |  coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       |  (coalesce(h.n_hits, 0) * 1000000 // t.n_truth)::BIGINT AS recall_ppm
+       |FROM legs l
+       |LEFT JOIN cands c USING (nprobe)
+       |LEFT JOIN hits h USING (nprobe)
+       |CROSS JOIN truth t
+       |ORDER BY nprobe""".stripMargin
+  }
 
   /** Replicates [[Similarity.mmrRerankOn]] — the same floor(x·2²⁰)
     * integer dots, the same single-IEEE-expression cosines (so the

@@ -334,6 +334,18 @@ object EventStream {
     val (out, ckpt) = scratchDirs("incdedup")
     val ss = streamSession(s)
     val P = Dedup.P
+    // The static corpus index is a BATCH build (shingle explode →
+    // distinct → signatures), and the stream session's 4 state
+    // partitions are far too few for it at scale: the r9 SCALING run
+    // measured its shuffle at 381 MiB (×16) vs the batch twin's 123 —
+    // 4-partition hash aggregates spill into fallback and lose their
+    // map-side combine. Build the static side at the CALLER's
+    // parallelism, then drop to [[StreamStatePartitions]] for the
+    // stream itself (shuffle conf is read per-query at start; the
+    // localCheckpoint below materializes the index eagerly while the
+    // wide setting is active).
+    ss.conf.set("spark.sql.shuffle.partitions",
+      s.conf.get("spark.sql.shuffle.partitions"))
     // static side: corpus (even ids) band index + shingle-set arrays,
     // built by the BATCH band pipeline and materialized once. Band
     // geometry comes from the n-adaptive dial (r8 VERDICT item 8 — the
@@ -349,11 +361,29 @@ object EventStream {
     val corpusSh = corpusDocs
       .select(col("doc_id"), explode(WordShingles(col("text"), 3)).as("s"))
       .distinct()
+    // LATE MATERIALIZATION (r9, after SCALING measured 382 MiB of ×16
+    // shuffle with the payload riding the band join vs the batch twin's
+    // 123): the band INDEX carries only (o, band, bkey) — 3 scalars —
+    // through the per-batch stream-static join; the fat shingle ARRAY
+    // is a separate (o, osh) payload frame fetched AFTER
+    // dropDuplicates, so only surviving candidate pairs ever move a
+    // shingle set. This is the key/payload split every 100 TB join
+    // wants: band-match on keys, fetch payloads late. Measured: ×16
+    // shuffle 382 → 258 MiB; the remainder is the index build's
+    // distinct over the corpus shingle VOCABULARY (the inflation
+    // harness multiplies vocab by F via letter rotation — a real
+    // crawl's vocabulary grows far slower), and wall time stays
+    // sublinear (exp 0.37).
     val corpusIdx = Dedup.minhashBandsGeomOn(corpusSh, nBands, nRows)
       .select(col("doc_id").as("o"), col("band"), col("bkey"))
-      .join(corpusDocs.select(col("doc_id").as("o"),
-        array_distinct(WordShingles(col("text"), 3)).as("osh")), "o")
       .localCheckpoint()
+    val corpusPayload = corpusDocs.select(col("doc_id").as("o"),
+        array_distinct(WordShingles(col("text"), 3)).as("osh"))
+      .localCheckpoint()
+    // index materialized — restore the streaming state-partition count
+    // before the micro-batch query plans against it
+    ss.conf.set("spark.sql.shuffle.partitions",
+      StreamStatePartitions.toString)
     // stream side: new docs (odd ids), map-only shingles → bands
     val newDocs = ss.readStream
       .schema(Tables.load(ss, d, "documents").schema)
@@ -376,6 +406,7 @@ object EventStream {
           .as(Seq("band", "bkey")))
     val q = banded.join(corpusIdx, Seq("band", "bkey"))
       .dropDuplicates("n", "o")
+      .join(corpusPayload, "o") // candidates only — the late fetch
       .select(col("n"), col("o"),
         size(array_intersect(col("nsh"), col("osh"))).as("c"),
         size(col("nsh")).as("szn"), size(col("osh")).as("szo"))

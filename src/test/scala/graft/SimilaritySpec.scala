@@ -302,6 +302,20 @@ class SimilaritySpec extends AnyFunSuite {
       f"residual ${means("ivfpq")}%.3f < raw ${means("ivfpq_raw")}%.3f")
   }
 
+  test("nprobeSweep: cost and recall both monotone in the probe count") {
+    val rows = Similarity.nprobeSweep(spark, d)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === Similarity.NProbeSweep)
+    val byProbe = rows.sortBy(_._1)
+    assert(byProbe.map(_._2).toSeq === byProbe.map(_._2).sorted.toSeq,
+      "candidate volume must be nondecreasing in nprobe")
+    assert(byProbe.map(_._4).toSeq === byProbe.map(_._4).sorted.toSeq,
+      "recall must be nondecreasing in nprobe")
+    assert(byProbe.last._4 > 0, "zero recall at max probes")
+    // hits never exceed truth (#queries x K)
+    assert(byProbe.forall(_._3 <= Similarity.NumQueries.toLong * Similarity.K))
+  }
+
   test("pqDistortion: training wins always; residual wins on clustered data") {
     import org.apache.spark.sql.functions._
     // planted-cluster corpus (the residual encoding's premise): 10
