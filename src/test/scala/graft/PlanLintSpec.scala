@@ -47,6 +47,10 @@ class PlanLintSpec extends AnyFunSuite {
     "ann_recall_at_k",                      // 4-row method × #queries scaffold
                                             // (reuses brute/ivf broadcasts)
     "dedup_lsh_eval",                       // three 1-row count aggregates
+    "ann_nprobe_sweep",                     // 32-row codebook crossJoin score
+                                            // + 1-row truth-total broadcast
+    "ann_pq_distortion",                    // 32-row coarse-codebook score
+                                            // (the ivfPqParts legs)
     "events_priority_sample",               // 1-row τ-threshold broadcast
     "text_bpe_vocab",                       // 1-row chosen-merge broadcast
     "rel_skyline",                          // guarded candidate dominance pass
