@@ -197,6 +197,15 @@ object SparkEntry {
     "dedup_embedding_pairs" -> (Dedup.embeddingPairs _),
     "dedup_embedding_lsh" -> (Dedup.embeddingLshPairs _),
     "dedup_embedding_lsh_wide" -> (Dedup.embeddingLshPairsWide _),
+    // past-cap branch of the geometry dial: AND-composed 32-bit bucket
+    // keys (pairs of MaxBits tables concatenated) — the executable form
+    // of the occupancy guard's former "shard the corpus" refusal.
+    // Oracle-facing input is the plant-augmented corpus (the raw
+    // fixture has no near-identical pairs, so the un-planted result is
+    // the empty set — that zero is hash-checked by the eval's
+    // composite leg); this recovers 52 of 100 planted twins at sf0.01
+    "dedup_embedding_lsh_composite" ->
+      (Dedup.embeddingLshPairsCompositePlanted _),
     // the n-adaptive geometry dial itself, as a hash-checked audit: for
     // the corpus size and projected 10^3..10^9 corpora, the (tables,
     // bits) the scaled path selects and the occupancy bound it implies
@@ -1494,6 +1503,7 @@ object SparkEntry {
     "dedup_embedding_pairs" -> DedupOracles.embeddingPairs,
     "dedup_embedding_lsh" -> DedupOracles.embeddingLshPairs,
     "dedup_embedding_lsh_wide" -> DedupOracles.embeddingLshPairsWide,
+    "dedup_embedding_lsh_composite" -> DedupOracles.embeddingLshPairsComposite,
     "dedup_lsh_geometry" -> DedupOracles.lshGeometry,
     "dedup_band_geometry" -> DedupOracles.bandGeometry,
     "dedup_lsh_geometry_eval" -> DedupOracles.lshGeometryEval,

@@ -871,19 +871,31 @@ object Dedup {
     embeddingLshPairsOn(Tables.embeddings(s, d), WideLshTables, WideLshBits)
 
   private def embeddingLshPairsOn(
-      e: DataFrame, tables: Int, bits: Int): DataFrame = {
-    val b = e.select(col("vec_id"),
-      posexplode(graft.functions.LshBuckets(col("embedding"), tables, bits))
-        .as(Seq("t", "bucket")))
+      e: DataFrame, tables: Int, bits: Int): DataFrame =
+    embeddingLshPairsOnBuckets(e,
+      e.select(col("vec_id"),
+        posexplode(graft.functions.LshBuckets(col("embedding"), tables, bits))
+          .as(Seq("t", "bucket"))),
+      s"$tables x $bits")
+
+  /** Candidate-join + exact-cosine verify over a prepared
+    * `(vec_id, t, bucket)` frame — shared by the per-table
+    * ([[embeddingLshPairsOn]]) and AND-composed
+    * ([[embeddingLshPairsCompositeOn]]) bucketings. The occupancy
+    * guard is a scalar pre-aggregate (one row to the driver), never a
+    * data-path collect. */
+  private def embeddingLshPairsOnBuckets(
+      e: DataFrame, b: DataFrame, geomDesc: String): DataFrame = {
     val occRow = b.groupBy("t", "bucket").agg(count(lit(1)).as("n"))
       .agg(max("n")).head()
     val occ = if (occRow.isNullAt(0)) 0L else occRow.getLong(0)
     require(occ <= MaxLshBucketOccupancy,
       s"embeddingLshPairs refused: max bucket occupancy $occ > " +
-        s"$MaxLshBucketOccupancy at $tables x $bits (occupancy^2 pair " +
+        s"$MaxLshBucketOccupancy at $geomDesc (occupancy^2 pair " +
         "fan-out; SCALING.json measured this superlinear) - raise bits " +
         "toward log2(n) (embeddingLshPairsWide is the " +
-        s"$WideLshTables x $WideLshBits form) or shard the corpus")
+        s"$WideLshTables x $WideLshBits form), or past the bits cap " +
+        "AND-compose tables (embeddingLshPairsComposite)")
     val cands = b.toDF("i", "t", "bucket")
       .join(b.toDF("j", "t2", "bucket2"),
         col("t") === col("t2") && col("bucket") === col("bucket2") &&
@@ -922,16 +934,99 @@ object Dedup {
     * n ≤ [[ScaledLshTargetOccupancy]]·2^bits (i.e. bits grows with
     * log₂(n)); `tables` widens to the maximum once bits exceed the
     * default, recovering the recall the extra bits split away (the
-    * [[WideLshTables]] rationale). Past the cap (n > 32·2^16 ≈ 2M
-    * vectors per shard) geometry stays at the widest form and the
-    * occupancy guard's "shard the corpus" branch is the documented
-    * next dial. Pure integer arithmetic, shared with the
+    * [[WideLshTables]] rationale). Past the cap
+    * ([[LshCompositeCapVectors]], n > 32·2^16 ≈ 2M) this per-table
+    * geometry is exhausted and [[embeddingLshPairsScaled]] switches to
+    * the AND-composed bucketing ([[embeddingLshPairsComposite]], r9 —
+    * formerly the occupancy guard's "shard the corpus" refusal
+    * branch). Pure integer arithmetic, shared with the
     * `dedup_lsh_geometry` oracle. */
   def scaledLshGeometry(n: Long): (Int, Int) = {
     import graft.functions.LshBuckets.{Bits, MaxBits, Tables, MaxTables}
     val bits = (Bits to MaxBits)
       .find(b => n <= (ScaledLshTargetOccupancy << b)).getOrElse(MaxBits)
     (if (bits > Bits) MaxTables else Tables, bits)
+  }
+
+  /** AND-composition arity for the PAST-CAP branch of the geometry
+    * dial: pairs of [[graft.functions.LshBuckets.MaxBits]]-bit tables
+    * are concatenated into one composite key of 2×16 = 32 effective
+    * bits, so bucket count jumps from 2^16 to 2^32 without any new
+    * plane machinery (the composite key of a pair is bit-identical
+    * across engines because each half is). The standard LSH AND/OR
+    * trade: per-composite-table collision probability is p² instead
+    * of p (lower recall per table — measured by the `composite` leg of
+    * `dedup_lsh_geometry_eval`), in exchange for occupancy bounded by
+    * n/2^32 (capacity to ~32·2^32 ≈ 137 G vectors per corpus). */
+  val CompositeLshArity = 2
+
+  /** Corpus size beyond which [[scaledLshGeometry]]'s bits cap is
+    * exceeded (expected occupancy at the widest per-table geometry
+    * passes [[ScaledLshTargetOccupancy]]) and the dial switches to the
+    * AND-composed bucketing: 32·2^16 ≈ 2.1 M vectors. SCALING.json's
+    * ×64 corpus (4.2 M) sits past this line, so the scaling artifact
+    * exercises the composite branch as the shipped default. */
+  val LshCompositeCapVectors: Long =
+    ScaledLshTargetOccupancy << graft.functions.LshBuckets.MaxBits
+
+  /** [[embeddingLshPairs]] at the AND-composed bucketing — the
+    * executable form of the occupancy guard's former "shard the
+    * corpus" refusal branch: [[graft.functions.LshBuckets.MaxTables]]
+    * tables at the bits cap, composed pairwise into
+    * MaxTables/[[CompositeLshArity]] composite tables whose key is
+    * `(bucket[2k] << MaxBits) | bucket[2k+1]`. Same candidate
+    * equi-join, same exact-cosine verify, same threshold; the oracle
+    * replicates the composition in SQL, so the (deterministically)
+    * different recall set is hash-checked, not assumed. */
+  def embeddingLshPairsComposite(s: SparkSession, d: String): DataFrame =
+    embeddingLshPairsCompositeOn(Tables.embeddings(s, d))
+
+  /** Every [[CompositePlantStride]]-th vector gets a planted
+    * near-identical twin in [[plantedNearDupCorpus]], id-shifted by
+    * this offset. */
+  val CompositePlantStride = 5L
+  val CompositePlantIdOffset = 1000000L
+
+  /** The corpus augmented with DETERMINISTIC near-identical twins:
+    * every [[CompositePlantStride]]-th vector is copied with component
+    * `vec_id % dims` negated. IEEE-754 negation is exact, so the
+    * derived corpus — and everything downstream of its quantization —
+    * is bit-identical across engines; the resulting twin cosines span
+    * ~0.76–1.0 (one flipped component of a 64-dim vector), i.e. the
+    * near-identical regime the composite bucketing exists for. */
+  private[graft] def plantedNearDupCorpus(e: DataFrame): DataFrame =
+    e.select("vec_id", "embedding").unionByName(
+      e.filter(col("vec_id") % CompositePlantStride === 0)
+        .select((col("vec_id") + CompositePlantIdOffset).as("vec_id"),
+          expr("transform(embedding, (x, i) -> " +
+            "IF(i = cast(vec_id % size(embedding) as int), -x, x))")
+            .as("embedding")))
+
+  /** [[embeddingLshPairsComposite]] over the plant-augmented corpus —
+    * the ORACLE-FACING recall harness for the composite branch. The
+    * raw fixture corpus has no near-identical pairs (max cosine 0.449
+    * at sf0.01), so composite keys legitimately find nothing there
+    * (that zero is itself hash-checked by the `composite` leg of
+    * `dedup_lsh_geometry_eval`); THIS query plants twins in the regime
+    * the composition is for and hash-checks exactly which of them the
+    * 32-bit AND keys recover (52 of 100 at sf0.01). Same operator
+    * code path, derived input — the [[dupSnapshotDiff]] pattern. */
+  def embeddingLshPairsCompositePlanted(
+      s: SparkSession, d: String): DataFrame =
+    embeddingLshPairsCompositeOn(plantedNearDupCorpus(Tables.embeddings(s, d)))
+
+  private def embeddingLshPairsCompositeOn(e: DataFrame): DataFrame = {
+    import graft.functions.LshBuckets.{MaxTables, MaxBits}
+    val nComposite = MaxTables / CompositeLshArity
+    val comp = e
+      .withColumn("bkts",
+        graft.functions.LshBuckets(col("embedding"), MaxTables, MaxBits))
+      .select(col("vec_id"), posexplode(array((0 until nComposite).map { k =>
+        expr(s"shiftleft(element_at(bkts, ${2 * k + 1}), $MaxBits) + " +
+          s"element_at(bkts, ${2 * k + 2})")
+      }: _*)).as(Seq("t", "bucket")))
+    embeddingLshPairsOnBuckets(e, comp,
+      s"$nComposite composite tables of ${CompositeLshArity}x$MaxBits bits")
   }
 
   /** [[embeddingLshPairs]] at the [[scaledLshGeometry]] for the corpus'
@@ -947,14 +1042,19 @@ object Dedup {
   def embeddingLshPairsScaled(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     // memoized parquet row-count metadata — one job per (session, corpus)
-    val (t, b) = scaledLshGeometry(embeddingCorpusCount(s, d))
-    embeddingLshPairsOn(e, t, b)
+    val n = embeddingCorpusCount(s, d)
+    if (n > LshCompositeCapVectors) embeddingLshPairsCompositeOn(e)
+    else {
+      val (t, b) = scaledLshGeometry(n)
+      embeddingLshPairsOn(e, t, b)
+    }
   }
 
   /** RECALL SIDE of the geometry dial — SCALING.json measures what the
     * widened geometry SAVES (exp 1.12 → 0.76); this measures what it
-    * COSTS: for the default and wide SRP geometries, the bucket-join
-    * candidate count (the work), the verified pair count, and recall
+    * COSTS: for the default, wide, and AND-composed SRP geometries,
+    * the bucket-join candidate count (the work), the verified pair
+    * count, and recall
     * vs the brute-force truth set at the same threshold (pairs the
     * bucketing never collides are the loss; precision is 1 by
     * construction since every candidate is exact-cosine verified).
@@ -977,10 +1077,8 @@ object Dedup {
     val truth = a.join(b2, col("i") < col("j"))
       .filter(CosineSimilarity(col("va"), col("vb")) >= CosineLshThreshold)
       .agg(count(lit(1)).as("n_truth"))
-    def leg(tables: Int, bits: Int, name: String): DataFrame = {
-      val bkt = e.select(col("vec_id"),
-        posexplode(LshBuckets(col("embedding"), tables, bits))
-          .as(Seq("t", "bucket")))
+    def legOn(bkt: DataFrame, tables: Int, bits: Int,
+        name: String): DataFrame = {
       val cands = bkt.toDF("i", "t", "bucket")
         .join(bkt.toDF("j", "t2", "bucket2"),
           col("t") === col("t2") && col("bucket") === col("bucket2") &&
@@ -995,8 +1093,28 @@ object Dedup {
           lit(bits).cast("int").as("lsh_bits"),
           col("n_candidates"), col("n_pairs"))
     }
+    def leg(tables: Int, bits: Int, name: String): DataFrame =
+      legOn(e.select(col("vec_id"),
+        posexplode(LshBuckets(col("embedding"), tables, bits))
+          .as(Seq("t", "bucket"))), tables, bits, name)
+    // the past-cap AND-composed bucketing: what composition COSTS in
+    // recall (p^2 per composite table) is a measured leg, not prose —
+    // reported at its EFFECTIVE geometry (MaxTables/arity tables of
+    // arity*MaxBits-bit keys)
+    val compositeLeg = {
+      import LshBuckets.{MaxTables, MaxBits}
+      val nComposite = MaxTables / CompositeLshArity
+      legOn(e.withColumn("bkts",
+          LshBuckets(col("embedding"), MaxTables, MaxBits))
+        .select(col("vec_id"), posexplode(array((0 until nComposite).map {
+          k => expr(s"shiftleft(element_at(bkts, ${2 * k + 1}), $MaxBits) " +
+            s"+ element_at(bkts, ${2 * k + 2})")
+        }: _*)).as(Seq("t", "bucket"))),
+        nComposite, CompositeLshArity * MaxBits, "composite")
+    }
     leg(LshBuckets.Tables, LshBuckets.Bits, "default")
       .unionByName(leg(WideLshTables, WideLshBits, "wide"))
+      .unionByName(compositeLeg)
       .crossJoin(broadcast(truth))
       .withColumn("recall_ppm",
         expr("n_pairs * 1000000 div nullif(n_truth, 0)"))
@@ -1024,15 +1142,26 @@ object Dedup {
         s"cast(coalesce(array_min(filter(sequence($Bits, $MaxBits), " +
           s"b -> n_vectors <= shiftleft(cast($ScaledLshTargetOccupancy as bigint), b))), " +
           s"$MaxBits) as int)"))
+      // past LshCompositeCapVectors the per-table dial is exhausted and
+      // the shipped build is the AND-composed bucketing (r9): pairs of
+      // MaxBits tables concatenate into arity*MaxBits-bit keys
+      .withColumn("composite_arity",
+        when(col("n_vectors") > LshCompositeCapVectors, CompositeLshArity)
+          .otherwise(1).cast("int"))
       .withColumn("lsh_tables",
-        when(col("lsh_bits") > Bits, MaxTables).otherwise(DefTables).cast("int"))
+        when(col("composite_arity") > 1, MaxTables / CompositeLshArity)
+          .when(col("lsh_bits") > Bits, MaxTables)
+          .otherwise(DefTables).cast("int"))
+      .withColumn("effective_bits",
+        (col("composite_arity") * col("lsh_bits")).cast("int"))
       .withColumn("occupancy_bound", expr(
-        "cast((n_vectors + shiftleft(cast(1 as bigint), lsh_bits) - 1) " +
-          "div shiftleft(cast(1 as bigint), lsh_bits) as bigint)"))
+        "cast((n_vectors + shiftleft(cast(1 as bigint), effective_bits) - 1) " +
+          "div shiftleft(cast(1 as bigint), effective_bits) as bigint)"))
       .withColumn("within_guard",
         (col("occupancy_bound") <= MaxLshBucketOccupancy).cast("int"))
       .select("scope", "n_vectors", "lsh_tables", "lsh_bits",
-        "occupancy_bound", "within_guard")
+        "composite_arity", "effective_bits", "occupancy_bound",
+        "within_guard")
       .orderBy("n_vectors", "scope")
   }
 

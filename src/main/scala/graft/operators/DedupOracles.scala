@@ -427,6 +427,67 @@ object DedupOracles {
   val embeddingLshPairsWide: String =
     embeddingLshPairsAt(Dedup.WideLshTables, Dedup.WideLshBits)
 
+  /** Replicates [[Dedup.embeddingLshPairsCompositePlanted]]: the
+    * plant-augmented corpus (every Stride-th vector twinned with
+    * component `vec_id % dims` negated — IEEE-exact, so bit-identical
+    * across engines), per-table buckets at the MaxTables × MaxBits
+    * maxima (same dims/planes/dots CTEs), then pairwise AND-composition
+    * `(bucket[2k] << MaxBits) | bucket[2k+1]` — each half is
+    * bit-identical across engines, so the concatenated key is too —
+    * then the usual collision candidates and exact-cosine verify. */
+  val embeddingLshPairsComposite: String = {
+    import graft.functions.LshBuckets.{MaxTables, MaxBits, QuantScale}
+    s"""WITH corpus AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + ${Dedup.CompositePlantIdOffset},
+       |    [CASE WHEN i = (vec_id % len(embedding)) + 1
+       |          THEN -embedding[i] ELSE embedding[i] END
+       |     FOR i IN range(1, len(embedding) + 1)]::FLOAT[]
+       |  FROM embeddings WHERE vec_id % ${Dedup.CompositePlantStride} = 0
+       |),
+       |dims AS (
+       |  SELECT vec_id, d, floor(embedding[d]::DOUBLE * $QuantScale)::BIGINT AS qv
+       |  FROM corpus, unnest(generate_series(1, len(embedding))) t(d)
+       |),
+       |planes AS (
+       |  SELECT t, b, d,
+       |    ('0x' || substr(md5('p_' || t || '_' || b || '_' || d), 1, 15))::BIGINT % 2001 - 1000 AS w
+       |  FROM unnest(generate_series(0, ${MaxTables - 1})) tt(t),
+       |       unnest(generate_series(0, ${MaxBits - 1})) bb(b),
+       |       unnest(generate_series(1,
+       |         (SELECT max(len(embedding)) FROM corpus))) dd(d)
+       |),
+       |dots AS (
+       |  SELECT vec_id, t, b, sum(qv * w) AS dot
+       |  FROM dims JOIN planes USING (d) GROUP BY 1, 2, 3
+       |),
+       |buckets AS (
+       |  SELECT vec_id, t,
+       |    sum(CASE WHEN dot >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS bucket
+       |  FROM dots GROUP BY 1, 2
+       |),
+       |comp AS (
+       |  SELECT a.vec_id, a.t // ${Dedup.CompositeLshArity} AS t,
+       |    (a.bucket << $MaxBits) + b.bucket AS bucket
+       |  FROM buckets a JOIN buckets b
+       |    ON b.vec_id = a.vec_id AND b.t = a.t + 1
+       |  WHERE a.t % ${Dedup.CompositeLshArity} = 0
+       |),
+       |cands AS (
+       |  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+       |  FROM comp a JOIN comp b
+       |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |)
+       |SELECT i AS vec_a, j AS vec_b,
+       |  round(list_cosine_similarity(va.embedding::DOUBLE[], vb.embedding::DOUBLE[]), 6) AS cosine
+       |FROM cands
+       |JOIN corpus va ON va.vec_id = i
+       |JOIN corpus vb ON vb.vec_id = j
+       |WHERE list_cosine_similarity(va.embedding::DOUBLE[], vb.embedding::DOUBLE[]) >= ${Dedup.CosineLshThreshold}
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   /** Replicates [[Dedup.lshGeometry]]: for the actual corpus count plus
     * the projected sizes, the smallest bits with
     * n ≤ target·2^bits (list_filter over the same integer range the
@@ -445,16 +506,26 @@ object DedupOracles {
        |geo AS (
        |  SELECT scope, n_vectors,
        |    COALESCE(list_min(list_filter(range($Bits, ${MaxBits + 1}),
-       |      b -> n_vectors <= (${target}::BIGINT << b))), $MaxBits)::INTEGER AS lsh_bits
+       |      b -> n_vectors <= (${target}::BIGINT << b))), $MaxBits)::INTEGER AS lsh_bits,
+       |    (CASE WHEN n_vectors > ${Dedup.LshCompositeCapVectors}
+       |          THEN ${Dedup.CompositeLshArity} ELSE 1 END)::INTEGER AS composite_arity
        |  FROM sizes
+       |),
+       |geo2 AS (
+       |  SELECT scope, n_vectors,
+       |    (CASE WHEN composite_arity > 1 THEN ${MaxTables / Dedup.CompositeLshArity}
+       |          WHEN lsh_bits > $Bits THEN $MaxTables
+       |          ELSE $DefTables END)::INTEGER AS lsh_tables,
+       |    lsh_bits, composite_arity,
+       |    (composite_arity * lsh_bits)::INTEGER AS effective_bits
+       |  FROM geo
        |)
-       |SELECT scope, n_vectors,
-       |  (CASE WHEN lsh_bits > $Bits THEN $MaxTables ELSE $DefTables END)::INTEGER AS lsh_tables,
-       |  lsh_bits,
-       |  ((n_vectors + (1::BIGINT << lsh_bits) - 1) // (1::BIGINT << lsh_bits))::BIGINT AS occupancy_bound,
-       |  (CASE WHEN (n_vectors + (1::BIGINT << lsh_bits) - 1) // (1::BIGINT << lsh_bits)
+       |SELECT scope, n_vectors, lsh_tables, lsh_bits, composite_arity,
+       |  effective_bits,
+       |  ((n_vectors + (1::BIGINT << effective_bits) - 1) // (1::BIGINT << effective_bits))::BIGINT AS occupancy_bound,
+       |  (CASE WHEN (n_vectors + (1::BIGINT << effective_bits) - 1) // (1::BIGINT << effective_bits)
        |        <= ${Dedup.MaxLshBucketOccupancy} THEN 1 ELSE 0 END)::INTEGER AS within_guard
-       |FROM geo
+       |FROM geo2
        |ORDER BY n_vectors, scope""".stripMargin
   }
 
@@ -494,20 +565,17 @@ object DedupOracles {
     * same threshold. dims/planes MATERIALIZED (referenced by both
     * geometry legs — the CTE-inlining explosion hazard). */
   val lshGeometryEval: String = {
-    import graft.functions.LshBuckets.{Bits, Tables => NT, QuantScale}
+    import graft.functions.LshBuckets.{Bits, Tables => NT, MaxTables, MaxBits,
+      QuantScale}
     val (wt, wb) = (Dedup.WideLshTables, Dedup.WideLshBits)
+    val arity = Dedup.CompositeLshArity
     def legSql(t: Int, b: Int, name: String): String =
       s"""SELECT '$name' AS geometry, $t::INTEGER AS lsh_tables,
          |  $b::INTEGER AS lsh_bits,
          |  (SELECT count(*) FROM cand_$name)::BIGINT AS n_candidates,
          |  (SELECT count(*) FROM ver_$name)::BIGINT AS n_pairs""".stripMargin
-    def legCtes(t: Int, b: Int, name: String): String =
-      s"""buckets_$name AS (
-         |  SELECT vec_id, t,
-         |    sum(CASE WHEN dot >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS bucket
-         |  FROM dots WHERE t < $t AND b < $b GROUP BY 1, 2
-         |),
-         |cand_$name AS (
+    def candVerCtes(name: String): String =
+      s"""cand_$name AS (
          |  SELECT DISTINCT a.vec_id AS i, bb.vec_id AS j
          |  FROM buckets_$name a JOIN buckets_$name bb
          |    ON a.t = bb.t AND a.bucket = bb.bucket AND a.vec_id < bb.vec_id
@@ -519,6 +587,30 @@ object DedupOracles {
          |  WHERE list_cosine_similarity(va.embedding::DOUBLE[],
          |    vb.embedding::DOUBLE[]) >= ${Dedup.CosineLshThreshold}
          |)""".stripMargin
+    def legCtes(t: Int, b: Int, name: String): String =
+      s"""buckets_$name AS (
+         |  SELECT vec_id, t,
+         |    sum(CASE WHEN dot >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS bucket
+         |  FROM dots WHERE t < $t AND b < $b GROUP BY 1, 2
+         |),
+         |${candVerCtes(name)}""".stripMargin
+    // the AND-composed bucketing: per-table keys at the MaxTables ×
+    // MaxBits maxima, then pairwise concatenation — same composition
+    // rule as Dedup.embeddingLshPairsComposite
+    val compositeCtes =
+      s"""buckets_composite_base AS (
+         |  SELECT vec_id, t,
+         |    sum(CASE WHEN dot >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS bucket
+         |  FROM dots WHERE t < $MaxTables AND b < $MaxBits GROUP BY 1, 2
+         |),
+         |buckets_composite AS (
+         |  SELECT a.vec_id, a.t // $arity AS t,
+         |    (a.bucket << $MaxBits) + b.bucket AS bucket
+         |  FROM buckets_composite_base a JOIN buckets_composite_base b
+         |    ON b.vec_id = a.vec_id AND b.t = a.t + 1
+         |  WHERE a.t % $arity = 0
+         |),
+         |${candVerCtes("composite")}""".stripMargin
     s"""WITH dims AS MATERIALIZED (
        |  SELECT vec_id, d, floor(embedding[d]::DOUBLE * $QuantScale)::BIGINT AS qv
        |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(d)
@@ -526,8 +618,8 @@ object DedupOracles {
        |planes AS MATERIALIZED (
        |  SELECT t, b, d,
        |    ('0x' || substr(md5('p_' || t || '_' || b || '_' || d), 1, 15))::BIGINT % 2001 - 1000 AS w
-       |  FROM unnest(generate_series(0, ${wt - 1})) tt(t),
-       |       unnest(generate_series(0, ${wb - 1})) bb(b),
+       |  FROM unnest(generate_series(0, ${MaxTables - 1})) tt(t),
+       |       unnest(generate_series(0, ${MaxBits - 1})) bb(b),
        |       unnest(generate_series(1,
        |         (SELECT max(len(embedding)) FROM embeddings))) dd(d)
        |),
@@ -537,6 +629,7 @@ object DedupOracles {
        |),
        |${legCtes(NT, Bits, "default")},
        |${legCtes(wt, wb, "wide")},
+       |$compositeCtes,
        |truth AS (
        |  SELECT count(*)::BIGINT AS n_truth
        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -547,6 +640,8 @@ object DedupOracles {
        |  ${legSql(NT, Bits, "default")}
        |  UNION ALL
        |  ${legSql(wt, wb, "wide")}
+       |  UNION ALL
+       |  ${legSql(MaxTables / arity, arity * MaxBits, "composite")}
        |)
        |SELECT geometry, lsh_tables, lsh_bits, n_candidates, n_pairs, n_truth,
        |  (n_pairs * 1000000 // nullif(n_truth, 0))::BIGINT AS recall_ppm

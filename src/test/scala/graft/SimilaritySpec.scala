@@ -582,11 +582,12 @@ class SimilaritySpec extends AnyFunSuite {
     val rows = Dedup.lshGeometryEval(spark, d)
       .as[(String, Int, Int, Long, Long, Long, Long)].collect()
       .map(r => r._1 -> r).toMap
-    assert(rows.keySet === Set("default", "wide"))
-    val df = rows("default"); val w = rows("wide")
+    assert(rows.keySet === Set("default", "wide", "composite"))
+    val df = rows("default"); val w = rows("wide"); val c = rows("composite")
     // verified pairs equal the corresponding pair queries' row counts
     assert(df._5 === Dedup.embeddingLshPairs(spark, d).count())
     assert(w._5 === Dedup.embeddingLshPairsWide(spark, d).count())
+    assert(c._5 === Dedup.embeddingLshPairsComposite(spark, d).count())
     rows.values.foreach { r =>
       assert(r._5 <= r._4, "verified pairs exceed candidates")
       assert(r._5 <= r._6, "verified pairs exceed truth")
@@ -596,6 +597,50 @@ class SimilaritySpec extends AnyFunSuite {
     // EXTRA tables add candidates independently — no ordering between
     // total candidate counts is guaranteed, only the recall identity
     assert(df._6 === w._6, "truth set must be geometry-independent")
+    assert(df._6 === c._6, "truth set must be geometry-independent")
+    // AND-composition THEOREM under shared planes: a composite key
+    // match requires both constituent 16-bit keys to match, and a
+    // 16-bit key match implies the 10-bit prefix (planes 0..9 of the
+    // same table) matches — so composite candidates/pairs/recall are
+    // bounded by the wide leg's
+    assert(c._4 <= w._4, "composite candidates must be a wide subset")
+    assert(c._5 <= w._5, "composite recall cannot exceed wide")
+  }
+
+  test("embeddingLshPairsCompositePlanted: pairs collide in a composed " +
+      "table pair, survive the verify, and recover planted twins") {
+    import graft.operators.Dedup
+    import graft.functions.LshBuckets
+    import org.apache.spark.sql.functions.col
+    val pairs = Dedup.embeddingLshPairsCompositePlanted(spark, d)
+      .as[(Long, Long, Double)].collect()
+    val corpus = Dedup.plantedNearDupCorpus(graft.Tables.embeddings(spark, d))
+    val bkts = corpus
+      .select(col("vec_id"),
+        LshBuckets(col("embedding"), LshBuckets.MaxTables, LshBuckets.MaxBits)
+          .as("b"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(pairs.nonEmpty, "fixture must exercise the composite branch")
+    pairs.foreach { case (a, b, cos) =>
+      assert(cos >= Dedup.CosineLshThreshold)
+      val (ba, bb) = (bkts(a), bkts(b))
+      val collides = (0 until LshBuckets.MaxTables / Dedup.CompositeLshArity)
+        .exists(k => ba(2 * k) == bb(2 * k) && ba(2 * k + 1) == bb(2 * k + 1))
+      assert(collides, s"pair ($a,$b) shares no composed table pair")
+    }
+    // at least one planted twin is recovered, and every recovered twin
+    // is a genuine plant (vec_b = vec_a + offset, vec_a on the stride)
+    val planted = pairs.filter { case (a, b, _) =>
+      b == a + Dedup.CompositePlantIdOffset
+    }
+    assert(planted.nonEmpty, "no planted twin recovered")
+    planted.foreach { case (a, _, _) =>
+      assert(a % Dedup.CompositePlantStride === 0)
+    }
+    // the raw fixture corpus has no near-identical pairs (max cosine
+    // ~0.45), so the production operator's result there is the empty
+    // set — the documented regime boundary, pinned
+    assert(Dedup.embeddingLshPairsComposite(spark, d).count() === 0L)
   }
 
   test("embeddingLshPairsScaled equals the default path at fixture scale") {
