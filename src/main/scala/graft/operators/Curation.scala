@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.GraftRefusal
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -158,7 +159,7 @@ object Curation {
     val worstRow = stats.agg(
       max(col("n").cast("double") * col("m6").cast("double"))).head()
     if (!worstRow.isNullAt(0))
-      require(worstRow.getDouble(0) <= MaxOutlierGroupScale,
+      GraftRefusal.check(worstRow.getDouble(0) <= MaxOutlierGroupScale,
         f"outliers refused: max per-group n*max|v6| = ${worstRow.getDouble(0)}%.3g " +
           f"exceeds $MaxOutlierGroupScale%.1g - the DECIMAL(38,0) " +
           "cross-multiplied test could overflow to NULL and drop rows; " +
@@ -275,7 +276,7 @@ object Curation {
     val nRow = totals.head()
     val nTotal = nRow.getDecimal(0).longValueExact() +
       nRow.getDecimal(1).longValueExact()
-    require(nTotal <= MaxAbTestUsers,
+    GraftRefusal.check(nTotal <= MaxAbTestUsers,
       s"abTest refused: $nTotal users exceed $MaxAbTestUsers - the " +
         "cross-multiplied z-squared comparison could overflow " +
         "DECIMAL(38,0); scale counts down by a common factor or sample " +
@@ -655,7 +656,7 @@ object Curation {
       val occRow = b.groupBy("bucket").agg(count(lit(1)).as("n"))
         .agg(max("n")).head()
       val occ = if (occRow.isNullAt(0)) 0L else occRow.getLong(0)
-      require(occ <= MaxPeakBucketOccupancy,
+      GraftRefusal.check(occ <= MaxPeakBucketOccupancy,
         s"stateAudit refused: a $horizonUs-us bucket holds $occ events " +
           s"(> $MaxPeakBucketOccupancy) - the exact-peak band join is " +
           "occupancy^2; audit a time-slice, or use the sorted-sweep " +

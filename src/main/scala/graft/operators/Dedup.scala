@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.GraftRefusal
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -128,7 +129,7 @@ object Dedup {
       what: String, hint: String): DataFrame = {
     val maxDf = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .agg(max("df")).head().getLong(0)
-    require(maxDf <= MaxNaiveShingleDf,
+    GraftRefusal.check(maxDf <= MaxNaiveShingleDf,
       s"$what refused: max per-shingle df $maxDf > " +
         s"$MaxNaiveShingleDf (quadratic fan-out); $hint")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
@@ -266,9 +267,18 @@ object Dedup {
     * corpora resolve to the default (8, 2), keeping every committed
     * oracle byte-identical. */
   def scaledBandGeometry(n: Long): (Int, Int) =
-    if (n <= 1000000L) (MinHashParams.Bands, MinHashParams.K / MinHashParams.Bands)
-    else if (n <= 100000000L) (4, MinHashParams.K / 4)
+    if (n <= BandDialSmallMaxDocs)
+      (MinHashParams.Bands, MinHashParams.K / MinHashParams.Bands)
+    else if (n <= BandDialMidMaxDocs) (4, MinHashParams.K / 4)
     else (2, MinHashParams.K / 2)
+
+  /** The banding dial's corpus-size thresholds — ONE definition shared
+    * by [[scaledBandGeometry]], the [[bandGeometry]] audit's when-chain,
+    * and the oracle CASE ([[DedupOracles.bandGeometry]]); three literal
+    * copies silently desynced the audit from the dial if one was edited
+    * (ADVICE r9). Powers of ten so both engines' literals are exact. */
+  val BandDialSmallMaxDocs = 1000000L
+  val BandDialMidMaxDocs = 100000000L
 
   /** Corpus sizes [[bandGeometry]] projects the dial across (besides
     * the actual count) — covers all three rows-per-band branches. */
@@ -322,15 +332,26 @@ object Dedup {
     val actual = Tables.documents(s, d)
       .agg(count(lit(1)).cast("long").as("n_docs"))
       .withColumn("scope", lit("corpus"))
+    // the streaming dial keys off the INDEXED corpus — the even-id half
+    // [[graft.streaming.EventStream.incrementalDedupStreamVerified]]
+    // builds its static band index over — not the full table; near the
+    // dial thresholds the two can select different geometries, so the
+    // audit reports the stream's operative count as its own row
+    // (ADVICE r9)
+    val streamCorpus = Tables.documents(s, d)
+      .filter(col("doc_id") % 2 === 0)
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .withColumn("scope", lit("stream_corpus"))
     val projected = BandGeometryProjectedSizes.toDF("n_docs")
       .withColumn("scope", lit("projected"))
     val geoms = bandGeometryRows.toDF("rows_per_band", "bands",
       "collide_ppm", "recall_ppm", "fp_band_ppm", "fp_cand_ppm")
     actual.select("scope", "n_docs")
+      .unionByName(streamCorpus.select("scope", "n_docs"))
       .unionByName(projected.select("scope", "n_docs"))
       .withColumn("rows_per_band",
-        when(col("n_docs") <= 1000000L, 2)
-          .when(col("n_docs") <= 100000000L, 4)
+        when(col("n_docs") <= BandDialSmallMaxDocs, 2)
+          .when(col("n_docs") <= BandDialMidMaxDocs, 4)
           .otherwise(8).cast("int"))
       .join(broadcast(geoms), "rows_per_band")
       .select(col("scope"), col("n_docs"), col("bands").cast("int"),
@@ -779,7 +800,7 @@ object Dedup {
       posexplode(array(chunks: _*)).as(Seq("band", "bkey")))
     val maxOcc = bands.groupBy("band", "bkey").agg(count(lit(1)).as("occ"))
       .agg(max("occ")).head().getLong(0)
-    require(maxOcc <= MaxSimHashBandBucket,
+    GraftRefusal.check(maxOcc <= MaxSimHashBandBucket,
       s"simhashPairs refused: max band-bucket occupancy $maxOcc > " +
         s"$MaxSimHashBandBucket (occupancy² fan-out per bucket); widen the " +
         "bands (4 x 15-bit) or use minhashLsh, whose band keys are not " +
@@ -812,7 +833,7 @@ object Dedup {
   def embeddingPairs(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     val n = embeddingCorpusCount(s, d) // memoized metadata-only count
-    require(n <= MaxBrutePairVectors,
+    GraftRefusal.check(n <= MaxBrutePairVectors,
       s"brute embeddingPairs refused: $n vectors > $MaxBrutePairVectors " +
         "(quadratic pair join); use embeddingLshPairs / Similarity ANN")
     val a = e.select(col("vec_id").as("i"), col("embedding").as("va"))
@@ -884,23 +905,34 @@ object Dedup {
     * ([[embeddingLshPairsCompositeOn]]) bucketings. The occupancy
     * guard is a scalar pre-aggregate (one row to the driver), never a
     * data-path collect. */
-  private def embeddingLshPairsOnBuckets(
-      e: DataFrame, b: DataFrame, geomDesc: String): DataFrame = {
+  /** Guarded candidate stage of [[embeddingLshPairsOnBuckets]] —
+    * exposed (private[graft]) so the Scaling harness can measure the
+    * candidate join's shuffle bytes SEPARATELY from the signature
+    * explode and the verify join (VERDICT r9 item 2: the composite
+    * build's ×64 bytes need a per-stage decomposition, not one
+    * end-to-end number). */
+  private[graft] def lshCandidatesOnBuckets(
+      b: DataFrame, geomDesc: String): DataFrame = {
     val occRow = b.groupBy("t", "bucket").agg(count(lit(1)).as("n"))
       .agg(max("n")).head()
     val occ = if (occRow.isNullAt(0)) 0L else occRow.getLong(0)
-    require(occ <= MaxLshBucketOccupancy,
+    GraftRefusal.check(occ <= MaxLshBucketOccupancy,
       s"embeddingLshPairs refused: max bucket occupancy $occ > " +
         s"$MaxLshBucketOccupancy at $geomDesc (occupancy^2 pair " +
         "fan-out; SCALING.json measured this superlinear) - raise bits " +
         "toward log2(n) (embeddingLshPairsWide is the " +
         s"$WideLshTables x $WideLshBits form), or past the bits cap " +
         "AND-compose tables (embeddingLshPairsComposite)")
-    val cands = b.toDF("i", "t", "bucket")
+    b.toDF("i", "t", "bucket")
       .join(b.toDF("j", "t2", "bucket2"),
         col("t") === col("t2") && col("bucket") === col("bucket2") &&
           col("i") < col("j"))
       .select("i", "j").distinct()
+  }
+
+  private def embeddingLshPairsOnBuckets(
+      e: DataFrame, b: DataFrame, geomDesc: String): DataFrame = {
+    val cands = lshCandidatesOnBuckets(b, geomDesc)
     val a = e.select(col("vec_id").as("i"), col("embedding").as("va"))
     val c = e.select(col("vec_id").as("j"), col("embedding").as("vb"))
     cands.join(a, "i").join(c, "j")
@@ -1015,19 +1047,28 @@ object Dedup {
       s: SparkSession, d: String): DataFrame =
     embeddingLshPairsCompositeOn(plantedNearDupCorpus(Tables.embeddings(s, d)))
 
-  private def embeddingLshPairsCompositeOn(e: DataFrame): DataFrame = {
+  /** The AND-composed (vec_id, t, bucket) signature frame — stage 1 of
+    * [[embeddingLshPairsCompositeOn]], exposed for the Scaling stage
+    * decomposition (VERDICT r9 item 2). */
+  private[graft] def compositeBuckets(e: DataFrame): DataFrame = {
     import graft.functions.LshBuckets.{MaxTables, MaxBits}
     val nComposite = MaxTables / CompositeLshArity
-    val comp = e
-      .withColumn("bkts",
+    e.withColumn("bkts",
         graft.functions.LshBuckets(col("embedding"), MaxTables, MaxBits))
       .select(col("vec_id"), posexplode(array((0 until nComposite).map { k =>
         expr(s"shiftleft(element_at(bkts, ${2 * k + 1}), $MaxBits) + " +
           s"element_at(bkts, ${2 * k + 2})")
       }: _*)).as(Seq("t", "bucket")))
-    embeddingLshPairsOnBuckets(e, comp,
-      s"$nComposite composite tables of ${CompositeLshArity}x$MaxBits bits")
   }
+
+  private[graft] def compositeGeomDesc: String = {
+    import graft.functions.LshBuckets.{MaxTables, MaxBits}
+    s"${MaxTables / CompositeLshArity} composite tables of " +
+      s"${CompositeLshArity}x$MaxBits bits"
+  }
+
+  private def embeddingLshPairsCompositeOn(e: DataFrame): DataFrame =
+    embeddingLshPairsOnBuckets(e, compositeBuckets(e), compositeGeomDesc)
 
   /** [[embeddingLshPairs]] at the [[scaledLshGeometry]] for the corpus'
     * actual size — the production default (and since r9 what
@@ -1069,7 +1110,7 @@ object Dedup {
     import graft.functions.LshBuckets
     val e = Tables.embeddings(s, d)
     val n = embeddingCorpusCount(s, d) // memoized metadata-only count
-    require(n <= MaxBrutePairVectors,
+    GraftRefusal.check(n <= MaxBrutePairVectors,
       s"lshGeometryEval refused: $n vectors > $MaxBrutePairVectors " +
         "(the truth set is a brute pair join); run on an audit sample")
     val a = e.select(col("vec_id").as("i"), col("embedding").as("va"))
@@ -1293,14 +1334,41 @@ object Dedup {
     * the count, while metadata-only over parquet, is still one Spark
     * job per call; memoizing mirrors [[sharedEdgeCache]]'s contract so
     * a session pays ONE count job per corpus, not one per geometry
-    * lookup (VERDICT r8 item 5). Same staleness caveats as the edge
-    * memo: a corpus dir rewritten mid-session would serve the
-    * pre-rewrite count. */
+    * lookup (VERDICT r8 item 5). Keyed by a data-file fingerprint
+    * ([[embeddingsFingerprint]]) so a corpus dir rewritten mid-session
+    * is a NEW key — the refusal guards always see the current corpus'
+    * count, never a stale smaller one (ADVICE r9). */
   private val corpusCountCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), java.lang.Long]()
+
+  /** Metadata fingerprint of the corpus' embeddings data files (length +
+    * mtime of every file under the parquet path, FNV-1a-combined) — keys
+    * the count memo so a corpus dir REWRITTEN mid-session gets a fresh
+    * count instead of serving [[embeddingPairs]]' refusal guard a stale,
+    * possibly smaller n (ADVICE r9). Driver-side FileSystem metadata
+    * only, never a Spark job, so the memo's one-action contract
+    * ([[CorpusCountMemoSpec]]) holds unchanged; superseded entries leak
+    * one Long each, the [[sharedEdgeCache]] staleness trade. */
+  private def embeddingsFingerprint(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else {
+      var h = 0xcbf29ce484222325L
+      def mix(v: Long): Unit = { h ^= v; h *= 0x100000001b3L }
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        mix(st.getLen); mix(st.getModificationTime); n += 1
+      }
+      mix(n)
+      java.lang.Long.toHexString(h)
+    }
+  }
 
   private[graft] def embeddingCorpusCount(s: SparkSession, d: String): Long =
-    corpusCountCache.computeIfAbsent((s, d),
+    corpusCountCache.computeIfAbsent((s, d, embeddingsFingerprint(s, d)),
       _ => Tables.embeddings(s, d).count())
 
   /** When set (env `SPARK_GRAFT_EDGE_DIR`; overridable for tests), the
@@ -1480,7 +1548,7 @@ object Dedup {
     * variant's recall; use the LSH variant for production corpora. */
   def nearDupClusters(s: SparkSession, d: String): DataFrame = {
     val nDocs = Tables.documents(s, d).count() // parquet row-count metadata
-    require(nDocs <= MaxExactClusterDocs,
+    GraftRefusal.check(nDocs <= MaxExactClusterDocs,
       s"exact nearDupClusters refused: $nDocs docs > $MaxExactClusterDocs " +
         "(exact recall at t=0.03 approaches the full co-occurrence join); " +
         "use nearDupClustersLsh — the bounded production clustering path")
@@ -2091,7 +2159,7 @@ object Dedup {
     val bounds = und.agg(max("a"), count(lit(1))).head()
     if (!bounds.isNullAt(0)) {
       val (maxId, nEdges) = (bounds.getLong(0), bounds.getLong(1))
-      require(maxId < (1L << 32) && nEdges + 1 < (1L << 31),
+      GraftRefusal.check(maxId < (1L << 32) && nEdges + 1 < (1L << 31),
         s"lpaCommunities refused: max node id $maxId or vote bound " +
           s"${nEdges + 1} exceeds the exact range of the BIGINT tie key " +
           "(labels < 2^32, counts < 2^31) - renumber doc ids densely " +
@@ -2158,8 +2226,8 @@ object Dedup {
     var curEdges = und.count()
     var rounds = 0
     while (curEdges != prevEdges) {
-      require(rounds < KcoreMaxRounds,
-        s"kcore did not converge in $KcoreMaxRounds peel rounds - raise " +
+      GraftRefusal.check(rounds < KcoreMaxRounds,
+        s"kcore refused: did not converge in $KcoreMaxRounds peel rounds - raise " +
           "KcoreMaxRounds (and unroll the oracle to match)")
       val keep = und.groupBy("a").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= KcoreK).select(col("a").as("v"))

@@ -541,6 +541,9 @@ object DedupOracles {
     s"""WITH sizes AS (
        |  SELECT 'corpus' AS scope, count(*)::BIGINT AS n_docs FROM documents
        |  UNION ALL
+       |  SELECT 'stream_corpus' AS scope, count(*)::BIGINT AS n_docs
+       |  FROM documents WHERE doc_id % 2 = 0
+       |  UNION ALL
        |  SELECT 'projected' AS scope, unnest([$sizes])::BIGINT AS n_docs
        |),
        |geoms(rows_per_band, bands, collide_ppm, recall_ppm, fp_band_ppm,
@@ -553,8 +556,8 @@ object DedupOracles {
        |  g.fp_cand_ppm::BIGINT AS fp_cand_ppm
        |FROM sizes s
        |JOIN geoms g ON g.rows_per_band =
-       |  (CASE WHEN s.n_docs <= 1000000 THEN 2
-       |        WHEN s.n_docs <= 100000000 THEN 4 ELSE 8 END)
+       |  (CASE WHEN s.n_docs <= ${Dedup.BandDialSmallMaxDocs} THEN 2
+       |        WHEN s.n_docs <= ${Dedup.BandDialMidMaxDocs} THEN 4 ELSE 8 END)
        |ORDER BY n_docs, scope""".stripMargin
   }
 

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.GraftRefusal
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -205,7 +206,7 @@ object Multimodal {
       posexplode(array(chunks: _*)).as(Seq("band", "bkey")))
     val maxOcc = bands.groupBy("band", "bkey").agg(count(lit(1)).as("occ"))
       .agg(max("occ")).head().getLong(0)
-    require(maxOcc <= MaxPhashBandBucket,
+    GraftRefusal.check(maxOcc <= MaxPhashBandBucket,
       s"phashPairs refused: max $bandBits-bit band-bucket occupancy " +
         s"$maxOcc > $MaxPhashBandBucket (occupancy² fan-out); widen " +
         s"the bands — $hint")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.GraftRefusal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -762,7 +763,7 @@ object Relational {
       .select("p_partkey", "p_retailprice", "p_size")
       .localCheckpoint() // both sides of the final pass reuse one build
     val nCand = cand.agg(count(lit(1))).head().getLong(0)
-    require(nCand <= MaxSkylineCandidates,
+    GraftRefusal.check(nCand <= MaxSkylineCandidates,
       s"skyline refused: $nCand pre-filtered candidates exceed " +
         s"$MaxSkylineCandidates - the exact dominance pass is quadratic; " +
         "raise SkylineBuckets or add a second pre-filter round " +
@@ -1486,7 +1487,7 @@ object Relational {
     val domRow = counts.groupBy("grp").agg(count(lit(1)).as("nv"))
       .agg(max("nv")).head()
     val dom = if (domRow.isNullAt(0)) 0L else domRow.getLong(0)
-    require(dom <= MaxMedianDomain,
+    GraftRefusal.check(dom <= MaxMedianDomain,
       s"exactMedian refused: a group has $dom distinct values " +
         s"(> $MaxMedianDomain) - the cumulative triangle join is " +
         "domain^2; use histQuantiles (portable sketch) or percentiles " +

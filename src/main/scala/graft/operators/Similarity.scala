@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.GraftRefusal
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -520,7 +521,7 @@ object Similarity {
   /** [[dominantDirection]] over any (vec_id, embedding) frame. */
   def dominantDirectionOn(e: DataFrame): DataFrame = {
     val n = e.count() // parquet metadata count — the eager row guard
-    require(n <= MaxPowerRows,
+    GraftRefusal.check(n <= MaxPowerRows,
       s"dominantDirection refused: $n rows > $MaxPowerRows - BIGINT " +
         "round products could overflow; run on an audit sample (the " +
         "direction is a statistical property a slice estimates well)")
@@ -1071,7 +1072,10 @@ object Similarity {
       .select(col("nprobe").cast("int"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        expr("coalesce(n_hits, 0) * 1000000 div n_truth").as("recall_ppm"))
+        // nullif: a corpus with no brute-truth pairs must yield NULL, not
+        // a division error (the lshGeometryEval convention — ADVICE r9)
+        expr("coalesce(n_hits, 0) * 1000000 div nullif(n_truth, 0)")
+          .as("recall_ppm"))
       .orderBy("nprobe")
   }
 
@@ -2217,7 +2221,7 @@ object SimilarityOracles {
        |SELECT l.nprobe::INTEGER AS nprobe,
        |  coalesce(c.n_candidates, 0)::BIGINT AS n_candidates,
        |  coalesce(h.n_hits, 0)::BIGINT AS n_hits,
-       |  (coalesce(h.n_hits, 0) * 1000000 // t.n_truth)::BIGINT AS recall_ppm
+       |  (coalesce(h.n_hits, 0) * 1000000 // nullif(t.n_truth, 0))::BIGINT AS recall_ppm
        |FROM legs l
        |LEFT JOIN cands c USING (nprobe)
        |LEFT JOIN hits h USING (nprobe)

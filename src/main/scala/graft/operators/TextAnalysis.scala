@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.GraftRefusal
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -80,7 +81,7 @@ object TextAnalysis {
     val occ = dels.groupBy("k", "p").agg(count(lit(1)).as("n"))
       .agg(max("n")).head()
     val maxOcc = if (occ.isNullAt(0)) 0L else occ.getLong(0)
-    require(maxOcc <= MaxTypoKeyBucket,
+    GraftRefusal.check(maxOcc <= MaxTypoKeyBucket,
       s"typoPairs refused: a positional deletion key is shared by " +
         s"$maxOcc words (> $MaxTypoKeyBucket) - candidate fan-out is " +
         s"occupancy^2; raise TypoMinWordLen or restrict the alphabet")
@@ -306,7 +307,7 @@ object TextAnalysis {
     val uni = toks.groupBy("w").agg(count(lit(1)).as("nw"))
       .localCheckpoint() // consumed for both pair endpoints + the total
     val tuVal = uni.agg(sum("nw")).head().getLong(0)
-    require(tuVal <= MaxCollocTokens,
+    GraftRefusal.check(tuVal <= MaxCollocTokens,
       s"collocations refused: $tuVal tokens > $MaxCollocTokens - the " +
         "BIGINT lift staging (n*Tu) could overflow; shard the corpus " +
         "or restage the first multiply in log space")
