@@ -198,10 +198,29 @@ object Bench {
           BigDecimal.RoundingMode.HALF_UP)}"""
       }.mkString("{", ",", "}")
       val total = results.valuesIterator.filter(_ >= 0).sum
-      // cumulative: every printed line is a complete artifact so far
+      // cumulative: every written line is a complete artifact so far
       val line =
         s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"storm_ratio":$sr,"sf":"$sfDir"}"""
-      println(line)
+      // stdout carries a COMPACT line (<2 KB) instead of the full one:
+      // the driver keeps only a bounded TAIL of stdout, and the full
+      // cumulative line (>7 KB at 258 queries) was front-truncated past
+      // parseability three rounds running (BENCH_r8-r10 `parsed: null`
+      // — VERDICT r10 item 3). Totals + worst-10 + the reference's
+      // headline pipeline + max storm ratio always fit; the full
+      // per-query map lives in the committed BENCH_LOCAL.json (named
+      // in `full_artifact`). Same take-the-LAST-line protocol.
+      val worst = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      val headliners = Seq("bigram_probs", "bigram_probs_onlyone",
+        "bigram_counts", "trigram_counts", "word_topk")
+        .flatMap(n => results.get(n).map(n -> _))
+      val compactQs = (worst ++ headliners).distinct
+        .map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
+      val maxStorm = stormRatio.values.foldLeft(0.0)(math.max)
+      val compact =
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compactQs,""" +
+          s""""queries_done":${results.size},"max_storm_ratio":${fmt(maxStorm)},""" +
+          s""""full_artifact":"${outFile.getFileName}","sf":"$sfDir"}"""
+      println(compact)
       Console.out.flush()
       // atomic replace (write temp + move) so a kill mid-write can never
       // leave a truncated artifact, and guarded so an unwritable cwd

@@ -21,11 +21,24 @@ object GraftRefusal {
   def check(cond: Boolean, msg: => String): Unit =
     if (!cond) throw new GraftRefusal(msg)
 
-  /** True when `e` or any link of its cause chain is a refusal. */
-  @annotation.tailrec
-  def isRefusal(e: Throwable): Boolean = e match {
-    case null => false
-    case _: GraftRefusal => true
-    case _ => isRefusal(e.getCause)
+  /** How many cause links [[isRefusal]] will walk. Cyclic cause chains
+    * are constructible (`a.initCause(b); b.initCause(a)`) and an
+    * unbounded walk would spin the harness's classification path
+    * forever; real wrap depth (SparkException over driver exceptions)
+    * is single digits, so 50 is pure headroom — the JDK's own
+    * `printStackTrace` guards the same hazard with a dejaVu set. */
+  val MaxCauseDepth = 50
+
+  /** True when `e` or any of the first [[MaxCauseDepth]] links of its
+    * cause chain is a refusal. */
+  def isRefusal(e: Throwable): Boolean = {
+    var cur = e
+    var depth = 0
+    while (cur != null && depth < MaxCauseDepth) {
+      if (cur.isInstanceOf[GraftRefusal]) return true
+      cur = cur.getCause
+      depth += 1
+    }
+    false
   }
 }

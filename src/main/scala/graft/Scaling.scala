@@ -78,6 +78,11 @@ object Scaling {
     "dedup_kcore", "dedup_keep_best", "dedup_incremental",
     // ANN family — index build + bounded probe
     "ann_recall_at_k", "ann_topk_ivfpq", "ann_topk_pq", "ann_mmr_rerank",
+    // the shipped past-cap embedding-dedup default + the two r10 audit
+    // queries, first-class rows (VERDICT r10 item 5): the composite
+    // branch IS what embeddingEdgesShared builds past 2.1 M vectors, so
+    // its cost curve must be measured directly, not inferred
+    "dedup_embedding_lsh_composite", "ann_nprobe_sweep", "ann_pq_distortion",
     // relational — wide agg (Expand ×5 exact vs no-Expand sketch twin)
     // + self-join basket
     "rel_column_stats", "rel_column_stats_sketch", "rel_basket_pairs",
@@ -90,25 +95,82 @@ object Scaling {
     * r8 VERDICT item 4 column: the ×64 box is still memory-resident,
     * so a plan whose shuffle BYTES grow superlinearly is a 100 TB risk
     * even while wall time stays flat. `stateRows`/`stateMb` are the
-    * peak state-store footprint for streaming runs (−1 = batch). */
+    * peak state-store footprint for streaming runs (−1 = batch).
+    * `err` (non-null exactly when `sec` < 0) is the exception class +
+    * first message line, persisted as `err_x{F}` in the artifact — a
+    * bare −1.0 whose cause went only to stderr left the committed
+    * artifact unable to distinguish OOM from timeout from
+    * misclassified refusal (VERDICT r10 item 1). */
   private case class Sample(factor: Int, sec: Double,
-      shufMb: Double = -1.0, stateRows: Long = -1L, stateMb: Double = -1.0)
+      shufMb: Double = -1.0, stateRows: Long = -1L, stateMb: Double = -1.0,
+      err: String = null)
+
+  /** Harness classification of a failed run: −2 when the exception (or
+    * any cause link) is a typed [[GraftRefusal]] — a guard declining
+    * oversized input BY DESIGN — −1 otherwise (OOM, non-convergence,
+    * bug). Matches on the TYPE via [[GraftRefusal.isRefusal]]: the
+    * former `getMessage.contains("refus")` sniff misclassified
+    * Spark-wrapped refusals as errors (`dedup_clusters` ×64 recorded
+    * −1 while ×16 recorded −2 — VERDICT r9 item 6 / r10 item 1). */
+  private[graft] def failureCode(e: Throwable): Double =
+    if (GraftRefusal.isRefusal(e)) -2.0 else -1.0
+
+  /** The diagnostic persisted alongside a failed cell: exception class
+    * + first message line, bounded so artifact lines stay short. */
+  private[graft] def errString(e: Throwable): String = {
+    val m = Option(e.getMessage).getOrElse("").takeWhile(_ != '\n')
+    val s = s"${e.getClass.getSimpleName}: $m"
+    if (s.length > 160) s.take(157) + "..." else s
+  }
+
+  private def jsonEsc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
 
   /** The streaming slice of the panel (VERDICT r8 item 2): the heaviest
     * stream queries — the three stateful join shapes plus the
     * incremental-dedup and vector-ingest stream-static pipelines — run
-    * at ×1/×4/×16 (AvailableNow over the inflated fixtures; ×64 stays
-    * batch-only: micro-batch engine overhead dominates far past the
-    * point where the state trend is established). Each row records
-    * wall seconds AND the peak state-store rows/bytes from the
-    * progress events ([[graft.streaming.StreamObserver]]). */
+    * at every factor up to [[StreamMaxFactor]] (AvailableNow over the
+    * inflated fixtures). Each row records wall seconds AND the peak
+    * state-store rows/bytes from the progress events
+    * ([[graft.streaming.StreamObserver]]) — the watermark-bounded
+    * state curve is the streaming half's 100 TB evidence. */
   val StreamPanel: Seq[String] = Seq(
     "events_outer_join_stream", "events_range_join_stream",
     "events_semi_join_stream", "dedup_incremental_stream",
     "ann_ingest_stream")
 
-  /** Streaming factor ceiling (see [[StreamPanel]]). */
-  val StreamMaxFactor = 16
+  /** Streaming factor ceiling — ×64 since r11 (VERDICT r10 item 4: the
+    * ×16 cutoff left the state-rows exponent fit over two deltas; ×64
+    * confirms the watermark-bounded linear trend on a third point). */
+  val StreamMaxFactor = 64
+
+  /** Per-stage decomposition of the AND-composed embedding-edge build
+    * (VERDICT r9 item 2 / r10 item 2): `shared_embedding_edges`' ×64
+    * shuffle bytes fitted superlinear (exp 2.02) on the SHIPPED
+    * past-cap default, and one end-to-end number cannot say which
+    * stage carries the growth. Three nested prefixes of the same
+    * pipeline run as their own rows — signature explode
+    * ([[operators.Dedup.compositeBuckets]]), + occupancy-guarded
+    * candidate join ([[operators.Dedup.lshCandidatesOnBuckets]]),
+    * + exact-cosine verify (the full operator) — so stage cost is the
+    * BYTE/TIME DELTA between consecutive rows. Below
+    * [[operators.Dedup.LshCompositeCapVectors]] the full-build row
+    * measures the per-table dial geometry instead; the stage rows pin
+    * the composite bucketing itself at every factor, bracketing the
+    * cap crossover (×32 = exactly 2.1 M vectors at the sf0.1 base). */
+  val StagePanel: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "composite_stage_signatures" -> ((s, d) =>
+      operators.Dedup.compositeBuckets(Tables.embeddings(s, d))),
+    "composite_stage_candidates" -> ((s, d) =>
+      operators.Dedup.lshCandidatesOnBuckets(
+        operators.Dedup.compositeBuckets(Tables.embeddings(s, d)),
+        operators.Dedup.compositeGeomDesc)),
+    "composite_stage_pairs" -> ((s, d) =>
+      operators.Dedup.embeddingLshPairsComposite(s, d)))
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SCALING_BASE", "/root/testdata/sf0.1")
@@ -153,6 +215,11 @@ object Scaling {
           () => operators.Dedup.embeddingEdgesFixedShared(spark, warmDir),
           () => operators.Dedup.truthPairsShared(spark, warmDir)))
         try b() catch { case _: Throwable => () }
+      // stage-decomposition prefixes: the composite bucketing's codegen
+      // must be hot before the x1 stage samples, same rationale
+      for ((_, stage) <- StagePanel)
+        try stage(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
       // streams included: the FIRST streaming invocation in a JVM pays
       // ~1.5-1.7 s of micro-batch-planner/state-store/sink JIT (Bench's
       // measured stream-2pass rationale) — warm it off the x1 samples
@@ -207,7 +274,9 @@ object Scaling {
           samples.filter(_.stateRows >= 0).map(s =>
             s""""state_rows_x${s.factor}":${s.stateRows}""") ++
           samples.filter(_.stateMb >= 0).map(s =>
-            s""""state_mb_x${s.factor}":${f4(s.stateMb)}""")
+            s""""state_mb_x${s.factor}":${f4(s.stateMb)}""") ++
+          samples.filter(_.err != null).map(s =>
+            s""""err_x${s.factor}":"${jsonEsc(s.err)}"""")
         val expo = exponent(samples)
         val e = expo.map(v => s""","exponent":${f4(v)}""").getOrElse("")
         // bytes exponents: the scale-risk signal wall time can hide on
@@ -263,56 +332,72 @@ object Scaling {
         quiesce()
         val mb0 = shufWritten.get()
         val t0 = System.nanoTime()
-        val sec = try { build(); (System.nanoTime() - t0) / 1e9 }
+        val (sec, err) = try { build(); ((System.nanoTime() - t0) / 1e9, null: String) }
           catch { case e: Throwable =>
-            System.err.println(s"[scaling] $kind x$factor failed: ${e.getMessage}")
-            -1.0
+            System.err.println(s"[scaling] $kind x$factor ${
+              if (failureCode(e) == -2.0) "refused" else "failed"}: ${e.getMessage}")
+            (failureCode(e), errString(e))
           }
         quiesce()
         val mb = if (sec < 0) -1.0 else (shufWritten.get() - mb0) / 1048576.0
         results(kind) = results.getOrElse(kind, Vector.empty) :+
-          Sample(factor, sec, shufMb = mb)
+          Sample(factor, sec, shufMb = mb, err = err)
         System.err.println(
           f"[scaling] $kind%-28s x$factor%-3d ${sec}%8.3f s  shuffle=${mb}%10.1f MiB (build)")
         spark.catalog.clearCache()
         emit()
       }
 
-      // one timed pass; shuffle bytes snapshot around it (bytes are
-      // plan-deterministic across passes, so the warm pass's volume
-      // stands for the query)
-      def runOnce(name: String): (Double, Double) = {
+      // one timed pass of an arbitrary frame builder; shuffle bytes
+      // snapshot around it (bytes are plan-deterministic across passes,
+      // so the warm pass's volume stands for the query)
+      def runDfOnce(label: String, f: () => DataFrame): Sample = {
         spark.catalog.clearCache()
         quiesce()
         val mb0 = shufWritten.get()
         val t0 = System.nanoTime()
         try {
-          SparkEntry.queries(name)(spark, dir)
-            .write.format("noop").mode("overwrite").save()
+          f().write.format("noop").mode("overwrite").save()
           val sec = (System.nanoTime() - t0) / 1e9
           quiesce()
-          (sec, (shufWritten.get() - mb0) / 1048576.0)
+          Sample(factor, sec, shufMb = (shufWritten.get() - mb0) / 1048576.0)
         } catch { case e: Throwable =>
           // guarded baselines may REFUSE oversized input by design —
-          // record the refusal (-2) distinctly from an error (-1)
-          val refused = e.getMessage != null && e.getMessage.contains("refus")
-          System.err.println(s"[scaling] $name x$factor ${if (refused) "refused" else "failed"}: ${e.getMessage}")
-          (if (refused) -2.0 else -1.0, -1.0)
+          // the TYPED refusal (-2) is distinct from an error (-1), and
+          // either way the cause string lands in the artifact
+          val code = failureCode(e)
+          System.err.println(s"[scaling] $label x$factor ${
+            if (code == -2.0) "refused" else "failed"}: ${e.getMessage}")
+          Sample(factor, code, err = errString(e))
         }
       }
+      def runOnce(name: String): Sample =
+        runDfOnce(name, () => SparkEntry.queries(name)(spark, dir))
 
-      for (name <- panel if SparkEntry.queries.contains(name)) {
-        val (warm, warmMb) = runOnce(name)
-        val sec =
-          if (warm < 0) warm // refusal/failure: don't retry twice
-          else if (warm > 5.0) math.min(warm, runOnce(name)._1) // slow: 2 samples
-          else Seq(warm, runOnce(name)._1, runOnce(name)._1).min // fast: 3 samples
-        results(name) = results.getOrElse(name, Vector.empty) :+
-          Sample(factor, sec, shufMb = warmMb)
+      def runMeasured(name: String, run: () => Sample): Unit = {
+        val warm = run()
+        val sample =
+          if (warm.sec < 0) warm // refusal/failure: don't retry twice
+          else if (warm.sec > 5.0) { // slow: 2 samples
+            val s2 = run()
+            if (s2.sec >= 0 && s2.sec < warm.sec) warm.copy(sec = s2.sec) else warm
+          } else // fast: 3 samples
+            warm.copy(sec =
+              Seq(warm.sec, run().sec, run().sec).filter(_ >= 0).min)
+        results(name) = results.getOrElse(name, Vector.empty) :+ sample
         System.err.println(
-          f"[scaling] $name%-28s x$factor%-3d ${sec}%8.3f s  shuffle=${warmMb}%10.1f MiB")
+          f"[scaling] $name%-28s x$factor%-3d ${sample.sec}%8.3f s  shuffle=${sample.shufMb}%10.1f MiB")
         emit()
       }
+
+      // composite-build stage prefixes (see [[StagePanel]]): selected
+      // like the shared builds, so a focused SPARK_GRAFT_SCALING_QUERIES
+      // run can re-measure just these
+      for ((name, stage) <- StagePanel if explicitPanel.forall(_.contains(name)))
+        runMeasured(name, () => runDfOnce(name, () => stage(spark, dir)))
+
+      for (name <- panel if SparkEntry.queries.contains(name))
+        runMeasured(name, () => runOnce(name))
 
       // ---- streaming rows (VERDICT r8 item 2) ------------------------
       // AvailableNow streams over the same inflated dir; 2-pass min
@@ -336,8 +421,10 @@ object Scaling {
               srows, sbytes / 1048576.0)
           } catch { case e: Throwable =>
             StreamObserver.disarm()
-            System.err.println(s"[scaling] $name x$factor failed: ${e.getMessage}")
-            Sample(factor, -1.0)
+            val code = failureCode(e)
+            System.err.println(s"[scaling] $name x$factor ${
+              if (code == -2.0) "refused" else "failed"}: ${e.getMessage}")
+            Sample(factor, code, err = errString(e))
           }
         }
         for (name <- streamPanel if SparkEntry.queries.contains(name)) {

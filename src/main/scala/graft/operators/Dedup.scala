@@ -1019,6 +1019,21 @@ object Dedup {
   val CompositePlantStride = 5L
   val CompositePlantIdOffset = 1000000L
 
+  /** DECLARED recall floor for the AND-composed bucketing in its
+    * target regime (VERDICT r10 item 8): of the planted twins whose
+    * true cosine is at least [[CompositeRecallFloorCosine]], the
+    * MaxTables/[[CompositeLshArity]] composite tables must recover at
+    * least this fraction (asserted by `SimilaritySpec`; 52/100 of ALL
+    * plants at sf0.01, higher in the ≥0.9 slice where SRP collision
+    * probability (1−θ/π)^bits is largest). The recovery dial is
+    * OR-amplification: each extra composite table is an independent
+    * 1−(1−p²) draw, so T tables recover 1−(1−p²)^T of pairs at
+    * per-plane agreement p — more tables buy recall at linear
+    * signature cost without touching the 2×[[graft.functions.LshBuckets.MaxBits]]-bit
+    * occupancy bound. */
+  val CompositeRecallFloor = 0.5
+  val CompositeRecallFloorCosine = 0.9
+
   /** The corpus augmented with DETERMINISTIC near-identical twins:
     * every [[CompositePlantStride]]-th vector is copied with component
     * `vec_id % dims` negated. IEEE-754 negation is exact, so the
@@ -2226,8 +2241,14 @@ object Dedup {
     var curEdges = und.count()
     var rounds = 0
     while (curEdges != prevEdges) {
-      GraftRefusal.check(rounds < KcoreMaxRounds,
-        s"kcore refused: did not converge in $KcoreMaxRounds peel rounds - raise " +
+      // a plain require, NOT a GraftRefusal: non-convergence is an
+      // algorithmic iteration-limit failure, not an input-size scale
+      // guard — typing it as a refusal would let the Scaling harness
+      // record a real scaling regression as by-design (-2) instead of
+      // error (-1) (ADVICE r10). GraftRefusal stays reserved for the
+      // documented occupancy/domain/cardinality guards.
+      require(rounds < KcoreMaxRounds,
+        s"kcore did not converge in $KcoreMaxRounds peel rounds - raise " +
           "KcoreMaxRounds (and unroll the oracle to match)")
       val keep = und.groupBy("a").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= KcoreK).select(col("a").as("v"))

@@ -570,17 +570,22 @@ class DedupSpec extends AnyFunSuite {
       5L -> 2L, 6L -> 2L, 7L -> 2L))
   }
 
-  test("kcore of an acyclic graph is empty; refusal names the dial") {
+  test("kcore of an acyclic graph is empty; non-convergence is a plain " +
+      "failure naming the dial") {
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
     assert(graft.operators.Dedup.kcoreOn(path).count() === 0L)
     // a long path needs one peel round per end-pair removed — deeper
-    // than the cap ⇒ the operator must refuse, not emit a non-fixpoint
+    // than the cap ⇒ the operator must fail, not emit a non-fixpoint.
+    // NOT a GraftRefusal (ADVICE r10): iteration-limit non-convergence
+    // is an error the harness must record as -1, not a by-design -2.
     val deep = (1L to 22L).sliding(2).map(p => (p.head, p.last)).toSeq
       .toDF("a", "b")
     val ex = intercept[IllegalArgumentException] {
       graft.operators.Dedup.kcoreOn(deep).count()
     }
     assert(ex.getMessage.contains("KcoreMaxRounds"))
+    assert(!graft.GraftRefusal.isRefusal(ex),
+      "non-convergence must not classify as a scale refusal")
   }
 
   test("bandingSweep: monotone S-curve trade, production row = lshEval") {

@@ -641,6 +641,33 @@ class SimilaritySpec extends AnyFunSuite {
     // ~0.45), so the production operator's result there is the empty
     // set — the documented regime boundary, pinned
     assert(Dedup.embeddingLshPairsComposite(spark, d).count() === 0L)
+    // DECLARED recall floor (VERDICT r10 item 8): in the composite
+    // bucketing's target regime — twins at true cosine >=
+    // CompositeRecallFloorCosine — at least CompositeRecallFloor of
+    // the plants must be recovered. Ordering bounds (composite <=
+    // wide) say only that AND-composition loses recall; this pins that
+    // it keeps ENOUGH, and the dial if it ever dips is named in the
+    // floor's scaladoc (OR-amplification: more composite tables).
+    val twinCos = corpus
+      .select(col("vec_id").as("i"), col("embedding").as("va"))
+      .join(corpus.select(
+        (col("vec_id") - Dedup.CompositePlantIdOffset).as("i"),
+        col("embedding").as("vb")), "i")
+      .select(col("i"),
+        graft.functions.CosineSimilarity(col("va"), col("vb")).as("c"))
+      .as[(Long, Double)].collect()
+    val nearIdentical = twinCos
+      .filter(_._2 >= Dedup.CompositeRecallFloorCosine).map(_._1).toSet
+    assert(nearIdentical.nonEmpty, "no plants in the >=0.9 regime")
+    val recoveredA = planted.map(_._1).toSet
+    val recall =
+      nearIdentical.count(recoveredA).toDouble / nearIdentical.size
+    info(f"composite recall at cosine>=${Dedup.CompositeRecallFloorCosine}: " +
+      f"$recall%.2f (${nearIdentical.count(recoveredA)}/${nearIdentical.size})")
+    assert(recall >= Dedup.CompositeRecallFloor,
+      f"composite recall $recall%.2f below declared floor " +
+        f"${Dedup.CompositeRecallFloor} - widen the composite table count " +
+        "(OR-amplification)")
   }
 
   test("embeddingLshPairsScaled equals the default path at fixture scale") {
