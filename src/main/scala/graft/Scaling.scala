@@ -170,7 +170,21 @@ object Scaling {
         operators.Dedup.compositeBuckets(Tables.embeddings(s, d)),
         operators.Dedup.compositeGeomDesc)),
     "composite_stage_pairs" -> ((s, d) =>
-      operators.Dedup.embeddingLshPairsComposite(s, d)))
+      operators.Dedup.embeddingLshPairsComposite(s, d)),
+    // the SAME three prefixes of the per-table path at the corpus'
+    // scaledLshGeometry — what embeddingEdgesShared ACTUALLY builds at
+    // every inflation factor: the fixture corpus tops out at 128 k
+    // vectors (×64), far BELOW the 2.1 M composite cap, so the shared
+    // build's superlinear-looking byte curve (r9-r10's exp ~2) lives on
+    // THIS path and only these rows can name its carrier stage
+    "scaled_stage_signatures" -> ((s, d) =>
+      operators.Dedup.scaledBuckets(s, d)),
+    "scaled_stage_candidates" -> ((s, d) =>
+      operators.Dedup.lshCandidatesOnBuckets(
+        operators.Dedup.scaledBuckets(s, d),
+        operators.Dedup.scaledGeomDesc(s, d))),
+    "scaled_stage_pairs" -> ((s, d) =>
+      operators.Dedup.embeddingLshPairsScaled(s, d)))
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SCALING_BASE", "/root/testdata/sf0.1")

@@ -892,12 +892,13 @@ object Dedup {
     embeddingLshPairsOn(Tables.embeddings(s, d), WideLshTables, WideLshBits)
 
   private def embeddingLshPairsOn(
-      e: DataFrame, tables: Int, bits: Int): DataFrame =
+      e: DataFrame, tables: Int, bits: Int,
+      broadcastVerify: Boolean = false): DataFrame =
     embeddingLshPairsOnBuckets(e,
       e.select(col("vec_id"),
         posexplode(graft.functions.LshBuckets(col("embedding"), tables, bits))
           .as(Seq("t", "bucket"))),
-      s"$tables x $bits")
+      s"$tables x $bits", broadcastVerify)
 
   /** Candidate-join + exact-cosine verify over a prepared
     * `(vec_id, t, bucket)` frame — shared by the per-table
@@ -930,11 +931,34 @@ object Dedup {
       .select("i", "j").distinct()
   }
 
+  /** Vector-side cap for BROADCASTING the verify join: 4 M vectors ×
+    * 64 float dims ≈ 1 GiB, comfortably inside executor memory and
+    * Spark's 8 GB broadcast hard limit. The r11 stage decomposition
+    * measured the ENTIRE superlinear byte curve of the shared
+    * embedding-edge build in the verify stage — candidates grew
+    * linearly (45→121→258 MiB across ×16/×32/×64) while the full
+    * pairs jumped 47→2168→4528 MiB, because at ×32 the vector table
+    * (64 k rows ≈ 20 MB) outgrew the 10 MB auto-broadcast threshold
+    * and both verify joins demoted to shuffle joins, putting every
+    * candidate row plus two embedding payloads on the wire. Under
+    * this cap the verify side broadcasts by hint instead, so verify
+    * bytes stay ~0 and total bytes track the candidate join's linear
+    * curve; past it the shuffle join IS the design (bytes ∝
+    * candidates · vec_size, linear in n) — a hint there would OOM
+    * the driver, not help. Only the PRODUCTION paths (scaled dial +
+    * composite) take the hint; the fixed/wide audit variants stay
+    * un-hinted so the artifact keeps measuring the naive curves they
+    * exist to demonstrate. */
+  val VerifyBroadcastMaxVectors: Long = 4L * 1024 * 1024
+
   private def embeddingLshPairsOnBuckets(
-      e: DataFrame, b: DataFrame, geomDesc: String): DataFrame = {
+      e: DataFrame, b: DataFrame, geomDesc: String,
+      broadcastVerify: Boolean = false): DataFrame = {
     val cands = lshCandidatesOnBuckets(b, geomDesc)
-    val a = e.select(col("vec_id").as("i"), col("embedding").as("va"))
-    val c = e.select(col("vec_id").as("j"), col("embedding").as("vb"))
+    val a0 = e.select(col("vec_id").as("i"), col("embedding").as("va"))
+    val c0 = e.select(col("vec_id").as("j"), col("embedding").as("vb"))
+    val (a, c) =
+      if (broadcastVerify) (broadcast(a0), broadcast(c0)) else (a0, c0)
     cands.join(a, "i").join(c, "j")
       .withColumn("cos", CosineSimilarity(col("va"), col("vb")))
       .filter(col("cos") >= CosineLshThreshold)
@@ -995,9 +1019,13 @@ object Dedup {
   /** Corpus size beyond which [[scaledLshGeometry]]'s bits cap is
     * exceeded (expected occupancy at the widest per-table geometry
     * passes [[ScaledLshTargetOccupancy]]) and the dial switches to the
-    * AND-composed bucketing: 32·2^16 ≈ 2.1 M vectors. SCALING.json's
-    * ×64 corpus (4.2 M) sits past this line, so the scaling artifact
-    * exercises the composite branch as the shipped default. */
+    * AND-composed bucketing: 32·2^16 ≈ 2.1 M vectors. NOT reachable by
+    * the inflation fixtures (the ×64 corpus is 2000·64 = 128 k vectors
+    * — an earlier revision of this doc claimed 4.2 M, off by the 65 k
+    * base count of a different table), so SCALING.json measures the
+    * composite branch through its own first-class rows
+    * (`dedup_embedding_lsh_composite` + the `composite_stage_*`
+    * prefixes), never through the shared build. */
   val LshCompositeCapVectors: Long =
     ScaledLshTargetOccupancy << graft.functions.LshBuckets.MaxBits
 
@@ -1011,7 +1039,9 @@ object Dedup {
     * replicates the composition in SQL, so the (deterministically)
     * different recall set is hash-checked, not assumed. */
   def embeddingLshPairsComposite(s: SparkSession, d: String): DataFrame =
-    embeddingLshPairsCompositeOn(Tables.embeddings(s, d))
+    embeddingLshPairsCompositeOn(Tables.embeddings(s, d),
+      broadcastVerify =
+        embeddingCorpusCount(s, d) <= VerifyBroadcastMaxVectors)
 
   /** Every [[CompositePlantStride]]-th vector gets a planted
     * near-identical twin in [[plantedNearDupCorpus]], id-shifted by
@@ -1059,8 +1089,14 @@ object Dedup {
     * 32-bit AND keys recover (52 of 100 at sf0.01). Same operator
     * code path, derived input — the [[dupSnapshotDiff]] pattern. */
   def embeddingLshPairsCompositePlanted(
-      s: SparkSession, d: String): DataFrame =
-    embeddingLshPairsCompositeOn(plantedNearDupCorpus(Tables.embeddings(s, d)))
+      s: SparkSession, d: String): DataFrame = {
+    // the plant adds n/stride twins; keep the broadcast decision on
+    // the AUGMENTED count so the hint can never overshoot the cap
+    val n = embeddingCorpusCount(s, d)
+    embeddingLshPairsCompositeOn(plantedNearDupCorpus(Tables.embeddings(s, d)),
+      broadcastVerify =
+        n + n / CompositePlantStride <= VerifyBroadcastMaxVectors)
+  }
 
   /** The AND-composed (vec_id, t, bucket) signature frame — stage 1 of
     * [[embeddingLshPairsCompositeOn]], exposed for the Scaling stage
@@ -1082,8 +1118,33 @@ object Dedup {
       s"${CompositeLshArity}x$MaxBits bits"
   }
 
-  private def embeddingLshPairsCompositeOn(e: DataFrame): DataFrame =
-    embeddingLshPairsOnBuckets(e, compositeBuckets(e), compositeGeomDesc)
+  private def embeddingLshPairsCompositeOn(e: DataFrame,
+      broadcastVerify: Boolean = false): DataFrame =
+    embeddingLshPairsOnBuckets(e, compositeBuckets(e), compositeGeomDesc,
+      broadcastVerify)
+
+  /** The per-table `(vec_id, t, bucket)` signature frame at the
+    * corpus' [[scaledLshGeometry]] — stage 1 of
+    * [[embeddingLshPairsScaled]] BELOW the composite cap, exposed for
+    * the Scaling stage decomposition. The r9-r10 scaling artifacts
+    * fitted `shared_embedding_edges`' shuffle bytes superlinear
+    * (exp 2.0-2.3) with a single end-to-end number per factor; these
+    * stage prefixes split that volume into signature explode vs
+    * candidate join vs verify so the regime step (the candidate join's
+    * broadcast→shuffle demotion as the signature frame outgrows the
+    * 10 MB threshold) is measured, not conjectured. */
+  private[graft] def scaledBuckets(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val (t, b) = scaledLshGeometry(embeddingCorpusCount(s, d))
+    e.select(col("vec_id"),
+      posexplode(graft.functions.LshBuckets(col("embedding"), t, b))
+        .as(Seq("t", "bucket")))
+  }
+
+  private[graft] def scaledGeomDesc(s: SparkSession, d: String): String = {
+    val (t, b) = scaledLshGeometry(embeddingCorpusCount(s, d))
+    s"scaled $t x $b"
+  }
 
   /** [[embeddingLshPairs]] at the [[scaledLshGeometry]] for the corpus'
     * actual size — the production default (and since r9 what
@@ -1099,10 +1160,14 @@ object Dedup {
     val e = Tables.embeddings(s, d)
     // memoized parquet row-count metadata — one job per (session, corpus)
     val n = embeddingCorpusCount(s, d)
-    if (n > LshCompositeCapVectors) embeddingLshPairsCompositeOn(e)
+    if (n > LshCompositeCapVectors)
+      embeddingLshPairsCompositeOn(e,
+        broadcastVerify = n <= VerifyBroadcastMaxVectors)
     else {
+      // below the composite cap n ≤ 2.1 M < VerifyBroadcastMaxVectors,
+      // so the production path always broadcasts the verify side
       val (t, b) = scaledLshGeometry(n)
-      embeddingLshPairsOn(e, t, b)
+      embeddingLshPairsOn(e, t, b, broadcastVerify = true)
     }
   }
 
