@@ -677,6 +677,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(scaled === default)
   }
 
+  test("production LSH paths hint the verify join broadcast; audit " +
+      "variants do not") {
+    import graft.operators.Dedup
+    // the r11 stage decomposition measured the verify join's
+    // broadcast->shuffle demotion as the ENTIRE superlinear byte curve
+    // of the shared embedding-edge build (47 -> 2168 -> 4528 MiB across
+    // x16/x32/x64 while candidates stayed linear); the fix is a hint,
+    // so it must be STRUCTURAL in the plan - visible as ResolvedHint in
+    // the analyzed plan regardless of AQE's own size-based choices -
+    // not an artifact of fixture-sized tables sneaking under the
+    // auto-broadcast threshold
+    def hinted(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.toString.contains("ResolvedHint")
+    assert(hinted(Dedup.embeddingLshPairsScaled(spark, d)),
+      "scaled path must hint the verify join under the vector cap")
+    assert(hinted(Dedup.embeddingLshPairsComposite(spark, d)),
+      "composite path must hint the verify join under the vector cap")
+    // the fixed/wide audit variants exist to measure the naive curves -
+    // hinting them would silently falsify the artifact's contrast
+    assert(!hinted(Dedup.embeddingLshPairs(spark, d)),
+      "fixed-geometry audit variant must stay un-hinted")
+    assert(!hinted(Dedup.embeddingLshPairsWide(spark, d)),
+      "wide-geometry audit variant must stay un-hinted")
+  }
+
   test("IVF candidates per query stay ~NProbe*n/K on a 10x corpus") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
