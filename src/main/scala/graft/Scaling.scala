@@ -184,7 +184,21 @@ object Scaling {
         operators.Dedup.scaledBuckets(s, d),
         operators.Dedup.scaledGeomDesc(s, d))),
     "scaled_stage_pairs" -> ((s, d) =>
-      operators.Dedup.embeddingLshPairsScaled(s, d)))
+      operators.Dedup.embeddingLshPairsScaled(s, d)),
+    // the minhash-LSH text-dedup pipeline's prefixes — `dedup_minhash_lsh`
+    // jumped 7.2 → 62.4 s (673 → 3399 MiB) across ×32→×64 in the r11
+    // sweep, and SCALE.md's standing explanation (partial-combine loss
+    // on DISTINCT-style shuffles) deserves the same per-stage proof the
+    // embedding build got: signature agg → band explode → band
+    // self-join candidates → exact-Jaccard verify
+    "minhash_stage_signatures" -> ((s, d) =>
+      operators.Dedup.minhashSignatures(s, d)),
+    "minhash_stage_bands" -> ((s, d) =>
+      operators.Dedup.minhashBands(s, d)),
+    "minhash_stage_candidates" -> ((s, d) =>
+      operators.Dedup.minhashCandidates(s, d)),
+    "minhash_stage_pairs" -> ((s, d) =>
+      operators.Dedup.minhashLsh(s, d)))
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SCALING_BASE", "/root/testdata/sf0.1")
@@ -485,7 +499,18 @@ object Scaling {
   /** Writes the F-fold key-shifted self-union of every table at `base`
     * into `dest` (same file layout, so `SparkEntry.queries` run on it
     * unchanged). Idempotent per (base, factor): skips when the dest
-    * `_INFLATED` marker already exists. */
+    * `_INFLATED` marker already exists.
+    *
+    * KNOWN WORKLOAD SHIFT past ×26 (measured r11): the TEXT Caesar
+    * rotation has period 26, so factors beyond 26 reuse rotations and
+    * reintroduce EXACT cross-copy duplicate documents — 128 duplicate
+    * pairs at ×16, 30.4 k at ×32, 251 k at ×64 (≈ 50 same-rotation
+    * copy pairs per base doc at ×64), growing ~F²/26. Text-dedup
+    * rows at ×32/×64 therefore measure a genuinely DUP-HEAVIER corpus
+    * (the realistic crawl regime, and the r=8 banding probe confirmed
+    * ~290 k of the ×64 minhash candidates are true pairs): their wall/
+    * byte exponents UPPER-BOUND fixed-density scaling, because the
+    * true output itself grows superlinearly in F there. */
   def inflate(spark: SparkSession, base: String, factor: Int, dest: String): Unit = {
     // the per-copy embedding rotation (below) has only dim = 64 distinct
     // rotations: copy 64 would repeat copy 0's directions verbatim and
@@ -496,6 +521,10 @@ object Scaling {
       s"inflate refused: factor $factor > 64 distinct embedding " +
         "rotations (dim 64); copies would repeat directions and the " +
         "near-dup workload would go quadratic in F")
+    if (factor > 26)
+      System.err.println(s"[scaling] NOTE x$factor > 26 text rotations: " +
+        "cross-copy exact text duplicates present (dup-heavy regime; " +
+        "see inflate scaladoc) - text-dedup rows measure true extra work")
     val marker = java.nio.file.Paths.get(dest, "_INFLATED")
     if (java.nio.file.Files.exists(marker)) {
       System.err.println(s"[scaling] reusing inflated x$factor at $dest")

@@ -209,6 +209,12 @@ object Dedup {
   def minhashCandidates(s: SparkSession, d: String): DataFrame =
     minhashCandidatesOn(shingles(s, d))
 
+  /** The default-geometry band frame over the corpus — stage 2 of
+    * [[minhashLsh]], exposed for the Scaling stage decomposition
+    * (the `minhash_stage_*` rows). */
+  private[graft] def minhashBands(s: SparkSession, d: String): DataFrame =
+    minhashBandsOn(shingles(s, d))
+
   /** doc_id → (band, bkey) LSH band keys from the minhash signatures —
     * the shared band frame for the symmetric ([[minhashCandidatesOn]])
     * and asymmetric ([[incrementalDedup]]) band joins. Default
