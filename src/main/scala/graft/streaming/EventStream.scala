@@ -357,7 +357,8 @@ object EventStream {
     // default (8, 2) — oracle-identical.
     val corpusDocs = Tables.documents(ss, d)
       .filter(col("doc_id") % 2 === 0)
-    val (nBands, nRows) = Dedup.scaledBandGeometry(corpusDocs.count())
+    val nCorpusDocs = corpusDocs.count()
+    val (nBands, nRows) = Dedup.scaledBandGeometry(nCorpusDocs)
     val corpusSh = corpusDocs
       .select(col("doc_id"), explode(WordShingles(col("text"), 3)).as("s"))
       .distinct()
@@ -404,7 +405,16 @@ object EventStream {
         posexplode(array(
           Dedup.bandKeyCols(nBands, nRows, i => col(s"mh$i")): _*))
           .as(Seq("band", "bkey")))
-    val q = banded.join(corpusIdx, Seq("band", "bkey"))
+    // the 3-scalar band index broadcasts under the cap (see
+    // [[StreamStaticBroadcastMaxRows]]; idx rows = docs × bands, tiny
+    // scalars) so each micro-batch's band join is map-side; the FAT
+    // payload frame stays a shuffle join — broadcasting arrays would
+    // invert the late-materialization win
+    val corpusIdxSide =
+      if (nCorpusDocs * nBands <= StreamStaticBroadcastMaxRows)
+        broadcast(corpusIdx)
+      else corpusIdx
+    val q = banded.join(corpusIdxSide, Seq("band", "bkey"))
       .dropDuplicates("n", "o")
       .join(corpusPayload, "o") // candidates only — the late fetch
       .select(col("n"), col("o"),
@@ -517,6 +527,10 @@ object EventStream {
         explode(col("probes")).as("p"))
       .select(col("vec_id"), col("embedding"),
         col("p.cent_id").as("cent_id"))
+    // members carries raw embedding payloads — deliberately NOT
+    // broadcast: the per-batch broadcast rebuild measured WORSE than
+    // the shuffle join past ×32 (see [[StreamStaticBroadcastMaxRows]]
+    // — the scalar-only rule)
     val q = arrivals.join(members, Seq("cent_id"))
       .select(col("vec_id"), col("neighbor_id"),
         graft.functions.CosineSimilarity(col("embedding"), col("cemb"))
@@ -563,9 +577,21 @@ object EventStream {
     import graft.operators.Multimodal
     val (out, ckpt) = scratchDirs("mmin")
     val ss = streamSession(s)
-    val S = Multimodal.PhashSamples
+    // n-ADAPTIVE geometry (see [[MediaIngestWideMinImages]]): the image
+    // corpus count is known at stream start, and both the static index
+    // and the per-row stream signature below derive from the same
+    // (samples, bandBits) — fixture corpora resolve to the default,
+    // keeping every committed oracle byte-identical
+    val nImages = Tables.documents(ss, d)
+      .filter(col("doc_id") % 2 === 0 &&
+        col("doc_id") % Multimodal.Kinds.size ===
+          Multimodal.Kinds.indexOf("image"))
+      .count()
+    val (samples, bandBits) =
+      if (nImages <= MediaIngestWideMinImages) (Multimodal.PhashSamples, 8)
+      else (Multimodal.PhashSamplesWide, 15)
+    val S = samples
     val nBands = 4
-    val bandBits = 8
     val mask = (1L << bandBits) - 1
     def chunks = (0 until nBands).map(b =>
       shiftright(col("sig"), bandBits * b).bitwiseAND(mask))
@@ -601,7 +627,13 @@ object EventStream {
           "cast(0 as bigint), (acc, x) -> acc + x)"))
       .select(col("media_id"), col("sig"),
         posexplode(array(chunks: _*)).as(Seq("band", "bkey")))
-    val q = arrivals.join(index, Seq("band", "bkey"))
+    // scalar signature index: broadcast under the cap (see
+    // [[StreamStaticBroadcastMaxRows]]) — same per-batch re-shuffle
+    // rationale as the vector/text ingest streams
+    val indexSide =
+      if (index.count() <= StreamStaticBroadcastMaxRows) broadcast(index)
+      else index
+    val q = arrivals.join(indexSide, Seq("band", "bkey"))
       .dropDuplicates("media_id", "neighbor_id")
       .select(col("media_id"), col("neighbor_id"),
         bit_count(col("sig").bitwiseXOR(col("nsig"))).cast("int")
@@ -696,6 +728,42 @@ object EventStream {
     * here are partitioning-independent, which the oracle hash-check
     * would catch if violated). */
   val StreamStatePartitions = 4
+
+  /** SCALAR static-index broadcast cap for the ingest streams (r11):
+    * every micro-batch RE-PLANS its stream-static join, and with AQE
+    * unavailable under streaming the static index was SHUFFLED per
+    * batch on both sides. Under this cap a SCALAR index (band keys,
+    * signatures — a few fixed-width columns, ≲ 32 B/row) carries a
+    * broadcast hint, so per-batch joins are map-side: measured on
+    * `dedup_incremental_stream` ×32 as 523 → 42 MiB of shuffle. 16 M
+    * scalar rows ≈ 0.5 GiB hashed — inside executor memory. Past the
+    * cap — or for PAYLOAD-carrying indexes — the shuffle join is the
+    * design: broadcasting the vector ingest's embedding-carrying
+    * members frame measured WORSE past ×32 (×64 wall 37.8 → 67.8 s;
+    * the per-batch broadcast REBUILD — driver collect + hash-relation
+    * build, repeated every micro-batch because streaming re-plans —
+    * grows with index bytes × batch count and overtakes the shuffle
+    * it replaces), so that hint was reverted: at 100 TB the static
+    * index is partitioned/bucketed storage the micro-batch hash-joins
+    * against, not a broadcast. */
+  val StreamStaticBroadcastMaxRows = 1L << 24
+
+  /** Image-corpus size past which [[mediaIngestStreamVerified]]
+    * switches its signature/band geometry to the batch operator's
+    * WIDE escape ([[graft.operators.Multimodal.phashPairsWide]]'s
+    * 60-sample sigs, 4 × 15-bit bands): the default 32-bit/4 × 8-bit
+    * geometry has only 256 buckets per band, so in-bucket candidate
+    * fan-out grows as (n/256)² — the first ×32 measurement of the
+    * un-dialed stream recorded 79.6 M dropDuplicates state rows
+    * (16.9 GiB) from a 27 k-image corpus, exactly the detonation the
+    * batch guard refuses at [[graft.operators.Multimodal.MaxPhashBandBucket]].
+    * 10 k images keeps expected 8-bit occupancy ≈ 39; the wide
+    * geometry's 32 768 buckets/band then hold occupancy ≈ n/32 768
+    * past the switch. Fixture corpora (sf0.01 ≈ 80 images, sf0.1 ≈
+    * 830) resolve to the default, keeping the committed oracle and
+    * bench rows byte-identical — the [[graft.operators.Dedup.scaledBandGeometry]]
+    * inheritance pattern. */
+  val MediaIngestWideMinImages = 10000L
 
   /** An ISOLATED session (shared SparkContext, own SQLConf) for the
     * driver-surface streaming runs, with [[StreamStatePartitions]]
