@@ -141,7 +141,12 @@ object Scaling {
   val StreamPanel: Seq[String] = Seq(
     "events_outer_join_stream", "events_range_join_stream",
     "events_semi_join_stream", "dedup_incremental_stream",
-    "ann_ingest_stream")
+    "ann_ingest_stream",
+    // r11: first measurement found the un-dialed media ingest was the
+    // heaviest stream by far (79.6 M state rows at ×32 before the
+    // wide-band dial) — permanent panel member so the dial's state
+    // bound stays pinned
+    "mm_ingest_stream")
 
   /** Streaming factor ceiling — ×64 since r11 (VERDICT r10 item 4: the
     * ×16 cutoff left the state-rows exponent fit over two deltas; ×64
