@@ -846,4 +846,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(perRow.nonEmpty)
     assert(perRow === batch)
   }
+
+  test("media ingest dial: past MediaIngestWideMinImages the stream " +
+      "runs the wide geometry and matches the lossless batch join") {
+    import graft.operators.Multimodal
+    // a corpus big enough to cross the dial (>10k even-id image docs):
+    // the first ×32 scaling measurement of the un-dialed stream blew
+    // up to 79.6M dropDuplicates state rows because the default
+    // 4×8-bit bands have only 256 buckets per band — this pins that
+    // the wide branch (60-sample sigs, 4×15-bit bands) engages AND
+    // still equals the lossless parity join it bounds
+    val dir = "/tmp/graft_media_dial_fixture"
+    val n = 10500 // even-id images = doc_ids 0,6,12,... (parity+kind)
+    val docs = spark.range(0, n * 6, 1)
+      .select(col("id").as("doc_id"),
+        // deterministic pseudo-random payloads; a planted twin pair:
+        // arrival doc 3 copies corpus doc 6's bytes (hamming 0)
+        when(col("id") === 3, concat(lit("twin-"), md5(lit(6L).cast("string"))))
+          .otherwise(when(col("id") === 6,
+            concat(lit("twin-"), md5(lit(6L).cast("string"))))
+            .otherwise(md5(col("id").cast("string")))).as("text"),
+        lit("en").as("lang"), lit("synth").as("source"),
+        lit(32L).as("n_chars"))
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val nImages = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 2 === 0 && col("doc_id") % 3 === 0).count()
+      assert(nImages > EventStream.MediaIngestWideMinImages,
+        "fixture must cross the dial")
+      val got = EventStream.mediaIngestStreamVerified(spark, dir)
+        .as[(Long, Long, Int)].collect().toSet
+      // lossless expected set: the SAME wide signatures in batch, plain
+      // parity join, hamming <= PhashMaxHamming (banding is candidate
+      // generation only — completeness at <= 3 is the pigeonhole bound)
+      val sigs = graft.operators.Multimodal
+        .phashSigs(spark, dir, Multimodal.PhashSamplesWide)
+        .as[(Long, Long)].collect()
+      val corpus = sigs.filter { case (id, _) => id % 2 == 0 && id % 3 == 0 }
+      val arrivals = sigs.filter { case (id, _) => id % 2 == 1 && id % 3 == 0 }
+      val expected = (for {
+        (a, sa) <- arrivals.iterator
+        (o, so) <- corpus.iterator
+        h = java.lang.Long.bitCount(sa ^ so)
+        if h <= Multimodal.PhashMaxHamming
+      } yield (a, o, h)).toSet
+      assert(got === expected)
+      assert(got.contains((3L, 6L, 0)), "planted twin must surface")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }
