@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench's stdout protocol is "the LAST line is the compact JSON
+// artifact", but a consumer that keeps only a bounded output tail and
+// parses the final line saw sbt's `[success] Total time: ...` banner
+// instead (and every forked println arrived `[info]`-tagged through
+// sbt's logger). Pipe forked run output straight to the console and
+// suppress the success banner, so the last line of the whole sbt
+// invocation is Bench's own final JSON line, bare.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

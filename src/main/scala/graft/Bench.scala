@@ -188,6 +188,22 @@ object Bench {
     // the run leaves the last fully-written file state).
     val outFile = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
+    // The LAST stdout line of the whole process must be the compact
+    // JSON artifact line (the consumer's take-the-last-line protocol;
+    // see build.sbt's outputStrategy/showSuccess notes). A shutdown
+    // hook re-prints it at JVM exit — after Spark's own stop banners
+    // and after any post-loop output, and also on SIGTERM mid-run —
+    // and mirrors it to stderr as a second survival channel for
+    // captures that interleave the two streams.
+    val lastCompact =
+      new java.util.concurrent.atomic.AtomicReference[String](null)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val c = lastCompact.get()
+      if (c != null) {
+        println(c); Console.out.flush()
+        System.err.println(c); System.err.flush()
+      }
+    }))
     def emit(): Unit = {
       def fmt(v: Double): String = // 4dp: 0.1 ms grain, keeps lines short
         BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
@@ -220,6 +236,7 @@ object Bench {
         s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compactQs,""" +
           s""""queries_done":${results.size},"max_storm_ratio":${fmt(maxStorm)},""" +
           s""""full_artifact":"${outFile.getFileName}","sf":"$sfDir"}"""
+      lastCompact.set(compact)
       println(compact)
       Console.out.flush()
       // atomic replace (write temp + move) so a kill mid-write can never
@@ -234,6 +251,11 @@ object Bench {
       } catch {
         case e: Exception =>
           System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
+          // the stdout line is COMPACT (worst-10 + headliners only), so an
+          // unwritable cwd would otherwise lose the full per-query map
+          // entirely (ADVICE r11) — fall back to printing the full line
+          println(line)
+          Console.out.flush()
       }
     }
 

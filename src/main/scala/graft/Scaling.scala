@@ -20,12 +20,17 @@ import org.apache.spark.sql.functions._
   *   - `documents.text`: verbatim copies would make every doc an exact
   *     F-plex — near-dup candidate pairs would then grow ~F² and the
   *     harness would report superlinear scaling that says nothing about
-  *     the plans. Each copy instead maps letters through a Caesar
-  *     rotation of the alphabet (`translate`, codegen'd): within-copy
-  *     structure (shingle df profile, doc lengths, dup clusters) is
-  *     IDENTICAL to the base corpus under renamed tokens, while
-  *     cross-copy shingle overlap is ~zero — F× more data of the same
-  *     character, which is what a bigger crawl looks like.
+  *     the plans. Each copy instead maps letters through a per-copy
+  *     AFFINE permutation of the alphabet (`translate`, codegen'd; see
+  *     [[permAlphabet]] — distinct maps up to ×[[AffineTextPeriod]], so
+  *     no exact cross-copy twins recur, unlike the pre-r12 period-26
+  *     rotation): within-copy structure (shingle df profile, doc
+  *     lengths, dup clusters) is IDENTICAL to the base corpus under
+  *     renamed tokens, while cross-copy shingle overlap is ~zero — F×
+  *     more data of the same character, which is what a bigger crawl
+  *     looks like. The old rotation survives as the LABELED dup-heavy
+  *     regime (`*_dupheavy` rows at ×32/×64/×128) whose wrapped copies
+  *     plant ~F²/26 exact twins — the duplicate-laden crawl case.
   *   - `embeddings.embedding`: copies rotate the vector cyclically by
   *     `copy` positions (dim 64 ≥ max copies). Norms and within-copy
   *     geometry are preserved exactly; cross-copy vectors point in
@@ -152,6 +157,43 @@ object Scaling {
     * ×16 cutoff left the state-rows exponent fit over two deltas; ×64
     * confirms the watermark-bounded linear trend on a third point). */
   val StreamMaxFactor = 64
+
+  /** Factor at and above which a shared-edge build is timed TWICE
+    * (memo + parquet intermediate invalidated between) and the min
+    * kept. Builds run once per factor and memoize, so the min-of-N
+    * storm escape every panel query gets never protected them — one
+    * JIT-deopt storm became the committed number (248.7 s observed vs
+    * 59.3 s committed on `shared_minhash_edges` ×64 in r11 — VERDICT
+    * r11 item 3). Small factors stay single-pass: their builds are
+    * seconds, and storms that size are visible against the exponent
+    * fit anyway. */
+  val BuildDeStormMinFactor = 32
+
+  /** Dup-heavy regime panel factors and membership (VERDICT r11 items
+    * 1 + 7): the text-dedup family re-measured on the PERIOD-26
+    * rotation inflation whose wrapped copies plant ~F²/26 exact
+    * cross-copy twins — the duplicate-laden crawl regime the default
+    * fixed-density (affine) inflation no longer contains. Factors
+    * below 27 are byte-identical across the two regimes, so dup-heavy
+    * rows start at ×32; `shared_prefix_edges` alone continues to ×128
+    * (item 7: one more doubling of the flagship family in the regime
+    * where output itself grows superlinearly — documents-only
+    * inflation, since the embedding rotation caps at ×64 and no
+    * dup-heavy query reads embeddings). */
+  val DupHeavyFactors: Seq[Int] = Seq(32, 64, 128)
+  val DupHeavyMaxFactorFull = 64
+  val DupHeavyPanel: Seq[String] =
+    Seq("shared_prefix_edges", "shared_minhash_edges", "dedup_jaccard_prefix")
+
+  /** Synthetic corpus size (pre-plant) for the composite-cap crossing
+    * row (VERDICT r11 item 4): the dial's past-cap branch
+    * ([[operators.Dedup.LshCompositeCapVectors]] ≈ 2.1 M) is
+    * unreachable by inflation (the ×64 fixture is 128 k vectors), so
+    * one row runs the production entry point on a deterministic
+    * in-memory corpus ABOVE the cap — 4 Mi base vectors + 1/5 planted
+    * near-identical twins ≈ 5.03 M, crossing both the composite cap
+    * and the verify-broadcast cap by actual size. */
+  val SynthCapCrossVectors: Long = 4L * 1024 * 1024
 
   /** Per-stage decomposition of the AND-composed embedding-edge build
     * (VERDICT r9 item 2 / r10 item 2): `shared_embedding_edges`' ×64
@@ -339,6 +381,103 @@ object Scaling {
       }
     }
 
+    // one timed pass of an arbitrary frame builder; shuffle bytes
+    // snapshot around it (bytes are plan-deterministic across passes,
+    // so the warm pass's volume stands for the query)
+    def runDfOnce(label: String, factor: Int, f: () => DataFrame): Sample = {
+      spark.catalog.clearCache()
+      quiesce()
+      val mb0 = shufWritten.get()
+      val t0 = System.nanoTime()
+      try {
+        f().write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        quiesce()
+        Sample(factor, sec, shufMb = (shufWritten.get() - mb0) / 1048576.0)
+      } catch { case e: Throwable =>
+        // guarded baselines may REFUSE oversized input by design —
+        // the TYPED refusal (-2) is distinct from an error (-1), and
+        // either way the cause string lands in the artifact
+        val code = failureCode(e)
+        System.err.println(s"[scaling] $label x$factor ${
+          if (code == -2.0) "refused" else "failed"}: ${e.getMessage}")
+        Sample(factor, code, err = errString(e))
+      }
+    }
+
+    def runMeasured(name: String, factor: Int, run: () => Sample): Unit = {
+      val warm = run()
+      val sample =
+        if (warm.sec < 0) warm // refusal/failure: don't retry twice
+        else if (warm.sec > 5.0) { // slow: 2 samples
+          val s2 = run()
+          if (s2.sec >= 0 && s2.sec < warm.sec) warm.copy(sec = s2.sec) else warm
+        } else // fast: 3 samples
+          warm.copy(sec =
+            Seq(warm.sec, run().sec, run().sec).filter(_ >= 0).min)
+      results(name) = results.getOrElse(name, Vector.empty) :+ sample
+      System.err.println(
+        f"[scaling] $name%-28s x$factor%-3d ${sample.sec}%8.3f s  shuffle=${sample.shufMb}%10.1f MiB")
+      emit()
+    }
+
+    // One timed shared-edge build. Builds run ONCE per factor and
+    // memoize, so min-of-N passes can't protect them from a JIT-deopt
+    // storm the way panel queries are protected — an early r11 sweep
+    // read shared_minhash_edges ×64 at 248.7 s where the committed run
+    // read 59.3 s (VERDICT r11 item 3). At factors ≥
+    // [[BuildDeStormMinFactor]] the harness therefore invalidates the
+    // memo (AND the parquet intermediate when SPARK_GRAFT_EDGE_DIR is
+    // set) and rebuilds, keeping the min of the two full builds; the
+    // memo the consumers reuse is the LAST build's, identical content.
+    def timeSharedBuild(rowName: String, dedupKind: String, factor: Int,
+        dir: String, build: () => DataFrame): Unit = {
+      def once(): Sample = {
+        spark.catalog.clearCache()
+        quiesce()
+        val mb0 = shufWritten.get()
+        val t0 = System.nanoTime()
+        try {
+          build()
+          val sec = (System.nanoTime() - t0) / 1e9
+          quiesce()
+          Sample(factor, sec, shufMb = (shufWritten.get() - mb0) / 1048576.0)
+        } catch { case e: Throwable =>
+          System.err.println(s"[scaling] $rowName x$factor ${
+            if (failureCode(e) == -2.0) "refused" else "failed"}: ${e.getMessage}")
+          Sample(factor, failureCode(e), err = errString(e))
+        }
+      }
+      val first = once()
+      val sample =
+        if (first.sec < 0 || factor < BuildDeStormMinFactor) first
+        else {
+          operators.Dedup.invalidateSharedEdges(spark, dir, dedupKind)
+          val second = once()
+          if (second.sec >= 0 && second.sec < first.sec) second else first
+        }
+      results(rowName) = results.getOrElse(rowName, Vector.empty) :+ sample
+      System.err.println(
+        f"[scaling] $rowName%-28s x$factor%-3d ${sample.sec}%8.3f s  shuffle=${sample.shufMb}%10.1f MiB (build)")
+      spark.catalog.clearCache()
+      emit()
+    }
+
+    def sharedBuilds(dir: String): Seq[(String, String, () => DataFrame)] = Seq(
+      ("shared_prefix_edges", "prefix",
+        () => operators.Dedup.nearDupEdgesShared(spark, dir)),
+      ("shared_minhash_edges", "minhash",
+        () => operators.Dedup.minhashEdgesShared(spark, dir)),
+      // the DEFAULT build runs the n-adaptive geometry dial (r9);
+      // the fixed-geometry audit variant is the superlinear plan the
+      // r8 artifact measured — kept so the comparison stays measured
+      ("shared_embedding_edges", "embedding",
+        () => operators.Dedup.embeddingEdgesShared(spark, dir)),
+      ("shared_embedding_edges_fixed", "embedding_fixed",
+        () => operators.Dedup.embeddingEdgesFixedShared(spark, dir)),
+      ("shared_truth_pairs", "truth",
+        () => operators.Dedup.truthPairsShared(spark, dir)))
+
     for (factor <- factors) {
       val dir = if (factor == 1) base else s"$scratch/x$factor"
       if (factor != 1) inflate(spark, base, factor, dir)
@@ -351,86 +490,21 @@ object Scaling {
       // an explicit SPARK_GRAFT_SCALING_QUERIES list also selects WHICH
       // shared builds to time (a focused re-measure run merges its rows
       // into the committed artifact via tools/merge_scaling.py)
-      for ((kind, build) <- Seq[(String, () => DataFrame)](
-          "shared_prefix_edges" -> (() => operators.Dedup.nearDupEdgesShared(spark, dir)),
-          "shared_minhash_edges" -> (() => operators.Dedup.minhashEdgesShared(spark, dir)),
-          // the DEFAULT build runs the n-adaptive geometry dial (r9);
-          // the fixed-geometry audit variant is the superlinear plan the
-          // r8 artifact measured — kept so the comparison stays measured
-          "shared_embedding_edges" -> (() => operators.Dedup.embeddingEdgesShared(spark, dir)),
-          "shared_embedding_edges_fixed" -> (() => operators.Dedup.embeddingEdgesFixedShared(spark, dir)),
-          "shared_truth_pairs" -> (() => operators.Dedup.truthPairsShared(spark, dir)))
-          if explicitPanel.forall(_.contains(kind))) {
-        spark.catalog.clearCache()
-        quiesce()
-        val mb0 = shufWritten.get()
-        val t0 = System.nanoTime()
-        val (sec, err) = try { build(); ((System.nanoTime() - t0) / 1e9, null: String) }
-          catch { case e: Throwable =>
-            System.err.println(s"[scaling] $kind x$factor ${
-              if (failureCode(e) == -2.0) "refused" else "failed"}: ${e.getMessage}")
-            (failureCode(e), errString(e))
-          }
-        quiesce()
-        val mb = if (sec < 0) -1.0 else (shufWritten.get() - mb0) / 1048576.0
-        results(kind) = results.getOrElse(kind, Vector.empty) :+
-          Sample(factor, sec, shufMb = mb, err = err)
-        System.err.println(
-          f"[scaling] $kind%-28s x$factor%-3d ${sec}%8.3f s  shuffle=${mb}%10.1f MiB (build)")
-        spark.catalog.clearCache()
-        emit()
-      }
+      for ((kind, dedupKind, build) <- sharedBuilds(dir)
+          if explicitPanel.forall(_.contains(kind)))
+        timeSharedBuild(kind, dedupKind, factor, dir, build)
 
-      // one timed pass of an arbitrary frame builder; shuffle bytes
-      // snapshot around it (bytes are plan-deterministic across passes,
-      // so the warm pass's volume stands for the query)
-      def runDfOnce(label: String, f: () => DataFrame): Sample = {
-        spark.catalog.clearCache()
-        quiesce()
-        val mb0 = shufWritten.get()
-        val t0 = System.nanoTime()
-        try {
-          f().write.format("noop").mode("overwrite").save()
-          val sec = (System.nanoTime() - t0) / 1e9
-          quiesce()
-          Sample(factor, sec, shufMb = (shufWritten.get() - mb0) / 1048576.0)
-        } catch { case e: Throwable =>
-          // guarded baselines may REFUSE oversized input by design —
-          // the TYPED refusal (-2) is distinct from an error (-1), and
-          // either way the cause string lands in the artifact
-          val code = failureCode(e)
-          System.err.println(s"[scaling] $label x$factor ${
-            if (code == -2.0) "refused" else "failed"}: ${e.getMessage}")
-          Sample(factor, code, err = errString(e))
-        }
-      }
       def runOnce(name: String): Sample =
-        runDfOnce(name, () => SparkEntry.queries(name)(spark, dir))
-
-      def runMeasured(name: String, run: () => Sample): Unit = {
-        val warm = run()
-        val sample =
-          if (warm.sec < 0) warm // refusal/failure: don't retry twice
-          else if (warm.sec > 5.0) { // slow: 2 samples
-            val s2 = run()
-            if (s2.sec >= 0 && s2.sec < warm.sec) warm.copy(sec = s2.sec) else warm
-          } else // fast: 3 samples
-            warm.copy(sec =
-              Seq(warm.sec, run().sec, run().sec).filter(_ >= 0).min)
-        results(name) = results.getOrElse(name, Vector.empty) :+ sample
-        System.err.println(
-          f"[scaling] $name%-28s x$factor%-3d ${sample.sec}%8.3f s  shuffle=${sample.shufMb}%10.1f MiB")
-        emit()
-      }
+        runDfOnce(name, factor, () => SparkEntry.queries(name)(spark, dir))
 
       // composite-build stage prefixes (see [[StagePanel]]): selected
       // like the shared builds, so a focused SPARK_GRAFT_SCALING_QUERIES
       // run can re-measure just these
       for ((name, stage) <- StagePanel if explicitPanel.forall(_.contains(name)))
-        runMeasured(name, () => runDfOnce(name, () => stage(spark, dir)))
+        runMeasured(name, factor, () => runDfOnce(name, factor, () => stage(spark, dir)))
 
       for (name <- panel if SparkEntry.queries.contains(name))
-        runMeasured(name, () => runOnce(name))
+        runMeasured(name, factor, () => runOnce(name))
 
       // ---- streaming rows (VERDICT r8 item 2) ------------------------
       // AvailableNow streams over the same inflated dir; 2-pass min
@@ -477,6 +551,79 @@ object Scaling {
         }
       }
     }
+
+    // ---- dup-heavy text regime (VERDICT r11 items 1 + 7) -------------
+    // The main loop above measures FIXED-DENSITY scaling (affine text
+    // maps, no exact cross-copy twins). This panel re-measures the
+    // text-dedup family on the period-26 rotation inflation — the
+    // duplicate-laden regime where true output grows ~F²/26 — as
+    // `*_dupheavy` rows with their own exponents. Env override:
+    // SPARK_GRAFT_SCALING_DUPHEAVY (comma factors; "0" disables);
+    // default runs only when the main sweep reached ×64 (smoke runs
+    // skip it).
+    val dupHeavyFactors = sys.env.get("SPARK_GRAFT_SCALING_DUPHEAVY")
+      .map(_.split(",").map(_.trim.toInt).filter(_ > 1).toSeq)
+      .getOrElse(if (factors.max >= 64) DupHeavyFactors else Seq.empty)
+    for (factor <- dupHeavyFactors) {
+      val dir = s"$scratch/dupheavy/x$factor"
+      // documents-only: every dup-heavy query reads documents alone,
+      // and the embedding rotation's ×64 cap would otherwise refuse ×128
+      inflate(spark, base, factor, dir, dupHeavy = true,
+        only = Set("documents"))
+      for ((kind, dedupKind, build) <- sharedBuilds(dir)
+          if DupHeavyPanel.contains(kind) &&
+            (factor <= DupHeavyMaxFactorFull || kind == "shared_prefix_edges") &&
+            explicitPanel.forall(_.contains(s"${kind}_dupheavy")))
+        timeSharedBuild(s"${kind}_dupheavy", dedupKind, factor, dir, build)
+      for (name <- DupHeavyPanel
+          if SparkEntry.queries.contains(name) && factor <= DupHeavyMaxFactorFull &&
+            explicitPanel.forall(_.contains(s"${name}_dupheavy")))
+        runMeasured(s"${name}_dupheavy", factor, () =>
+          runDfOnce(s"${name}_dupheavy", factor,
+            () => SparkEntry.queries(name)(spark, dir)))
+    }
+
+    // ---- synthetic composite-cap crossing (VERDICT r11 item 4) -------
+    // One row where the geometry dial's past-cap branch (AND-composed
+    // bucketing) is selected BY SIZE: a deterministic synthetic corpus
+    // (xxhash64-generated iid components in [-1, 1) — a sin(i)-based
+    // first cut put every vector on ONE 2-D circle (phase shifts of the
+    // same waveform) and a single SRP bucket swallowed 21% of the
+    // corpus; hash components spread directions uniformly. No parquet
+    // scratch; materialized as localCheckpoint blocks so generation
+    // stays out of the timed window) plus planted near-identical twins
+    // (component vec_id%64 negated, ids offset past the base range),
+    // driven through the PRODUCTION dial entry point. The artifact key
+    // is the equivalent inflation factor vs the sf0.1 embeddings base
+    // (2000 rows).
+    val synthVectors = sys.env.get("SPARK_GRAFT_SCALING_SYNTH").map(_.toLong)
+      .getOrElse(if (factors.max >= 64) SynthCapCrossVectors else 0L)
+    if (synthVectors > 0 &&
+        explicitPanel.forall(_.contains("composite_cap_crossing"))) {
+      val baseVec = spark.range(synthVectors).select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 63), j -> " +
+          "cast(pmod(xxhash64(id, j), 1048576) / 524288.0 - 1.0 as float))")
+          .as("embedding"))
+      val plants = baseVec
+        .filter(col("vec_id") % operators.Dedup.CompositePlantStride === 0)
+        .select((col("vec_id") + lit(synthVectors)).as("vec_id"),
+          expr("transform(embedding, (x, i) -> " +
+            "IF(i = cast(vec_id % 64 as int), -x, x))").as("embedding"))
+      val corpus = baseVec.unionByName(plants).localCheckpoint()
+      val n = corpus.count()
+      val pastCap = n > operators.Dedup.LshCompositeCapVectors
+      System.err.println(s"[scaling] composite_cap_crossing: n=$n " +
+        s"pastCap=$pastCap verifyBroadcast=${
+          n <= operators.Dedup.VerifyBroadcastMaxVectors} geometry=${
+          if (pastCap) operators.Dedup.compositeGeomDesc
+          else operators.Dedup.scaledGeomDescFor(n)}")
+      val baseN = Tables.embeddings(spark, base).count()
+      val eqFactor = math.max(2, math.round(n.toDouble / baseN).toInt)
+      runMeasured("composite_cap_crossing", eqFactor, () =>
+        runDfOnce("composite_cap_crossing", eqFactor,
+          () => operators.Dedup.embeddingLshPairsScaledOn(corpus, n)))
+    }
+
     emit()
     spark.stop()
   }
@@ -501,44 +648,89 @@ object Scaling {
     }
   }
 
-  /** Writes the F-fold key-shifted self-union of every table at `base`
-    * into `dest` (same file layout, so `SparkEntry.queries` run on it
-    * unchanged). Idempotent per (base, factor): skips when the dest
-    * `_INFLATED` marker already exists.
+  /** Slopes of the per-copy affine letter maps — the units of ℤ/26
+    * (integers coprime to 26), so every (a, b) pair is a bijection of
+    * the alphabet. */
+  private val AffineSlopes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+
+  /** Copy k's letter permutation, as the `translate` target alphabet.
     *
-    * KNOWN WORKLOAD SHIFT past ×26 (measured r11): the TEXT Caesar
-    * rotation has period 26, so factors beyond 26 reuse rotations and
-    * reintroduce EXACT cross-copy duplicate documents — 128 duplicate
-    * pairs at ×16, 30.4 k at ×32, 251 k at ×64 (≈ 50 same-rotation
-    * copy pairs per base doc at ×64), growing ~F²/26. Text-dedup
-    * rows at ×32/×64 therefore measure a genuinely DUP-HEAVIER corpus
-    * (the realistic crawl regime, and the r=8 banding probe confirmed
-    * ~290 k of the ×64 minhash candidates are true pairs): their wall/
-    * byte exponents UPPER-BOUND fixed-density scaling, because the
-    * true output itself grows superlinearly in F there. */
-  def inflate(spark: SparkSession, base: String, factor: Int, dest: String): Unit = {
+    *   - fixed-density (default): AFFINE map i → (a·i + b) mod 26 with
+    *     a = [[AffineSlopes]][(k/26) mod 12], b = k mod 26 — copy 0 is
+    *     the identity, copies 0..25 are exactly the old Caesar
+    *     rotations (so factors ≤ 26 are byte-identical to every prior
+    *     artifact), and all 312 maps below the period are DISTINCT.
+    *     Two distinct affine maps agree on at most gcd(a₁−a₂, 26) ≤ 2
+    *     letters (zero when the slopes match), so any doc containing
+    *     ≥ 3 distinct letters never collides verbatim across copies:
+    *     no exact cross-copy twins on real text up to ×312, the
+    *     rotation-wrap flaw (VERDICT r11 item 1) removed.
+    *   - dup-heavy: the pure Caesar rotation i → (i + k) mod 26, period
+    *     26 — factors past 26 repeat rotations and plant ~F²/26 exact
+    *     cross-copy twins (30.4 k pairs at ×32, 251 k at ×64), the
+    *     realistic duplicate-laden crawl regime, kept as a LABELED
+    *     variant (`*_dupheavy` artifact rows). */
+  private[graft] def permAlphabet(alpha: String, k: Int, dupHeavy: Boolean): String =
+    if (dupHeavy) alpha.drop(k % 26) + alpha.take(k % 26)
+    else {
+      val a = AffineSlopes((k / 26) % AffineSlopes.length)
+      val b = k % 26
+      (0 until 26).map(i => alpha((a * i + b) % 26)).mkString
+    }
+
+  /** Highest factor with distinct affine text maps (12 slopes × 26
+    * offsets). */
+  val AffineTextPeriod: Int = AffineSlopes.length * 26
+
+  /** Writes the F-fold key-shifted self-union of the selected tables at
+    * `base` into `dest` (same file layout, so `SparkEntry.queries` run
+    * on it unchanged). Idempotent per (base, factor, mode, tables):
+    * skips when the dest `_INFLATED` marker exists AND records the same
+    * parameters (a marker from a different mode forces a rewrite, so a
+    * reused scratch dir can never serve the wrong regime).
+    *
+    * Text regimes (VERDICT r11 item 1): the default is the
+    * FIXED-DENSITY affine permutation (see [[permAlphabet]] — no exact
+    * cross-copy twins below ×[[AffineTextPeriod]], so text-dedup
+    * exponents measure plan scaling, not output growth). `dupHeavy =
+    * true` keeps the old period-26 Caesar rotation whose wrapped copies
+    * plant ~F²/26 exact twins past ×26 — the dup-heavy crawl regime,
+    * measured separately as `*_dupheavy` rows.
+    *
+    * `only` non-empty restricts inflation to those tables (the
+    * dup-heavy text panel needs ONLY documents, which also lifts the
+    * embedding-rotation factor cap out of its way at ×128). */
+  def inflate(spark: SparkSession, base: String, factor: Int, dest: String,
+      dupHeavy: Boolean = false, only: Set[String] = Set.empty): Unit = {
+    def wanted(t: String) = only.isEmpty || only.contains(t)
     // the per-copy embedding rotation (below) has only dim = 64 distinct
     // rotations: copy 64 would repeat copy 0's directions verbatim and
     // reintroduce the F² duplicate-pair blowup the rotation exists to
     // avoid, silently invalidating the measurement (ADVICE r8) — refuse
     // rather than mismeasure if SPARK_GRAFT_SCALING_FACTORS overreaches
-    require(factor <= 64,
+    require(!wanted("embeddings") || factor <= 64,
       s"inflate refused: factor $factor > 64 distinct embedding " +
         "rotations (dim 64); copies would repeat directions and the " +
         "near-dup workload would go quadratic in F")
-    if (factor > 26)
-      System.err.println(s"[scaling] NOTE x$factor > 26 text rotations: " +
-        "cross-copy exact text duplicates present (dup-heavy regime; " +
-        "see inflate scaladoc) - text-dedup rows measure true extra work")
+    require(dupHeavy || factor <= AffineTextPeriod,
+      s"inflate refused: factor $factor > $AffineTextPeriod distinct " +
+        "affine text maps; copies would repeat permutations and plant " +
+        "exact cross-copy twins in the fixed-density regime")
+    if (dupHeavy && factor > 26)
+      System.err.println(s"[scaling] NOTE x$factor dup-heavy: text " +
+        "rotations wrap at 26 - cross-copy exact twins present BY " +
+        "DESIGN (~F^2/26 pairs); rows measure the duplicate-laden regime")
+    val markerLine = s"base=$base factor=$factor dupHeavy=$dupHeavy " +
+      s"tables=${if (only.isEmpty) "all" else only.toSeq.sorted.mkString("+")}\n"
     val marker = java.nio.file.Paths.get(dest, "_INFLATED")
-    if (java.nio.file.Files.exists(marker)) {
+    if (java.nio.file.Files.exists(marker) &&
+        java.nio.file.Files.readString(marker) == markerLine) {
       System.err.println(s"[scaling] reusing inflated x$factor at $dest")
       return
     }
     val t0 = System.nanoTime()
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = lower.toUpperCase
-    def rot(s: String, k: Int) = s.drop(k % 26) + s.take(k % 26)
 
     /** F copies of `df`, transformed per copy index. */
     def copies(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
@@ -560,7 +752,9 @@ object Scaling {
       "documents" -> (df => copies(df) { (d, k) =>
         shift(d, k, "doc_id").withColumn("text",
           if (k == 0) col("text")
-          else translate(col("text"), lower + upper, rot(lower, k) + rot(upper, k)))
+          else translate(col("text"), lower + upper,
+            permAlphabet(lower, k, dupHeavy) +
+              permAlphabet(upper, k, dupHeavy)))
       }),
       "embeddings" -> (df => copies(df) { (d, k) =>
         val r = k % 64 // dim = 64; copy 0 is the identity rotation
@@ -569,7 +763,7 @@ object Scaling {
           else expr(s"concat(slice(embedding, ${r + 1}, 64 - $r), slice(embedding, 1, $r))")
             .cast("array<float>"))
       }))
-    for ((name, xform) <- tables) {
+    for ((name, xform) <- tables if wanted(name)) {
       // events ships TIMESTAMP(NANOS) in some generations: route through
       // Tables loaders so the normalized schema lands in the scratch copy
       val src = name match {
@@ -579,7 +773,7 @@ object Scaling {
       xform(src).write.mode("overwrite").parquet(s"$dest/$name.parquet")
     }
     java.nio.file.Files.createDirectories(marker.getParent)
-    java.nio.file.Files.writeString(marker, s"base=$base factor=$factor\n")
+    java.nio.file.Files.writeString(marker, markerLine)
     System.err.println(
       f"[scaling] inflated x$factor to $dest in ${(System.nanoTime() - t0) / 1e9}%.1f s")
   }

@@ -582,10 +582,15 @@ object EventStream {
     // and the per-row stream signature below derive from the same
     // (samples, bandBits) — fixture corpora resolve to the default,
     // keeping every committed oracle byte-identical
+    // non-empty-payload filter matches the signature pipeline exactly
+    // (phashSigs and the arrivals filter both drop n_bytes = 0 docs), so
+    // the dial threshold and the indexed population agree at the
+    // boundary (ADVICE r11)
     val nImages = Tables.documents(ss, d)
       .filter(col("doc_id") % 2 === 0 &&
         col("doc_id") % Multimodal.Kinds.size ===
-          Multimodal.Kinds.indexOf("image"))
+          Multimodal.Kinds.indexOf("image") &&
+        length(col("text")) > 0)
       .count()
     val (samples, bandBits) =
       if (nImages <= MediaIngestWideMinImages) (Multimodal.PhashSamples, 8)
@@ -629,9 +634,13 @@ object EventStream {
         posexplode(array(chunks: _*)).as(Seq("band", "bkey")))
     // scalar signature index: broadcast under the cap (see
     // [[StreamStaticBroadcastMaxRows]]) — same per-batch re-shuffle
-    // rationale as the vector/text ingest streams
+    // rationale as the vector/text ingest streams. Index rows are
+    // exactly (non-empty images) × nBands, so the decision reuses the
+    // nImages count instead of paying a second count job inside the
+    // timed region (ADVICE r11; the text-ingest stream's
+    // nCorpusDocs × nBands rule)
     val indexSide =
-      if (index.count() <= StreamStaticBroadcastMaxRows) broadcast(index)
+      if (nImages * nBands <= StreamStaticBroadcastMaxRows) broadcast(index)
       else index
     val q = arrivals.join(indexSide, Seq("band", "bkey"))
       .dropDuplicates("media_id", "neighbor_id")

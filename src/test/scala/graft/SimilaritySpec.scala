@@ -702,6 +702,33 @@ class SimilaritySpec extends AnyFunSuite {
       "wide-geometry audit variant must stay un-hinted")
   }
 
+  test("the geometry dial branches on the PASSED corpus size: past-cap " +
+      "selects AND-composed bucketing and drops the broadcast hint") {
+    import graft.operators.Dedup
+    // the Scaling harness drives this entry point with a synthetic
+    // >cap corpus (composite_cap_crossing row) — pin structurally that
+    // the dial's selection is a function of n, not of fixture identity:
+    // the AND-composed key construction (shiftleft composition) only
+    // appears past LshCompositeCapVectors, and the verify-broadcast
+    // hint (capped at VerifyBroadcastMaxVectors = the same 2^21) must
+    // drop exactly there
+    def hinted(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.toString.contains("ResolvedHint")
+    def composed(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.toString.contains("shiftleft")
+    val e = Tables.embeddings(spark, d)
+    val past = Dedup.embeddingLshPairsScaledOn(e,
+      Dedup.LshCompositeCapVectors + 1)
+    assert(composed(past), "past-cap must select the composite bucketing")
+    assert(!hinted(past), "past-cap verify must stay a shuffle join " +
+      "(a broadcast there would OOM at real size)")
+    val atCap = Dedup.embeddingLshPairsScaledOn(e,
+      Dedup.LshCompositeCapVectors)
+    assert(!composed(atCap), "at-cap must stay on the per-table geometry")
+    assert(hinted(atCap), "at-cap per-table verify must broadcast " +
+      "(caps coincide at 2^21)")
+  }
+
   test("IVF candidates per query stay ~NProbe*n/K on a 10x corpus") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
