@@ -194,16 +194,26 @@ object Bench {
     // hook re-prints it at JVM exit — after Spark's own stop banners
     // and after any post-loop output, and also on SIGTERM mid-run —
     // and mirrors it to stderr as a second survival channel for
-    // captures that interleave the two streams.
+    // captures that interleave the two streams. Registered through
+    // HADOOP's ShutdownHookManager at priority 1, NOT
+    // Runtime.addShutdownHook: raw JVM hooks run CONCURRENTLY, so on a
+    // mid-run SIGTERM Spark's own teardown ("WARN TaskSetManager: Lost
+    // task ... (killed)") could land after the re-printed line. All of
+    // Spark's shutdown runs inside one Hadoop hook at priority 30, and
+    // Hadoop executes its hooks sequentially in descending priority —
+    // priority 1 therefore prints strictly after Spark has finished.
     val lastCompact =
       new java.util.concurrent.atomic.AtomicReference[String](null)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      val c = lastCompact.get()
-      if (c != null) {
-        println(c); Console.out.flush()
-        System.err.println(c); System.err.flush()
-      }
-    }))
+    org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
+      new Runnable {
+        override def run(): Unit = {
+          val c = lastCompact.get()
+          if (c != null) {
+            println(c); Console.out.flush()
+            System.err.println(c); System.err.flush()
+          }
+        }
+      }, 1)
     def emit(): Unit = {
       def fmt(v: Double): String = // 4dp: 0.1 ms grain, keeps lines short
         BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString

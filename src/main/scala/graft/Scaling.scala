@@ -252,6 +252,16 @@ object Scaling {
     val scratch = sys.env.getOrElse("SPARK_GRAFT_SCALING_DIR", "/tmp/graft_scaling")
     val factors = sys.env.getOrElse("SPARK_GRAFT_SCALING_FACTORS", "1,4,16")
       .split(",").map(_.trim.toInt).toSeq
+    // the dup-heavy/synthetic knobs are consumed AFTER the multi-hour
+    // main sweep — parse them eagerly so a malformed value fails here,
+    // not hours in ("" and "0" both read as disabled)
+    val dupHeavyFactors = sys.env.get("SPARK_GRAFT_SCALING_DUPHEAVY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt)
+        .filter(_ > 1).toSeq)
+      .getOrElse(if (factors.max >= 64) DupHeavyFactors else Seq.empty)
+    val synthVectors = sys.env.get("SPARK_GRAFT_SCALING_SYNTH")
+      .map(_.trim).map(v => if (v.isEmpty) 0L else v.toLong)
+      .getOrElse(if (factors.max >= 64) SynthCapCrossVectors else 0L)
     val explicitPanel = sys.env.get("SPARK_GRAFT_SCALING_QUERIES")
       .map(_.split(",").map(_.trim).toSeq)
     val panel = explicitPanel.getOrElse(DefaultPanel).filterNot(_.endsWith("_stream"))
@@ -454,7 +464,17 @@ object Scaling {
         else {
           operators.Dedup.invalidateSharedEdges(spark, dir, dedupKind)
           val second = once()
-          if (second.sec >= 0 && second.sec < first.sec) second else first
+          if (second.sec < 0) {
+            // the invalidation already dropped the memo: restore it
+            // UNTIMED, or the next panel consumer silently pays the
+            // full edge rebuild inside its own timed window and its
+            // cell inflates with no err marker (the rebuild failure
+            // itself was logged by once() and the first build's
+            // number stands)
+            try build() catch { case _: Throwable => () }
+            first
+          }
+          else if (second.sec < first.sec) second else first
         }
       results(rowName) = results.getOrElse(rowName, Vector.empty) :+ sample
       System.err.println(
@@ -558,12 +578,9 @@ object Scaling {
     // text-dedup family on the period-26 rotation inflation — the
     // duplicate-laden regime where true output grows ~F²/26 — as
     // `*_dupheavy` rows with their own exponents. Env override:
-    // SPARK_GRAFT_SCALING_DUPHEAVY (comma factors; "0" disables);
-    // default runs only when the main sweep reached ×64 (smoke runs
-    // skip it).
-    val dupHeavyFactors = sys.env.get("SPARK_GRAFT_SCALING_DUPHEAVY")
-      .map(_.split(",").map(_.trim.toInt).filter(_ > 1).toSeq)
-      .getOrElse(if (factors.max >= 64) DupHeavyFactors else Seq.empty)
+    // SPARK_GRAFT_SCALING_DUPHEAVY (comma factors; "" or "0"
+    // disables, parsed eagerly at startup); default runs only when
+    // the main sweep reached ×64 (smoke runs skip it).
     for (factor <- dupHeavyFactors) {
       val dir = s"$scratch/dupheavy/x$factor"
       // documents-only: every dup-heavy query reads documents alone,
@@ -595,9 +612,8 @@ object Scaling {
     // (component vec_id%64 negated, ids offset past the base range),
     // driven through the PRODUCTION dial entry point. The artifact key
     // is the equivalent inflation factor vs the sf0.1 embeddings base
-    // (2000 rows).
-    val synthVectors = sys.env.get("SPARK_GRAFT_SCALING_SYNTH").map(_.toLong)
-      .getOrElse(if (factors.max >= 64) SynthCapCrossVectors else 0L)
+    // (2000 rows). Size knob SPARK_GRAFT_SCALING_SYNTH is parsed
+    // eagerly at startup ("" or "0" disables).
     if (synthVectors > 0 &&
         explicitPanel.forall(_.contains("composite_cap_crossing"))) {
       val baseVec = spark.range(synthVectors).select(col("id").as("vec_id"),

@@ -1524,7 +1524,12 @@ object Dedup {
     * Never a production call: consumers WANT the memo. */
   private[graft] def invalidateSharedEdges(
       s: SparkSession, d: String, kind: String): Unit = {
-    sharedEdgeCache.remove((s, d, kind))
+    // unpersist the dropped memo's localCheckpoint blocks (no-op for
+    // the parquet-reader memo of EDGE_DIR mode): without this, the
+    // first build's blocks stay resident through the deliberately
+    // memory-heavy rebuild until the ContextCleaner's next sweep
+    Option(sharedEdgeCache.remove((s, d, kind)))
+      .foreach(org.apache.spark.sql.graftshim.unpersistLocalCheckpoint(_))
     edgeScratchDir.foreach { root =>
       val p = new org.apache.hadoop.fs.Path(edgePath(root, d, kind))
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)

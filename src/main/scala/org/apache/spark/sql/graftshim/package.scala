@@ -23,4 +23,19 @@ package object graftshim {
     * `clearCache()`. */
   def sqlCacheIsEmpty(spark: SparkSession): Boolean =
     spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
+
+  /** Unpersist the block-manager blocks behind a `localCheckpoint()`ed
+    * frame (its analyzed plan is a `LogicalRDD` over the checkpointed
+    * RDD). Returns false — a no-op — for any other plan shape (e.g. a
+    * parquet-reader frame), so callers can pass whatever a memo held.
+    * Needed by `Dedup.invalidateSharedEdges`: dropping the memo
+    * reference alone leaves the checkpoint blocks resident until the
+    * ContextCleaner's next GC-driven sweep, which during a
+    * deliberately-timed full rebuild at the biggest factors is
+    * avoidable block-manager pressure. */
+  def unpersistLocalCheckpoint(df: DataFrame): Boolean =
+    df.queryExecution.analyzed match {
+      case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false); true
+      case _ => false
+    }
 }
