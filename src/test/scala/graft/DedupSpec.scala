@@ -295,6 +295,69 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("invalidateSharedEdges drops memo, parquet intermediate, and checkpoint blocks") {
+    // Scaling's de-storm pass (VERDICT r11 item 3) relies on this hook
+    // forcing a genuinely FULL second build: the memo must go, the
+    // write-once parquet must go, and the dropped memo's
+    // localCheckpoint blocks must be unpersisted immediately (r12
+    // hardening) rather than held through the memory-heavy rebuild.
+    val sc = spark.sparkContext
+
+    // memo mode (no scratch dir): invalidation unpersists the blocks
+    val before = Dedup.edgeScratchDir
+    Dedup.edgeScratchDir = None
+    try {
+      val ss = spark.newSession()
+      val n1 = Dedup.minhashEdgesShared(ss, d).count()
+      val persisted = sc.getPersistentRDDs.size
+      Dedup.invalidateSharedEdges(ss, d, "minhash")
+      assert(sc.getPersistentRDDs.size === persisted - 1,
+        "invalidation must unpersist the memo's checkpoint blocks")
+      assert(Dedup.minhashEdgesShared(ss, d).count() === n1,
+        "rebuild after invalidation must reproduce the edge graph")
+    } finally {
+      Dedup.edgeScratchDir = before
+      spark.catalog.clearCache()
+    }
+
+    // scratch-dir mode: invalidation deletes the parquet intermediate
+    // (whose memo is a reader frame — unpersist is a typed no-op)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-edge-invalidate").toString
+    try {
+      Dedup.edgeScratchDir = Some(tmp)
+      val ss = spark.newSession()
+      val n1 = Dedup.minhashEdgesShared(ss, d).count()
+      val edgeDir = new java.io.File(tmp).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("edges_minhash_"))
+      assert(edgeDir.length === 1)
+      Dedup.invalidateSharedEdges(ss, d, "minhash")
+      assert(!edgeDir.head.exists(),
+        "invalidation must delete the parquet intermediate")
+      assert(Dedup.minhashEdgesShared(ss, d).count() === n1)
+      assert(new java.io.File(edgeDir.head, "_SUCCESS").exists(),
+        "rebuild must rewrite a complete intermediate")
+    } finally {
+      Dedup.edgeScratchDir = before
+      spark.catalog.clearCache()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("unpersistLocalCheckpoint frees exactly the checkpointed RDD; no-op otherwise") {
+    import org.apache.spark.sql.graftshim
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    val df = spark.range(100).toDF("id").localCheckpoint()
+    assert(sc.getPersistentRDDs.size === before + 1)
+    assert(graftshim.unpersistLocalCheckpoint(df))
+    assert(sc.getPersistentRDDs.size === before)
+    // any non-LogicalRDD plan (e.g. a parquet reader) is a typed no-op
+    val reader = spark.read.parquet(s"$d/documents.parquet")
+    assert(!graftshim.unpersistLocalCheckpoint(reader))
+    assert(sc.getPersistentRDDs.size === before)
+  }
+
   test("a partial edge intermediate without _SUCCESS is rebuilt, not served") {
     // ADVICE r6: a crashed writer leaves a directory with part files but
     // no _SUCCESS marker — serving it would silently hand a truncated
