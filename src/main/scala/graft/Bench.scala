@@ -73,7 +73,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config(Tables.NanosConf, "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the take-the-last-line artifact protocol must
+    // survive a driver TIMEOUT KILL, where the capture is cut at an
+    // arbitrary point. At WARN, Spark logs steadily DURING queries
+    // ("Broadcasting large task binary" fires per stage), so a mid-query
+    // cut leaves a WARN line after the last compact JSON line — measured
+    // r12: a SIGTERM at query 19 left ten of them trailing and strict
+    // last-line extraction failed. At ERROR the only steady-state output
+    // is the per-query stderr progress line followed by the stdout JSON
+    // line, so any cut point leaves a JSON line last (the shutdown-hook
+    // re-print cannot be relied on under a timeout: sbt force-destroys
+    // the forked JVM before Hadoop's hook chain reaches priority 1).
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOGLEVEL", "ERROR"))
 
     def runOnce(name: String): Double = {
       // operators may persist shared subtrees within a query; drop those
@@ -192,16 +204,23 @@ object Bench {
     // JSON artifact line (the consumer's take-the-last-line protocol;
     // see build.sbt's outputStrategy/showSuccess notes). A shutdown
     // hook re-prints it at JVM exit — after Spark's own stop banners
-    // and after any post-loop output, and also on SIGTERM mid-run —
-    // and mirrors it to stderr as a second survival channel for
-    // captures that interleave the two streams. Registered through
-    // HADOOP's ShutdownHookManager at priority 1, NOT
-    // Runtime.addShutdownHook: raw JVM hooks run CONCURRENTLY, so on a
-    // mid-run SIGTERM Spark's own teardown ("WARN TaskSetManager: Lost
-    // task ... (killed)") could land after the re-printed line. All of
-    // Spark's shutdown runs inside one Hadoop hook at priority 30, and
-    // Hadoop executes its hooks sequentially in descending priority —
-    // priority 1 therefore prints strictly after Spark has finished.
+    // and after any post-loop output — and mirrors it to stderr as a
+    // second survival channel for captures that interleave the two
+    // streams. Registered through HADOOP's ShutdownHookManager at
+    // priority 1, NOT Runtime.addShutdownHook: raw JVM hooks run
+    // CONCURRENTLY, so Spark's teardown logging could land after the
+    // re-printed line; Hadoop runs its hooks sequentially in
+    // descending priority, and all of Spark's shutdown is one hook at
+    // priority 30, so priority 1 prints strictly after it. NOTE this
+    // covers NORMAL exits only. Measured r12: under a driver-style
+    // timeout (SIGTERM to sbt) the forked JVM is not killed at all —
+    // it ORPHANS with a broken stdout pipe and keeps running — so no
+    // hook fires and the capture is cut at an arbitrary line. The
+    // timeout guarantee comes instead from the quiet steady-state
+    // output contract at the setLogLevel("ERROR") call above: between
+    // per-query JSON lines nothing else prints, so any cut point
+    // leaves a complete JSON line last (verified by SIGTERMing sbt
+    // mid-suite: the 53-query partial artifact strict-parsed).
     val lastCompact =
       new java.util.concurrent.atomic.AtomicReference[String](null)
     org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
