@@ -82,8 +82,10 @@ object Bench {
     // last-line extraction failed. At ERROR the only steady-state output
     // is the per-query stderr progress line followed by the stdout JSON
     // line, so any cut point leaves a JSON line last (the shutdown-hook
-    // re-print cannot be relied on under a timeout: sbt force-destroys
-    // the forked JVM before Hadoop's hook chain reaches priority 1).
+    // re-print cannot be relied on under a timeout: killing sbt does
+    // NOT kill this forked JVM — measured r12, it ORPHANS with a broken
+    // stdout pipe and keeps running, so no hook fires at the cut point;
+    // see the shutdown-hook block below).
     spark.sparkContext.setLogLevel(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_LOGLEVEL", "ERROR"))
 
@@ -109,29 +111,53 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val streaming = names.filter(_.endsWith("_stream")).toSet
     // Per-query priors from the previous round's committed artifact —
-    // read BEFORE the first emit() overwrites the same file. Regex-level
-    // parse: the artifact is one flat JSON object of "name":seconds
-    // pairs (plus metric/value/sf keys that never collide with query
-    // names); no JSON library needed.
+    // read BEFORE the first emit() overwrites the same file. Parsing
+    // lives in [[BenchPriors]] (whitespace-tolerant, unit-tested
+    // against the committed file itself) after the r12 break: an
+    // exact-format in-line parser met a Python-styled re-pin and
+    // silently loaded zero priors, de-arming the storm escape for the
+    // whole driver sweep.
     val priorFile =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "BENCH_LOCAL.json")
-    val prior: Map[String, Double] = try {
-      val txt = java.nio.file.Files.readString(
-        java.nio.file.Paths.get(priorFile))
-      // scope the scan to the "queries" object: the artifact also
-      // carries a "storm_ratio" object keyed by the SAME query names
-      // (r7) — a whole-text scan would let those ratios clobber the
-      // seconds (toMap keeps the last occurrence). Neither nested
-      // object contains '}', so the first '}' closes "queries".
-      val from = txt.indexOf("\"queries\":{")
-      val to = if (from < 0) -1 else txt.indexOf("}", from)
-      if (from < 0 || to < 0) Map.empty
-      else """"([A-Za-z0-9_]+)":(-?[0-9][0-9.]*)""".r
-        .findAllMatchIn(txt.substring(from + "\"queries\":{".length, to))
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    } catch { case _: Exception => Map.empty }
+    val prior: Map[String, Double] =
+      BenchPriors.load(priorFile, System.err.println)
     val benchStart = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - benchStart) / 1e9
+
+    // --- environment-contamination telemetry (VERDICT r12 item 2) ----
+    // Two measured contamination modes move timings without touching
+    // code: an ORPHANED sibling JVM from a killed sbt run (74/258
+    // queries 1.3-1.9x high, uniformly) and general host load. The
+    // orphan pre-flight lived only in the verify skill, which the
+    // driver never reads — so the artifact itself now records both at
+    // startup. A sibling is any OTHER java process whose command line
+    // mentions this repo's code ("graft" — the forked classpath and
+    // the sbt runMain args both carry it), excluding this process and
+    // its ancestor chain (the parent sbt's own args say "graft.Bench").
+    val siblingJvms: Int = try {
+      val self = ProcessHandle.current()
+      val ancestors = Iterator.iterate(Option(self))(
+        _.flatMap(h => Option(h.parent().orElse(null))))
+        .takeWhile(_.isDefined).take(16).flatten.map(_.pid()).toSet
+      import scala.jdk.CollectionConverters._
+      ProcessHandle.allProcesses().iterator().asScala.count { h =>
+        !ancestors.contains(h.pid()) && {
+          val info = h.info()
+          val cmd = info.command().orElse("")
+          val line = cmd + " " +
+            info.arguments().orElse(Array.empty[String]).mkString(" ")
+          cmd.contains("java") && line.contains("graft")
+        }
+      }
+    } catch { case _: Exception => -1 }
+    val loadAvg: Double = try
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+    catch { case _: Exception => -1.0 }
+    if (siblingJvms > 0)
+      System.err.println(s"[bench] WARNING: $siblingJvms sibling graft " +
+        s"JVM(s) detected at startup (load_avg=$loadAvg) - timings may " +
+        "be contention-contaminated")
 
     // Whole-suite codegen/JIT pre-warm at a tiny sf (r8, VERDICT r7 item
     // 2): the r7 storm tail — 10/226 driver values >2× their steady
@@ -243,9 +269,23 @@ object Bench {
           BigDecimal.RoundingMode.HALF_UP)}"""
       }.mkString("{", ",", "}")
       val total = results.valuesIterator.filter(_ >= 0).sum
+      // suite-median storm ratio = the compare_bench.py boot lens,
+      // carried IN the artifact (VERDICT r12 item 2): a uniform
+      // cross-boot host shift lifts the MEDIAN while a regression or
+      // deopt storm moves few queries a lot, so a consumer can separate
+      // the two without the prior file in hand
+      val medianStorm = {
+        val v = stormRatio.values.toIndexedSeq.sorted
+        if (v.isEmpty) 0.0
+        else if (v.size % 2 == 1) v(v.size / 2)
+        else (v(v.size / 2 - 1) + v(v.size / 2)) / 2.0
+      }
+      val envFields =
+        s""""sibling_jvms":$siblingJvms,"load_avg":${fmt(loadAvg)},""" +
+          s""""suite_median_storm":${fmt(medianStorm)}"""
       // cumulative: every written line is a complete artifact so far
       val line =
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"storm_ratio":$sr,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"storm_ratio":$sr,$envFields,"sf":"$sfDir"}"""
       // stdout carries a COMPACT line (<2 KB) instead of the full one:
       // the driver keeps only a bounded TAIL of stdout, and the full
       // cumulative line (>7 KB at 258 queries) was front-truncated past
@@ -264,7 +304,7 @@ object Bench {
       val compact =
         s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compactQs,""" +
           s""""queries_done":${results.size},"max_storm_ratio":${fmt(maxStorm)},""" +
-          s""""full_artifact":"${outFile.getFileName}","sf":"$sfDir"}"""
+          s"""$envFields,"full_artifact":"${outFile.getFileName}","sf":"$sfDir"}"""
       lastCompact.set(compact)
       println(compact)
       Console.out.flush()

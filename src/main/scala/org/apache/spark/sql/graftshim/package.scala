@@ -38,4 +38,16 @@ package object graftshim {
       case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false); true
       case _ => false
     }
+
+  /** The id of the persisted RDD behind a `localCheckpoint()`ed frame
+    * (None for any other plan shape). For specs that assert the memo's
+    * SPECIFIC blocks were freed: comparing absolute
+    * `getPersistentRDDs.size` deltas on a suite-shared context is
+    * flaky — the ContextCleaner asynchronously unpersists GC'd RDDs
+    * from earlier tests between the two reads (ADVICE r12). */
+  def localCheckpointRddId(df: DataFrame): Option[Int] =
+    df.queryExecution.analyzed match {
+      case lr: execution.LogicalRDD => Some(lr.rdd.id)
+      case _ => None
+    }
 }

@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench-prior parsing contract that broke in r12: Bench's
+  * in-line parser accepted only its own compact format, the re-pin
+  * commits wrote Python-`json.dumps` style, and the storm escape
+  * silently ran with zero priors (`max_storm_ratio: 0.0` in
+  * BENCH_r12). [[BenchPriors.parse]] must accept BOTH styles, and —
+  * the test that would have caught the break — the COMMITTED
+  * `BENCH_LOCAL.json` must round-trip through the real code path
+  * non-empty. */
+class BenchPriorsSpec extends AnyFunSuite {
+
+  test("parses Bench's own compact emit() format") {
+    val line = """{"metric":"total","value":3.5,"unit":"sec",""" +
+      """"queries":{"q1_agg":1.25,"dedup_exact":2.25},""" +
+      """"storm_ratio":{"q1_agg":0.9},"sf":"/root/testdata/sf0.1"}"""
+    assert(BenchPriors.parse(line) ===
+      Map("q1_agg" -> 1.25, "dedup_exact" -> 2.25))
+  }
+
+  test("parses Python json.dumps style (spaces after ':' and ',') — " +
+      "the exact format the r12 re-pin committed") {
+    val line = """{"metric": "total", "value": 3.5, "unit": "sec", """ +
+      """"queries": {"q1_agg": 1.25, "dedup_exact": 2.25}, """ +
+      """"storm_ratio": {"q1_agg": 0.9}, "sf": "/root/testdata/sf0.1"}"""
+    assert(BenchPriors.parse(line) ===
+      Map("q1_agg" -> 1.25, "dedup_exact" -> 2.25))
+  }
+
+  test("parses indented pretty-printed style") {
+    val txt =
+      """|{
+         |  "metric": "total",
+         |  "queries": {
+         |    "q1_agg": 1.25,
+         |    "dedup_exact": 2.25
+         |  },
+         |  "storm_ratio": {"q1_agg": 99.0}
+         |}""".stripMargin
+    assert(BenchPriors.parse(txt) ===
+      Map("q1_agg" -> 1.25, "dedup_exact" -> 2.25))
+  }
+
+  test("storm_ratio values never clobber the seconds") {
+    // the artifact keys storm_ratio by the SAME query names; the scan
+    // must stop at the queries object's closing brace
+    val line = """{"queries":{"a":5.0},"storm_ratio":{"a":0.001}}"""
+    assert(BenchPriors.parse(line) === Map("a" -> 5.0))
+  }
+
+  test("no queries object / truncated object -> empty, not a throw") {
+    assert(BenchPriors.parse("""{"metric":"total","value":1.0}""").isEmpty)
+    assert(BenchPriors.parse("""{"queries":{"a":1.0""").isEmpty)
+    assert(BenchPriors.parse("").isEmpty)
+  }
+
+  test("the COMMITTED BENCH_LOCAL.json parses non-empty through the " +
+      "real code path (the r12-break regression test)") {
+    // forked tests run with cwd = repo root (sbt default); the prior
+    // file Bench loads by default must always parse through this exact
+    // function, whatever tool last rewrote it
+    val f = java.nio.file.Paths.get("BENCH_LOCAL.json")
+    assert(java.nio.file.Files.exists(f),
+      "committed BENCH_LOCAL.json missing from the repo root")
+    val priors = BenchPriors.parse(java.nio.file.Files.readString(f))
+    assert(priors.size >= 100,
+      s"committed priors parsed to only ${priors.size} entries - " +
+        "format drift would de-arm the storm escape (the r12 failure)")
+    assert(priors.contains("bigram_probs"),
+      "headline query missing from parsed priors")
+    assert(priors.valuesIterator.forall(v => v > 0 && v < 3600),
+      "parsed prior seconds outside sane range")
+  }
+
+  test("load() warns when the file exists but yields zero priors") {
+    val tmp = java.nio.file.Files.createTempFile("graft-prior", ".json")
+    try {
+      java.nio.file.Files.writeString(tmp, """{"metric":"total"}""")
+      var warned = List.empty[String]
+      val p = BenchPriors.load(tmp.toString, w => warned ::= w)
+      assert(p.isEmpty)
+      assert(warned.exists(_.contains("zero priors")),
+        "existing-but-unparseable prior file must warn, not silently " +
+          "disable the storm escape")
+      // absent file: no warning (first round has no prior by design)
+      warned = Nil
+      assert(BenchPriors.load(tmp.toString + ".absent", w => warned ::= w).isEmpty)
+      assert(warned.isEmpty)
+    } finally java.nio.file.Files.delete(tmp)
+  }
+}

@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-trips the committed bench-output tail fixtures through the
+  * REAL consumer-side extraction (`tools/parse_bench_tail.py`) inside
+  * `sbt test` (VERDICT r12 item 4): the take-the-LAST-line artifact
+  * protocol is enforced by conventions spread across Bench (log level
+  * ERROR, compact stdout line, shutdown-hook re-print) and build.sbt
+  * (StdoutOutput, showSuccess=false) — any of which a future edit can
+  * silently break. The fixtures are real captures from the r12 kill
+  * experiments: a SIGTERM-cut mid-suite tail and a normal-exit final
+  * tail; both must STRICT-parse (json.loads of the last non-empty
+  * line, exit code 0 — the brittlest consumer imaginable). If python3
+  * ever disappears from the environment the test fails loudly rather
+  * than skipping: the driver's own consumer is python, so a box that
+  * cannot run the extraction cannot validate the protocol at all. */
+class BenchTailFixtureSpec extends AnyFunSuite {
+  import scala.sys.process._
+
+  private val fixtures = Seq(
+    "tools/fixtures/bench_tail_r12_sigterm.txt", // timeout-cut capture
+    "tools/fixtures/bench_tail_r12_final.txt")   // normal-exit capture
+
+  for (fx <- fixtures)
+    test(s"$fx strict-parses through tools/parse_bench_tail.py") {
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(fx)),
+        s"committed fixture $fx missing (cwd must be the repo root)")
+      val out = new StringBuilder
+      val logger = ProcessLogger(l => out.append(l).append('\n'))
+      val rc = Seq("python3", "tools/parse_bench_tail.py", fx).!(logger)
+      assert(rc === 0,
+        s"strict last-line extraction failed (rc=$rc):\n$out")
+      assert(out.toString.contains("strict : parsed"),
+        s"unexpected extractor output:\n$out")
+    }
+}

@@ -308,10 +308,18 @@ class DedupSpec extends AnyFunSuite {
     Dedup.edgeScratchDir = None
     try {
       val ss = spark.newSession()
-      val n1 = Dedup.minhashEdgesShared(ss, d).count()
-      val persisted = sc.getPersistentRDDs.size
+      val memo = Dedup.minhashEdgesShared(ss, d)
+      val n1 = memo.count()
+      // assert on the memo's SPECIFIC checkpoint RDD id, not a global
+      // size delta: the suite-shared context's ContextCleaner can
+      // asynchronously unpersist GC'd RDDs from earlier tests between
+      // two size reads (ADVICE r12)
+      val memoId = org.apache.spark.sql.graftshim.localCheckpointRddId(memo)
+        .getOrElse(fail("memo-mode edge frame is not a localCheckpoint"))
+      assert(sc.getPersistentRDDs.contains(memoId),
+        "memo's checkpoint blocks not registered as persistent")
       Dedup.invalidateSharedEdges(ss, d, "minhash")
-      assert(sc.getPersistentRDDs.size === persisted - 1,
+      assert(!sc.getPersistentRDDs.contains(memoId),
         "invalidation must unpersist the memo's checkpoint blocks")
       assert(Dedup.minhashEdgesShared(ss, d).count() === n1,
         "rebuild after invalidation must reproduce the edge graph")
