@@ -1013,10 +1013,13 @@ object Dedup {
     * branch). Pure integer arithmetic, shared with the
     * `dedup_lsh_geometry` oracle. */
   def scaledLshGeometry(n: Long): (Int, Int) = {
-    import graft.functions.LshBuckets.{Bits, MaxBits, Tables, MaxTables}
+    import graft.functions.LshBuckets.{Bits, MaxBits, Tables}
     val bits = (Bits to MaxBits)
       .find(b => n <= (ScaledLshTargetOccupancy << b)).getOrElse(MaxBits)
-    (if (bits > Bits) MaxTables else Tables, bits)
+    // widen to WideLshTables (the per-table ceiling — r13: no longer
+    // LshBuckets.MaxTables, which grew to host the composite branch's
+    // 16 base signatures; the per-table geometry keeps its measured 8)
+    (if (bits > Bits) WideLshTables else Tables, bits)
   }
 
   /** AND-composition arity for the PAST-CAP branch of the geometry
@@ -1030,6 +1033,27 @@ object Dedup {
     * `dedup_lsh_geometry_eval`), in exchange for occupancy bounded by
     * n/2^32 (capacity to ~32·2^32 ≈ 137 G vectors per corpus). */
   val CompositeLshArity = 2
+
+  /** Number of AND-composed tables the past-cap branch draws — the
+    * OR-amplification dial the recall floor's scaladoc names, widened
+    * 4 → 8 in r13 on a MEASURED miss: the first 5 M-vector
+    * cap-crossing run (SCALING.json `recall_x2517`) recovered only
+    * 0.414 of the ≥0.9-cosine planted twins with 4 composite tables —
+    * below the declared [[CompositeRecallFloor]] of 0.5. Each
+    * composite table is an independent 1−(1−p^32) draw (p = 1−θ/π per
+    * plane), so recall_T = E[1−(1−p^32)^T] over the twin-cosine
+    * distribution: numerically 0.447/0.521/0.574 at T = 4/6/8 for the
+    * synthetic corpus shape, i.e. T = 6 lands ON the floor and T = 8
+    * clears it with margin (measured after the change: 0.5336 at
+    * 5.03 M — SCALING.json `recall_x2517`; the ~0.04 gap to the
+    * continuous-plane expectation matches the T = 4 calibration, the
+    * quantized integer planes' discreteness). The
+    * per-composite-key cost is unchanged (same
+    * 2×16-bit key space, same occupancy bound n/2^32); signature and
+    * candidate volume scale linearly with T — the documented trade.
+    * Draws [[CompositeLshArity]]·this base tables, which
+    * [[graft.functions.LshBuckets.MaxTables]] must accommodate. */
+  val CompositeLshTables = 8
 
   /** Corpus size beyond which [[scaledLshGeometry]]'s bits cap is
     * exceeded (expected occupancy at the widest per-table geometry
@@ -1046,9 +1070,9 @@ object Dedup {
 
   /** [[embeddingLshPairs]] at the AND-composed bucketing — the
     * executable form of the occupancy guard's former "shard the
-    * corpus" refusal branch: [[graft.functions.LshBuckets.MaxTables]]
-    * tables at the bits cap, composed pairwise into
-    * MaxTables/[[CompositeLshArity]] composite tables whose key is
+    * corpus" refusal branch: [[CompositeLshTables]]·[[CompositeLshArity]]
+    * base tables at the bits cap, composed pairwise into
+    * [[CompositeLshTables]] composite tables whose key is
     * `(bucket[2k] << MaxBits) | bucket[2k+1]`. Same candidate
     * equi-join, same exact-cosine verify, same threshold; the oracle
     * replicates the composition in SQL, so the (deterministically)
@@ -1067,10 +1091,11 @@ object Dedup {
   /** DECLARED recall floor for the AND-composed bucketing in its
     * target regime (VERDICT r10 item 8): of the planted twins whose
     * true cosine is at least [[CompositeRecallFloorCosine]], the
-    * MaxTables/[[CompositeLshArity]] composite tables must recover at
-    * least this fraction (asserted by `SimilaritySpec`; 52/100 of ALL
-    * plants at sf0.01, higher in the ≥0.9 slice where SRP collision
-    * probability (1−θ/π)^bits is largest). The recovery dial is
+    * [[CompositeLshTables]] composite tables must recover at
+    * least this fraction (asserted by `SimilaritySpec` at fixture
+    * scale AND measured at 5 M vectors by the Scaling harness's
+    * `recall_x{F}` column, which caught the 4-table geometry at 0.414
+    * — the r13 widening to 8). The recovery dial is
     * OR-amplification: each extra composite table is an independent
     * 1−(1−p²) draw, so T tables recover 1−(1−p²)^T of pairs at
     * per-plane agreement p — more tables buy recall at linear
@@ -1117,19 +1142,20 @@ object Dedup {
     * [[embeddingLshPairsCompositeOn]], exposed for the Scaling stage
     * decomposition (VERDICT r9 item 2). */
   private[graft] def compositeBuckets(e: DataFrame): DataFrame = {
-    import graft.functions.LshBuckets.{MaxTables, MaxBits}
-    val nComposite = MaxTables / CompositeLshArity
+    import graft.functions.LshBuckets.MaxBits
+    val baseTables = CompositeLshTables * CompositeLshArity
     e.withColumn("bkts",
-        graft.functions.LshBuckets(col("embedding"), MaxTables, MaxBits))
-      .select(col("vec_id"), posexplode(array((0 until nComposite).map { k =>
-        expr(s"shiftleft(element_at(bkts, ${2 * k + 1}), $MaxBits) + " +
-          s"element_at(bkts, ${2 * k + 2})")
-      }: _*)).as(Seq("t", "bucket")))
+        graft.functions.LshBuckets(col("embedding"), baseTables, MaxBits))
+      .select(col("vec_id"),
+        posexplode(array((0 until CompositeLshTables).map { k =>
+          expr(s"shiftleft(element_at(bkts, ${2 * k + 1}), $MaxBits) + " +
+            s"element_at(bkts, ${2 * k + 2})")
+        }: _*)).as(Seq("t", "bucket")))
   }
 
   private[graft] def compositeGeomDesc: String = {
-    import graft.functions.LshBuckets.{MaxTables, MaxBits}
-    s"${MaxTables / CompositeLshArity} composite tables of " +
+    import graft.functions.LshBuckets.MaxBits
+    s"$CompositeLshTables composite tables of " +
       s"${CompositeLshArity}x$MaxBits bits"
   }
 
@@ -1252,18 +1278,19 @@ object Dedup {
           .as(Seq("t", "bucket"))), tables, bits, name)
     // the past-cap AND-composed bucketing: what composition COSTS in
     // recall (p^2 per composite table) is a measured leg, not prose —
-    // reported at its EFFECTIVE geometry (MaxTables/arity tables of
+    // reported at its EFFECTIVE geometry (CompositeLshTables tables of
     // arity*MaxBits-bit keys)
     val compositeLeg = {
-      import LshBuckets.{MaxTables, MaxBits}
-      val nComposite = MaxTables / CompositeLshArity
+      import LshBuckets.MaxBits
+      val baseTables = CompositeLshTables * CompositeLshArity
       legOn(e.withColumn("bkts",
-          LshBuckets(col("embedding"), MaxTables, MaxBits))
-        .select(col("vec_id"), posexplode(array((0 until nComposite).map {
-          k => expr(s"shiftleft(element_at(bkts, ${2 * k + 1}), $MaxBits) " +
-            s"+ element_at(bkts, ${2 * k + 2})")
-        }: _*)).as(Seq("t", "bucket"))),
-        nComposite, CompositeLshArity * MaxBits, "composite")
+          LshBuckets(col("embedding"), baseTables, MaxBits))
+        .select(col("vec_id"),
+          posexplode(array((0 until CompositeLshTables).map {
+            k => expr(s"shiftleft(element_at(bkts, ${2 * k + 1}), $MaxBits) " +
+              s"+ element_at(bkts, ${2 * k + 2})")
+          }: _*)).as(Seq("t", "bucket"))),
+        CompositeLshTables, CompositeLshArity * MaxBits, "composite")
     }
     leg(LshBuckets.Tables, LshBuckets.Bits, "default")
       .unionByName(leg(WideLshTables, WideLshBits, "wide"))
@@ -1283,7 +1310,7 @@ object Dedup {
     * hash-checked first-class result rather than scaladoc prose. */
   def lshGeometry(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import graft.functions.LshBuckets.{Bits, MaxBits, Tables => DefTables, MaxTables}
+    import graft.functions.LshBuckets.{Bits, MaxBits, Tables => DefTables}
     val actual = Tables.embeddings(s, d)
       .agg(count(lit(1)).cast("long").as("n_vectors"))
       .withColumn("scope", lit("corpus"))
@@ -1302,8 +1329,8 @@ object Dedup {
         when(col("n_vectors") > LshCompositeCapVectors, CompositeLshArity)
           .otherwise(1).cast("int"))
       .withColumn("lsh_tables",
-        when(col("composite_arity") > 1, MaxTables / CompositeLshArity)
-          .when(col("lsh_bits") > Bits, MaxTables)
+        when(col("composite_arity") > 1, CompositeLshTables)
+          .when(col("lsh_bits") > Bits, WideLshTables)
           .otherwise(DefTables).cast("int"))
       .withColumn("effective_bits",
         (col("composite_arity") * col("lsh_bits")).cast("int"))

@@ -430,13 +430,15 @@ object DedupOracles {
   /** Replicates [[Dedup.embeddingLshPairsCompositePlanted]]: the
     * plant-augmented corpus (every Stride-th vector twinned with
     * component `vec_id % dims` negated — IEEE-exact, so bit-identical
-    * across engines), per-table buckets at the MaxTables × MaxBits
-    * maxima (same dims/planes/dots CTEs), then pairwise AND-composition
+    * across engines), per-table buckets over the composite branch's
+    * CompositeLshTables·arity base tables at MaxBits (same
+    * dims/planes/dots CTEs), then pairwise AND-composition
     * `(bucket[2k] << MaxBits) | bucket[2k+1]` — each half is
     * bit-identical across engines, so the concatenated key is too —
     * then the usual collision candidates and exact-cosine verify. */
   val embeddingLshPairsComposite: String = {
-    import graft.functions.LshBuckets.{MaxTables, MaxBits, QuantScale}
+    import graft.functions.LshBuckets.{MaxBits, QuantScale}
+    val baseTables = Dedup.CompositeLshTables * Dedup.CompositeLshArity
     s"""WITH corpus AS MATERIALIZED (
        |  SELECT vec_id, embedding FROM embeddings
        |  UNION ALL
@@ -453,7 +455,7 @@ object DedupOracles {
        |planes AS (
        |  SELECT t, b, d,
        |    ('0x' || substr(md5('p_' || t || '_' || b || '_' || d), 1, 15))::BIGINT % 2001 - 1000 AS w
-       |  FROM unnest(generate_series(0, ${MaxTables - 1})) tt(t),
+       |  FROM unnest(generate_series(0, ${baseTables - 1})) tt(t),
        |       unnest(generate_series(0, ${MaxBits - 1})) bb(b),
        |       unnest(generate_series(1,
        |         (SELECT max(len(embedding)) FROM corpus))) dd(d)
@@ -495,7 +497,7 @@ object DedupOracles {
     * occupancy bound, and the guard flag — all BIGINT shifts and
     * integer division, no floats anywhere. */
   val lshGeometry: String = {
-    import graft.functions.LshBuckets.{Bits, MaxBits, Tables => DefTables, MaxTables}
+    import graft.functions.LshBuckets.{Bits, MaxBits, Tables => DefTables}
     val target = Dedup.ScaledLshTargetOccupancy
     val sizes = Dedup.LshGeometryProjectedSizes.mkString(", ")
     s"""WITH sizes AS (
@@ -513,8 +515,8 @@ object DedupOracles {
        |),
        |geo2 AS (
        |  SELECT scope, n_vectors,
-       |    (CASE WHEN composite_arity > 1 THEN ${MaxTables / Dedup.CompositeLshArity}
-       |          WHEN lsh_bits > $Bits THEN $MaxTables
+       |    (CASE WHEN composite_arity > 1 THEN ${Dedup.CompositeLshTables}
+       |          WHEN lsh_bits > $Bits THEN ${Dedup.WideLshTables}
        |          ELSE $DefTables END)::INTEGER AS lsh_tables,
        |    lsh_bits, composite_arity,
        |    (composite_arity * lsh_bits)::INTEGER AS effective_bits
@@ -568,10 +570,12 @@ object DedupOracles {
     * same threshold. dims/planes MATERIALIZED (referenced by both
     * geometry legs — the CTE-inlining explosion hazard). */
   val lshGeometryEval: String = {
-    import graft.functions.LshBuckets.{Bits, Tables => NT, MaxTables, MaxBits,
-      QuantScale}
+    import graft.functions.LshBuckets.{Bits, Tables => NT, MaxBits, QuantScale}
     val (wt, wb) = (Dedup.WideLshTables, Dedup.WideLshBits)
     val arity = Dedup.CompositeLshArity
+    // widest plane demand across the three legs: the composite branch's
+    // base-table count (16 since r13) exceeds the per-table legs
+    val baseTables = Dedup.CompositeLshTables * arity
     def legSql(t: Int, b: Int, name: String): String =
       s"""SELECT '$name' AS geometry, $t::INTEGER AS lsh_tables,
          |  $b::INTEGER AS lsh_bits,
@@ -597,14 +601,14 @@ object DedupOracles {
          |  FROM dots WHERE t < $t AND b < $b GROUP BY 1, 2
          |),
          |${candVerCtes(name)}""".stripMargin
-    // the AND-composed bucketing: per-table keys at the MaxTables ×
-    // MaxBits maxima, then pairwise concatenation — same composition
-    // rule as Dedup.embeddingLshPairsComposite
+    // the AND-composed bucketing: per-table keys over the composite
+    // branch's baseTables at MaxBits, then pairwise concatenation —
+    // same composition rule as Dedup.embeddingLshPairsComposite
     val compositeCtes =
       s"""buckets_composite_base AS (
          |  SELECT vec_id, t,
          |    sum(CASE WHEN dot >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS bucket
-         |  FROM dots WHERE t < $MaxTables AND b < $MaxBits GROUP BY 1, 2
+         |  FROM dots WHERE t < $baseTables AND b < $MaxBits GROUP BY 1, 2
          |),
          |buckets_composite AS (
          |  SELECT a.vec_id, a.t // $arity AS t,
@@ -621,7 +625,7 @@ object DedupOracles {
        |planes AS MATERIALIZED (
        |  SELECT t, b, d,
        |    ('0x' || substr(md5('p_' || t || '_' || b || '_' || d), 1, 15))::BIGINT % 2001 - 1000 AS w
-       |  FROM unnest(generate_series(0, ${MaxTables - 1})) tt(t),
+       |  FROM unnest(generate_series(0, ${baseTables - 1})) tt(t),
        |       unnest(generate_series(0, ${MaxBits - 1})) bb(b),
        |       unnest(generate_series(1,
        |         (SELECT max(len(embedding)) FROM embeddings))) dd(d)
@@ -644,7 +648,7 @@ object DedupOracles {
        |  UNION ALL
        |  ${legSql(wt, wb, "wide")}
        |  UNION ALL
-       |  ${legSql(MaxTables / arity, arity * MaxBits, "composite")}
+       |  ${legSql(Dedup.CompositeLshTables, arity * MaxBits, "composite")}
        |)
        |SELECT geometry, lsh_tables, lsh_bits, n_candidates, n_pairs, n_truth,
        |  (n_pairs * 1000000 // nullif(n_truth, 0))::BIGINT AS recall_ppm

@@ -355,15 +355,21 @@ class DedupSpec extends AnyFunSuite {
   test("unpersistLocalCheckpoint frees exactly the checkpointed RDD; no-op otherwise") {
     import org.apache.spark.sql.graftshim
     val sc = spark.sparkContext
-    val before = sc.getPersistentRDDs.size
+    // assert on the SPECIFIC checkpoint RDD id, never on absolute
+    // getPersistentRDDs.size deltas: the suite-shared context's
+    // ContextCleaner asynchronously unpersists GC'd RDDs from earlier
+    // tests between reads (ADVICE r12 — the exact flake this test
+    // shipped once, 12 != 16)
     val df = spark.range(100).toDF("id").localCheckpoint()
-    assert(sc.getPersistentRDDs.size === before + 1)
+    val id = graftshim.localCheckpointRddId(df)
+      .getOrElse(fail("localCheckpoint frame did not expose its RDD id"))
+    assert(sc.getPersistentRDDs.contains(id))
     assert(graftshim.unpersistLocalCheckpoint(df))
-    assert(sc.getPersistentRDDs.size === before)
+    assert(!sc.getPersistentRDDs.contains(id))
     // any non-LogicalRDD plan (e.g. a parquet reader) is a typed no-op
     val reader = spark.read.parquet(s"$d/documents.parquet")
+    assert(graftshim.localCheckpointRddId(reader).isEmpty)
     assert(!graftshim.unpersistLocalCheckpoint(reader))
-    assert(sc.getPersistentRDDs.size === before)
   }
 
   test("a partial edge intermediate without _SUCCESS is rebuilt, not served") {

@@ -525,14 +525,17 @@ class SimilaritySpec extends AnyFunSuite {
       val (t, b) = Dedup.scaledLshGeometry(n)
       assert(b >= prevBits, s"bits not monotone at n=$n")
       prevBits = b
+      // tables widen to the PER-TABLE ceiling (WideLshTables — r13:
+      // LshBuckets.MaxTables grew to 16 to host the composite branch's
+      // base signatures and is no longer the per-table dial's target)
       if (n <= (Dedup.ScaledLshTargetOccupancy << LshBuckets.MaxBits)) {
         assert((n >> b) <= Dedup.ScaledLshTargetOccupancy,
           s"occupancy bound violated at n=$n: ${n >> b} > target with bits=$b")
-        assert(t === (if (b > LshBuckets.Bits) LshBuckets.MaxTables else LshBuckets.Tables))
+        assert(t === (if (b > LshBuckets.Bits) Dedup.WideLshTables else LshBuckets.Tables))
       } else {
-        // past the cap: widest geometry; the occupancy GUARD (refusal
-        // naming the shard dial) is the documented next step
-        assert(b === LshBuckets.MaxBits && t === LshBuckets.MaxTables)
+        // past the cap: widest per-table geometry; the occupancy GUARD
+        // (refusal naming the shard dial) is the documented next step
+        assert(b === LshBuckets.MaxBits && t === Dedup.WideLshTables)
       }
     }
   }
