@@ -598,13 +598,22 @@ object Scaling {
       // and the embedding rotation's ×64 cap would otherwise refuse ×128
       inflate(spark, base, factor, dir, dupHeavy = true,
         only = Set("documents"))
+      // past DupHeavyMaxFactorFull only the flagship prefix build runs
+      // by default (the ×128 cells flirt with the single-box ceiling —
+      // the prefix one needed a reduced-parallelism env); an EXPLICIT
+      // SPARK_GRAFT_SCALING_QUERIES request opts any family in, so the
+      // remaining ×128 rows are one focused run, not a default-sweep tax
+      def optedIn(rowName: String) =
+        explicitPanel.exists(_.contains(rowName))
       for ((kind, dedupKind, build) <- sharedBuilds(dir)
           if DupHeavyPanel.contains(kind) &&
-            (factor <= DupHeavyMaxFactorFull || kind == "shared_prefix_edges") &&
+            (factor <= DupHeavyMaxFactorFull || kind == "shared_prefix_edges" ||
+              optedIn(s"${kind}_dupheavy")) &&
             explicitPanel.forall(_.contains(s"${kind}_dupheavy")))
         timeSharedBuild(s"${kind}_dupheavy", dedupKind, factor, dir, build)
       for (name <- DupHeavyPanel
-          if SparkEntry.queries.contains(name) && factor <= DupHeavyMaxFactorFull &&
+          if SparkEntry.queries.contains(name) &&
+            (factor <= DupHeavyMaxFactorFull || optedIn(s"${name}_dupheavy")) &&
             explicitPanel.forall(_.contains(s"${name}_dupheavy")))
         runMeasured(s"${name}_dupheavy", factor, () =>
           runDfOnce(s"${name}_dupheavy", factor,
