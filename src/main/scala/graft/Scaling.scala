@@ -367,9 +367,12 @@ object Scaling {
             s""""state_mb_x${s.factor}":${f4(s.stateMb)}""") ++
           samples.filter(_.recall >= 0).map(s =>
             s""""recall_x${s.factor}":${f4(s.recall)}""") ++
-          samples.filter(_.recallRecovered >= 0).map(s =>
+          // gate the companion counts on recall >= 0 too: a zero-
+          // eligible measurement (recall = -1) must not ship
+          // recall_pairs/recall_eligible rows without a recall_x row
+          samples.filter(_.recall >= 0).map(s =>
             s""""recall_pairs_x${s.factor}":${s.recallRecovered}""") ++
-          samples.filter(_.recallEligible >= 0).map(s =>
+          samples.filter(_.recall >= 0).map(s =>
             s""""recall_eligible_x${s.factor}":${s.recallEligible}""") ++
           samples.filter(_.err != null).map(s =>
             s""""err_x${s.factor}":"${jsonEsc(s.err)}"""")
@@ -678,7 +681,11 @@ object Scaling {
           f"[scaling] $key%-28s x$eqFactor%-3d recall=$recall%.4f " +
             f"($recovered/$eligibleN twins at cos>=${
               operators.Dedup.CompositeRecallFloorCosine})" + (
-            if (recall < operators.Dedup.CompositeRecallFloor)
+            // recall = -1 means ZERO eligible twins (nothing measured),
+            // not a floor miss — don't prescribe OR-amplification for it
+            if (recall < 0)
+              " - NO eligible twins at this size; nothing to measure"
+            else if (recall < operators.Dedup.CompositeRecallFloor)
               f" BELOW declared floor ${operators.Dedup.CompositeRecallFloor} " +
                 "- widen the composite table count (OR-amplification)"
             else ""))
@@ -695,20 +702,31 @@ object Scaling {
     * vectors plus plants at `vec_id = base + idOffset` (only plant ids
     * reach `idOffset`, so the twin join needs no stride filter);
     * `pairs` is an edge frame with `(vec_a, vec_b, cosine)` rows,
-    * vec_a < vec_b. Eligible = twins whose TRUE cosine is at least
-    * [[operators.Dedup.CompositeRecallFloorCosine]] — the same regime
-    * the fixture-scale floor spec (`SimilaritySpec`) asserts, so the
-    * 5 M-vector measurement and the unit floor share one definition.
+    * vec_a < vec_b. Eligible = twins whose 6dp-ROUNDED cosine is at
+    * least [[operators.Dedup.CompositeRecallFloorCosine]] — 6dp-rounded
+    * because that is what the edge frame's `cosine` column carries, so
+    * recovered and eligible share ONE floor definition (an exact-cosine
+    * eligibility filter would let a boundary twin count as recovered
+    * but not eligible); it is the same regime the fixture-scale floor
+    * spec (`SimilaritySpec`) asserts, so the 5 M-vector measurement and
+    * the unit floor share one definition.
     * Returns (recovered, eligible, recall); recall is −1 when no twin
     * is eligible (nothing to measure). Both counts are single
     * aggregate actions — audit cost, outside any timed window. */
   private[graft] def plantedTwinRecall(corpus: DataFrame, pairs: DataFrame,
       idOffset: Long): (Long, Long, Double) = {
     val floorCos = operators.Dedup.CompositeRecallFloorCosine
+    // BOTH filters apply the floor to the 6dp-ROUNDED cosine — the edge
+    // frame emits round(cos, 6) (Dedup's verify projection), so an
+    // exact-cosine eligibility filter would use a DIFFERENT floor
+    // definition: a twin with true cosine in [0.8999995, 0.9) would
+    // count as recovered but not eligible, biasing recall upward (and
+    // past 1.0 in degenerate corpora)
     val eligible = corpus.select(col("vec_id"), col("embedding").as("va"))
       .join(corpus.select((col("vec_id") - lit(idOffset)).as("vec_id"),
         col("embedding").as("vb")), "vec_id")
-      .filter(graft.functions.CosineSimilarity(col("va"), col("vb"))
+      .filter(round(
+        graft.functions.CosineSimilarity(col("va"), col("vb")), 6)
         >= floorCos)
       .count()
     val recovered = pairs

@@ -618,16 +618,24 @@ class SimilaritySpec extends AnyFunSuite {
     val pairs = Dedup.embeddingLshPairsCompositePlanted(spark, d)
       .as[(Long, Long, Double)].collect()
     val corpus = Dedup.plantedNearDupCorpus(graft.Tables.embeddings(spark, d))
+    // derive the geometry from the PRODUCTION dial constants, not from
+    // LshBuckets.MaxTables: MaxTables is only "the widest any caller
+    // may ask" (it grew 8 -> 16 to host this branch and may grow
+    // again), while CompositeLshTables * CompositeLshArity is what
+    // compositeBuckets actually draws — keying this spec on MaxTables
+    // would silently re-point it at table pairs production never
+    // builds on the next widening
+    val baseTables = Dedup.CompositeLshTables * Dedup.CompositeLshArity
     val bkts = corpus
       .select(col("vec_id"),
-        LshBuckets(col("embedding"), LshBuckets.MaxTables, LshBuckets.MaxBits)
+        LshBuckets(col("embedding"), baseTables, LshBuckets.MaxBits)
           .as("b"))
       .as[(Long, Seq[Long])].collect().toMap
     assert(pairs.nonEmpty, "fixture must exercise the composite branch")
     pairs.foreach { case (a, b, cos) =>
       assert(cos >= Dedup.CosineLshThreshold)
       val (ba, bb) = (bkts(a), bkts(b))
-      val collides = (0 until LshBuckets.MaxTables / Dedup.CompositeLshArity)
+      val collides = (0 until Dedup.CompositeLshTables)
         .exists(k => ba(2 * k) == bb(2 * k) && ba(2 * k + 1) == bb(2 * k + 1))
       assert(collides, s"pair ($a,$b) shares no composed table pair")
     }

@@ -14,33 +14,44 @@ committed file), and this tool closes the other half: one writer, one
 format, byte-compatible with Bench's own emit().
 
     python3 tools/repin_bench_local.py SOURCE.json [-o BENCH_LOCAL.json]
-        [--drop-storm-ratio]
+        [--keep-storm-ratio]
 
 SOURCE.json is any bench artifact carrying a top-level "queries" map
 (a BENCH_LOCAL.json from any round/format, or a driver BENCH_r{N}.json
 whose "parsed" field holds one). Values are re-rounded to Bench's 4dp
-(3dp for storm_ratio). --drop-storm-ratio empties the storm_ratio map:
-use it when re-pinning values NOT produced against the current
-committed prior — a hand-carried ratio map breaks the documented
-achieved-min/prior semantics (ADVICE r12 medium).
+(3dp for storm_ratio); the sibling_jvms/load_avg/suite_median_storm
+env fields are carried through when the source has them. The
+storm_ratio map is DROPPED by default: a hand re-pin's values were not
+produced against the current committed prior, so a carried ratio map
+breaks the documented achieved-min/prior semantics (ADVICE r12
+medium). --keep-storm-ratio is only for restoring an unmodified live
+Bench artifact verbatim.
 
 The output is verified by re-parsing with the same scoped-scan rules
 graft.BenchPriors implements (opener + first '}') before the file is
 replaced, so this tool can never write priors Bench cannot read.
 """
 import argparse
+import decimal
 import json
 import re
 import sys
 
 
 def bench_fmt(v, dp):
-    """Bench's BigDecimal.setScale(dp, HALF_UP).toString equivalent."""
-    q = round(float(v) + 0.0, dp)
-    s = f"{q:.{dp}f}"
+    """Bench's BigDecimal.setScale(dp, HALF_UP).toString equivalent.
+
+    Must be decimal HALF_UP, not Python round() (banker's / half-EVEN at
+    exact decimal ties: round(2.0625, 3) -> 2.062 where BigDecimal
+    writes 2.063). Scala's BigDecimal(v) wraps java.math.BigDecimal
+    .valueOf(v), i.e. the double's SHORTEST decimal rendering — which is
+    exactly Python's str(float), so Decimal(str(v)) reproduces the same
+    decimal before the same HALF_UP quantize."""
+    q = decimal.Decimal(str(float(v))).quantize(
+        decimal.Decimal(1).scaleb(-dp), rounding=decimal.ROUND_HALF_UP)
     # BigDecimal prints trailing zeros at the set scale; keep them for
     # byte-parity with emit()
-    return s
+    return f"{q:.{dp}f}"
 
 
 def load_source(path):
@@ -71,34 +82,63 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("source")
     ap.add_argument("-o", "--out", default="BENCH_LOCAL.json")
+    # DROPPING is the default: the policy (SCALE.md "Bench methodology")
+    # is that hand re-pins never carry a storm_ratio map — those ratios
+    # mean achieved-min / prior of a LIVE run, which hand-carried values
+    # are not. --keep-storm-ratio exists only for restoring a pristine
+    # live Bench artifact verbatim (e.g. un-poisoning the working tree
+    # from a known-good BENCH_r{N}.json whose ratios ARE live ones).
+    ap.add_argument("--keep-storm-ratio", action="store_true",
+                    help="carry the source's storm_ratio map through "
+                         "(ONLY for restoring an unmodified live Bench "
+                         "artifact; hand-merged or cross-prior values "
+                         "must not keep ratios)")
     ap.add_argument("--drop-storm-ratio", action="store_true",
-                    help="empty the storm_ratio map (use when the values "
-                         "were not measured against the current prior)")
+                    help="explicit form of the default (kept for "
+                         "compatibility with documented invocations)")
     args = ap.parse_args()
+    if args.keep_storm_ratio and args.drop_storm_ratio:
+        raise SystemExit("--keep-storm-ratio and --drop-storm-ratio "
+                         "are mutually exclusive")
 
     src = load_source(args.source)
     queries = {k: v for k, v in src["queries"].items()}
-    storm = {} if args.drop_storm_ratio else src.get("storm_ratio", {}) or {}
+    storm = src.get("storm_ratio", {}) or {} if args.keep_storm_ratio else {}
     total = sum(v for v in queries.values() if v >= 0)
 
     qs = ",".join(f'"{k}":{bench_fmt(v, 4)}' for k, v in queries.items())
     sr = ",".join(f'"{k}":{bench_fmt(v, 3)}' for k, v in storm.items())
     sf = src.get("sf", "/root/testdata/sf0.1")
+    # env-telemetry fields: emit() always writes them between
+    # storm_ratio and sf; carry them through when the source has them
+    # (a live artifact always does), omit when it doesn't (an old-
+    # format source) rather than fabricating environment data
+    env = ""
+    if "sibling_jvms" in src:
+        env = (f'"sibling_jvms":{int(src["sibling_jvms"])},'
+               f'"load_avg":{bench_fmt(src.get("load_avg", -1.0), 4)},'
+               f'"suite_median_storm":'
+               f'{bench_fmt(src.get("suite_median_storm", 0.0), 4)},')
     line = (f'{{"metric":"total","value":{bench_fmt(total, 4)},'
             f'"unit":"sec","queries":{{{qs}}},"storm_ratio":{{{sr}}},'
-            f'"sf":"{sf}"}}')
+            f'{env}"sf":"{sf}"}}')
 
-    # refuse to write anything the loader cannot read back
+    # refuse to write anything the loader cannot read back — and the
+    # read-back VALUES must equal what we meant to write (a count-only
+    # check once let a rounding drift ship silently)
     back = reparse_like_bench(line)
-    if len(back) != len(queries):
-        raise SystemExit(f"self-check failed: wrote {len(queries)} queries, "
-                         f"re-parsed {len(back)}")
+    want = {k: float(bench_fmt(v, 4)) for k, v in queries.items()}
+    if back != want:
+        diff = {k: (want.get(k), back.get(k))
+                for k in set(want) | set(back) if want.get(k) != back.get(k)}
+        raise SystemExit(f"self-check failed: re-parse differs: {diff}")
     json.loads(line)  # and it must be real JSON
 
     with open(args.out, "w") as f:
         f.write(line + "\n")
     print(f"{args.out}: {len(queries)} queries, total {bench_fmt(total, 4)} s, "
-          f"storm_ratio {'dropped' if args.drop_storm_ratio else f'{len(storm)} entries'}")
+          f"storm_ratio {f'{len(storm)} entries kept' if args.keep_storm_ratio else 'dropped'}"
+          f"{', env fields carried' if env else ''}")
 
 
 if __name__ == "__main__":
