@@ -47,7 +47,18 @@ import org.apache.spark.sql.SparkSession
   *     `storm_ratio` = achieved-min / prior for every query with a
   *     prior, so a consumer can separate residual storm (ratio high,
   *     code untouched) from regression (ratio high, code changed)
-  *     mechanically.
+  *     mechanically. Cells whose escape cap runs out while still
+  *     outside the factor ship in an `unescaped` array (r14 — the r13
+  *     persistent-storm family was only findable by joining against
+  *     the prior file) and get ONE suite-end revisit pass; those the
+  *     revisit brings back inside the factor move to
+  *     `revisit_cleared` (transient after all), the rest stay listed
+  *     with a twice-sampled elevated min (regression suspects).
+  *     Every line also carries environment telemetry (`sibling_jvms`,
+  *     `load_avg`, `suite_median_storm`, `boot_id`) plus the PRIOR
+  *     file's own provenance (`prior_load_avg`, `prior_boot_id`, when
+  *     it carries them), so a ratio consumer sees both endpoints'
+  *     environments without git archaeology.
   *   - a global wall budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default
   *     1500 s) degrades the policy to single-pass-no-warmup once
   *     exceeded, so the tail of the suite still produces numbers.
@@ -121,6 +132,19 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "BENCH_LOCAL.json")
     val prior: Map[String, Double] =
       BenchPriors.load(priorFile, System.err.println)
+    // Prior PROVENANCE (VERDICT r13 item 5): a storm_ratio consumer
+    // needs both endpoints' environments — the r13 adjudication had to
+    // dig the prior's load out of git history to conclude the 14-cell
+    // storm family was host contention, not regression. The prior
+    // file's own telemetry (when it carries any) rides along in every
+    // emitted line as prior_load_avg / prior_boot_id.
+    val priorText: String =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get(priorFile))
+      catch { case _: Exception => "" }
+    val priorLoadAvg: Option[Double] =
+      BenchPriors.numField(priorText, "load_avg")
+    val priorBootId: Option[String] =
+      BenchPriors.strField(priorText, "boot_id")
     val benchStart = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - benchStart) / 1e9
 
@@ -154,6 +178,15 @@ object Bench {
       java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
     catch { case _: Exception => -1.0 }
+    // The kernel boot UUID makes "same boot as the prior?" mechanical
+    // (the committed-prior discipline is two SAME-boot sweeps, and the
+    // first sweep after a boot reads ~8% high — verify/SKILL.md):
+    // artifact carries its own boot_id; prior_boot_id above carries the
+    // prior's, so a consumer compares without git archaeology.
+    val bootId: String = try
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/sys/kernel/random/boot_id")).trim
+    catch { case _: Exception => "unknown" }
     if (siblingJvms > 0)
       System.err.println(s"[bench] WARNING: $siblingJvms sibling graft " +
         s"JVM(s) detected at startup (load_avg=$loadAvg) - timings may " +
@@ -217,6 +250,20 @@ object Bench {
     // achieved-min / prior per query (only where a prior exists): the
     // mechanical storm-vs-regression signal the artifact ships (r7)
     val stormRatio = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // Cells whose adaptive storm escape exhausted [[StormWallCapSec]]
+    // with best still > PriorStormFactor x prior (VERDICT r13 item 2):
+    // the r13 driver sweep hit a PERSISTENT deopt-storm family
+    // (rel_salted_agg 15.4x et al.) that the 20 s cap cannot rescue,
+    // and the artifact shipped the elevated mins with no marker — a
+    // consumer had to join against the prior file to find them. Now
+    // both artifact lines carry `"unescaped":[...]` (storms the escape
+    // could not clear) and `"revisit_cleared":[...]` (unescaped cells
+    // whose ONE suite-end revisit pass came back inside the factor —
+    // persistent storms sometimes clear after the code cache churns
+    // through the rest of the suite, and whether they do is now
+    // measured, not conjectured).
+    val unescaped = scala.collection.mutable.LinkedHashSet[String]()
+    val revisitCleared = scala.collection.mutable.LinkedHashSet[String]()
     // Self-contained artifact (VERDICT r4 item 3): the driver's log
     // capture keeps only a tail, which front-truncates the (>2000 char)
     // final cumulative line — so the SAME line is also rewritten to a
@@ -280,12 +327,24 @@ object Bench {
         else if (v.size % 2 == 1) v(v.size / 2)
         else (v(v.size / 2 - 1) + v(v.size / 2)) / 2.0
       }
+      // prior-provenance fields are emitted only when the prior file
+      // actually carries them (old-format priors don't) — omission,
+      // not fabrication, mirrors the re-pin tool's policy
+      val provenance =
+        priorLoadAvg.map(v => s""","prior_load_avg":${fmt(v)}""").getOrElse("") +
+          priorBootId.map(v => s""","prior_boot_id":"$v"""").getOrElse("")
       val envFields =
         s""""sibling_jvms":$siblingJvms,"load_avg":${fmt(loadAvg)},""" +
-          s""""suite_median_storm":${fmt(medianStorm)}"""
+          s""""suite_median_storm":${fmt(medianStorm)},""" +
+          s""""boot_id":"$bootId"$provenance"""
+      def names(s: scala.collection.Set[String]): String =
+        s.map(n => s""""$n"""").mkString("[", ",", "]")
+      val escFields =
+        s""""unescaped":${names(unescaped)},""" +
+          s""""revisit_cleared":${names(revisitCleared)}"""
       // cumulative: every written line is a complete artifact so far
       val line =
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"storm_ratio":$sr,$envFields,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"storm_ratio":$sr,$escFields,$envFields,"sf":"$sfDir"}"""
       // stdout carries a COMPACT line (<2 KB) instead of the full one:
       // the driver keeps only a bounded TAIL of stdout, and the full
       // cumulative line (>7 KB at 258 queries) was front-truncated past
@@ -304,7 +363,7 @@ object Bench {
       val compact =
         s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compactQs,""" +
           s""""queries_done":${results.size},"max_storm_ratio":${fmt(maxStorm)},""" +
-          s"""$envFields,"full_artifact":"${outFile.getFileName}","sf":"$sfDir"}"""
+          s"""$escFields,$envFields,"full_artifact":"${outFile.getFileName}","sf":"$sfDir"}"""
       lastCompact.set(compact)
       println(compact)
       Console.out.flush()
@@ -401,6 +460,13 @@ object Bench {
           if (t >= 0 && t < best) best = t
         }
         mode += s"+storm$extra"
+        // cap exhausted with the min still outside the factor: a
+        // persistent storm (or a true regression) — recorded in the
+        // artifact and queued for the one suite-end revisit below
+        if (best > PriorStormFactor * prior(name)) {
+          unescaped += name
+          mode += "+unescaped"
+        }
       }
       results(name) = best
       for (p <- prior.get(name) if p > 0 && best >= 0)
@@ -408,6 +474,39 @@ object Bench {
       System.err.println(
         f"[bench] $name%-34s best=$best%8.3f s  wall=${elapsed - qStart}%8.3f s  elapsed=$elapsed%8.1f s  ($mode)")
       emit()
+    }
+
+    // Suite-end REVISIT of un-escaped storm cells (VERDICT r13 item 2):
+    // the documented persistent-storm mode poisons the code cache for a
+    // stretch of the suite, but sometimes clears once the JVM has
+    // churned through the remaining queries' codegen — whether a given
+    // cell's storm was persistent-for-20s or persistent-for-the-JVM is
+    // exactly the regression-vs-environment question the consumer has
+    // to adjudicate, so it gets MEASURED: one extra pass per unescaped
+    // cell, min-folded. A cell whose revisit lands back inside the
+    // factor moves to revisit_cleared (its storm was transient after
+    // all); one that stays elevated remains in unescaped with a now
+    // twice-sampled min — the strongest regression signal this harness
+    // can produce without a code diff. Budget-guarded like everything
+    // else: a sweep already past the wall budget ships its list as-is.
+    if (unescaped.nonEmpty && elapsed < budgetSec) {
+      System.err.println(s"[bench] revisiting ${unescaped.size} " +
+        s"un-escaped storm cell(s) at suite end: ${unescaped.mkString(", ")}")
+      for (name <- unescaped.toSeq if elapsed < budgetSec) {
+        val t = runOnce(name)
+        val p = prior(name)
+        if (t >= 0 && t < results(name)) {
+          results(name) = t
+          stormRatio(name) = t / p
+        }
+        val cleared = results(name) <= PriorStormFactor * p
+        if (cleared) { unescaped -= name; revisitCleared += name }
+        System.err.println(
+          f"[bench] $name%-34s revisit=$t%8.3f s  min=${results(name)}%8.3f s  " +
+            f"(${if (cleared) "cleared - storm was transient"
+                 else "still elevated - regression suspect"})")
+        emit()
+      }
     }
     spark.stop()
   }

@@ -45,6 +45,29 @@ object BenchPriors {
         }.toMap
     }
 
+  /** A top-level numeric telemetry field's value from an artifact line
+    * (`load_avg`, `sibling_jvms`, ...), for the prior-provenance fields
+    * Bench re-emits (r14). First occurrence wins; same artifact-shape
+    * reliance as [[parse]] — telemetry names never appear as query
+    * keys, so an unscoped scan is safe for THESE names (it would not
+    * be for arbitrary ones). None on absence or a malformed number. */
+  def numField(txt: String, name: String): Option[Double] = {
+    val re = ("\"" + java.util.regex.Pattern.quote(name) +
+      """"\s*:\s*(-?[0-9][0-9.eE+-]*)""").r
+    re.findFirstMatchIn(txt).flatMap { m =>
+      try Some(m.group(1).toDouble)
+      catch { case _: NumberFormatException => None }
+    }
+  }
+
+  /** A top-level string field's value (`boot_id`, `sf`, ...); same
+    * caveats as [[numField]]. */
+  def strField(txt: String, name: String): Option[String] = {
+    val re = ("\"" + java.util.regex.Pattern.quote(name) +
+      """"\s*:\s*"([^"]*)"""").r
+    re.findFirstMatchIn(txt).map(_.group(1))
+  }
+
   /** [[parse]] over a file; empty map when unreadable. `warn` receives
     * one diagnostic line when the file EXISTS but yields zero priors —
     * the silent-de-arm failure mode r12 shipped (ADVICE r12: warn

@@ -267,6 +267,18 @@ object Scaling {
     val synthVectors = sys.env.get("SPARK_GRAFT_SCALING_SYNTH")
       .map(_.trim).map(v => if (v.isEmpty) 0L else v.toLong)
       .getOrElse(if (factors.max >= 64) SynthCapCrossVectors else 0L)
+    // composite-table trade-off notches measured alongside the default
+    // cap-crossing row (VERDICT r13 item 4): extra T values for the
+    // OR-amplification dial, each a `composite_cap_crossing_t{T}` row
+    // with wall/bytes/recall at the same synthetic corpus. Default
+    // EMPTY — the rows are a one-shot calibration artifact, not a
+    // per-sweep tax (e.g. SPARK_GRAFT_SCALING_SYNTH_TABLES="12,16").
+    val synthTables = sys.env.get("SPARK_GRAFT_SCALING_SYNTH_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt)
+        .filter(t => t > 0 &&
+          t * operators.Dedup.CompositeLshArity <=
+            graft.functions.LshBuckets.MaxTables).toSeq)
+      .getOrElse(Seq.empty)
     val explicitPanel = sys.env.get("SPARK_GRAFT_SCALING_QUERIES")
       .map(_.split(",").map(_.trim).toSeq)
     val panel = explicitPanel.getOrElse(DefaultPanel).filterNot(_.endsWith("_stream"))
@@ -690,6 +702,36 @@ object Scaling {
                 "- widen the composite table count (OR-amplification)"
             else ""))
         emit()
+      }
+
+      // ---- composite-table trade-off notches (VERDICT r13 item 4) ---
+      // Same synthetic corpus, same recall harness, the
+      // OR-amplification dial at each requested T: one
+      // `composite_cap_crossing_t{T}` row per notch so the shipped
+      // T = 8 operating point (recall 0.5336 vs the 0.5 floor) is a
+      // chosen trade with its neighbors measured, not the only datum.
+      // Planes are index-determined, so every notch's first 8 tables
+      // are bit-identical to the production geometry's.
+      for (t <- synthTables) {
+        val tKey = s"composite_cap_crossing_t$t"
+        System.err.println(s"[scaling] $tKey: n=$n geometry=${
+          operators.Dedup.compositeGeomDescAt(t)}")
+        def tPairs() = operators.Dedup.embeddingLshPairsCompositeAtOn(
+          corpus, t,
+          broadcastVerify = n <= operators.Dedup.VerifyBroadcastMaxVectors)
+        runMeasured(tKey, eqFactor, () => runDfOnce(tKey, eqFactor, tPairs))
+        if (results.get(tKey).exists(_.last.sec >= 0)) {
+          val (recovered, eligibleN, recall) =
+            plantedTwinRecall(corpus, tPairs(), synthVectors)
+          results(tKey) = results(tKey).init :+ results(tKey).last.copy(
+            recall = recall, recallRecovered = recovered,
+            recallEligible = eligibleN)
+          System.err.println(
+            f"[scaling] $tKey%-28s x$eqFactor%-3d recall=$recall%.4f " +
+              f"($recovered/$eligibleN twins at cos>=${
+                operators.Dedup.CompositeRecallFloorCosine})")
+          emit()
+        }
       }
     }
 

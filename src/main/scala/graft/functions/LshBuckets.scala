@@ -74,12 +74,16 @@ object LshBuckets {
                // vectors); at production scale grow with log2(n) so
                // expected bucket size stays bounded (pass wider geometry
                // to the constructor — Dedup.embeddingLshPairsWide)
-  val MaxTables = 16 // 8 → 16 in r13: the AND-composed dedup branch
+  val MaxTables = 32 // 8 → 16 in r13 (the AND-composed dedup branch
                      // draws CompositeLshTables(8) × arity(2) base
-                     // signatures; per-table paths stay ≤ 8
-                     // (WideLshTables). Plane (t, b, d) values are
+                     // signatures); 16 → 32 in r14 so the Scaling
+                     // harness can measure the T = 12/16 composite
+                     // trade-off rows (24/32 base signatures —
+                     // Dedup.compositeBucketsAt). Per-table paths stay
+                     // ≤ 8 (WideLshTables). Plane (t, b, d) values are
                      // index-determined (md5), so widening the maxima
-                     // leaves every existing table's planes identical.
+                     // leaves every existing table's planes identical
+                     // — every committed oracle result is unchanged.
   val MaxBits = 16
   val MaxDims = 256
   val QuantScale = 1048576L // 2^20

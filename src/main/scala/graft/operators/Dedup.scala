@@ -1141,28 +1141,51 @@ object Dedup {
   /** The AND-composed (vec_id, t, bucket) signature frame — stage 1 of
     * [[embeddingLshPairsCompositeOn]], exposed for the Scaling stage
     * decomposition (VERDICT r9 item 2). */
-  private[graft] def compositeBuckets(e: DataFrame): DataFrame = {
+  private[graft] def compositeBuckets(e: DataFrame): DataFrame =
+    compositeBucketsAt(e, CompositeLshTables)
+
+  /** [[compositeBuckets]] at an arbitrary composite-table count — the
+    * OR-amplification dial as a parameter, for the Scaling harness's
+    * recall/cost trade-off rows (VERDICT r13 item 4: the shipped
+    * T = 8 operating point measured 0.5336 recall against the 0.5
+    * floor with a 6.7% margin; T = 12/16 are the next notches,
+    * expected ~0.66/~0.74 by 1−(1−p^32)^T). Plane weights are
+    * index-determined (md5 of (t, b, d) — [[graft.functions.LshBuckets]]),
+    * so table k's planes are IDENTICAL at every T: widening only adds
+    * tables, never perturbs existing buckets — the same property the
+    * r13 4→8 widening relied on to keep every oracle result
+    * byte-identical. Production paths always pass
+    * [[CompositeLshTables]]. */
+  private[graft] def compositeBucketsAt(e: DataFrame, tables: Int): DataFrame = {
     import graft.functions.LshBuckets.MaxBits
-    val baseTables = CompositeLshTables * CompositeLshArity
+    val baseTables = tables * CompositeLshArity
     e.withColumn("bkts",
         graft.functions.LshBuckets(col("embedding"), baseTables, MaxBits))
       .select(col("vec_id"),
-        posexplode(array((0 until CompositeLshTables).map { k =>
+        posexplode(array((0 until tables).map { k =>
           expr(s"shiftleft(element_at(bkts, ${2 * k + 1}), $MaxBits) + " +
             s"element_at(bkts, ${2 * k + 2})")
         }: _*)).as(Seq("t", "bucket")))
   }
 
-  private[graft] def compositeGeomDesc: String = {
+  private[graft] def compositeGeomDesc: String =
+    compositeGeomDescAt(CompositeLshTables)
+
+  private[graft] def compositeGeomDescAt(tables: Int): String = {
     import graft.functions.LshBuckets.MaxBits
-    s"$CompositeLshTables composite tables of " +
-      s"${CompositeLshArity}x$MaxBits bits"
+    s"$tables composite tables of ${CompositeLshArity}x$MaxBits bits"
   }
 
   private def embeddingLshPairsCompositeOn(e: DataFrame,
       broadcastVerify: Boolean = false): DataFrame =
-    embeddingLshPairsOnBuckets(e, compositeBuckets(e), compositeGeomDesc,
-      broadcastVerify)
+    embeddingLshPairsCompositeAtOn(e, CompositeLshTables, broadcastVerify)
+
+  /** The composite pipeline at an arbitrary table count — Scaling
+    * trade-off rows only (see [[compositeBucketsAt]]). */
+  private[graft] def embeddingLshPairsCompositeAtOn(e: DataFrame,
+      tables: Int, broadcastVerify: Boolean): DataFrame =
+    embeddingLshPairsOnBuckets(e, compositeBucketsAt(e, tables),
+      compositeGeomDescAt(tables), broadcastVerify)
 
   /** The per-table `(vec_id, t, bucket)` signature frame at the
     * corpus' [[scaledLshGeometry]] — stage 1 of

@@ -28,7 +28,10 @@ object BenchPriorsProps extends Properties("BenchPriors") {
       // pair regex and turn the property into a locale test
       (v, String.format(java.util.Locale.ROOT, "%.4f", Double.box(v)))
     },
-    Gen.chooseNum(0, 900).map(i => (i.toDouble, i.toString)))
+    Gen.chooseNum(0, 900).map(i => (i.toDouble, i.toString)),
+    // the -1 failed-query sentinel Bench emits into the queries map —
+    // the Pair regex's '-?' branch was untested (ADVICE r13)
+    Gen.const((-1.0, "-1.0000")))
 
   private val ws: Gen[String] =
     Gen.oneOf("", " ", "  ", "\n", "\n  ", "\t")

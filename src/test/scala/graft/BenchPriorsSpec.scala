@@ -74,6 +74,42 @@ class BenchPriorsSpec extends AnyFunSuite {
       "parsed prior seconds outside sane range")
   }
 
+  test("numField/strField extract prior-provenance telemetry from both " +
+      "the full emit() format (r14, with unescaped/boot_id fields) and " +
+      "a re-pinned artifact that omits them") {
+    // the full r14 emit() shape: escape arrays + env telemetry + the
+    // previous prior's provenance riding along
+    val live = """{"metric":"total","value":185.1400,"unit":"sec",""" +
+      """"queries":{"q1_agg":1.2500,"load_fake":-1.0000},""" +
+      """"storm_ratio":{"q1_agg":0.900},""" +
+      """"unescaped":["rel_salted_agg"],"revisit_cleared":[],""" +
+      """"sibling_jvms":0,"load_avg":0.2300,""" +
+      """"suite_median_storm":0.9412,""" +
+      """"boot_id":"8d4f2c2e-1111-2222-3333-444455556666",""" +
+      """"prior_load_avg":0.1100,"prior_boot_id":"older-boot",""" +
+      """"sf":"/root/testdata/sf0.1"}"""
+    assert(BenchPriors.numField(live, "load_avg") === Some(0.23))
+    assert(BenchPriors.numField(live, "prior_load_avg") === Some(0.11))
+    assert(BenchPriors.numField(live, "sibling_jvms") === Some(0.0))
+    assert(BenchPriors.strField(live, "boot_id") ===
+      Some("8d4f2c2e-1111-2222-3333-444455556666"))
+    assert(BenchPriors.strField(live, "prior_boot_id") === Some("older-boot"))
+    // the new fields must not disturb the queries scan (scoped past
+    // storm_ratio, tolerant of trailing arrays), including the -1
+    // failed-query sentinel
+    assert(BenchPriors.parse(live) ===
+      Map("q1_agg" -> 1.25, "load_fake" -> -1.0))
+    // a hand re-pinned artifact omits provenance: None, not a throw
+    val repinned = """{"metric":"total","value":1.0,"unit":"sec",""" +
+      """"queries":{"q1_agg":1.2500},"storm_ratio":{},""" +
+      """"sibling_jvms":0,"load_avg":0.2300,"sf":"/x"}"""
+    assert(BenchPriors.numField(repinned, "prior_load_avg").isEmpty)
+    assert(BenchPriors.strField(repinned, "boot_id").isEmpty)
+    assert(BenchPriors.numField(repinned, "load_avg") === Some(0.23))
+    assert(BenchPriors.numField("", "load_avg").isEmpty)
+    assert(BenchPriors.strField("", "boot_id").isEmpty)
+  }
+
   test("load() warns when the file exists but yields zero priors") {
     val tmp = java.nio.file.Files.createTempFile("graft-prior", ".json")
     try {

@@ -49,6 +49,12 @@ def bench_fmt(v, dp):
     decimal before the same HALF_UP quantize."""
     q = decimal.Decimal(str(float(v))).quantize(
         decimal.Decimal(1).scaleb(-dp), rounding=decimal.ROUND_HALF_UP)
+    # java BigDecimal has no negative zero: a value in (-10^-dp/2, 0)
+    # quantizes to Python's Decimal("-0.0000") but Scala prints
+    # "0.0000" — normalize, since the value-level self-check cannot
+    # catch it (float("-0.0000") == 0.0). ADVICE r13.
+    if not q:
+        q = q.copy_abs()
     # BigDecimal prints trailing zeros at the set scale; keep them for
     # byte-parity with emit()
     return f"{q:.{dp}f}"
@@ -101,6 +107,12 @@ def main():
         raise SystemExit("--keep-storm-ratio and --drop-storm-ratio "
                          "are mutually exclusive")
 
+    # byte-level spot check of the negative-zero normalization: the
+    # value-level self-check below cannot see it (float parses both
+    # renderings to 0.0), so assert the exact bytes here
+    assert bench_fmt(-0.00003, 4) == "0.0000", bench_fmt(-0.00003, 4)
+    assert bench_fmt(-1.0, 4) == "-1.0000", bench_fmt(-1.0, 4)
+
     src = load_source(args.source)
     queries = {k: v for k, v in src["queries"].items()}
     storm = src.get("storm_ratio", {}) or {} if args.keep_storm_ratio else {}
@@ -112,13 +124,24 @@ def main():
     # env-telemetry fields: emit() always writes them between
     # storm_ratio and sf; carry them through when the source has them
     # (a live artifact always does), omit when it doesn't (an old-
-    # format source) rather than fabricating environment data
+    # format source) rather than fabricating environment data.
+    # suite_median_storm is a statistic of the very ratios a hand
+    # re-pin DROPS — measured against the OLD prior, it would ship
+    # alongside an empty storm_ratio map with the same live-run-
+    # semantics mismatch (ADVICE r13) — so it is carried only on the
+    # verbatim-restore path (--keep-storm-ratio), omitted otherwise.
+    # Ditto the live-run-relative unescaped/revisit_cleared arrays and
+    # prior_* provenance: a hand re-pin never carries them (they were
+    # measured against the old prior); emit() regenerates them live.
     env = ""
     if "sibling_jvms" in src:
         env = (f'"sibling_jvms":{int(src["sibling_jvms"])},'
-               f'"load_avg":{bench_fmt(src.get("load_avg", -1.0), 4)},'
-               f'"suite_median_storm":'
-               f'{bench_fmt(src.get("suite_median_storm", 0.0), 4)},')
+               f'"load_avg":{bench_fmt(src.get("load_avg", -1.0), 4)},')
+        if args.keep_storm_ratio and "suite_median_storm" in src:
+            env += (f'"suite_median_storm":'
+                    f'{bench_fmt(src["suite_median_storm"], 4)},')
+        if "boot_id" in src:
+            env += f'"boot_id":"{src["boot_id"]}",'
     line = (f'{{"metric":"total","value":{bench_fmt(total, 4)},'
             f'"unit":"sec","queries":{{{qs}}},"storm_ratio":{{{sr}}},'
             f'{env}"sf":"{sf}"}}')
