@@ -46,5 +46,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 2g (r8): 1g still showed code-cache flush storms on the 226-query
   // suite (10 driver values >2× steady with the escape cap exhausted) —
   // reserved address space is free; only used cache commits memory.
+  // Mechanism measured r14 (jcmd Compiler.codecache poll over a full
+  // 258-query sweep): peak usage 243 MB, just OVER the JDK default
+  // 240 MB cap — a default-sized JVM flush-storms by construction on
+  // this suite; 2g is 8× headroom, further bumps moot. NOTE
+  // SegmentedCodeCache is ergonomically ON at this size (JDK 17) —
+  // do not add it "as a fix"; the verify skill documents the A/B.
   "-XX:ReservedCodeCacheSize=2g",
 )

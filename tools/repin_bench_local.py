@@ -19,13 +19,17 @@ format, byte-compatible with Bench's own emit().
 SOURCE.json is any bench artifact carrying a top-level "queries" map
 (a BENCH_LOCAL.json from any round/format, or a driver BENCH_r{N}.json
 whose "parsed" field holds one). Values are re-rounded to Bench's 4dp
-(3dp for storm_ratio); the sibling_jvms/load_avg/suite_median_storm
-env fields are carried through when the source has them. The
-storm_ratio map is DROPPED by default: a hand re-pin's values were not
-produced against the current committed prior, so a carried ratio map
-breaks the documented achieved-min/prior semantics (ADVICE r12
-medium). --keep-storm-ratio is only for restoring an unmodified live
-Bench artifact verbatim.
+(3dp for storm_ratio); the sibling_jvms/load_avg/boot_id env fields
+are carried through when the source has them. The storm_ratio map is
+DROPPED by default: a hand re-pin's values were not produced against
+the current committed prior, so a carried ratio map breaks the
+documented achieved-min/prior semantics (ADVICE r12 medium) — and
+suite_median_storm, a statistic of those same dropped ratios, is
+dropped with it (ADVICE r13), as are the live-run-relative
+unescaped/revisit_cleared arrays and prior_* provenance fields, which
+Bench regenerates live. --keep-storm-ratio is only for restoring an
+unmodified live Bench artifact verbatim (it carries
+suite_median_storm too).
 
 The output is verified by re-parsing with the same scoped-scan rules
 graft.BenchPriors implements (opener + first '}') before the file is
