@@ -20,7 +20,14 @@ class BenchTailFixtureSpec extends AnyFunSuite {
 
   private val fixtures = Seq(
     "tools/fixtures/bench_tail_r12_sigterm.txt", // timeout-cut capture
-    "tools/fixtures/bench_tail_r12_final.txt")   // normal-exit capture
+    "tools/fixtures/bench_tail_r12_final.txt",   // normal-exit capture
+    // r14: a REAL capture of the unescaped-storm artifact shape — a
+    // forced-low-prior run (three cells' priors set to measured/100)
+    // whose escape caps exhausted (+storm82/130/178), suite-end
+    // revisits kept them "still elevated", and the final line carries
+    // non-empty "unescaped" plus the prior-provenance fields; the
+    // fixture is front-truncated mid-line like a real bounded tail
+    "tools/fixtures/bench_tail_r14_unescaped.txt")
 
   for (fx <- fixtures)
     test(s"$fx strict-parses through tools/parse_bench_tail.py") {
