@@ -27,15 +27,14 @@ import statistics
 import sys
 
 
-def load_queries(path):
+def load_doc(path):
     with open(path) as f:
         doc = json.load(f)
-    for key in ("queries",):
-        if isinstance(doc.get(key), dict):
-            return doc[key]
+    if isinstance(doc.get("queries"), dict):
+        return doc
     parsed = doc.get("parsed")
     if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
-        return parsed["queries"]
+        return parsed
     raise SystemExit(f"{path}: no 'queries' map found")
 
 
@@ -50,7 +49,13 @@ def main():
                          "artifacts (sub-100ms cells are timer noise)")
     args = ap.parse_args()
 
-    qo, qn = load_queries(args.old), load_queries(args.new)
+    do, dn = load_doc(args.old), load_doc(args.new)
+    qo, qn = do["queries"], dn["queries"]
+    # r14 artifact self-description: cells the new run's own adaptive
+    # escape could not rescue (best still >3x its prior at the 20s cap)
+    # — a flagged cell carrying this marker is a storm the RUN already
+    # adjudicated, not a fresh code signal to re-derive here
+    unescaped = set(dn.get("unescaped") or [])
     shared = [k for k in qn
               if k in qo and max(qo[k], qn[k]) >= args.min_sec
               and min(qo[k], qn[k]) > 0]
@@ -74,8 +79,9 @@ def main():
         print(f"\n{len(flagged)} cells move past {args.threshold}x "
               f"AFTER removing the median shift (read code for these):")
         for norm, r, k in flagged:
+            mark = "   [unescaped storm per artifact]" if k in unescaped else ""
             print(f"  {k:38s} {qo[k]:8.3f}s -> {qn[k]:8.3f}s   "
-                  f"raw x{r:.2f}   vs-suite x{norm:.2f}")
+                  f"raw x{r:.2f}   vs-suite x{norm:.2f}{mark}")
     else:
         print(f"\nno cell moves past {args.threshold}x once the median "
               f"shift is removed: uniform host delta, no code signal")
