@@ -53,7 +53,13 @@ import org.apache.spark.sql.SparkSession
   *     the prior file) and get ONE suite-end revisit pass; those the
   *     revisit brings back inside the factor move to
   *     `revisit_cleared` (transient after all), the rest stay listed
-  *     with a twice-sampled elevated min (regression suspects).
+  *     with a twice-sampled elevated min (regression suspects) —
+  *     unless the wall budget starved their revisit, in which case
+  *     they appear in `revisit_pending` (once-sampled; weaker
+  *     evidence). The compact stdout line caps each array at 8 names
+  *     and always carries `*_total` counts (a mass-storm run must not
+  *     push the bounded-tail line past parseability); the full file
+  *     line is uncapped.
   *     Every line also carries environment telemetry (`sibling_jvms`,
   *     `load_avg`, `suite_median_storm`, `boot_id`) plus the PRIOR
   *     file's own provenance (`prior_load_avg`, `prior_boot_id`, when
@@ -130,21 +136,31 @@ object Bench {
     // whole driver sweep.
     val priorFile =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "BENCH_LOCAL.json")
+    // ONE read serves both the prior map and the provenance fields
+    // below (a separate load() + readString pair re-read the file and
+    // opened a change-between-reads window); None = unreadable/absent,
+    // which keeps load()'s warn contract: warn only when the file
+    // EXISTS but yields zero priors (the r12 silent-de-arm mode).
+    val priorText: Option[String] =
+      try Some(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(priorFile)))
+      catch { case _: Exception => None }
     val prior: Map[String, Double] =
-      BenchPriors.load(priorFile, System.err.println)
+      priorText.map(BenchPriors.parse).getOrElse(Map.empty)
+    if (priorText.isDefined && prior.isEmpty)
+      System.err.println(s"[bench] WARNING: prior file $priorFile exists " +
+        "but yielded zero priors (format drift?) - adaptive storm escape " +
+        "is DISABLED")
     // Prior PROVENANCE (VERDICT r13 item 5): a storm_ratio consumer
     // needs both endpoints' environments — the r13 adjudication had to
     // dig the prior's load out of git history to conclude the 14-cell
     // storm family was host contention, not regression. The prior
     // file's own telemetry (when it carries any) rides along in every
     // emitted line as prior_load_avg / prior_boot_id.
-    val priorText: String =
-      try java.nio.file.Files.readString(java.nio.file.Paths.get(priorFile))
-      catch { case _: Exception => "" }
     val priorLoadAvg: Option[Double] =
-      BenchPriors.numField(priorText, "load_avg")
+      priorText.flatMap(BenchPriors.numField(_, "load_avg"))
     val priorBootId: Option[String] =
-      BenchPriors.strField(priorText, "boot_id")
+      priorText.flatMap(BenchPriors.strField(_, "boot_id"))
     val benchStart = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - benchStart) / 1e9
 
@@ -264,6 +280,16 @@ object Bench {
     // measured, not conjectured).
     val unescaped = scala.collection.mutable.LinkedHashSet[String]()
     val revisitCleared = scala.collection.mutable.LinkedHashSet[String]()
+    // unescaped cells whose suite-end revisit was SKIPPED by the wall
+    // budget: a still-listed cell is only a "twice-sampled regression
+    // suspect" if its revisit actually ran — a budget-starved sweep
+    // must say so, not imply extra sampling that never happened.
+    // Populated when the revisit phase starts (names drain as each
+    // revisit completes), so it is meaningful in the FINAL line; a
+    // capture cut before the revisit phase shows it empty alongside a
+    // non-empty `unescaped`, which simply means the phase hadn't
+    // started.
+    val revisitPending = scala.collection.mutable.LinkedHashSet[String]()
     // Self-contained artifact (VERDICT r4 item 3): the driver's log
     // capture keeps only a tail, which front-truncates the (>2000 char)
     // final cumulative line — so the SAME line is also rewritten to a
@@ -337,14 +363,26 @@ object Bench {
         s""""sibling_jvms":$siblingJvms,"load_avg":${fmt(loadAvg)},""" +
           s""""suite_median_storm":${fmt(medianStorm)},""" +
           s""""boot_id":"$bootId"$provenance"""
-      def names(s: scala.collection.Set[String]): String =
+      def names(s: Iterable[String]): String =
         s.map(n => s""""$n"""").mkString("[", ",", "]")
-      val escFields =
-        s""""unescaped":${names(unescaped)},""" +
-          s""""revisit_cleared":${names(revisitCleared)}"""
+      def escFields(cap: Int): String = {
+        // the compact stdout line must stay under the driver's bounded
+        // tail (~2 KB): a mass-storm run (stale/scale-mismatched prior
+        // -> hundreds of unescaped cells) would otherwise push the
+        // arrays past it and re-break strict tail parsing — cap the
+        // compact arrays and always ship totals so truncation is
+        // detectable; the full file line is uncapped
+        def arr(s: scala.collection.Set[String]) = names(s.take(cap))
+        s""""unescaped":${arr(unescaped)},""" +
+          s""""unescaped_total":${unescaped.size},""" +
+          s""""revisit_cleared":${arr(revisitCleared)},""" +
+          s""""revisit_cleared_total":${revisitCleared.size},""" +
+          s""""revisit_pending":${arr(revisitPending)},""" +
+          s""""revisit_pending_total":${revisitPending.size}"""
+      }
       // cumulative: every written line is a complete artifact so far
       val line =
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"storm_ratio":$sr,$escFields,$envFields,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"storm_ratio":$sr,${escFields(Int.MaxValue)},$envFields,"sf":"$sfDir"}"""
       // stdout carries a COMPACT line (<2 KB) instead of the full one:
       // the driver keeps only a bounded TAIL of stdout, and the full
       // cumulative line (>7 KB at 258 queries) was front-truncated past
@@ -363,7 +401,7 @@ object Bench {
       val compact =
         s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compactQs,""" +
           s""""queries_done":${results.size},"max_storm_ratio":${fmt(maxStorm)},""" +
-          s"""$escFields,$envFields,"full_artifact":"${outFile.getFileName}","sf":"$sfDir"}"""
+          s"""${escFields(8)},$envFields,"full_artifact":"${outFile.getFileName}","sf":"$sfDir"}"""
       lastCompact.set(compact)
       println(compact)
       Console.out.flush()
@@ -489,11 +527,17 @@ object Bench {
     // twice-sampled min — the strongest regression signal this harness
     // can produce without a code diff. Budget-guarded like everything
     // else: a sweep already past the wall budget ships its list as-is.
-    if (unescaped.nonEmpty && elapsed < budgetSec) {
+    if (unescaped.nonEmpty) {
+      // every unescaped cell starts PENDING; names drain as revisits
+      // complete, so whatever the budget leaves behind is honestly
+      // marked once-sampled (revisit_pending) instead of masquerading
+      // as a twice-sampled suspect
+      revisitPending ++= unescaped
       System.err.println(s"[bench] revisiting ${unescaped.size} " +
         s"un-escaped storm cell(s) at suite end: ${unescaped.mkString(", ")}")
       for (name <- unescaped.toSeq if elapsed < budgetSec) {
         val t = runOnce(name)
+        revisitPending -= name
         val p = prior(name)
         if (t >= 0 && t < results(name)) {
           results(name) = t
@@ -505,6 +549,12 @@ object Bench {
           f"[bench] $name%-34s revisit=$t%8.3f s  min=${results(name)}%8.3f s  " +
             f"(${if (cleared) "cleared - storm was transient"
                  else "still elevated - regression suspect"})")
+        emit()
+      }
+      if (revisitPending.nonEmpty) {
+        System.err.println(s"[bench] wall budget exhausted with " +
+          s"${revisitPending.size} revisit(s) pending: " +
+          revisitPending.mkString(", "))
         emit()
       }
     }

@@ -274,10 +274,22 @@ object Scaling {
     // EMPTY — the rows are a one-shot calibration artifact, not a
     // per-sweep tax (e.g. SPARK_GRAFT_SCALING_SYNTH_TABLES="12,16").
     val synthTables = sys.env.get("SPARK_GRAFT_SCALING_SYNTH_TABLES")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt)
-        .filter(t => t > 0 &&
+      .map { raw =>
+        val asked = raw.split(",").map(_.trim).filter(_.nonEmpty)
+          .map(_.toInt).toSeq
+        val (ok, dropped) = asked.partition(t => t > 0 &&
           t * operators.Dedup.CompositeLshArity <=
-            graft.functions.LshBuckets.MaxTables).toSeq)
+            graft.functions.LshBuckets.MaxTables)
+        // no silent caps: a requested notch that cannot run must be
+        // SAID, or the operator believes it was measured (the
+        // harness's own logging discipline)
+        if (dropped.nonEmpty)
+          System.err.println(s"[scaling] WARNING: dropping composite " +
+            s"table notch(es) ${dropped.mkString(",")} - need 0 < T and " +
+            s"T x ${operators.Dedup.CompositeLshArity} <= " +
+            s"LshBuckets.MaxTables (${graft.functions.LshBuckets.MaxTables})")
+        ok
+      }
       .getOrElse(Seq.empty)
     val explicitPanel = sys.env.get("SPARK_GRAFT_SCALING_QUERIES")
       .map(_.split(",").map(_.trim).toSeq)

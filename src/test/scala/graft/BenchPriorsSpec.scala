@@ -82,7 +82,9 @@ class BenchPriorsSpec extends AnyFunSuite {
     val live = """{"metric":"total","value":185.1400,"unit":"sec",""" +
       """"queries":{"q1_agg":1.2500,"load_fake":-1.0000},""" +
       """"storm_ratio":{"q1_agg":0.900},""" +
-      """"unescaped":["rel_salted_agg"],"revisit_cleared":[],""" +
+      """"unescaped":["rel_salted_agg"],"unescaped_total":1,""" +
+      """"revisit_cleared":[],"revisit_cleared_total":0,""" +
+      """"revisit_pending":[],"revisit_pending_total":0,""" +
       """"sibling_jvms":0,"load_avg":0.2300,""" +
       """"suite_median_storm":0.9412,""" +
       """"boot_id":"8d4f2c2e-1111-2222-3333-444455556666",""" +

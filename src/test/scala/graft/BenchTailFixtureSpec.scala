@@ -22,11 +22,12 @@ class BenchTailFixtureSpec extends AnyFunSuite {
     "tools/fixtures/bench_tail_r12_sigterm.txt", // timeout-cut capture
     "tools/fixtures/bench_tail_r12_final.txt",   // normal-exit capture
     // r14: a REAL capture of the unescaped-storm artifact shape — a
-    // forced-low-prior run (three cells' priors set to measured/100)
-    // whose escape caps exhausted (+storm82/130/178), suite-end
-    // revisits kept them "still elevated", and the final line carries
-    // non-empty "unescaped" plus the prior-provenance fields; the
-    // fixture is front-truncated mid-line like a real bounded tail
+    // forced-low-prior run (priors set to measured/100) whose escape
+    // cap exhausted (+storm118+unescaped) under a wall budget chosen
+    // to STARVE the suite-end revisit, so the final line carries
+    // non-empty "unescaped" AND "revisit_pending" (with *_total
+    // counts) plus the prior-provenance fields; front-truncated
+    // mid-line like a real bounded tail
     "tools/fixtures/bench_tail_r14_unescaped.txt")
 
   for (fx <- fixtures)

@@ -51,11 +51,14 @@ def main():
 
     do, dn = load_doc(args.old), load_doc(args.new)
     qo, qn = do["queries"], dn["queries"]
-    # r14 artifact self-description: cells the new run's own adaptive
-    # escape could not rescue (best still >3x its prior at the 20s cap)
-    # — a flagged cell carrying this marker is a storm the RUN already
-    # adjudicated, not a fresh code signal to re-derive here
-    unescaped = set(dn.get("unescaped") or [])
+    # r14 artifact self-description: cells a run's own adaptive escape
+    # could not rescue (best still >3x its prior at the 20s cap) — a
+    # flagged cell carrying this marker is a storm that run already
+    # adjudicated, not a fresh code signal to re-derive here. BOTH
+    # sides matter: an old-side unescaped cell shows up here as a
+    # phantom "improvement" when the next sweep is merely clean.
+    unescaped_new = set(dn.get("unescaped") or [])
+    unescaped_old = set(do.get("unescaped") or [])
     shared = [k for k in qn
               if k in qo and max(qo[k], qn[k]) >= args.min_sec
               and min(qo[k], qn[k]) > 0]
@@ -79,7 +82,11 @@ def main():
         print(f"\n{len(flagged)} cells move past {args.threshold}x "
               f"AFTER removing the median shift (read code for these):")
         for norm, r, k in flagged:
-            mark = "   [unescaped storm per artifact]" if k in unescaped else ""
+            mark = ""
+            if k in unescaped_new:
+                mark = "   [unescaped storm per NEW artifact]"
+            elif k in unescaped_old:
+                mark = "   [OLD side was an unescaped storm]"
             print(f"  {k:38s} {qo[k]:8.3f}s -> {qn[k]:8.3f}s   "
                   f"raw x{r:.2f}   vs-suite x{norm:.2f}{mark}")
     else:

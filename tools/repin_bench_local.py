@@ -137,6 +137,17 @@ def main():
     # Ditto the live-run-relative unescaped/revisit_cleared arrays and
     # prior_* provenance: a hand re-pin never carries them (they were
     # measured against the old prior); emit() regenerates them live.
+    # the verbatim-restore path also keeps the run's own storm
+    # adjudication (unescaped/revisit arrays) and prior provenance —
+    # dropping them would hide the very markers a restored artifact
+    # exists to preserve; hand re-pins drop all of these (live-run
+    # semantics, regenerated by Bench's next emit)
+    esc = ""
+    if args.keep_storm_ratio:
+        for key in ("unescaped", "revisit_cleared", "revisit_pending"):
+            if key in src:
+                vals = ",".join(f'"{n}"' for n in (src[key] or []))
+                esc += f'"{key}":[{vals}],"{key}_total":{len(src[key] or [])},'
     env = ""
     if "sibling_jvms" in src:
         env = (f'"sibling_jvms":{int(src["sibling_jvms"])},'
@@ -146,9 +157,15 @@ def main():
                     f'{bench_fmt(src["suite_median_storm"], 4)},')
         if "boot_id" in src:
             env += f'"boot_id":"{src["boot_id"]}",'
+        if args.keep_storm_ratio:
+            if "prior_load_avg" in src:
+                env += (f'"prior_load_avg":'
+                        f'{bench_fmt(src["prior_load_avg"], 4)},')
+            if "prior_boot_id" in src:
+                env += f'"prior_boot_id":"{src["prior_boot_id"]}",'
     line = (f'{{"metric":"total","value":{bench_fmt(total, 4)},'
             f'"unit":"sec","queries":{{{qs}}},"storm_ratio":{{{sr}}},'
-            f'{env}"sf":"{sf}"}}')
+            f'{esc}{env}"sf":"{sf}"}}')
 
     # refuse to write anything the loader cannot read back — and the
     # read-back VALUES must equal what we meant to write (a count-only
