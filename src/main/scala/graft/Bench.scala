@@ -106,6 +106,26 @@ object Bench {
     spark.sparkContext.setLogLevel(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_LOGLEVEL", "ERROR"))
 
+    // Same-data baseline rows (VERDICT r14 item 4): the bigram pipeline
+    // over the ACTUAL reference corpus /root/reference/354984si.ngl —
+    // the exact 3.5 MB file behind every BASELINE.md number (6.238 s
+    // `main`, 7.379 s `onlyOne` on the reference's best single-box
+    // config, timings.txt:1-17). The standing sf0.1 comparison carried
+    // an honest caveat (the sf0.1 documents corpus is ~6x smaller);
+    // these cells retire it with a direct apples-to-apples wall time.
+    // Bench-only, like the shared_* rows: no oracle entry, no new query
+    // (the VALUES are already golden-pinned by ReferenceCorpusSpec) —
+    // only a timing over the same bytes the reference timed.
+    val refCorpus = sys.env.getOrElse(
+      "SPARK_GRAFT_REFERENCE_CORPUS", "/root/reference/354984si.ngl")
+    val benchOnly: Map[String, () => org.apache.spark.sql.DataFrame] = Map(
+      "bigram_reference_corpus" -> (() =>
+        operators.TextPipeline.bigramProbabilitiesFromWords(
+          sources.WordListSource.read(spark, refCorpus, referenceQuirk = true))),
+      "bigram_reference_corpus_onlyone" -> (() =>
+        operators.TextPipeline.onlyOneProbabilitiesFromWords(
+          sources.WordListSource.read(spark, refCorpus, referenceQuirk = true))))
+
     def runOnce(name: String): Double = {
       // operators may persist shared subtrees within a query; drop those
       // caches so every timed run recomputes from the source. EXCEPTION:
@@ -115,7 +135,8 @@ object Bench {
       // documented shared-intermediate design (SCALE.md)
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
+      try benchOnly.get(name).map(_())
+        .getOrElse(SparkEntry.queries(name)(spark, sfDir))
         .write.format("noop").mode("overwrite").save()
       catch {
         case e: Throwable =>
@@ -159,8 +180,16 @@ object Bench {
     // emitted line as prior_load_avg / prior_boot_id.
     val priorLoadAvg: Option[Double] =
       priorText.flatMap(BenchPriors.numField(_, "load_avg"))
+    // Sanitized before interpolation into the artifact JSON: the run's
+    // own boot_id comes from /proc (hex + dashes, safe), but the
+    // PRIOR's is external input — strField accepts any non-quote chars,
+    // so a hand-written prior whose boot_id carries a backslash would
+    // emit an invalid JSON escape and break the strict take-the-last-
+    // line consumer for the whole sweep (ADVICE r14). Kernel boot UUIDs
+    // are [-0-9a-f]; keep the full identifier-safe set.
     val priorBootId: Option[String] =
       priorText.flatMap(BenchPriors.strField(_, "boot_id"))
+        .map(_.filter(c => c.isLetterOrDigit || c == '-' || c == '_'))
     val benchStart = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - benchStart) / 1e9
 
@@ -454,7 +483,12 @@ object Bench {
       emit()
     }
 
-    for (name <- names) {
+    // benchOnly rows run through the identical pass/storm policy; they
+    // are appended after the SparkEntry names (and excluded from the
+    // sf0.001 pre-warm above — they read the fixed reference corpus, so
+    // a warm-dir pass would be meaningless; their warmup pass in the
+    // batch policy covers JIT)
+    for (name <- names ++ benchOnly.keys.toSeq.sorted) {
       val qStart = elapsed
       val overBudget = qStart > budgetSec
       // mode is recorded in the branch actually executed, not re-derived

@@ -129,6 +129,17 @@ object TextPipeline {
   def bigramCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
     freqTable(explodeNgrams(mainFilter(tokenize(docs, textCol)), 2), "bigram")
 
+  /** [[bigramProbabilities]] over an already-tokenized word frame
+    * (column `w`) — the shape [[graft.sources.WordListSource]] yields
+    * for the reference's own newline-delimited `.ngl` corpora, where
+    * there is no text column to tokenize. Same pipeline minus the
+    * tokenize stage; used by the same-data baseline bench row
+    * (`bigram_reference_corpus`). */
+  def bigramProbabilitiesFromWords(words: DataFrame): DataFrame =
+    withProbability(
+      freqTable(explodeNgrams(mainFilter(words), 2), "bigram"))
+      .orderBy("bigram")
+
   /** `main` semantics with probabilities — the reference's full output
     * (`results.txt` + `probabilities.txt` as one sorted table). */
   def bigramProbabilities(docs: DataFrame, textCol: String = "text"): DataFrame =
@@ -141,8 +152,13 @@ object TextPipeline {
   /** `onlyOne` semantics (`mapreduce.erl:40-55`): no first-letter filter;
     * the `totalCount` row is present in the output AND in the probability
     * denominator (SURVEY.md §2 #7/#12 divergences, kept deliberately). */
-  def onlyOneProbabilities(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val words = onlyOneFilter(tokenize(docs, textCol))
+  def onlyOneProbabilities(docs: DataFrame, textCol: String = "text"): DataFrame =
+    onlyOneProbabilitiesFromWords(tokenize(docs, textCol))
+
+  /** [[onlyOneProbabilities]] over an already-tokenized word frame
+    * (column `w`) — see [[bigramProbabilitiesFromWords]]. */
+  def onlyOneProbabilitiesFromWords(rawWords: DataFrame): DataFrame = {
+    val words = onlyOneFilter(rawWords)
     // Fuse the totalCount emission into the same explode as the bigrams —
     // ONE scan of the corpus, exactly like the reference's single ETS table
     // holding both bigram keys and the totalCount key (`mapreduce.erl:275-292`).

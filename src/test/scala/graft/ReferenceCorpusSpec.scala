@@ -47,6 +47,37 @@ class ReferenceCorpusSpec extends AnyFunSuite {
     } finally counts.unpersist()
   }
 
+  test("word-frame pipeline entry points (the bigram_reference_corpus " +
+      "bench rows) reproduce the corpus goldens end-to-end") {
+    // bigramProbabilitiesFromWords/onlyOneProbabilitiesFromWords are
+    // what the same-data baseline bench cells time over this exact
+    // file (Bench.scala benchOnly) — pin their VALUES here so the
+    // timing rows can never drift off the reference semantics
+    val words = WordListSource.read(spark, corpus, referenceQuirk = true)
+    val probs = TextPipeline.bigramProbabilitiesFromWords(words).persist()
+    try {
+      assert(probs.count() === 654L, "distinct bigrams (main mode)")
+      assert(probs.agg(sum("cnt")).head().getLong(0) === 2994841L)
+      val er = probs.filter(col("bigram") === "er").head()
+      assert(er.getAs[Long]("cnt") === 64993L)
+      assert(er.getAs[Double]("p") ===
+        BigDecimal(64993.0 / 2994841.0)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    } finally probs.unpersist()
+    val oo = TextPipeline.onlyOneProbabilitiesFromWords(words).persist()
+    try {
+      // onlyOne mode: no first-letter gate, plus the totalCount row in
+      // the table AND the denominator (the reference's divergence)
+      val tc = oo.filter(col("bigram") === "totalCount")
+      assert(tc.count() === 1L, "totalCount row present")
+      val denom = oo.agg(sum("cnt")).head().getLong(0)
+      val first = oo.orderBy("bigram").head()
+      assert(first.getString(0) <= "aa", "sorted output starts at/before aa")
+      assert(oo.filter(col("p") =!= round(col("cnt") / lit(denom.toDouble), 12))
+        .count() === 0L, "p = cnt / (bigrams + totalCount) for every row")
+    } finally oo.unpersist()
+  }
+
   test("split-phase sink: 26 letter partitions, contents = filtered words") {
     val out = java.nio.file.Files.createTempDirectory("splitphase").toString
     val words = WordListSource.read(spark, corpus, referenceQuirk = true)
