@@ -1,0 +1,129 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Makes the contaminated-prior mistake machine-caught instead of
+  * documented (VERDICT r14 item 2). The failure mode fired at two round
+  * boundaries running: the driver's own live sweep (load_avg 4–7 —
+  * every cell inflated by host contention) ended up as the committed
+  * BENCH_LOCAL.json, poisoning the next round's storm ratios. Two
+  * guards, both exercised here through the REAL python tools (like
+  * BenchTailFixtureSpec, python3 missing fails loudly — the driver's
+  * consumers are python):
+  *  - `tools/repin_bench_local.py` now REFUSES to pin a source whose
+  *    own telemetry says the host was loaded, unless --force;
+  *  - `tools/check_prior.py` asserts the COMMITTED prior (git HEAD —
+  *    the working-tree copy is legitimately overwritten by every live
+  *    Bench run) parses, has telemetry, and was measured idle. Run
+  *    here so `sbt test` goes red the round after a contaminated
+  *    commit, with the restore recipe in the failure message.
+  */
+class PriorHygieneSpec extends AnyFunSuite {
+  import scala.sys.process._
+
+  private def run(cmd: String*): (Int, String) = {
+    val out = new StringBuilder
+    val logger = ProcessLogger(l => out.append(l).append('\n'))
+    (cmd.!(logger), out.toString)
+  }
+
+  /** A minimal live-format artifact line (emit() shape). */
+  private def artifact(loadAvg: Double, value: String = "3.5001",
+      queries: String = """"q1_agg":1.2500,"dedup_exact":2.2501"""): String =
+    s"""{"metric":"total","value":$value,"unit":"sec",""" +
+      s""""queries":{$queries},"storm_ratio":{"q1_agg":0.900},""" +
+      """"unescaped":[],"unescaped_total":0,""" +
+      """"revisit_cleared":[],"revisit_cleared_total":0,""" +
+      """"revisit_pending":[],"revisit_pending_total":0,""" +
+      s""""sibling_jvms":0,"load_avg":$loadAvg,""" +
+      """"suite_median_storm":0.9000,"boot_id":"8d4f-test",""" +
+      """"sf":"/root/testdata/sf0.1"}"""
+
+  private def tmpWrite(dir: java.nio.file.Path, name: String,
+      text: String): String = {
+    val p = dir.resolve(name)
+    java.nio.file.Files.writeString(p, text + "\n")
+    p.toString
+  }
+
+  test("repin_bench_local refuses a contended-host source without --force") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prior")
+    val src = tmpWrite(dir, "contaminated.json", artifact(loadAvg = 4.37))
+    val out = dir.resolve("out.json").toString
+    val (rc, msg) = run("python3", "tools/repin_bench_local.py", src, "-o", out)
+    assert(rc !== 0, s"contaminated source must be refused:\n$msg")
+    assert(msg.contains("CONTENDED"), s"refusal must name the cause:\n$msg")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out)),
+      "a refused re-pin must not write the output file")
+    // --force overrides (a deliberate, stated decision)
+    val (rcF, msgF) =
+      run("python3", "tools/repin_bench_local.py", src, "-o", out, "--force")
+    assert(rcF === 0, s"--force must pin anyway:\n$msgF")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(out)))
+    // an idle-host source needs no force
+    val clean = tmpWrite(dir, "clean.json", artifact(loadAvg = 0.21))
+    assert(run("python3", "tools/repin_bench_local.py", clean,
+      "-o", out)._1 === 0)
+  }
+
+  test("--keep-storm-ratio restores the source's total verbatim " +
+      "(no recompute drift from 4dp-rounded cells)") {
+    // emit() writes value = round(sum(unrounded cells)); recomputing
+    // from the rounded cells drifted the restored total in the last
+    // decimal (ADVICE r14: 186.5023 -> 186.5029). Here the rounded
+    // cells sum to 3.5001 + 0.0001 drift if recomputed: cells 1.2500 +
+    // 2.2501 = 3.5001 == value, so craft a real drift case instead:
+    val dir = java.nio.file.Files.createTempDirectory("graft-prior")
+    // unrounded 1.00005 + 1.00005 = 2.0001 (emit's value), but the
+    // 4dp cells are 1.0001 each -> recomputed 2.0002
+    val src = tmpWrite(dir, "live.json", artifact(loadAvg = 0.3,
+      value = "2.0001", queries = """"a":1.0001,"b":1.0001"""))
+    val out = dir.resolve("out.json")
+    assert(run("python3", "tools/repin_bench_local.py", src,
+      "-o", out.toString, "--keep-storm-ratio")._1 === 0)
+    val restored = java.nio.file.Files.readString(out)
+    assert(restored.contains(""""value":2.0001,"""),
+      s"verbatim restore must carry the source's value:\n$restored")
+    // the default (hand re-pin) path recomputes — its cell set may
+    // legitimately differ from the source's
+    assert(run("python3", "tools/repin_bench_local.py", src,
+      "-o", out.toString)._1 === 0)
+    assert(java.nio.file.Files.readString(out).contains(""""value":2.0002,"""))
+  }
+
+  test("check_prior passes a clean prior, fails contamination and " +
+      "pinned failure sentinels") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prior")
+    val clean = tmpWrite(dir, "clean.json", artifact(loadAvg = 0.21))
+    val (rc0, msg0) = run("python3", "tools/check_prior.py", clean)
+    assert(rc0 === 0, s"clean prior must pass:\n$msg0")
+
+    val hot = tmpWrite(dir, "hot.json", artifact(loadAvg = 4.37))
+    val (rc1, msg1) = run("python3", "tools/check_prior.py", hot)
+    assert(rc1 !== 0, s"output:\n$msg1"); assert(msg1.contains("CONTENDED"), s"output:\n$msg1")
+
+    // a pinned -1.0 failed-query sentinel permanently de-arms that
+    // cell's storm escape — a prior must never carry one
+    val sentinel = tmpWrite(dir, "sentinel.json", artifact(loadAvg = 0.2,
+      queries = """"a":1.2500,"load_fake":-1.0000"""))
+    assert(run("python3", "tools/check_prior.py", sentinel)._1 !== 0)
+
+    // no telemetry at all (pre-r12 format): not checkable, fail
+    val old = tmpWrite(dir, "old.json",
+      """{"metric":"total","value":1.0,"queries":{"a":1.0}}""")
+    val (rc3, msg3) = run("python3", "tools/check_prior.py", old)
+    assert(rc3 !== 0, s"output:\n$msg3"); assert(msg3.contains("load_avg"), s"output:\n$msg3")
+  }
+
+  test("the COMMITTED BENCH_LOCAL.json was measured on an idle host " +
+      "(git HEAD — live runs may overwrite the working tree freely)") {
+    val (rc, msg) = run("python3", "tools/check_prior.py", "--git", "HEAD")
+    assert(rc === 0,
+      "the COMMITTED bench prior is contaminated or unreadable — a " +
+        "round boundary likely committed the driver's own live sweep " +
+        "again (r13/r14 failure mode). Restore the last clean prior: " +
+        "`git log --format=%h -- BENCH_LOCAL.json`, find the commit " +
+        "whose load_avg is < 1, `git checkout <commit> -- " +
+        s"BENCH_LOCAL.json`, commit. Tool said:\n$msg")
+  }
+}

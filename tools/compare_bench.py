@@ -59,6 +59,21 @@ def main():
     # phantom "improvement" when the next sweep is merely clean.
     unescaped_new = set(dn.get("unescaped") or [])
     unescaped_old = set(do.get("unescaped") or [])
+    # A driver BENCH_r{N}.json holds the compact stdout line, whose
+    # escape arrays are CAPPED at 8 names (unescaped_total carries the
+    # real count). Past the cap, flagged cells would silently lose their
+    # storm marker and read as fresh code signals — say so instead
+    # (ADVICE r14). The committed BENCH_LOCAL.json line is uncapped.
+    for side, doc, have in (("OLD", do, unescaped_old),
+                            ("NEW", dn, unescaped_new)):
+        total = doc.get("unescaped_total")
+        if total is not None and total > len(have):
+            print(f"WARNING: {side} artifact's unescaped array is "
+                  f"TRUNCATED ({len(have)} of {total} names — a compact "
+                  f"driver line caps at 8): flagged cells below may be "
+                  f"already-adjudicated storms missing their marker; "
+                  f"read the full artifact (its 'full_artifact' field) "
+                  f"before treating them as code signals")
     shared = [k for k in qn
               if k in qo and max(qo[k], qn[k]) >= args.min_sec
               and min(qo[k], qn[k]) > 0]

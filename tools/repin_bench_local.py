@@ -34,6 +34,13 @@ suite_median_storm too).
 The output is verified by re-parsing with the same scoped-scan rules
 graft.BenchPriors implements (opener + first '}') before the file is
 replaced, so this tool can never write priors Bench cannot read.
+
+A source whose own telemetry reads load_avg > --max-load (default 1.0)
+is REFUSED without --force: pinning a contended-host sweep poisons
+every next-round storm ratio, and that mistake shipped at two round
+boundaries running (r13 committed a load_avg-6.89 sweep, r14's tree
+held a load_avg-4.37 one). tools/check_prior.py asserts the same
+invariant over the COMMITTED file from `sbt test`.
 """
 import argparse
 import decimal
@@ -106,6 +113,12 @@ def main():
     ap.add_argument("--drop-storm-ratio", action="store_true",
                     help="explicit form of the default (kept for "
                          "compatibility with documented invocations)")
+    ap.add_argument("--force", action="store_true",
+                    help="pin a source whose own telemetry says the host "
+                         "was loaded (load_avg > --max-load) anyway")
+    ap.add_argument("--max-load", type=float, default=1.0,
+                    help="refuse a source artifact whose load_avg exceeds "
+                         "this without --force (default 1.0)")
     args = ap.parse_args()
     if args.keep_storm_ratio and args.drop_storm_ratio:
         raise SystemExit("--keep-storm-ratio and --drop-storm-ratio "
@@ -118,9 +131,35 @@ def main():
     assert bench_fmt(-1.0, 4) == "-1.0000", bench_fmt(-1.0, 4)
 
     src = load_source(args.source)
+
+    # Contamination guard (VERDICT r14 item 2): a prior pinned from a
+    # loaded host poisons every next-round storm_ratio — and the mistake
+    # has shipped twice (r13 committed a load_avg-6.89 sweep; the r14
+    # boundary overwrote the tree with a load_avg-4.37 one). A source
+    # that SAYS it was contended is refused unless the operator forces
+    # it. A source with no load_avg (old format) passes with a note —
+    # absence of telemetry is not evidence of contamination.
+    la = src.get("load_avg")
+    if la is not None and float(la) > args.max_load and not args.force:
+        raise SystemExit(
+            f"{args.source}: load_avg {float(la):.2f} > {args.max_load} — "
+            "this sweep ran on a CONTENDED host and would poison every "
+            "next-round storm ratio (the r13/r14 boundary failure). "
+            "Re-measure on an idle box, or pass --force to pin it anyway.")
+    if la is None:
+        print("note: source carries no load_avg telemetry (old format); "
+              "contamination guard cannot check it", file=sys.stderr)
+
     queries = {k: v for k, v in src["queries"].items()}
     storm = src.get("storm_ratio", {}) or {} if args.keep_storm_ratio else {}
     total = sum(v for v in queries.values() if v >= 0)
+    # --keep-storm-ratio restores an unmodified live artifact VERBATIM:
+    # carry its own total through instead of recomputing from the
+    # 4dp-rounded cells, which drifted in the last decimal (ADVICE r14:
+    # live 186.5023 -> recomputed 186.5029). Hand re-pins (the default
+    # path) recompute: their cell set may differ from the source's.
+    if args.keep_storm_ratio and "value" in src:
+        total = float(src["value"])
 
     qs = ",".join(f'"{k}":{bench_fmt(v, 4)}' for k, v in queries.items())
     sr = ",".join(f'"{k}":{bench_fmt(v, 3)}' for k, v in storm.items())
