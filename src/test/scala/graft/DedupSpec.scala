@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{CosineSimilarity, WordShingles}
+import graft.functions.{CosineSimilarity, LshBuckets, WordShingles}
 import graft.operators.Dedup
 
 class DedupSpec extends AnyFunSuite {
@@ -920,5 +920,38 @@ class DedupSpec extends AnyFunSuite {
     // the dial's point: at (2, 8) only ~0.8% of moderate (j=0.5) pairs
     // collide vs ~90% at the default — while J=0.8 recall stays > 30%
     assert(byRows(2)._2 > 850000L && byRows(8)._2 < 10000L)
+  }
+
+  test("composite dial is cross-T stable: buckets at T=8 are exactly the " +
+      "t<8 slice of T=16 (planes index-determined, never count-determined)") {
+    // The invariant BOTH widenings (r13 CompositeLshTables 4→8, r14
+    // LshBuckets.MaxTables 16→32) leaned on to keep every committed
+    // oracle result byte-identical: a plane weight w(t,b,d) depends
+    // only on the table INDEX, so widening the table count only ADDS
+    // tables and never perturbs an existing bucket. Previously
+    // guaranteed by comment + the downstream green gate (VERDICT r14
+    // item 3); this pins it directly — it fails if anyone makes planes
+    // (or the composed key layout) depend on how many tables a call
+    // draws.
+    val e = spark.range(64).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 31), j -> " +
+        "cast(pmod(xxhash64(id, j), 1048576) / 524288.0 - 1.0 as float))")
+        .as("embedding"))
+    def buckets(tables: Int): Set[(Long, Int, Long)] =
+      Dedup.compositeBucketsAt(e, tables).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val at16 = buckets(16) // 16 × arity(2) = 32 base tables = MaxTables
+    assert(buckets(8) === at16.filter(_._2 < 8),
+      "widening T must only ADD tables — the t<8 buckets moved")
+    assert(at16.count(_._2 >= 8) === at16.count(_._2 < 8),
+      "T=16 must contribute one row per vector for each added table")
+    // and at the expression level: the base-signature array at any
+    // table count is a strict PREFIX of the array at MaxTables
+    val vec = Array.tabulate(32)(i => (math.sin(i + 1.0) * 0.7).toFloat)
+    val ad = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(vec)
+    val full = LshBuckets.compute(ad, LshBuckets.MaxTables, LshBuckets.MaxBits)
+    for (k <- Seq(1, 4, 8, 16, LshBuckets.MaxTables))
+      assert(LshBuckets.compute(ad, k, LshBuckets.MaxBits).toSeq ===
+        full.take(k).toSeq, s"table prefix differs at k=$k")
   }
 }
