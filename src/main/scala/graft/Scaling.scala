@@ -745,6 +745,21 @@ object Scaling {
           emit()
         }
       }
+    } else if (synthTables.nonEmpty) {
+      // no silent caps (ADVICE r14): the notches were validated at
+      // startup, so without this the user believes the requested T
+      // rows were measured when the whole synth block never ran
+      System.err.println(s"[scaling] WARNING: composite table notch(es) " +
+        s"T=${synthTables.mkString(",")} requested via " +
+        "SPARK_GRAFT_SCALING_SYNTH_TABLES but the synthetic " +
+        "cap-crossing block did NOT run (" + (
+          if (synthVectors <= 0)
+            "synth corpus disabled: set SPARK_GRAFT_SCALING_SYNTH or " +
+              "include a factor >= 64"
+          else
+            "the explicit SPARK_GRAFT_SCALING_QUERIES panel excludes " +
+              "composite_cap_crossing") +
+        ") - the requested notches were NOT measured")
     }
 
     emit()
