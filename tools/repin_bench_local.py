@@ -1,9 +1,10 @@
 #!/usr/bin/env python3
 """THE canonical writer for re-pinning BENCH_LOCAL.json priors.
 
-Bench.scala's emit() is the primary writer of BENCH_LOCAL.json; any
-HAND re-pin (restoring a clean sweep, merging cells) must go through
-this tool rather than ad-hoc json.dumps. Rationale (VERDICT r12 task
+Since r15 Bench's live output defaults to BENCH_LIVE.json, so this
+tool is the ONLY writer of the committed prior file: every re-pin
+(promoting a clean live sweep, merging cells) must go through it
+rather than ad-hoc json.dumps. Rationale (VERDICT r12 task
 1c): the r12 re-pin commits wrote Python-default separators
 ('"queries": {'), the then-exact-format prior loader in Bench matched
 only its own compact style ('"queries":{'), and the adaptive
