@@ -91,6 +91,37 @@ class PriorHygieneSpec extends AnyFunSuite {
     assert(java.nio.file.Files.readString(out).contains(""""value":2.0002,"""))
   }
 
+  test("multi-source re-pin min-merges per cell, drops all-failed " +
+      "sentinels, and rejects --keep-storm-ratio") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prior")
+    val s1 = tmpWrite(dir, "s1.json", artifact(loadAvg = 0.31,
+      queries = """"a":1.0001,"b":2.0000,"c":-1.0000"""))
+    val s2 = tmpWrite(dir, "s2.json", artifact(loadAvg = 0.22,
+      queries = """"a":1.2000,"b":1.5000,"c":-1.0000"""))
+    val out = dir.resolve("merged.json")
+    val (rc, msg) = run("python3", "tools/repin_bench_local.py",
+      s1, s2, "-o", out.toString)
+    assert(rc === 0, s"merge failed:\n$msg")
+    val merged = java.nio.file.Files.readString(out)
+    assert(merged.contains(""""a":1.0001""") &&
+      merged.contains(""""b":1.5000"""), s"per-cell min:\n$merged")
+    assert(!merged.contains(""""c":"""),
+      s"all-failed sentinel must be dropped, not pinned:\n$merged")
+    assert(msg.contains("c"), "the dropped cell must be SAID")
+    // env telemetry follows the quietest source
+    assert(merged.contains(""""load_avg":0.2200"""), merged)
+    // the merged prior passes the committed-prior hygiene check
+    assert(run("python3", "tools/check_prior.py", out.toString)._1 === 0)
+    // a merge is not a verbatim restore
+    assert(run("python3", "tools/repin_bench_local.py", s1, s2,
+      "-o", out.toString, "--keep-storm-ratio")._1 !== 0)
+    // the contamination guard applies to EVERY source
+    val hot = tmpWrite(dir, "hot.json", artifact(loadAvg = 4.0,
+      queries = """"a":0.9000"""))
+    assert(run("python3", "tools/repin_bench_local.py", s1, hot,
+      "-o", out.toString)._1 !== 0)
+  }
+
   test("check_prior passes a clean prior, fails contamination and " +
       "pinned failure sentinels") {
     val dir = java.nio.file.Files.createTempDirectory("graft-prior")

@@ -14,12 +14,19 @@ whitespace-tolerant (graft.BenchPriors, unit-tested against the
 committed file), and this tool closes the other half: one writer, one
 format, byte-compatible with Bench's own emit().
 
-    python3 tools/repin_bench_local.py SOURCE.json [-o BENCH_LOCAL.json]
-        [--keep-storm-ratio]
+    python3 tools/repin_bench_local.py SOURCE.json [SOURCE2.json ...]
+        [-o BENCH_LOCAL.json] [--keep-storm-ratio]
 
-SOURCE.json is any bench artifact carrying a top-level "queries" map
-(a BENCH_LOCAL.json from any round/format, or a driver BENCH_r{N}.json
-whose "parsed" field holds one). Values are re-rounded to Bench's 4dp
+Each SOURCE.json is any bench artifact carrying a top-level "queries"
+map (a BENCH_LOCAL.json from any round/format, or a driver
+BENCH_r{N}.json whose "parsed" field holds one). With MULTIPLE
+sources, cells are min-merged (the committed-prior discipline: the
+per-cell min of two same-boot idle sweeps) with env telemetry taken
+from the lowest-load source; the contamination guard applies to every
+source, and --keep-storm-ratio is rejected (a merge is by definition
+not a verbatim restore). Failed-query sentinels (negative cells) are
+dropped on merge/hand re-pins — a pinned -1 would permanently de-arm
+that cell's storm escape. Values are re-rounded to Bench's 4dp
 (3dp for storm_ratio); the sibling_jvms/load_avg/boot_id env fields
 are carried through when the source has them. The storm_ratio map is
 DROPPED by default: a hand re-pin's values were not produced against
@@ -98,7 +105,7 @@ def reparse_like_bench(line):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("source")
+    ap.add_argument("source", nargs="+")
     ap.add_argument("-o", "--out", default="BENCH_LOCAL.json")
     # DROPPING is the default: the policy (SCALE.md "Bench methodology")
     # is that hand re-pins never carry a storm_ratio map — those ratios
@@ -131,7 +138,11 @@ def main():
     assert bench_fmt(-0.00003, 4) == "0.0000", bench_fmt(-0.00003, 4)
     assert bench_fmt(-1.0, 4) == "-1.0000", bench_fmt(-1.0, 4)
 
-    src = load_source(args.source)
+    if args.keep_storm_ratio and len(args.source) > 1:
+        raise SystemExit("--keep-storm-ratio restores ONE unmodified live "
+                         "artifact verbatim; a multi-source min-merge is "
+                         "not a verbatim restore")
+    sources = [(path, load_source(path)) for path in args.source]
 
     # Contamination guard (VERDICT r14 item 2): a prior pinned from a
     # loaded host poisons every next-round storm_ratio — and the mistake
@@ -140,18 +151,46 @@ def main():
     # that SAYS it was contended is refused unless the operator forces
     # it. A source with no load_avg (old format) passes with a note —
     # absence of telemetry is not evidence of contamination.
-    la = src.get("load_avg")
-    if la is not None and float(la) > args.max_load and not args.force:
-        raise SystemExit(
-            f"{args.source}: load_avg {float(la):.2f} > {args.max_load} — "
-            "this sweep ran on a CONTENDED host and would poison every "
-            "next-round storm ratio (the r13/r14 boundary failure). "
-            "Re-measure on an idle box, or pass --force to pin it anyway.")
-    if la is None:
-        print("note: source carries no load_avg telemetry (old format); "
-              "contamination guard cannot check it", file=sys.stderr)
+    for path, doc in sources:
+        la = doc.get("load_avg")
+        if la is not None and float(la) > args.max_load and not args.force:
+            raise SystemExit(
+                f"{path}: load_avg {float(la):.2f} > {args.max_load} — "
+                "this sweep ran on a CONTENDED host and would poison every "
+                "next-round storm ratio (the r13/r14 boundary failure). "
+                "Re-measure on an idle box, or pass --force to pin it "
+                "anyway.")
+        if la is None:
+            print(f"note: {path} carries no load_avg telemetry (old "
+                  "format); contamination guard cannot check it",
+                  file=sys.stderr)
 
-    queries = {k: v for k, v in src["queries"].items()}
+    # env telemetry comes from the single source, or on a merge from
+    # the source whose host was quietest (its load_avg best describes
+    # the conditions the min cells were achievable under)
+    src = (sources[0][1] if len(sources) == 1 else
+           min((doc for _, doc in sources),
+               key=lambda d: float(d.get("load_avg", 1e9))))
+    if len(sources) == 1:
+        queries = {k: v for k, v in src["queries"].items()}
+    else:
+        queries, dropped = {}, []
+        for _, doc in sources:
+            for k, v in doc["queries"].items():
+                if v >= 0:
+                    queries[k] = min(queries.get(k, v), v)
+        # keys seen only as failure sentinels are dropped entirely — a
+        # pinned -1 permanently de-arms that cell's storm escape — and
+        # SAID (no silent caps)
+        dropped = sorted({k for _, doc in sources for k, v in
+                          doc["queries"].items() if k not in queries})
+        if dropped:
+            print(f"note: dropping failed-in-every-sweep cell(s): "
+                  f"{', '.join(dropped)}", file=sys.stderr)
+        # key order: follow the first source (Bench's sorted emit order)
+        first = [k for k in sources[0][1]["queries"] if k in queries]
+        queries = {k: queries[k] for k in
+                   first + sorted(set(queries) - set(first))}
     storm = src.get("storm_ratio", {}) or {} if args.keep_storm_ratio else {}
     total = sum(v for v in queries.values() if v >= 0)
     # --keep-storm-ratio restores an unmodified live artifact VERBATIM:
