@@ -120,6 +120,14 @@ class PriorHygieneSpec extends AnyFunSuite {
       queries = """"a":0.9000"""))
     assert(run("python3", "tools/repin_bench_local.py", s1, hot,
       "-o", out.toString)._1 !== 0)
+    // SINGLE-source hand re-pins drop sentinels too (only the verbatim
+    // --keep-storm-ratio path preserves them), so every default-path
+    // output passes check_prior
+    val single = dir.resolve("single.json")
+    assert(run("python3", "tools/repin_bench_local.py", s1,
+      "-o", single.toString)._1 === 0)
+    assert(!java.nio.file.Files.readString(single).contains(""""c":"""))
+    assert(run("python3", "tools/check_prior.py", single.toString)._1 === 0)
   }
 
   test("check_prior passes a clean prior, fails contamination and " +

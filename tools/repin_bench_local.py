@@ -173,6 +173,16 @@ def main():
                key=lambda d: float(d.get("load_avg", 1e9))))
     if len(sources) == 1:
         queries = {k: v for k, v in src["queries"].items()}
+        # hand re-pins drop failure sentinels like the merge path does
+        # (a pinned -1 permanently de-arms that cell's storm escape and
+        # fails check_prior); the verbatim-restore path keeps the
+        # artifact as-is
+        if not args.keep_storm_ratio:
+            neg = sorted(k for k, v in queries.items() if v < 0)
+            if neg:
+                print(f"note: dropping failed-query sentinel cell(s): "
+                      f"{', '.join(neg)}", file=sys.stderr)
+                queries = {k: v for k, v in queries.items() if v >= 0}
     else:
         queries, dropped = {}, []
         for _, doc in sources:
