@@ -182,14 +182,11 @@ object Bench {
       priorText.flatMap(BenchPriors.numField(_, "load_avg"))
     // Sanitized before interpolation into the artifact JSON: the run's
     // own boot_id comes from /proc (hex + dashes, safe), but the
-    // PRIOR's is external input — strField accepts any non-quote chars,
-    // so a hand-written prior whose boot_id carries a backslash would
-    // emit an invalid JSON escape and break the strict take-the-last-
-    // line consumer for the whole sweep (ADVICE r14). Kernel boot UUIDs
-    // are [-0-9a-f]; keep the full identifier-safe set.
+    // PRIOR's is external input (ADVICE r14) — see
+    // [[BenchPriors.sanitizeId]], which BenchPriorsSpec pins.
     val priorBootId: Option[String] =
       priorText.flatMap(BenchPriors.strField(_, "boot_id"))
-        .map(_.filter(c => c.isLetterOrDigit || c == '-' || c == '_'))
+        .map(BenchPriors.sanitizeId)
     val benchStart = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - benchStart) / 1e9
 

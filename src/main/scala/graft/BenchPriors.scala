@@ -68,6 +68,16 @@ object BenchPriors {
     re.findFirstMatchIn(txt).map(_.group(1))
   }
 
+  /** Identifier-safe subset of an external string, for re-embedding a
+    * PRIOR file's field into the artifact JSON Bench emits (ADVICE
+    * r14): [[strField]] accepts any non-quote chars, so a hand-written
+    * prior whose `boot_id` carries a backslash would otherwise yield
+    * an invalid JSON escape that breaks the strict take-the-last-line
+    * consumer for the whole sweep. Kernel boot UUIDs are `[-0-9a-f]`,
+    * so legitimate values pass through unchanged. */
+  def sanitizeId(s: String): String =
+    s.filter(c => c.isLetterOrDigit || c == '-' || c == '_')
+
   /** [[parse]] over a file; empty map when unreadable. `warn` receives
     * one diagnostic line when the file EXISTS but yields zero priors —
     * the silent-de-arm failure mode r12 shipped (ADVICE r12: warn

@@ -661,8 +661,7 @@ object Scaling {
     // is the equivalent inflation factor vs the sf0.1 embeddings base
     // (2000 rows). Size knob SPARK_GRAFT_SCALING_SYNTH is parsed
     // eagerly at startup ("" or "0" disables).
-    if (synthVectors > 0 &&
-        explicitPanel.forall(_.contains("composite_cap_crossing"))) {
+    if (synthSkipReason(synthVectors, explicitPanel).isEmpty) {
       val baseVec = spark.range(synthVectors).select(col("id").as("vec_id"),
         expr("transform(sequence(0, 63), j -> " +
           "cast(pmod(xxhash64(id, j), 1048576) / 524288.0 - 1.0 as float))")
@@ -752,19 +751,29 @@ object Scaling {
       System.err.println(s"[scaling] WARNING: composite table notch(es) " +
         s"T=${synthTables.mkString(",")} requested via " +
         "SPARK_GRAFT_SCALING_SYNTH_TABLES but the synthetic " +
-        "cap-crossing block did NOT run (" + (
-          if (synthVectors <= 0)
-            "synth corpus disabled: set SPARK_GRAFT_SCALING_SYNTH or " +
-              "include a factor >= 64"
-          else
-            "the explicit SPARK_GRAFT_SCALING_QUERIES panel excludes " +
-              "composite_cap_crossing") +
+        "cap-crossing block did NOT run (" +
+        synthSkipReason(synthVectors, explicitPanel).get +
         ") - the requested notches were NOT measured")
     }
 
     emit()
     spark.stop()
   }
+
+  /** Why the synthetic cap-crossing block — and with it every
+    * requested `composite_cap_crossing_t{T}` notch — will not run;
+    * None when it runs. The gate and the ADVICE-r14 skip warning share
+    * THIS predicate so they can never disagree (the warning previously
+    * did not exist and validated-but-unrun notches read as measured). */
+  private[graft] def synthSkipReason(synthVectors: Long,
+      explicitPanel: Option[Seq[String]]): Option[String] =
+    if (synthVectors <= 0)
+      Some("synth corpus disabled: set SPARK_GRAFT_SCALING_SYNTH or " +
+        "include a factor >= 64")
+    else if (!explicitPanel.forall(_.contains("composite_cap_crossing")))
+      Some("the explicit SPARK_GRAFT_SCALING_QUERIES panel excludes " +
+        "composite_cap_crossing")
+    else None
 
   /** Recall of planted near-identical twins in an edge frame, in the
     * declared-floor regime (VERDICT r12 item 3). `corpus` holds base

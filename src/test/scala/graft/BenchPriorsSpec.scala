@@ -112,6 +112,18 @@ class BenchPriorsSpec extends AnyFunSuite {
     assert(BenchPriors.strField("", "boot_id").isEmpty)
   }
 
+  test("sanitizeId strips JSON-breaking chars from external identifiers " +
+      "but passes kernel boot UUIDs through unchanged") {
+    // the prior file's boot_id is re-embedded into the emitted artifact
+    // line; a backslash or quote from a hand-written prior must never
+    // produce an invalid JSON escape there (ADVICE r14)
+    assert(BenchPriors.sanitizeId("8d79dc1d-17f2-404a-8eca-7f27f7768706") ===
+      "8d79dc1d-17f2-404a-8eca-7f27f7768706")
+    assert(BenchPriors.sanitizeId("evil\\u0022id\"x") === "evilu0022idx")
+    assert(BenchPriors.sanitizeId("a b\tc{}") === "abc")
+    assert(BenchPriors.sanitizeId("older-boot_2") === "older-boot_2")
+  }
+
   test("load() warns when the file exists but yields zero priors") {
     val tmp = java.nio.file.Files.createTempFile("graft-prior", ".json")
     try {

@@ -71,4 +71,19 @@ class ScalingClassifySpec extends AnyFunSuite {
     val noMsg = Scaling.errString(new NullPointerException())
     assert(noMsg === "NullPointerException: ")
   }
+
+  test("synthSkipReason: the cap-crossing gate and the notch skip " +
+      "warning share one predicate (ADVICE r14: requested notches " +
+      "that cannot run must be SAID, not silently skipped)") {
+    // runs: synth corpus sized, default panel or one including the key
+    assert(Scaling.synthSkipReason(5030000L, None).isEmpty)
+    assert(Scaling.synthSkipReason(1L,
+      Some(Seq("composite_cap_crossing", "x"))).isEmpty)
+    // skipped: no synth corpus (factors.max < 64 and no env override)
+    assert(Scaling.synthSkipReason(0L, None)
+      .exists(_.contains("SPARK_GRAFT_SCALING_SYNTH")))
+    // skipped: explicit panel excludes the cap-crossing row
+    assert(Scaling.synthSkipReason(5030000L, Some(Seq("rel_pricing_summary")))
+      .exists(_.contains("composite_cap_crossing")))
+  }
 }
