@@ -154,6 +154,31 @@ class PriorHygieneSpec extends AnyFunSuite {
     assert(rc3 !== 0, s"output:\n$msg3"); assert(msg3.contains("load_avg"), s"output:\n$msg3")
   }
 
+  test("compare_bench warns when a compact artifact's unescaped array " +
+      "is truncated (capped names must not read as fresh code signals)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prior")
+    val old = tmpWrite(dir, "old.json", artifact(loadAvg = 0.2,
+      queries = """"a":1.0000,"b":1.0000"""))
+    // a compact driver line: 1 name listed, 9 storms actually occurred
+    val nw = tmpWrite(dir, "new.json",
+      """{"metric":"total","value":9.0,"unit":"sec",""" +
+        """"queries":{"a":8.0000,"b":1.0000},""" +
+        """"unescaped":["a"],"unescaped_total":9,"sf":"/x"}""")
+    val (rc, msg) = run("python3", "tools/compare_bench.py", old, nw)
+    assert(rc === 1, s"the 8x cell must still flag:\n$msg")
+    assert(msg.contains("TRUNCATED") && msg.contains("9"),
+      s"truncation must be warned with the real total:\n$msg")
+    // an uncapped artifact (len == total) warns nothing
+    val full = tmpWrite(dir, "full.json",
+      """{"metric":"total","value":9.0,"unit":"sec",""" +
+        """"queries":{"a":8.0000,"b":1.0000},""" +
+        """"unescaped":["a"],"unescaped_total":1,"sf":"/x"}""")
+    val (_, msg2) = run("python3", "tools/compare_bench.py", old, full)
+    assert(!msg2.contains("TRUNCATED"), msg2)
+    assert(msg2.contains("unescaped storm"),
+      s"adjudicated storm must keep its marker:\n$msg2")
+  }
+
   test("the COMMITTED BENCH_LOCAL.json was measured on an idle host " +
       "(git HEAD — live runs may overwrite the working tree freely)") {
     val (rc, msg) = run("python3", "tools/check_prior.py", "--git", "HEAD")
