@@ -56,7 +56,12 @@ import org.apache.spark.sql.SparkSession
   *     with a twice-sampled elevated min (regression suspects) —
   *     unless the wall budget starved their revisit, in which case
   *     they appear in `revisit_pending` (once-sampled; weaker
-  *     evidence). The compact stdout line caps each array at 8 names
+  *     evidence). Cells that never TRIPPED the escape but sit above
+  *     [[WatchNormFactor]] × the suite-median-normalized ratio ship
+  *     in a derived `watch` array (r16 — r15's
+  *     `ann_prototype_classify` landed at 2.970× prior, 0.001 under
+  *     the trigger, with no marker at all).
+  *     The compact stdout line caps each array at 8 names
   *     and always carries `*_total` counts (a mass-storm run must not
   *     push the bounded-tail line past parseability); the full file
   *     line is uncapped.
@@ -76,6 +81,15 @@ object Bench {
   private val PriorStormFactor = 3.0
   /** Per-query wall cap for adaptive storm-escape passes (seconds). */
   private val StormWallCapSec = 20.0
+  /** `watch` threshold (VERDICT r15 item 2): a cell whose
+    * suite-median-normalized storm ratio exceeds this WITHOUT ever
+    * tripping the [[PriorStormFactor]] escape is a cliff-edge cell —
+    * r15 shipped `ann_prototype_classify` at 2.970× prior, 0.001 under
+    * the trigger, findable only via a prior-file join. Such cells are
+    * now named in a `watch` array in both artifact lines (capped at 8
+    * names + `watch_total` in the compact line, like the escape
+    * arrays); derivation in [[BenchPriors.watchCells]]. */
+  private val WatchNormFactor = 2.0
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -125,6 +139,23 @@ object Bench {
       "bigram_reference_corpus_onlyone" -> (() =>
         operators.TextPipeline.onlyOneProbabilitiesFromWords(
           sources.WordListSource.read(spark, refCorpus, referenceQuirk = true))))
+    // Corpus-swap pin (VERDICT r15 item 3): the two rows above are a
+    // same-data baseline only if they actually read the 354,984-line
+    // file — an env override to a tiny fixture would silently ship a
+    // flattering number. The artifact therefore carries the corpus's
+    // own word count as `reference_corpus_words` next to the cells
+    // (ReferenceCorpusSpec pins the same count against the same env
+    // default); omitted, not fabricated, when the corpus is unreadable
+    // (the two cells then ship -1 from runOnce's failure path anyway).
+    val refCorpusWords: Option[Long] =
+      try Some(sources.WordListSource
+        .read(spark, refCorpus, referenceQuirk = true).count())
+      catch {
+        case e: Exception =>
+          System.err.println(
+            s"[bench] reference corpus $refCorpus unreadable: ${e.getMessage}")
+          None
+      }
 
     def runOnce(name: String): Double = {
       // operators may persist shared subtrees within a query; drop those
@@ -306,6 +337,12 @@ object Bench {
     // measured, not conjectured).
     val unescaped = scala.collection.mutable.LinkedHashSet[String]()
     val revisitCleared = scala.collection.mutable.LinkedHashSet[String]()
+    // cells whose adaptive escape TRIPPED (first min exceeded
+    // PriorStormFactor x prior, so extra passes ran): excluded from the
+    // derived `watch` array — a tripped cell already carries its own
+    // adjudication (`+stormN` mode, unescaped/revisit arrays), while
+    // `watch` exists for the cells that sailed UNDER the trigger
+    val escapeTripped = scala.collection.mutable.LinkedHashSet[String]()
     // unescaped cells whose suite-end revisit was SKIPPED by the wall
     // budget: a still-listed cell is only a "twice-sampled regression
     // suspect" if its revisit actually ran — a budget-starved sweep
@@ -389,16 +426,28 @@ object Bench {
         else if (v.size % 2 == 1) v(v.size / 2)
         else (v(v.size / 2 - 1) + v(v.size / 2)) / 2.0
       }
+      // cliff-edge cells (VERDICT r15 item 2): above WatchNormFactor x
+      // the suite median without ever tripping the escape — derived
+      // fresh per emit since both the ratios and the median grow as the
+      // suite runs; ordered worst-first so the compact cap keeps the
+      // cells most worth reading
+      val watch =
+        BenchPriors.watchCells(stormRatio, medianStorm, escapeTripped,
+          WatchNormFactor)
       // prior-provenance fields are emitted only when the prior file
       // actually carries them (old-format priors don't) — omission,
       // not fabrication, mirrors the re-pin tool's policy
       val provenance =
         priorLoadAvg.map(v => s""","prior_load_avg":${fmt(v)}""").getOrElse("") +
           priorBootId.map(v => s""","prior_boot_id":"$v"""").getOrElse("")
+      // the corpus-swap pin field (see refCorpusWords above): omitted
+      // when the corpus was unreadable, like the prior provenance
+      val corpusField = refCorpusWords
+        .map(n => s""","reference_corpus_words":$n""").getOrElse("")
       val envFields =
         s""""sibling_jvms":$siblingJvms,"load_avg":${fmt(loadAvg)},""" +
           s""""suite_median_storm":${fmt(medianStorm)},""" +
-          s""""boot_id":"$bootId"$provenance"""
+          s""""boot_id":"$bootId"$provenance$corpusField"""
       def names(s: Iterable[String]): String =
         s.map(n => s""""$n"""").mkString("[", ",", "]")
       def escFields(cap: Int): String = {
@@ -414,7 +463,9 @@ object Bench {
           s""""revisit_cleared":${arr(revisitCleared)},""" +
           s""""revisit_cleared_total":${revisitCleared.size},""" +
           s""""revisit_pending":${arr(revisitPending)},""" +
-          s""""revisit_pending_total":${revisitPending.size}"""
+          s""""revisit_pending_total":${revisitPending.size},""" +
+          s""""watch":${names(watch.take(cap))},""" +
+          s""""watch_total":${watch.size}"""
       }
       // cumulative: every written line is a complete artifact so far
       val line =
@@ -532,6 +583,7 @@ object Bench {
       val suspect = prior.get(name)
         .exists(p => p > 0 && best > PriorStormFactor * p)
       if (!overBudget && best >= 0 && suspect) {
+        escapeTripped += name
         var extra = 0
         while (best > PriorStormFactor * prior(name) &&
             elapsed - qStart < StormWallCapSec) {

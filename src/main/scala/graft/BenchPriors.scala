@@ -78,6 +78,25 @@ object BenchPriors {
   def sanitizeId(s: String): String =
     s.filter(c => c.isLetterOrDigit || c == '-' || c == '_')
 
+  /** Cliff-edge storm cells for the artifact's `watch` array (VERDICT
+    * r15 item 2): r15 shipped `ann_prototype_classify` at 2.970× its
+    * prior — 0.001 under the 3.0 escape trigger — with no marker, so a
+    * consumer needed a prior-file join to find it. A watch cell is one
+    * whose SUITE-MEDIAN-NORMALIZED ratio (ratio / median, the
+    * compare_bench.py boot lens — a uniform host shift lifts every
+    * ratio, so the raw value alone over-flags on a contended sweep)
+    * exceeds `normFactor` but that never TRIPPED the adaptive escape —
+    * tripped cells already carry their own adjudication
+    * (`+stormN` mode, `unescaped`/`revisit_cleared` arrays). Ordered
+    * worst-first so the compact line's 8-name cap keeps the cells most
+    * worth reading; empty when no median exists (prior-less sweep). */
+  def watchCells(ratios: collection.Map[String, Double], median: Double,
+      tripped: String => Boolean, normFactor: Double = 2.0): Seq[String] =
+    if (median <= 0) Seq.empty
+    else ratios.iterator
+      .filter { case (k, r) => r / median > normFactor && !tripped(k) }
+      .toSeq.sortBy { case (k, r) => (-r, k) }.map(_._1)
+
   /** [[parse]] over a file; empty map when unreadable. `warn` receives
     * one diagnostic line when the file EXISTS but yields zero priors —
     * the silent-de-arm failure mode r12 shipped (ADVICE r12: warn

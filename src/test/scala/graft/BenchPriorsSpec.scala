@@ -124,6 +124,34 @@ class BenchPriorsSpec extends AnyFunSuite {
     assert(BenchPriors.sanitizeId("older-boot_2") === "older-boot_2")
   }
 
+  test("watchCells names cliff-edge cells: above the normalized factor, " +
+      "never escape-tripped, worst-first (the r15 " +
+      "ann_prototype_classify gap)") {
+    // r15 driver-sweep fixture numbers (VERDICT r15 item 2):
+    // ann_prototype_classify shipped at 2.970x its prior under suite
+    // median 1.1445 — normalized 2.595, 0.001 under the 3.0 raw escape
+    // trigger, so it carried NO marker and was findable only via a
+    // prior-file join. watchCells is what the artifact's `watch` array
+    // now derives from.
+    val ratios = Map(
+      "ann_prototype_classify" -> 2.970, // normalized 2.60 -> watched
+      "rel_part_supplier_counts" -> 1.946, // normalized 1.70 -> under
+      "q1_agg" -> 1.144, // at the median -> under
+      "rel_salted_agg" -> 15.4) // tripped the escape -> excluded
+    assert(BenchPriors.watchCells(ratios, 1.1445,
+      Set("rel_salted_agg")) === Seq("ann_prototype_classify"))
+    // worst-first so the compact line's 8-name cap keeps the worst;
+    // ties broken by name for determinism
+    assert(BenchPriors.watchCells(
+      Map("a" -> 3.0, "b" -> 4.0, "c" -> 2.5, "d" -> 1.0), 1.0,
+      Set.empty[String]) === Seq("b", "a", "c"))
+    assert(BenchPriors.watchCells(Map("z" -> 3.0, "y" -> 3.0), 1.0,
+      Set.empty[String]) === Seq("y", "z"))
+    // no median (prior-less sweep): empty, never a divide-by-zero
+    assert(BenchPriors.watchCells(Map("a" -> 9.0), 0.0,
+      Set.empty[String]).isEmpty)
+  }
+
   test("load() warns when the file exists but yields zero priors") {
     val tmp = java.nio.file.Files.createTempFile("graft-prior", ".json")
     try {

@@ -27,16 +27,20 @@ class PriorHygieneSpec extends AnyFunSuite {
     (cmd.!(logger), out.toString)
   }
 
-  /** A minimal live-format artifact line (emit() shape). */
+  /** A minimal live-format artifact line (emit() shape). `bootId` is
+    * the RAW text inserted between the field's quotes — tests for the
+    * re-pin tool's sanitization pass JSON escapes through it. */
   private def artifact(loadAvg: Double, value: String = "3.5001",
-      queries: String = """"q1_agg":1.2500,"dedup_exact":2.2501"""): String =
+      queries: String = """"q1_agg":1.2500,"dedup_exact":2.2501""",
+      bootId: String = "8d4f-test"): String =
     s"""{"metric":"total","value":$value,"unit":"sec",""" +
       s""""queries":{$queries},"storm_ratio":{"q1_agg":0.900},""" +
       """"unescaped":[],"unescaped_total":0,""" +
       """"revisit_cleared":[],"revisit_cleared_total":0,""" +
       """"revisit_pending":[],"revisit_pending_total":0,""" +
+      """"watch":["w1"],"watch_total":1,""" +
       s""""sibling_jvms":0,"load_avg":$loadAvg,""" +
-      """"suite_median_storm":0.9000,"boot_id":"8d4f-test",""" +
+      s""""suite_median_storm":0.9000,"boot_id":"$bootId",""" +
       """"sf":"/root/testdata/sf0.1"}"""
 
   private def tmpWrite(dir: java.nio.file.Path, name: String,
@@ -128,6 +132,72 @@ class PriorHygieneSpec extends AnyFunSuite {
       "-o", single.toString)._1 === 0)
     assert(!java.nio.file.Files.readString(single).contains(""""c":"""))
     assert(run("python3", "tools/check_prior.py", single.toString)._1 === 0)
+  }
+
+  test("repin sanitizes externally-sourced boot ids (ADVICE r15: a " +
+      "quote or backslash in a hand-written prior's boot_id must " +
+      "neither crash nor be silently rewritten on re-parse)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prior")
+    // the source FILE carries a backslash-u-0041 escape and an
+    // escaped quote INSIDE the boot_id string (decoded value:
+    // bad, one backslash, u0041, one quote, id) — raw interpolation
+    // would silently rewrite the former to 'A' on re-parse and the
+    // latter produces invalid JSON outright
+    val src = tmpWrite(dir, "evil.json",
+      artifact(loadAvg = 0.2, bootId = "bad\\\\u0041\\\"id"))
+    val out = dir.resolve("out.json")
+    val (rc, msg) = run("python3", "tools/repin_bench_local.py", src,
+      "-o", out.toString)
+    assert(rc === 0, s"sanitized re-pin must succeed:\n$msg")
+    val text = java.nio.file.Files.readString(out)
+    assert(text.contains(""""boot_id":"badu0041id""""),
+      s"boot_id must be identifier-filtered like " +
+        s"BenchPriors.sanitizeId:\n$text")
+    // the hand re-pin path drops the live-run-relative watch array
+    // (derived from the very storm ratios it drops)...
+    assert(!text.contains("watch"),
+      s"hand re-pin must drop the watch array:\n$text")
+    assert(run("python3", "tools/check_prior.py", out.toString)._1 === 0)
+    // ...while the verbatim-restore path carries it through
+    val clean = tmpWrite(dir, "clean.json", artifact(loadAvg = 0.2))
+    assert(run("python3", "tools/repin_bench_local.py", clean,
+      "-o", out.toString, "--keep-storm-ratio")._1 === 0)
+    val restored = java.nio.file.Files.readString(out)
+    assert(restored.contains(""""watch":["w1"],"watch_total":1"""),
+      s"verbatim restore must keep the watch array:\n$restored")
+  }
+
+  test("repin omits load_avg when the source never measured one, and " +
+      "check_prior rejects the resulting unknown-contamination prior " +
+      "(ADVICE r15: no fabricated -1 that reads as verified-idle)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prior")
+    // sibling_jvms present, load_avg absent (partial old telemetry) —
+    // the old env block fabricated "load_avg":-1.0000 here
+    val src = tmpWrite(dir, "noload.json",
+      """{"metric":"total","value":1.2500,"unit":"sec",""" +
+        """"queries":{"a":1.2500},"storm_ratio":{},""" +
+        """"sibling_jvms":0,"boot_id":"8d4f-test","sf":"/x"}""")
+    val out = dir.resolve("out.json")
+    val (rc, msg) = run("python3", "tools/repin_bench_local.py", src,
+      "-o", out.toString)
+    assert(rc === 0, msg)
+    val text = java.nio.file.Files.readString(out)
+    assert(text.contains(""""sibling_jvms":0,"""), text)
+    assert(!text.contains("load_avg"),
+      s"must omit unmeasured load_avg, not fabricate a sentinel:\n$text")
+    // the gate then FAILS the unknown-contamination prior, naming the
+    // missing field (previously the -1 slipped it as verified-idle)
+    val (rcG, msgG) = run("python3", "tools/check_prior.py", out.toString)
+    assert(rcG !== 0, msgG)
+    assert(msgG.contains("load_avg"), msgG)
+    // an explicit negative load_avg is a sentinel, not a measurement:
+    // rejected by the gate AND refused by the re-pin tool
+    val neg = tmpWrite(dir, "neg.json", artifact(loadAvg = -1.0))
+    val (rcN, msgN) = run("python3", "tools/check_prior.py", neg)
+    assert(rcN !== 0, msgN)
+    assert(msgN.contains("negative"), msgN)
+    assert(run("python3", "tools/repin_bench_local.py", neg,
+      "-o", out.toString)._1 !== 0)
   }
 
   test("check_prior passes a clean prior, fails contamination and " +

@@ -29,6 +29,25 @@ class ReferenceCorpusSpec extends AnyFunSuite {
     assert(TextPipeline.mainFilter(words).count() === 354913L)
   }
 
+  test("corpus-swap pin: the bench env default reads exactly 354,984 " +
+      "words (the reference_corpus_words artifact field)") {
+    // Bench's same-data baseline cells (bigram_reference_corpus*) read
+    // SPARK_GRAFT_REFERENCE_CORPUS with this default and emit the raw
+    // word count as reference_corpus_words next to the two timings
+    // (VERDICT r15 item 3). This pin resolves the SAME env var, so an
+    // override to a tiny fixture — which would silently ship a
+    // flattering wall time — fails here instead. The file is
+    // newline-terminated, so quirk mode drops nothing: raw count =
+    // line count = 354,984 (the filter's 354,913 survivors are pinned
+    // in the test above).
+    val path = sys.env.getOrElse("SPARK_GRAFT_REFERENCE_CORPUS", corpus)
+    assert(WordListSource.read(spark, path, referenceQuirk = true)
+      .count() === 354984L,
+      s"corpus at $path is not the reference's 354,984-word file — the " +
+        "bigram_reference_corpus bench rows would not be a same-data " +
+        "baseline")
+  }
+
   test("full corpus: bigram totals match the independently computed goldens") {
     val words = WordListSource.read(spark, corpus, referenceQuirk = true)
     val counts = TextPipeline.freqTable(

@@ -19,7 +19,9 @@ live run; only a COMMITTED contaminated prior is the mistake.
 
 Checks (exit 1 with a reason on the first failure):
   - the file parses as JSON with a non-empty "queries" map
-  - load_avg is present and <= --max-load (a prior pinned before the
+  - load_avg is present, non-negative (a -1 sentinel means the load
+    was never measured — unknown contamination must not pass as
+    verified-idle), and <= --max-load (a prior pinned before the
     telemetry fields existed fails here: re-pin it from a live sweep)
   - every query value is a finite number (the -1.0 failed-query
     sentinel must never be PINNED: a prior of -1 permanently de-arms
@@ -83,6 +85,16 @@ def main():
     if la is None:
         raise SystemExit(f"{where}: no load_avg telemetry — re-pin from "
                          "a live sweep so contamination is checkable")
+    if float(la) < 0:
+        # getSystemLoadAverage returns -1 when unavailable, and an old
+        # repin fabricated -1.0 for telemetry-less sources — either way
+        # a negative value means the load was NOT measured, and an
+        # unknown-contamination prior must not read as verified-idle
+        # (ADVICE r15)
+        raise SystemExit(f"{where}: load_avg {float(la)} is negative — a "
+                         "sentinel, not a measurement; the prior's "
+                         "contamination state is UNKNOWN. Re-pin from a "
+                         "live sweep whose telemetry is real.")
     if float(la) > args.max_load:
         raise SystemExit(
             f"{where}: load_avg {float(la):.2f} > {args.max_load} — the "

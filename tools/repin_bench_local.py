@@ -79,6 +79,16 @@ def bench_fmt(v, dp):
     return f"{q:.{dp}f}"
 
 
+def sanitize_id(s):
+    """BenchPriors.sanitizeId's filter (keep [A-Za-z0-9_-]), applied to
+    externally-sourced identifier fields before interpolating them into
+    the output JSON (ADVICE r15): a boot_id carrying a backslash escape
+    would be silently rewritten on re-parse, and a quote would produce
+    invalid JSON — Bench already sanitizes the same field on its side.
+    Kernel boot UUIDs are [-0-9a-f], so real values pass unchanged."""
+    return re.sub(r"[^A-Za-z0-9_-]", "", str(s))
+
+
 def load_source(path):
     with open(path) as f:
         doc = json.load(f)
@@ -160,6 +170,13 @@ def main():
                 "next-round storm ratio (the r13/r14 boundary failure). "
                 "Re-measure on an idle box, or pass --force to pin it "
                 "anyway.")
+        if la is not None and float(la) < 0 and not args.force:
+            raise SystemExit(
+                f"{path}: load_avg {float(la)} is negative — a "
+                "fabricated/sentinel value, not a measurement "
+                "(check_prior.py rejects such a prior outright). "
+                "Re-measure on a box whose telemetry is real, or pass "
+                "--force.")
         if la is None:
             print(f"note: {path} carries no load_avg telemetry (old "
                   "format); contamination guard cannot check it",
@@ -233,25 +250,43 @@ def main():
     # semantics, regenerated by Bench's next emit)
     esc = ""
     if args.keep_storm_ratio:
-        for key in ("unescaped", "revisit_cleared", "revisit_pending"):
+        # `watch` rides with the escape arrays: like them it is a
+        # live-run-relative adjudication (derived from the very ratios a
+        # hand re-pin drops), so only the verbatim-restore path keeps it
+        for key in ("unescaped", "revisit_cleared", "revisit_pending",
+                    "watch"):
             if key in src:
                 vals = ",".join(f'"{n}"' for n in (src[key] or []))
                 esc += f'"{key}":[{vals}],"{key}_total":{len(src[key] or [])},'
     env = ""
     if "sibling_jvms" in src:
-        env = (f'"sibling_jvms":{int(src["sibling_jvms"])},'
-               f'"load_avg":{bench_fmt(src.get("load_avg", -1.0), 4)},')
-        if args.keep_storm_ratio and "suite_median_storm" in src:
-            env += (f'"suite_median_storm":'
-                    f'{bench_fmt(src["suite_median_storm"], 4)},')
-        if "boot_id" in src:
-            env += f'"boot_id":"{src["boot_id"]}",'
-        if args.keep_storm_ratio:
-            if "prior_load_avg" in src:
-                env += (f'"prior_load_avg":'
-                        f'{bench_fmt(src["prior_load_avg"], 4)},')
-            if "prior_boot_id" in src:
-                env += f'"prior_boot_id":"{src["prior_boot_id"]}",'
+        env += f'"sibling_jvms":{int(src["sibling_jvms"])},'
+    # load_avg only when the source MEASURED one: the old default
+    # fabricated "load_avg":-1.0000 for a sibling_jvms-only source,
+    # which check_prior.py then passed as verified-idle — an
+    # unknown-contamination prior must FAIL the gate, not slip it
+    # (ADVICE r15). Omission keeps it honest: check_prior rejects a
+    # prior with no load_avg outright, naming the re-pin recipe.
+    if "load_avg" in src:
+        env += f'"load_avg":{bench_fmt(src["load_avg"], 4)},'
+    if args.keep_storm_ratio and "suite_median_storm" in src:
+        env += (f'"suite_median_storm":'
+                f'{bench_fmt(src["suite_median_storm"], 4)},')
+    if "boot_id" in src:
+        env += f'"boot_id":"{sanitize_id(src["boot_id"])}",'
+    if args.keep_storm_ratio:
+        if "prior_load_avg" in src:
+            env += (f'"prior_load_avg":'
+                    f'{bench_fmt(src["prior_load_avg"], 4)},')
+        if "prior_boot_id" in src:
+            env += f'"prior_boot_id":"{sanitize_id(src["prior_boot_id"])}",'
+    # corpus provenance (r16): describes the INPUT the two
+    # bigram_reference_corpus cells ran over, not the live run, so it
+    # carries through on every path that has it — a re-pinned prior
+    # keeps the corpus-swap pin readable next to the pinned cells
+    if "reference_corpus_words" in src:
+        env += (f'"reference_corpus_words":'
+                f'{int(src["reference_corpus_words"])},')
     line = (f'{{"metric":"total","value":{bench_fmt(total, 4)},'
             f'"unit":"sec","queries":{{{qs}}},"storm_ratio":{{{sr}}},'
             f'{esc}{env}"sf":"{sf}"}}')
