@@ -28,7 +28,14 @@ class BenchTailFixtureSpec extends AnyFunSuite {
     // non-empty "unescaped" AND "revisit_pending" (with *_total
     // counts) plus the prior-provenance fields; front-truncated
     // mid-line like a real bounded tail
-    "tools/fixtures/bench_tail_r14_unescaped.txt")
+    "tools/fixtures/bench_tail_r14_unescaped.txt",
+    // r16: a REAL capture of the watch-array + corpus-pin line shape —
+    // a budget-1pass run at sf0.001 judged against the sf0.1 prior
+    // (budget mode disables the escape, so the scale-mismatch ratios
+    // land in the derived `watch` array: 8 names + watch_total, the
+    // compact cap) with `reference_corpus_words` riding in the env
+    // fields; front-truncated mid-line like a real bounded tail
+    "tools/fixtures/bench_tail_r16_watch.txt")
 
   for (fx <- fixtures)
     test(s"$fx strict-parses through tools/parse_bench_tail.py") {
@@ -42,4 +49,19 @@ class BenchTailFixtureSpec extends AnyFunSuite {
       assert(out.toString.contains("strict : parsed"),
         s"unexpected extractor output:\n$out")
     }
+
+  test("the r16 fixture's final line carries the watch array and the " +
+      "corpus pin (the two fields VERDICT r15 asked for)") {
+    val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      "tools/fixtures/bench_tail_r16_watch.txt"))
+    val last = txt.linesIterator.filter(_.trim.nonEmpty).toSeq.last
+    // capped compact array: 8 names listed, total says 8 (uncapped in
+    // the full-artifact file); BenchPriors' field scanners are the
+    // same code Bench uses to re-read prior telemetry
+    assert(BenchPriors.numField(last, "watch_total") === Some(8.0))
+    assert(last.contains(""""watch":["rel_scalar_funcs""""),
+      "watch array must lead with the worst cell")
+    assert(BenchPriors.numField(last, "reference_corpus_words") ===
+      Some(354984.0))
+  }
 }
