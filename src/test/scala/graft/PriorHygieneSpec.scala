@@ -249,6 +249,24 @@ class PriorHygieneSpec extends AnyFunSuite {
       s"adjudicated storm must keep its marker:\n$msg2")
   }
 
+  test("compare_bench surfaces the watch marker on flagged cells and " +
+      "warns when a compact watch array is truncated (r16)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prior")
+    val old = tmpWrite(dir, "old.json", artifact(loadAvg = 0.2,
+      queries = """"a":1.0000,"b":1.0000"""))
+    // a compact driver line: 1 watch name listed, 9 actually watched
+    val nw = tmpWrite(dir, "new.json",
+      """{"metric":"total","value":9.0,"unit":"sec",""" +
+        """"queries":{"a":8.0000,"b":1.0000},""" +
+        """"watch":["a"],"watch_total":9,"sf":"/x"}""")
+    val (rc, msg) = run("python3", "tools/compare_bench.py", old, nw)
+    assert(rc === 1, s"the 8x cell must still flag:\n$msg")
+    assert(msg.contains("watch-listed"),
+      s"a flagged cell the run already watched must say so:\n$msg")
+    assert(msg.contains("TRUNCATED") && msg.contains("watch"),
+      s"watch-cap truncation must be warned like unescaped:\n$msg")
+  }
+
   test("the COMMITTED BENCH_LOCAL.json was measured on an idle host " +
       "(git HEAD — live runs may overwrite the working tree freely)") {
     val (rc, msg) = run("python3", "tools/check_prior.py", "--git", "HEAD")

@@ -59,16 +59,23 @@ def main():
     # phantom "improvement" when the next sweep is merely clean.
     unescaped_new = set(dn.get("unescaped") or [])
     unescaped_old = set(do.get("unescaped") or [])
+    # r16: cliff-edge cells the run itself named (suite-median-
+    # normalized ratio > 2 without tripping the escape) — when this
+    # tool flags the same cell, say the artifact already watched it
+    watch_new = set(dn.get("watch") or [])
+    watch_old = set(do.get("watch") or [])
     # A driver BENCH_r{N}.json holds the compact stdout line, whose
     # escape arrays are CAPPED at 8 names (unescaped_total carries the
     # real count). Past the cap, flagged cells would silently lose their
     # storm marker and read as fresh code signals — say so instead
     # (ADVICE r14). The committed BENCH_LOCAL.json line is uncapped.
-    for side, doc, have in (("OLD", do, unescaped_old),
-                            ("NEW", dn, unescaped_new)):
-        total = doc.get("unescaped_total")
+    for side, doc, key, have in (("OLD", do, "unescaped", unescaped_old),
+                                 ("NEW", dn, "unescaped", unescaped_new),
+                                 ("OLD", do, "watch", watch_old),
+                                 ("NEW", dn, "watch", watch_new)):
+        total = doc.get(f"{key}_total")
         if total is not None and total > len(have):
-            print(f"WARNING: {side} artifact's unescaped array is "
+            print(f"WARNING: {side} artifact's {key} array is "
                   f"TRUNCATED ({len(have)} of {total} names — a compact "
                   f"driver line caps at 8): flagged cells below may be "
                   f"already-adjudicated storms missing their marker; "
@@ -102,6 +109,10 @@ def main():
                 mark = "   [unescaped storm per NEW artifact]"
             elif k in unescaped_old:
                 mark = "   [OLD side was an unescaped storm]"
+            elif k in watch_new:
+                mark = "   [NEW artifact already watch-listed this cell]"
+            elif k in watch_old:
+                mark = "   [OLD side was watch-listed]"
             print(f"  {k:38s} {qo[k]:8.3f}s -> {qn[k]:8.3f}s   "
                   f"raw x{r:.2f}   vs-suite x{norm:.2f}{mark}")
     else:
