@@ -56,11 +56,13 @@ import org.apache.spark.sql.SparkSession
   *     with a twice-sampled elevated min (regression suspects) —
   *     unless the wall budget starved their revisit, in which case
   *     they appear in `revisit_pending` (once-sampled; weaker
-  *     evidence). Cells that never TRIPPED the escape but sit above
-  *     [[WatchNormFactor]] × the suite-median-normalized ratio ship
-  *     in a derived `watch` array (r16 — r15's
+  *     evidence). Cells above [[WatchNormFactor]] × the
+  *     suite-median-normalized ratio that carry NO marker in those
+  *     three arrays ship in a derived `watch` array (r16 — r15's
   *     `ann_prototype_classify` landed at 2.970× prior, 0.001 under
-  *     the trigger, with no marker at all).
+  *     the trigger, with no marker at all; r17 widened eligibility to
+  *     tripped-then-escaped cells, whose `+stormN` adjudication goes
+  *     only to stderr — ADVICE r16).
   *     The compact stdout line caps each array at 8 names
   *     and always carries `*_total` counts (a mass-storm run must not
   *     push the bounded-tail line past parseability); the full file
@@ -82,13 +84,17 @@ object Bench {
   /** Per-query wall cap for adaptive storm-escape passes (seconds). */
   private val StormWallCapSec = 20.0
   /** `watch` threshold (VERDICT r15 item 2): a cell whose
-    * suite-median-normalized storm ratio exceeds this WITHOUT ever
-    * tripping the [[PriorStormFactor]] escape is a cliff-edge cell —
-    * r15 shipped `ann_prototype_classify` at 2.970× prior, 0.001 under
-    * the trigger, findable only via a prior-file join. Such cells are
-    * now named in a `watch` array in both artifact lines (capped at 8
-    * names + `watch_total` in the compact line, like the escape
-    * arrays); derivation in [[BenchPriors.watchCells]]. */
+    * suite-median-normalized storm ratio exceeds this while carrying
+    * no marker in the `unescaped`/`revisit_cleared`/`revisit_pending`
+    * arrays is a cliff-edge cell — r15 shipped
+    * `ann_prototype_classify` at 2.970× prior, 0.001 under the
+    * [[PriorStormFactor]] trigger, findable only via a prior-file
+    * join; a cell that TRIPS the escape but recovers under the factor
+    * is in the same no-marker boat (its `+stormN` mode goes only to
+    * stderr — ADVICE r16), so it is watch-eligible too. Watch cells
+    * are named in both artifact lines (capped at 8 names +
+    * `watch_total` in the compact line, like the escape arrays);
+    * derivation in [[BenchPriors.watchCells]]. */
   private val WatchNormFactor = 2.0
 
   def main(args: Array[String]): Unit = {
@@ -337,12 +343,6 @@ object Bench {
     // measured, not conjectured).
     val unescaped = scala.collection.mutable.LinkedHashSet[String]()
     val revisitCleared = scala.collection.mutable.LinkedHashSet[String]()
-    // cells whose adaptive escape TRIPPED (first min exceeded
-    // PriorStormFactor x prior, so extra passes ran): excluded from the
-    // derived `watch` array — a tripped cell already carries its own
-    // adjudication (`+stormN` mode, unescaped/revisit arrays), while
-    // `watch` exists for the cells that sailed UNDER the trigger
-    val escapeTripped = scala.collection.mutable.LinkedHashSet[String]()
     // unescaped cells whose suite-end revisit was SKIPPED by the wall
     // budget: a still-listed cell is only a "twice-sampled regression
     // suspect" if its revisit actually ran — a budget-starved sweep
@@ -353,6 +353,16 @@ object Bench {
     // non-empty `unescaped`, which simply means the phase hadn't
     // started.
     val revisitPending = scala.collection.mutable.LinkedHashSet[String]()
+    // Only cells named in the three escape arrays above are excluded
+    // from the derived `watch` array — THEY carry their own in-artifact
+    // adjudication. Tripping the escape alone does not exclude (ADVICE
+    // r16): a cell that tripped and then recovered to e.g. 2.9x prior
+    // records its `+stormN` mode only on stderr, so without a watch
+    // marker it would ship exactly the r15 cliff-edge gap watch was
+    // built to close.
+    val adjudicated = (n: String) =>
+      unescaped.contains(n) || revisitCleared.contains(n) ||
+        revisitPending.contains(n)
     // Self-contained artifact (VERDICT r4 item 3): the driver's log
     // capture keeps only a tail, which front-truncates the (>2000 char)
     // final cumulative line — so the SAME line is also rewritten to a
@@ -432,7 +442,7 @@ object Bench {
       // suite runs; ordered worst-first so the compact cap keeps the
       // cells most worth reading
       val watch =
-        BenchPriors.watchCells(stormRatio, medianStorm, escapeTripped,
+        BenchPriors.watchCells(stormRatio, medianStorm, adjudicated,
           WatchNormFactor)
       // prior-provenance fields are emitted only when the prior file
       // actually carries them (old-format priors don't) — omission,
@@ -583,7 +593,6 @@ object Bench {
       val suspect = prior.get(name)
         .exists(p => p > 0 && best > PriorStormFactor * p)
       if (!overBudget && best >= 0 && suspect) {
-        escapeTripped += name
         var extra = 0
         while (best > PriorStormFactor * prior(name) &&
             elapsed - qStart < StormWallCapSec) {

@@ -85,16 +85,20 @@ object BenchPriors {
     * whose SUITE-MEDIAN-NORMALIZED ratio (ratio / median, the
     * compare_bench.py boot lens — a uniform host shift lifts every
     * ratio, so the raw value alone over-flags on a contended sweep)
-    * exceeds `normFactor` but that never TRIPPED the adaptive escape —
-    * tripped cells already carry their own adjudication
-    * (`+stormN` mode, `unescaped`/`revisit_cleared` arrays). Ordered
+    * exceeds `normFactor` and that carries no OTHER in-artifact marker:
+    * `adjudicated` must hold exactly for cells already named in the
+    * `unescaped`/`revisit_cleared`/`revisit_pending` arrays. Merely
+    * TRIPPING the adaptive escape does not adjudicate (ADVICE r16) —
+    * a cell that tripped and recovered under the escape factor records
+    * its `+stormN` mode only on stderr, so excluding it here would
+    * re-open the r15 gap for e.g. a 2.9×-prior escape landing. Ordered
     * worst-first so the compact line's 8-name cap keeps the cells most
     * worth reading; empty when no median exists (prior-less sweep). */
   def watchCells(ratios: collection.Map[String, Double], median: Double,
-      tripped: String => Boolean, normFactor: Double = 2.0): Seq[String] =
+      adjudicated: String => Boolean, normFactor: Double = 2.0): Seq[String] =
     if (median <= 0) Seq.empty
     else ratios.iterator
-      .filter { case (k, r) => r / median > normFactor && !tripped(k) }
+      .filter { case (k, r) => r / median > normFactor && !adjudicated(k) }
       .toSeq.sortBy { case (k, r) => (-r, k) }.map(_._1)
 
   /** [[parse]] over a file; empty map when unreadable. `warn` receives

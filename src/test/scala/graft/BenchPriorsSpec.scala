@@ -125,21 +125,32 @@ class BenchPriorsSpec extends AnyFunSuite {
   }
 
   test("watchCells names cliff-edge cells: above the normalized factor, " +
-      "never escape-tripped, worst-first (the r15 " +
-      "ann_prototype_classify gap)") {
+      "not already adjudicated in the escape arrays, worst-first (the " +
+      "r15 ann_prototype_classify gap)") {
     // r15 driver-sweep fixture numbers (VERDICT r15 item 2):
     // ann_prototype_classify shipped at 2.970x its prior under suite
     // median 1.1445 — normalized 2.595, 0.001 under the 3.0 raw escape
     // trigger, so it carried NO marker and was findable only via a
     // prior-file join. watchCells is what the artifact's `watch` array
-    // now derives from.
+    // now derives from. The exclusion predicate is membership in the
+    // unescaped/revisit_cleared/revisit_pending arrays (the cells with
+    // their OWN artifact marker), not "ever tripped the escape".
     val ratios = Map(
       "ann_prototype_classify" -> 2.970, // normalized 2.60 -> watched
       "rel_part_supplier_counts" -> 1.946, // normalized 1.70 -> under
       "q1_agg" -> 1.144, // at the median -> under
-      "rel_salted_agg" -> 15.4) // tripped the escape -> excluded
+      "rel_salted_agg" -> 15.4) // named in unescaped -> excluded
     assert(BenchPriors.watchCells(ratios, 1.1445,
       Set("rel_salted_agg")) === Seq("ann_prototype_classify"))
+    // ADVICE r16: a cell that TRIPPED the escape but recovered inside
+    // the 3.0 factor is in none of the escape arrays — its `+stormN`
+    // mode goes only to stderr — so when it still sits above the watch
+    // threshold it MUST be watched, not silently excluded (the old
+    // escapeTripped predicate re-opened the r15 gap for exactly this
+    // shape: e.g. an escape landing at 2.9x prior, normalized >2).
+    assert(BenchPriors.watchCells(
+      Map("tripped_escaped" -> 2.9, "steady" -> 1.0), 1.0,
+      Set.empty[String]) === Seq("tripped_escaped"))
     // worst-first so the compact line's 8-name cap keeps the worst;
     // ties broken by name for determinism
     assert(BenchPriors.watchCells(

@@ -27,18 +27,21 @@ class PriorHygieneSpec extends AnyFunSuite {
     (cmd.!(logger), out.toString)
   }
 
-  /** A minimal live-format artifact line (emit() shape). `bootId` is
-    * the RAW text inserted between the field's quotes — tests for the
-    * re-pin tool's sanitization pass JSON escapes through it. */
+  /** A minimal live-format artifact line (emit() shape). `bootId`,
+    * `storm`, and `watch` are the RAW text inserted at those positions
+    * — tests for the re-pin tool's sanitization pass JSON escapes
+    * through them. */
   private def artifact(loadAvg: Double, value: String = "3.5001",
       queries: String = """"q1_agg":1.2500,"dedup_exact":2.2501""",
-      bootId: String = "8d4f-test"): String =
+      bootId: String = "8d4f-test",
+      storm: String = """"q1_agg":0.900""",
+      watch: String = """"w1""""): String =
     s"""{"metric":"total","value":$value,"unit":"sec",""" +
-      s""""queries":{$queries},"storm_ratio":{"q1_agg":0.900},""" +
+      s""""queries":{$queries},"storm_ratio":{$storm},""" +
       """"unescaped":[],"unescaped_total":0,""" +
       """"revisit_cleared":[],"revisit_cleared_total":0,""" +
       """"revisit_pending":[],"revisit_pending_total":0,""" +
-      """"watch":["w1"],"watch_total":1,""" +
+      s""""watch":[$watch],"watch_total":1,""" +
       s""""sibling_jvms":0,"load_avg":$loadAvg,""" +
       s""""suite_median_storm":0.9000,"boot_id":"$bootId",""" +
       """"sf":"/root/testdata/sf0.1"}"""
@@ -165,6 +168,30 @@ class PriorHygieneSpec extends AnyFunSuite {
     val restored = java.nio.file.Files.readString(out)
     assert(restored.contains(""""watch":["w1"],"watch_total":1"""),
       s"verbatim restore must keep the watch array:\n$restored")
+  }
+
+  test("repin sanitizes escape-array names and storm_ratio keys on the " +
+      "verbatim-restore path (ADVICE r16: the queries self-check never " +
+      "sees them, so a backslash escape would be silently rewritten)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prior")
+    // the source FILE carries a literal backslash inside a watch name
+    // and a storm_ratio key (decoded values: bad, one backslash, u0041,
+    // tail) — raw interpolation would re-parse as 'badAw'/'badAs',
+    // passing json.loads while silently rewriting the names
+    val src = tmpWrite(dir, "evil_names.json", artifact(loadAvg = 0.2,
+      storm = """"q1_agg":0.900,"bad\\u0041s":1.000""",
+      watch = """"bad\\u0041w""""))
+    val out = dir.resolve("out.json")
+    val (rc, msg) = run("python3", "tools/repin_bench_local.py", src,
+      "-o", out.toString, "--keep-storm-ratio")
+    assert(rc === 0, s"sanitized restore must succeed:\n$msg")
+    val text = java.nio.file.Files.readString(out)
+    assert(text.contains(""""watch":["badu0041w"],"watch_total":1"""),
+      s"watch names must be identifier-filtered like boot_id:\n$text")
+    assert(text.contains(""""badu0041s":1.000"""),
+      s"storm_ratio keys must be identifier-filtered like boot_id:\n$text")
+    assert(!text.contains("\\"),
+      s"no raw backslash may survive into the restored artifact:\n$text")
   }
 
   test("repin omits load_avg when the source never measured one, and " +

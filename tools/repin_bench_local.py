@@ -228,8 +228,15 @@ def main():
     if args.keep_storm_ratio and "value" in src:
         total = float(src["value"])
 
+    # query keys are safe to interpolate raw: a key the BenchPriors
+    # regex cannot round-trip (backslash, quote, space) drops out of the
+    # re-parse and the value-level self-check below REFUSES the write.
+    # storm_ratio keys have no such check (the self-check only compares
+    # the queries map), so they get the sanitize_id treatment the escape
+    # arrays and boot_id do (ADVICE r16 class).
     qs = ",".join(f'"{k}":{bench_fmt(v, 4)}' for k, v in queries.items())
-    sr = ",".join(f'"{k}":{bench_fmt(v, 3)}' for k, v in storm.items())
+    sr = ",".join(f'"{sanitize_id(k)}":{bench_fmt(v, 3)}'
+                  for k, v in storm.items())
     sf = src.get("sf", "/root/testdata/sf0.1")
     # env-telemetry fields: emit() always writes them between
     # storm_ratio and sf; carry them through when the source has them
@@ -252,11 +259,18 @@ def main():
     if args.keep_storm_ratio:
         # `watch` rides with the escape arrays: like them it is a
         # live-run-relative adjudication (derived from the very ratios a
-        # hand re-pin drops), so only the verbatim-restore path keeps it
+        # hand re-pin drops), so only the verbatim-restore path keeps it.
+        # Names are sanitized like boot_id (ADVICE r16): they are
+        # externally-sourced strings interpolated raw into the output
+        # JSON, and a hand-edited source whose name carries a backslash
+        # escape (e.g. 'a\\u0041') passes the json.loads self-check —
+        # which only value-compares the queries map — but is silently
+        # rewritten on re-parse. Live Bench names are [A-Za-z0-9_], so
+        # real values pass unchanged.
         for key in ("unescaped", "revisit_cleared", "revisit_pending",
                     "watch"):
             if key in src:
-                vals = ",".join(f'"{n}"' for n in (src[key] or []))
+                vals = ",".join(f'"{sanitize_id(n)}"' for n in (src[key] or []))
                 esc += f'"{key}":[{vals}],"{key}_total":{len(src[key] or [])},'
     env = ""
     if "sibling_jvms" in src:
