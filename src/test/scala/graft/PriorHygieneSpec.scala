@@ -294,6 +294,30 @@ class PriorHygieneSpec extends AnyFunSuite {
       s"watch-cap truncation must be warned like unescaped:\n$msg")
   }
 
+  test("compare_bench reads the watch->cleared lifecycle without the " +
+      "prior file: a cell watched in OLD that returns to steady state " +
+      "in NEW flags as an improvement carrying the OLD-side watch mark " +
+      "(VERDICT r16 item 5)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prior")
+    // the r16->r17 adjudication shape: shared_prefix_edges read 11.06s
+    // in the contended load-6.9 driver sweep (named in its watch
+    // array), then a fresh idle sweep reads it back at its ~4.5s
+    // steady state — compare_bench flags the 2.4x swing, and the
+    // OLD-side mark tells the reader the swing is the WATCHED cell
+    // clearing, not a fresh code signal, with no prior-file join
+    val old = tmpWrite(dir, "watched_old.json",
+      """{"metric":"total","value":12.0,"unit":"sec",""" +
+        """"queries":{"shared_prefix_edges":11.0600,"b":1.0000},""" +
+        """"watch":["shared_prefix_edges"],"watch_total":1,"sf":"/x"}""")
+    val nw = tmpWrite(dir, "cleared_new.json", artifact(loadAvg = 0.2,
+      queries = """"shared_prefix_edges":4.5200,"b":1.0000"""))
+    val (rc, msg) = run("python3", "tools/compare_bench.py", old, nw)
+    assert(rc === 1, s"the cleared cell must flag as an improvement:\n$msg")
+    assert(msg.contains("shared_prefix_edges") &&
+      msg.contains("OLD side was watch-listed"),
+      s"the improvement must carry the OLD-side watch mark:\n$msg")
+  }
+
   test("the COMMITTED BENCH_LOCAL.json was measured on an idle host " +
       "(git HEAD — live runs may overwrite the working tree freely)") {
     val (rc, msg) = run("python3", "tools/check_prior.py", "--git", "HEAD")
