@@ -35,7 +35,16 @@ class BenchTailFixtureSpec extends AnyFunSuite {
     // land in the derived `watch` array: 8 names + watch_total, the
     // compact cap) with `reference_corpus_words` riding in the env
     // fields; front-truncated mid-line like a real bounded tail
-    "tools/fixtures/bench_tail_r16_watch.txt")
+    "tools/fixtures/bench_tail_r16_watch.txt",
+    // r17: a REAL capture of unescaped and watch COEXISTING — a
+    // doctored-prior sf0.01 run (three cells' priors forced to
+    // measured/4, /2.5, /3.5) where the /4 and /3.5 cells tripped,
+    // exhausted the escape cap, survived their suite-end revisits
+    // still elevated (unescaped ×2), while the /2.5 cell sailed under
+    // the 3.0 trigger and landed in `watch` — pinning that the watch
+    // derivation excludes exactly the cells the escape arrays already
+    // adjudicate, and nothing else (the ADVICE r16 fix, live)
+    "tools/fixtures/bench_tail_r17_adjudicated.txt")
 
   for (fx <- fixtures)
     test(s"$fx strict-parses through tools/parse_bench_tail.py") {
@@ -63,5 +72,24 @@ class BenchTailFixtureSpec extends AnyFunSuite {
       "watch array must lead with the worst cell")
     assert(BenchPriors.numField(last, "reference_corpus_words") ===
       Some(354984.0))
+  }
+
+  test("the r17 fixture's final line carries unescaped and watch " +
+      "together, disjoint: adjudicated cells keep their escape marker " +
+      "and never double-list in watch (ADVICE r16, live capture)") {
+    val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      "tools/fixtures/bench_tail_r17_adjudicated.txt"))
+    val last = txt.linesIterator.filter(_.trim.nonEmpty).toSeq.last
+    // the two forced-low-prior cells (measured/4 and /3.5) tripped,
+    // burned the cap, and survived their revisits — unescaped
+    assert(last.contains(
+      """"unescaped":["ann_topk_lsh","ann_topk_pq_trained"]"""), last)
+    assert(BenchPriors.numField(last, "unescaped_total") === Some(2.0))
+    // the measured/2.5 cell never tripped — watch, and ONLY it: the
+    // unescaped pair sits far above the 2.0 normalized watch line too
+    // (4.1x/3.5x vs suite median 0.94) and is excluded purely by its
+    // escape-array membership
+    assert(last.contains(""""watch":["ann_topk_pq"]"""), last)
+    assert(BenchPriors.numField(last, "watch_total") === Some(1.0))
   }
 }
