@@ -436,8 +436,11 @@ object Bench {
         else if (v.size % 2 == 1) v(v.size / 2)
         else (v(v.size / 2 - 1) + v(v.size / 2)) / 2.0
       }
-      // cliff-edge cells (VERDICT r15 item 2): above WatchNormFactor x
-      // the suite median without ever tripping the escape — derived
+      // cliff-edge cells (VERDICT r15 item 2, widened ADVICE r17):
+      // above WatchNormFactor x the suite median and not already named
+      // in unescaped/revisit_cleared/revisit_pending — a cell that
+      // tripped the escape but recovered IS watch-eligible; only a
+      // cell carrying one of those JSON markers is excluded. Derived
       // fresh per emit since both the ratios and the median grow as the
       // suite runs; ordered worst-first so the compact cap keeps the
       // cells most worth reading

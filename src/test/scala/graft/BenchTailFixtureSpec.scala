@@ -44,7 +44,13 @@ class BenchTailFixtureSpec extends AnyFunSuite {
     // the 3.0 trigger and landed in `watch` — pinning that the watch
     // derivation excludes exactly the cells the escape arrays already
     // adjudicate, and nothing else (the ADVICE r16 fix, live)
-    "tools/fixtures/bench_tail_r17_adjudicated.txt")
+    "tools/fixtures/bench_tail_r17_adjudicated.txt",
+    // r18: the REAL r17 driver-sweep tail (from BENCH_r17.json) — the
+    // first live capture where watch_total (9) exceeded the compact
+    // line's 8-name cap, so the overflow cell (rel_large_orders)
+    // exists ONLY in the full-artifact file named by the line's
+    // `full_artifact` field. Pins the cap-plus-total contract below
+    "tools/fixtures/bench_tail_r18_watchcap.txt")
 
   for (fx <- fixtures)
     test(s"$fx strict-parses through tools/parse_bench_tail.py") {
@@ -91,5 +97,31 @@ class BenchTailFixtureSpec extends AnyFunSuite {
     // escape-array membership
     assert(last.contains(""""watch":["ann_topk_pq"]"""), last)
     assert(BenchPriors.numField(last, "watch_total") === Some(1.0))
+  }
+
+  test("the r18 fixture pins the watch-cap-overflow contract: 8 names " +
+      "in the compact line, watch_total 9, the ninth cell absent from " +
+      "the line and reachable only via the full_artifact pointer " +
+      "(VERDICT r17 item 5: a parser that trusts the array length " +
+      "silently drops overflow cells)") {
+    val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      "tools/fixtures/bench_tail_r18_watchcap.txt"))
+    val last = txt.linesIterator.filter(_.trim.nonEmpty).toSeq.last
+    // cap-plus-total: the listed array is exactly the cap (8,
+    // worst-first) while the total says 9 — total is authoritative
+    val listed = """"watch":\[([^\]]*)\]""".r
+      .findFirstMatchIn(last).map(_.group(1).split(",").length)
+    assert(listed === Some(8), s"compact line must cap at 8 names:\n$last")
+    assert(BenchPriors.numField(last, "watch_total") === Some(9.0),
+      "watch_total must carry the UNCAPPED count")
+    // the overflow cell is NOT in the compact line anywhere — the only
+    // route to it is the full artifact the line itself names
+    assert(!last.contains("rel_large_orders"),
+      "the overflow cell must be absent from the capped line")
+    assert(last.contains(""""full_artifact":"BENCH_LIVE.json""""),
+      "the capped line must point at the uncapped full artifact")
+    // and the escape arrays stayed empty: the overflow is watch-only
+    // (widened eligibility on a contended sweep), not a storm signal
+    assert(BenchPriors.numField(last, "unescaped_total") === Some(0.0))
   }
 }

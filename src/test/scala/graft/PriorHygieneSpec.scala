@@ -170,28 +170,54 @@ class PriorHygieneSpec extends AnyFunSuite {
       s"verbatim restore must keep the watch array:\n$restored")
   }
 
-  test("repin sanitizes escape-array names and storm_ratio keys on the " +
-      "verbatim-restore path (ADVICE r16: the queries self-check never " +
-      "sees them, so a backslash escape would be silently rewritten)") {
+  test("repin REFUSES escape-array names and storm_ratio keys that " +
+      "sanitization would alter (ADVICE r17: a silent rewrite can " +
+      "rename a cell, collide two keys into a duplicate json key, or " +
+      "emit an empty name — none of it caught by the queries " +
+      "self-check)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-prior")
-    // the source FILE carries a literal backslash inside a watch name
-    // and a storm_ratio key (decoded values: bad, one backslash, u0041,
-    // tail) — raw interpolation would re-parse as 'badAw'/'badAs',
-    // passing json.loads while silently rewriting the names
-    val src = tmpWrite(dir, "evil_names.json", artifact(loadAvg = 0.2,
-      storm = """"q1_agg":0.900,"bad\\u0041s":1.000""",
-      watch = """"bad\\u0041w""""))
     val out = dir.resolve("out.json")
-    val (rc, msg) = run("python3", "tools/repin_bench_local.py", src,
-      "-o", out.toString, "--keep-storm-ratio")
-    assert(rc === 0, s"sanitized restore must succeed:\n$msg")
+    // a storm_ratio key with a space: sanitize would rewrite
+    // 'foo bar' -> 'foobar', silently renaming the cell — refuse,
+    // naming the offending value, and write nothing
+    val spaceKey = tmpWrite(dir, "space_key.json", artifact(loadAvg = 0.2,
+      storm = """"q1_agg":0.900,"foo bar":1.000"""))
+    val (rcK, msgK) = run("python3", "tools/repin_bench_local.py",
+      spaceKey, "-o", out.toString, "--keep-storm-ratio")
+    assert(rcK !== 0, s"altered storm_ratio key must be refused:\n$msgK")
+    assert(msgK.contains("storm_ratio key") && msgK.contains("foo bar"),
+      s"refusal must name the field and offending value:\n$msgK")
+    assert(!java.nio.file.Files.exists(out),
+      "a refused re-pin must not write the output file")
+    // a watch name carrying a backslash escape (decoded: bad, one
+    // backslash, u0041, w): the old silent path rewrote it to
+    // 'badu0041w' on re-parse; now it refuses
+    val evilWatch = tmpWrite(dir, "evil_watch.json", artifact(
+      loadAvg = 0.2, watch = """"bad\\u0041w""""))
+    val (rcW, msgW) = run("python3", "tools/repin_bench_local.py",
+      evilWatch, "-o", out.toString, "--keep-storm-ratio")
+    assert(rcW !== 0, s"altered watch name must be refused:\n$msgW")
+    assert(msgW.contains("watch name"),
+      s"refusal must say which array the name came from:\n$msgW")
+    // an empty-string unescaped name (sanitize keeps it empty — an
+    // unaddressable cell): refused too
+    val emptyName = tmpWrite(dir, "empty_name.json",
+      artifact(loadAvg = 0.2).replace(""""unescaped":[]""",
+        """"unescaped":[""]"""))
+    assert(run("python3", "tools/repin_bench_local.py", emptyName,
+      "-o", out.toString, "--keep-storm-ratio")._1 !== 0,
+      "an empty-string escape-array name must be refused")
+    // a clean live-shaped artifact (names all [A-Za-z0-9_]) passes
+    // unchanged — real Bench output is never refused
+    val clean = tmpWrite(dir, "clean_names.json", artifact(loadAvg = 0.2,
+      storm = """"q1_agg":0.900,"dedup_exact":1.000"""))
+    val (rcC, msgC) = run("python3", "tools/repin_bench_local.py",
+      clean, "-o", out.toString, "--keep-storm-ratio")
+    assert(rcC === 0, s"clean names must pass:\n$msgC")
     val text = java.nio.file.Files.readString(out)
-    assert(text.contains(""""watch":["badu0041w"],"watch_total":1"""),
-      s"watch names must be identifier-filtered like boot_id:\n$text")
-    assert(text.contains(""""badu0041s":1.000"""),
-      s"storm_ratio keys must be identifier-filtered like boot_id:\n$text")
-    assert(!text.contains("\\"),
-      s"no raw backslash may survive into the restored artifact:\n$text")
+    assert(text.contains(""""watch":["w1"],"watch_total":1""") &&
+      text.contains(""""dedup_exact":1.000"""),
+      s"clean names must carry through byte-identical:\n$text")
   }
 
   test("repin omits load_avg when the source never measured one, and " +
@@ -316,6 +342,46 @@ class PriorHygieneSpec extends AnyFunSuite {
     assert(msg.contains("shared_prefix_edges") &&
       msg.contains("OLD side was watch-listed"),
       s"the improvement must carry the OLD-side watch mark:\n$msg")
+  }
+
+  test("adjudication must read the FULL artifact, not the capped " +
+      "compact line (VERDICT r17 item 5): fed the full watch array " +
+      "the overflow cell's swing carries the OLD-side watch mark with " +
+      "no truncation warning; fed the capped line the same cell loses " +
+      "its mark and only the TRUNCATED warning says why") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prior")
+    // the real r17 overflow shape, reduced: 9 watched cells, compact
+    // line lists the first 8 worst — rel_large_orders (the ninth) is
+    // only in the full artifact (BENCH_LIVE.json)
+    val eight = (1 to 8).map(i => s""""w$i"""").mkString(",")
+    val qs = """"rel_large_orders":6.0000,"b":1.0000"""
+    val capped = tmpWrite(dir, "capped_old.json",
+      s"""{"metric":"total","value":7.0,"unit":"sec","queries":{$qs},""" +
+        s""""watch":[$eight],"watch_total":9,"sf":"/x"}""")
+    val full = tmpWrite(dir, "full_old.json",
+      s"""{"metric":"total","value":7.0,"unit":"sec","queries":{$qs},""" +
+        s""""watch":[$eight,"rel_large_orders"],"watch_total":9,""" +
+        """"sf":"/x"}""")
+    val nw = tmpWrite(dir, "idle_new.json", artifact(loadAvg = 0.2,
+      queries = """"rel_large_orders":2.0000,"b":1.0000"""))
+    // full artifact: the cleared overflow cell is recognized as
+    // watch-listed, and nothing warns of truncation
+    val (rcF, msgF) = run("python3", "tools/compare_bench.py", full, nw)
+    assert(rcF === 1, s"the 3x swing must flag either way:\n$msgF")
+    assert(msgF.contains("rel_large_orders") &&
+      msgF.contains("OLD side was watch-listed"),
+      s"full-artifact read must mark the overflow cell watched:\n$msgF")
+    assert(!msgF.contains("TRUNCATED"),
+      s"an uncapped array must not warn of truncation:\n$msgF")
+    // capped line: the mark is LOST (the ninth name isn't there) and
+    // the TRUNCATED warning is the only trace — which is exactly why
+    // the adjudication recipe reads BENCH_LIVE.json
+    val (rcC, msgC) = run("python3", "tools/compare_bench.py", capped, nw)
+    assert(rcC === 1, msgC)
+    assert(!msgC.contains("OLD side was watch-listed"),
+      s"the capped line cannot know the ninth cell was watched:\n$msgC")
+    assert(msgC.contains("TRUNCATED"),
+      s"the capped read must at least warn it is partial:\n$msgC")
   }
 
   test("the COMMITTED BENCH_LOCAL.json was measured on an idle host " +

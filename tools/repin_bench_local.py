@@ -89,6 +89,27 @@ def sanitize_id(s):
     return re.sub(r"[^A-Za-z0-9_-]", "", str(s))
 
 
+def checked_id(s, context):
+    """sanitize_id that REFUSES instead of silently rewriting (ADVICE
+    r17): for storm_ratio KEYS and escape-array NAMES a silent rewrite
+    can rename a cell ('foo bar' -> 'foobar'), collapse two distinct
+    keys into duplicate JSON keys (json.loads keeps the last, silently),
+    or emit an empty-string name — and the value-level self-check only
+    covers the queries map, so none of that is caught downstream. A
+    single-valued field like boot_id keeps the plain sanitize (no
+    collision hazard; pinned r15 behavior). Live Bench names are
+    [A-Za-z0-9_], so real artifacts pass unchanged; a doctored one is
+    refused with the offending value named, like the queries self-check
+    refuses an un-round-trippable key."""
+    out = sanitize_id(s)
+    if out != str(s) or not out:
+        raise SystemExit(
+            f"refusing write: {context} {s!r} would be altered by "
+            f"sanitization (-> {out!r}); fix the source artifact "
+            f"instead of letting the re-pin rename it")
+    return out
+
+
 def load_source(path):
     with open(path) as f:
         doc = json.load(f)
@@ -232,10 +253,11 @@ def main():
     # regex cannot round-trip (backslash, quote, space) drops out of the
     # re-parse and the value-level self-check below REFUSES the write.
     # storm_ratio keys have no such check (the self-check only compares
-    # the queries map), so they get the sanitize_id treatment the escape
-    # arrays and boot_id do (ADVICE r16 class).
+    # the queries map), so they get the same refuse-on-alteration
+    # treatment (ADVICE r16/r17: a silent sanitize could rename or
+    # collide keys; refusal makes the hazard loud like the self-check).
     qs = ",".join(f'"{k}":{bench_fmt(v, 4)}' for k, v in queries.items())
-    sr = ",".join(f'"{sanitize_id(k)}":{bench_fmt(v, 3)}'
+    sr = ",".join(f'"{checked_id(k, "storm_ratio key")}":{bench_fmt(v, 3)}'
                   for k, v in storm.items())
     sf = src.get("sf", "/root/testdata/sf0.1")
     # env-telemetry fields: emit() always writes them between
@@ -260,17 +282,17 @@ def main():
         # `watch` rides with the escape arrays: like them it is a
         # live-run-relative adjudication (derived from the very ratios a
         # hand re-pin drops), so only the verbatim-restore path keeps it.
-        # Names are sanitized like boot_id (ADVICE r16): they are
-        # externally-sourced strings interpolated raw into the output
-        # JSON, and a hand-edited source whose name carries a backslash
-        # escape (e.g. 'a\\u0041') passes the json.loads self-check —
-        # which only value-compares the queries map — but is silently
-        # rewritten on re-parse. Live Bench names are [A-Za-z0-9_], so
-        # real values pass unchanged.
+        # Names refuse-on-alteration like storm_ratio keys (ADVICE
+        # r16/r17): they are externally-sourced strings interpolated raw
+        # into the output JSON, the json.loads self-check only
+        # value-compares the queries map, and a silent sanitize could
+        # rename a cell or emit an empty name. Live Bench names are
+        # [A-Za-z0-9_], so real values pass unchanged.
         for key in ("unescaped", "revisit_cleared", "revisit_pending",
                     "watch"):
             if key in src:
-                vals = ",".join(f'"{sanitize_id(n)}"' for n in (src[key] or []))
+                vals = ",".join(f'"{checked_id(n, f"{key} name")}"'
+                                for n in (src[key] or []))
                 esc += f'"{key}":[{vals}],"{key}_total":{len(src[key] or [])},'
     env = ""
     if "sibling_jvms" in src:
