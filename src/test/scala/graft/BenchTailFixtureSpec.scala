@@ -18,6 +18,29 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchTailFixtureSpec extends AnyFunSuite {
   import scala.sys.process._
 
+  /** Names inside a compact-line JSON array capture ("a","b" → 2).
+    * `"".split(",")` yields `Array("")` — length 1 — so a bare split
+    * cannot tell an empty `watch:[]` from one name (ADVICE r18); an
+    * empty/blank capture must count 0. */
+  private def arrayNameCount(capture: String): Int = {
+    val g = capture.trim
+    if (g.isEmpty) 0 else g.split(",").length
+  }
+
+  test("arrayNameCount distinguishes an empty capture from one name " +
+      "(ADVICE r18: \"\".split(\",\") is Array(\"\"), length 1, so a " +
+      "bare split would report an empty watch array as 1 name and the " +
+      "cap assertion could not catch a regression to watch:[])") {
+    assert(arrayNameCount("") === 0)
+    assert(arrayNameCount("  ") === 0)
+    assert(arrayNameCount(""""only_one"""") === 1)
+    assert(arrayNameCount(""""a","b","c"""") === 3)
+    // the r18 fixture's real capped capture counts exactly the cap
+    val capped = Seq("w1", "w2", "w3", "w4", "w5", "w6", "w7", "w8")
+      .map(n => s""""$n"""").mkString(",")
+    assert(arrayNameCount(capped) === 8)
+  }
+
   private val fixtures = Seq(
     "tools/fixtures/bench_tail_r12_sigterm.txt", // timeout-cut capture
     "tools/fixtures/bench_tail_r12_final.txt",   // normal-exit capture
@@ -110,7 +133,7 @@ class BenchTailFixtureSpec extends AnyFunSuite {
     // cap-plus-total: the listed array is exactly the cap (8,
     // worst-first) while the total says 9 — total is authoritative
     val listed = """"watch":\[([^\]]*)\]""".r
-      .findFirstMatchIn(last).map(_.group(1).split(",").length)
+      .findFirstMatchIn(last).map(m => arrayNameCount(m.group(1)))
     assert(listed === Some(8), s"compact line must cap at 8 names:\n$last")
     assert(BenchPriors.numField(last, "watch_total") === Some(9.0),
       "watch_total must carry the UNCAPPED count")

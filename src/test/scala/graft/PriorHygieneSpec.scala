@@ -220,6 +220,98 @@ class PriorHygieneSpec extends AnyFunSuite {
       s"clean names must carry through byte-identical:\n$text")
   }
 
+  test("repin validates storm/watch names against the STRICT " +
+      "[A-Za-z0-9_]+ class BenchPriors re-parses, refusing hyphens " +
+      "and non-string values (ADVICE r18: the r17 refuse check " +
+      "inherited sanitize_id's wider [A-Za-z0-9_-], under which a " +
+      "doctored hyphenated name passed unchanged yet was invisible " +
+      "to every downstream scoped re-parse; a JSON number in the " +
+      "watch array was silently str()-coerced)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prior")
+    val out = dir.resolve("out.json")
+    // a hyphenated storm_ratio key: unchanged by sanitize (hyphen is
+    // in its class) so the r17 check passed it — but BenchPriors'
+    // "([A-Za-z0-9_]+)" scan can never match it, so the pinned ratio
+    // would be dead telemetry. Refuse.
+    val hyphenKey = tmpWrite(dir, "hyphen_key.json", artifact(
+      loadAvg = 0.2, storm = """"q1_agg":0.900,"fast-path":1.000"""))
+    val (rcH, msgH) = run("python3", "tools/repin_bench_local.py",
+      hyphenKey, "-o", out.toString, "--keep-storm-ratio")
+    assert(rcH !== 0, s"hyphenated storm_ratio key must be refused:\n$msgH")
+    assert(msgH.contains("fast-path") && msgH.contains("storm_ratio key"),
+      s"refusal must name the field and offending value:\n$msgH")
+    assert(!java.nio.file.Files.exists(out),
+      "a refused re-pin must not write the output file")
+    // a hyphenated watch name: same hole, same refusal
+    val hyphenWatch = tmpWrite(dir, "hyphen_watch.json",
+      artifact(loadAvg = 0.2, watch = """"bad-cell""""))
+    val (rcW, msgW) = run("python3", "tools/repin_bench_local.py",
+      hyphenWatch, "-o", out.toString, "--keep-storm-ratio")
+    assert(rcW !== 0, s"hyphenated watch name must be refused:\n$msgW")
+    assert(msgW.contains("bad-cell") && msgW.contains("watch name"), msgW)
+    // a JSON number smuggled into the watch array: the old path
+    // str()-coerced 42 -> "42" (which passes the character class) —
+    // now refused as a non-string
+    val numWatch = tmpWrite(dir, "num_watch.json",
+      artifact(loadAvg = 0.2, watch = "42"))
+    val (rcN, msgN) = run("python3", "tools/repin_bench_local.py",
+      numWatch, "-o", out.toString, "--keep-storm-ratio")
+    assert(rcN !== 0, s"non-string watch value must be refused:\n$msgN")
+    assert(msgN.contains("42") && msgN.contains("watch name"), msgN)
+    // boot_id stays on the PLAIN sanitize path (single-valued, no
+    // collision hazard; pinned r15 behavior): the default artifact's
+    // hyphenated "8d4f-test" — a real kernel boot UUID shape — still
+    // passes through unrefused
+    val clean = tmpWrite(dir, "clean.json", artifact(loadAvg = 0.2))
+    val (rcB, msgB) = run("python3", "tools/repin_bench_local.py",
+      clean, "-o", out.toString, "--keep-storm-ratio")
+    assert(rcB === 0, s"hyphenated boot_id must still pass:\n$msgB")
+    assert(java.nio.file.Files.readString(out)
+      .contains(""""boot_id":"8d4f-test""""),
+      "boot_id keeps the wide sanitize class (kernel UUIDs carry -)")
+  }
+
+  test("sweep_history prints a cell's prior + per-sweep ratios and an " +
+      "idle-same-boot min, excluding (by name) contended, other-boot, " +
+      "and cell-missing sweeps (VERDICT r18 item 5: the borderline " +
+      "watch-cell adjudication — 'does the fresh min beat all stored " +
+      "idle sweeps, or is the prior a lucky min?' — was previously a " +
+      "hand-grep across /tmp/sweep*.json)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prior")
+    val bootNow = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      "/proc/sys/kernel/random/boot_id")).trim
+    // prior pins the cell at 0.2000
+    val prior = tmpWrite(dir, "prior.json", artifact(loadAvg = 0.2,
+      queries = """"cellx":0.2000,"dedup_exact":2.2501"""))
+    // idle same-boot sweeps at 1.10x and 1.25x of the prior
+    val s1 = tmpWrite(dir, "sweepA.json", artifact(loadAvg = 0.25,
+      queries = """"cellx":0.2200""", bootId = bootNow))
+    val s2 = tmpWrite(dir, "sweepB.json", artifact(loadAvg = 0.30,
+      queries = """"cellx":0.2500""", bootId = bootNow))
+    // a contended sweep (load 2.5) and an other-boot sweep: both
+    // listed as EXCLUDED, neither in the min
+    val s3 = tmpWrite(dir, "sweepC.json", artifact(loadAvg = 2.5,
+      queries = """"cellx":0.1000""", bootId = bootNow))
+    val s4 = tmpWrite(dir, "sweepD.json", artifact(loadAvg = 0.2,
+      queries = """"cellx":0.0500""", bootId = "deadbeef-other"))
+    val (rc, msg) = run("python3", "tools/sweep_history.py", "cellx",
+      "--prior", prior,
+      "--sweeps", s"${dir.toString}/sweep*.json")
+    assert(rc === 0, s"sweep_history must exit 0 on parseable input:\n$msg")
+    assert(msg.contains("prior     0.2000s"), msg)
+    // the idle min is the 1.10x sweep over exactly 2 eligible sweeps —
+    // NOT the contended 0.50x or the other-boot 0.25x value
+    assert(msg.contains("min(idle same-boot)   0.2200s = 1.10x of " +
+      "prior over 2 sweep(s)"), msg)
+    assert(msg.contains("EXCLUDED"), msg)
+    assert(msg.contains("OTHER-BOOT"), msg)
+    // a cell the prior never pinned is reported, not crashed on
+    val (rc2, msg2) = run("python3", "tools/sweep_history.py", "nope",
+      "--prior", prior, "--sweeps", s"${dir.toString}/sweepA.json")
+    assert(rc2 === 0, msg2)
+    assert(msg2.contains("MISSING"), msg2)
+  }
+
   test("repin omits load_avg when the source never measured one, and " +
       "check_prior rejects the resulting unknown-contamination prior " +
       "(ADVICE r15: no fabricated -1 that reads as verified-idle)") {

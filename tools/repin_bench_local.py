@@ -98,16 +98,22 @@ def checked_id(s, context):
     covers the queries map, so none of that is caught downstream. A
     single-valued field like boot_id keeps the plain sanitize (no
     collision hazard; pinned r15 behavior). Live Bench names are
-    [A-Za-z0-9_], so real artifacts pass unchanged; a doctored one is
-    refused with the offending value named, like the queries self-check
-    refuses an un-round-trippable key."""
-    out = sanitize_id(s)
-    if out != str(s) or not out:
+    STRICTLY [A-Za-z0-9_]+ (BenchPriors' scoped re-parse matches only
+    that class), so validate against exactly that — not sanitize_id's
+    wider [A-Za-z0-9_-], under which a doctored hyphenated name would
+    pass here yet be invisible to every downstream re-parse (ADVICE
+    r18). Non-string values (e.g. a JSON number smuggled into the
+    watch array) are refused too, not str()-coerced. Real artifacts
+    pass unchanged; a doctored one is refused with the offending value
+    named, like the queries self-check refuses an un-round-trippable
+    key."""
+    if not isinstance(s, str) or not re.fullmatch(r"[A-Za-z0-9_]+", s):
         raise SystemExit(
-            f"refusing write: {context} {s!r} would be altered by "
-            f"sanitization (-> {out!r}); fix the source artifact "
-            f"instead of letting the re-pin rename it")
-    return out
+            f"refusing write: {context} {s!r} is not a plain "
+            f"[A-Za-z0-9_]+ string (the only shape live Bench emits "
+            f"and BenchPriors re-parses); fix the source artifact "
+            f"instead of letting the re-pin coerce it")
+    return s
 
 
 def load_source(path):

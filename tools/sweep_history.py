@@ -1,0 +1,127 @@
+#!/usr/bin/env python3
+"""Print a named cell's value across stored sweeps + the pinned prior.
+
+The borderline-adjudication helper VERDICT r18 asked for: when a watch
+cell's fresh idle min lands just above 1.1x of the prior, the call
+("contention vs drift vs historical-lucky-min prior") was previously
+made by hand across /tmp/sweep*.json — r18's rel_merge_upsert argument
+("the new min beats all six stored idle sweeps; the 0.276 prior is a
+lucky min") required grepping every stored artifact. This makes that
+mechanical:
+
+    python3 tools/sweep_history.py CELL [CELL...]
+        [--sweeps GLOB ...] [--prior FILE] [--git REV]
+        [--max-load 1.0]
+
+For each cell it prints the pinned prior, then one row per sweep
+artifact (value, ratio vs prior, load_avg, boot_id, and whether the
+sweep is same-boot as the current kernel), then the min over the IDLE
+(load_avg <= --max-load) same-boot sweeps and its ratio — the number
+the adjudication recipe judges against the ~1.1x line. Sweeps missing
+the cell, unparseable, or lacking telemetry are listed but excluded
+from the min (named, not silently dropped). Exit code is 0 whenever
+the inputs parse; the tool REPORTS history, the human (and the gated
+re-pin tool) still make the call.
+"""
+import argparse
+import glob
+import json
+import subprocess
+import sys
+
+
+def read_prior(path, rev):
+    if rev:
+        proc = subprocess.run(["git", "show", f"{rev}:{path}"],
+                              capture_output=True, text=True)
+        if proc.returncode != 0:
+            raise SystemExit(f"{rev}:{path}: git show failed: "
+                             f"{proc.stderr.strip()}")
+        return json.loads(proc.stdout), f"{rev}:{path}"
+    with open(path) as f:
+        return json.load(f), path
+
+
+def current_boot_id():
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            return f.read().strip()
+    except OSError:
+        return None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("cells", nargs="+", metavar="CELL")
+    ap.add_argument("--sweeps", action="append", metavar="GLOB",
+                    help="sweep artifact glob(s); default /tmp/sweep*.json")
+    ap.add_argument("--prior", default="BENCH_LOCAL.json")
+    ap.add_argument("--git", metavar="REV",
+                    help="read the prior from git at REV instead of the "
+                         "working tree (the committed prior is the one "
+                         "adjudication judges against; the working-tree "
+                         "copy is overwritten by every live run)")
+    ap.add_argument("--max-load", type=float, default=1.0,
+                    help="sweeps above this load_avg are listed but "
+                         "excluded from the idle min (default 1.0)")
+    args = ap.parse_args()
+
+    prior_doc, prior_name = read_prior(args.prior, args.git)
+    prior_q = prior_doc.get("queries") or {}
+    boot_now = current_boot_id()
+
+    paths = sorted({p for g in (args.sweeps or ["/tmp/sweep*.json"])
+                    for p in glob.glob(g)})
+    if not paths:
+        print("no sweep artifacts matched", file=sys.stderr)
+
+    sweeps = []
+    for p in paths:
+        try:
+            with open(p) as f:
+                sweeps.append((p, json.load(f)))
+        except (OSError, ValueError) as e:
+            sweeps.append((p, {"_err": str(e)}))
+
+    for cell in args.cells:
+        prior_v = prior_q.get(cell)
+        print(f"== {cell}")
+        if isinstance(prior_v, (int, float)):
+            print(f"  prior   {prior_v:8.4f}s           ({prior_name})")
+        else:
+            print(f"  prior   MISSING from {prior_name}")
+        idle_vals = []
+        for p, doc in sweeps:
+            if "_err" in doc:
+                print(f"  sweep   unreadable ({doc['_err']})  {p}")
+                continue
+            v = (doc.get("queries") or {}).get(cell)
+            load = doc.get("load_avg")
+            boot = doc.get("boot_id")
+            same = ("same-boot" if boot_now and boot == boot_now
+                    else "OTHER-BOOT" if boot else "no-boot-id")
+            if not isinstance(v, (int, float)):
+                print(f"  sweep   cell absent              {p}")
+                continue
+            ratio = (f"{v / prior_v:5.2f}x"
+                     if isinstance(prior_v, (int, float)) and prior_v > 0
+                     else "   —  ")
+            idle = (isinstance(load, (int, float)) and 0 <= load
+                    <= args.max_load and same == "same-boot")
+            if idle:
+                idle_vals.append(v)
+            tag = "idle" if idle else "EXCLUDED"
+            print(f"  sweep   {v:8.4f}s  {ratio}  load="
+                  f"{load if load is not None else '?':>5}  {same:10s}"
+                  f"  {tag:8s}  {p}")
+        if idle_vals and isinstance(prior_v, (int, float)) and prior_v > 0:
+            m = min(idle_vals)
+            print(f"  min(idle same-boot) {m:8.4f}s = {m / prior_v:.2f}x "
+                  f"of prior over {len(idle_vals)} sweep(s)")
+        elif not idle_vals:
+            print("  min(idle same-boot) — none eligible")
+        print()
+
+
+if __name__ == "__main__":
+    main()
