@@ -305,11 +305,33 @@ class PriorHygieneSpec extends AnyFunSuite {
       "prior over 2 sweep(s)"), msg)
     assert(msg.contains("EXCLUDED"), msg)
     assert(msg.contains("OTHER-BOOT"), msg)
-    // a cell the prior never pinned is reported, not crashed on
-    val (rc2, msg2) = run("python3", "tools/sweep_history.py", "nope",
-      "--prior", prior, "--sweeps", s"${dir.toString}/sweepA.json")
+    // a failed-query sentinel (-1, the value repin drops because it
+    // is not a measurement) is excluded from the min, not treated as
+    // a -5.00x "improvement"; a valid-JSON-but-not-object sweep is
+    // listed unreadable instead of crashing the remaining cells
+    val s5 = tmpWrite(dir, "zsentinel.json", artifact(loadAvg = 0.2,
+      queries = """"cellx":-1.0""", bootId = bootNow))
+    val s6 = tmpWrite(dir, "znonobj.json", "[1,2]")
+    val (rc2, msg2) = run("python3", "tools/sweep_history.py", "cellx",
+      "--prior", prior,
+      "--sweeps", s"${dir.toString}/sweepA.json",
+      "--sweeps", s"${dir.toString}/z*.json")
     assert(rc2 === 0, msg2)
-    assert(msg2.contains("MISSING"), msg2)
+    assert(msg2.contains("FAILED-SENTINEL"), msg2)
+    assert(msg2.contains("not a JSON object"), msg2)
+    assert(msg2.contains("min(idle same-boot)   0.2200s = 1.10x of " +
+      "prior over 1 sweep(s)"),
+      s"sentinel and unreadable sweeps must stay out of the min:\n$msg2")
+    // a cell the prior never pinned still reports the idle min
+    // (without a ratio), not silence
+    val s7 = tmpWrite(dir, "nopr.json", artifact(loadAvg = 0.2,
+      queries = """"nope":0.5000""", bootId = bootNow))
+    val (rc3, msg3) = run("python3", "tools/sweep_history.py", "nope",
+      "--prior", prior, "--sweeps", s7)
+    assert(rc3 === 0, msg3)
+    assert(msg3.contains("MISSING"), msg3)
+    assert(msg3.contains("min(idle same-boot)   0.5000s (no prior to " +
+      "ratio against) over 1 sweep(s)"), msg3)
   }
 
   test("repin omits load_avg when the source never measured one, and " +

@@ -18,10 +18,11 @@ artifact (value, ratio vs prior, load_avg, boot_id, and whether the
 sweep is same-boot as the current kernel), then the min over the IDLE
 (load_avg <= --max-load) same-boot sweeps and its ratio — the number
 the adjudication recipe judges against the ~1.1x line. Sweeps missing
-the cell, unparseable, or lacking telemetry are listed but excluded
-from the min (named, not silently dropped). Exit code is 0 whenever
-the inputs parse; the tool REPORTS history, the human (and the gated
-re-pin tool) still make the call.
+the cell, unparseable, carrying the negative failed-query sentinel,
+or lacking telemetry are listed but excluded from the min (named, not
+silently dropped). Exit code is 0 whenever the inputs parse; the tool
+REPORTS history, the human (and the gated re-pin tool) still make the
+call.
 """
 import argparse
 import glob
@@ -37,9 +38,13 @@ def read_prior(path, rev):
         if proc.returncode != 0:
             raise SystemExit(f"{rev}:{path}: git show failed: "
                              f"{proc.stderr.strip()}")
-        return json.loads(proc.stdout), f"{rev}:{path}"
-    with open(path) as f:
-        return json.load(f), path
+        doc, name = json.loads(proc.stdout), f"{rev}:{path}"
+    else:
+        with open(path) as f:
+            doc, name = json.load(f), path
+    if not isinstance(doc, dict):
+        raise SystemExit(f"{name}: prior is not a JSON object")
+    return doc, name
 
 
 def current_boot_id():
@@ -75,13 +80,21 @@ def main():
     if not paths:
         print("no sweep artifacts matched", file=sys.stderr)
 
+    if boot_now is None:
+        print("warning: current boot_id unreadable — same-boot cannot "
+              "be established, so ALL sweeps are excluded from the min "
+              "(labeled boot-unknown, not OTHER-BOOT)", file=sys.stderr)
+
     sweeps = []
     for p in paths:
         try:
             with open(p) as f:
-                sweeps.append((p, json.load(f)))
+                doc = json.load(f)
+            if not isinstance(doc, dict):
+                doc = {"_err": "not a JSON object"}
         except (OSError, ValueError) as e:
-            sweeps.append((p, {"_err": str(e)}))
+            doc = {"_err": str(e)}
+        sweeps.append((p, doc))
 
     for cell in args.cells:
         prior_v = prior_q.get(cell)
@@ -98,10 +111,17 @@ def main():
             v = (doc.get("queries") or {}).get(cell)
             load = doc.get("load_avg")
             boot = doc.get("boot_id")
-            same = ("same-boot" if boot_now and boot == boot_now
-                    else "OTHER-BOOT" if boot else "no-boot-id")
+            same = (("same-boot" if boot == boot_now else "OTHER-BOOT")
+                    if boot_now and boot
+                    else "no-boot-id" if not boot else "boot-unknown")
             if not isinstance(v, (int, float)):
                 print(f"  sweep   cell absent              {p}")
+                continue
+            if v < 0:
+                # the failed-query sentinel (-1): repin drops it for
+                # the same reason — it is not a measurement
+                print(f"  sweep   {v:8.4f}s  FAILED-SENTINEL  "
+                      f"{same:10s}  EXCLUDED  {p}")
                 continue
             ratio = (f"{v / prior_v:5.2f}x"
                      if isinstance(prior_v, (int, float)) and prior_v > 0
@@ -114,11 +134,14 @@ def main():
             print(f"  sweep   {v:8.4f}s  {ratio}  load="
                   f"{load if load is not None else '?':>5}  {same:10s}"
                   f"  {tag:8s}  {p}")
-        if idle_vals and isinstance(prior_v, (int, float)) and prior_v > 0:
+        if idle_vals:
             m = min(idle_vals)
-            print(f"  min(idle same-boot) {m:8.4f}s = {m / prior_v:.2f}x "
-                  f"of prior over {len(idle_vals)} sweep(s)")
-        elif not idle_vals:
+            ratio = (f" = {m / prior_v:.2f}x of prior"
+                     if isinstance(prior_v, (int, float)) and prior_v > 0
+                     else " (no prior to ratio against)")
+            print(f"  min(idle same-boot) {m:8.4f}s{ratio} "
+                  f"over {len(idle_vals)} sweep(s)")
+        else:
             print("  min(idle same-boot) — none eligible")
         print()
 
