@@ -334,6 +334,66 @@ class PriorHygieneSpec extends AnyFunSuite {
       "ratio against) over 1 sweep(s)"), msg3)
   }
 
+  test("sweep_history survives malformed load_avg and resolves --git " +
+      "priors cwd-relative (ADVICE r19: a JSON-list load_avg raised " +
+      "TypeError in the format spec and aborted the whole report; " +
+      "--git built 'REV:path' verbatim so an absolute --prior — or a " +
+      "run from a subdirectory — hit git's misleading 'exists on " +
+      "disk, but not in HEAD'; json.loads of the git-show output " +
+      "tracebacked instead of SystemExit)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prior")
+    val bootNow = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      "/proc/sys/kernel/random/boot_id")).trim
+    val prior = tmpWrite(dir, "prior.json", artifact(loadAvg = 0.2,
+      queries = """"cellx":0.2000"""))
+    // one good idle sweep, one whose load_avg is a JSON list: the
+    // malformed sweep must be listed (load rendered as '?', EXCLUDED)
+    // without aborting the report, and the min must come from the
+    // good sweep alone
+    val good = tmpWrite(dir, "sweepA.json", artifact(loadAvg = 0.25,
+      queries = """"cellx":0.2200""", bootId = bootNow))
+    tmpWrite(dir, "sweepB.json", artifact(loadAvg = 0.2,
+      queries = """"cellx":0.1000""", bootId = bootNow)
+      .replace(""""load_avg":0.2,""", """"load_avg":[1,2],"""))
+    val (rc, msg) = run("python3", "tools/sweep_history.py", "cellx",
+      "--prior", prior, "--sweeps", s"${dir.toString}/sweep*.json")
+    assert(rc === 0, s"a malformed load_avg must not abort:\n$msg")
+    assert(!msg.contains("Traceback"), msg)
+    assert(msg.contains("load=    ?"),
+      s"non-scalar load must render as '?':\n$msg")
+    assert(msg.contains("min(idle same-boot)   0.2200s = 1.10x of " +
+      "prior over 1 sweep(s)"),
+      s"the malformed sweep must stay out of the min:\n$msg")
+    // --git with an ABSOLUTE prior path: previously 'HEAD:/abs/path'
+    // failed; now relpath'd to a ./-pathspec git resolves cwd-relative
+    val abs = new java.io.File("BENCH_LOCAL.json").getAbsolutePath
+    val (rcA, msgA) = run("python3", "tools/sweep_history.py",
+      "dedup_exact", "--git", "HEAD", "--prior", abs, "--sweeps", good)
+    assert(rcA === 0, s"absolute --prior with --git must resolve:\n$msgA")
+    assert(!msgA.contains("MISSING") && msgA.contains("HEAD:"),
+      s"the committed prior must be read, not reported missing:\n$msgA")
+    // same resolution from a subdirectory with a relative path
+    val (rcS, msgS) = {
+      val out = new StringBuilder
+      val logger = ProcessLogger(l => out.append(l).append('\n'))
+      (Process(Seq("python3", "sweep_history.py", "dedup_exact",
+        "--git", "HEAD", "--prior", "../BENCH_LOCAL.json",
+        "--sweeps", good), new java.io.File("tools")).!(logger),
+        out.toString)
+    }
+    assert(rcS === 0 && !msgS.contains("MISSING"),
+      s"subdirectory --git read must resolve ../-relative:\n$msgS")
+    // --git pointed at a committed non-JSON file: SystemExit with the
+    // prior named, not an uncaught JSONDecodeError traceback
+    val (rcJ, msgJ) = run("python3", "tools/sweep_history.py", "cellx",
+      "--git", "HEAD", "--prior", "CLAUDE.md")
+    assert(rcJ !== 0, s"a non-JSON prior must fail:\n$msgJ")
+    assert(msgJ.contains("not valid JSON") && msgJ.contains("CLAUDE.md"),
+      s"the failure must name the prior and the cause:\n$msgJ")
+    assert(!msgJ.contains("Traceback"),
+      s"must be a SystemExit message, not a traceback:\n$msgJ")
+  }
+
   test("repin omits load_avg when the source never measured one, and " +
       "check_prior rejects the resulting unknown-contamination prior " +
       "(ADVICE r15: no fabricated -1 that reads as verified-idle)") {

@@ -27,21 +27,37 @@ call.
 import argparse
 import glob
 import json
+import os
 import subprocess
 import sys
 
 
 def read_prior(path, rev):
     if rev:
-        proc = subprocess.run(["git", "show", f"{rev}:{path}"],
+        # `git show REV:path` resolves a bare path against the REPO
+        # ROOT, so an absolute --prior (or the default relative path
+        # run from a subdirectory) fails with git's misleading
+        # "exists on disk, but not in HEAD". A ./- or ../-prefixed
+        # pathspec resolves against the cwd instead — which is what
+        # the caller's path actually means — so normalize to that.
+        rel = os.path.relpath(path)
+        spec = rel if rel.startswith("../") else f"./{rel}"
+        proc = subprocess.run(["git", "show", f"{rev}:{spec}"],
                               capture_output=True, text=True)
         if proc.returncode != 0:
-            raise SystemExit(f"{rev}:{path}: git show failed: "
+            raise SystemExit(f"{rev}:{spec}: git show failed: "
                              f"{proc.stderr.strip()}")
-        doc, name = json.loads(proc.stdout), f"{rev}:{path}"
+        raw, name = proc.stdout, f"{rev}:{rel}"
     else:
-        with open(path) as f:
-            doc, name = json.load(f), path
+        try:
+            with open(path) as f:
+                raw, name = f.read(), path
+        except OSError as e:
+            raise SystemExit(f"{path}: {e}")
+    try:
+        doc = json.loads(raw)
+    except ValueError as e:
+        raise SystemExit(f"{name}: prior is not valid JSON: {e}")
     if not isinstance(doc, dict):
         raise SystemExit(f"{name}: prior is not a JSON object")
     return doc, name
@@ -131,8 +147,13 @@ def main():
             if idle:
                 idle_vals.append(v)
             tag = "idle" if idle else "EXCLUDED"
-            print(f"  sweep   {v:8.4f}s  {ratio}  load="
-                  f"{load if load is not None else '?':>5}  {same:10s}"
+            # load may be any JSON value in a malformed sweep; a
+            # non-scalar inside the format spec raises TypeError, so
+            # render it defensively (non-numeric is already excluded
+            # from the min by the isinstance check above)
+            loads = (f"{load:>5}" if isinstance(load, (int, float))
+                     else f"{'?':>5}")
+            print(f"  sweep   {v:8.4f}s  {ratio}  load={loads}  {same:10s}"
                   f"  {tag:8s}  {p}")
         if idle_vals:
             m = min(idle_vals)
