@@ -1111,23 +1111,36 @@ object Relational {
     * shuffle carries registers. The 1×N result unpivots via `stack`. */
   def columnStats(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
-    val aggs = StatsColumns.flatMap { c =>
-      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-        countDistinct(col(c)).as(s"${c}_ndv"),
-        min(col(c)).cast("double").as(s"${c}_min"),
-        max(col(c)).cast("double").as(s"${c}_max"),
-        sum(col(c).cast(DecimalType(18, 6))).cast("double").as(s"${c}_sum"))
-    } :+ count(lit(1)).as("n_rows")
-    val one = li.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = StatsColumns.map { c =>
-      s"'$c', ${c}_nulls, ${c}_ndv, ${c}_min, ${c}_max, ${c}_sum"
-    }.mkString(", ")
-    one.select(col("n_rows"), expr(
-        s"stack(${StatsColumns.size}, $stackArgs) AS " +
-          "(column_name, n_nulls, n_distinct, min_val, max_val, sum_val)"))
-      .select(col("column_name"), col("n_rows"), col("n_nulls"),
-        col("n_distinct"), col("min_val"), col("max_val"), col("sum_val"))
-      .orderBy("column_name")
+    // One TWO-LEVEL aggregation branch per column instead of one
+    // 4-distinct aggregate (r21, guide §2.3 "aggregate before you
+    // shuffle"): the multi-distinct plan replicates every row once per
+    // distinct column + once for the plain aggregates (Expand ×5 — 3M
+    // rows through a single hash aggregate at sf0.1, measured 3.5 s)
+    // whereas group-by-value first dedupes map-side, so each branch
+    // shuffles at most the per-partition distinct values of ONE column
+    // and the weighted second level is group-count-sized. The branches
+    // are independent subtrees of one union — Spark runs their stages
+    // concurrently, and each scan prunes to its single column.
+    // Identical output: n = per-value multiplicity, so sum(n) = count,
+    // sum(v·n) in DECIMAL = the exact row-wise DECIMAL sum, and
+    // count(v IS NOT NULL groups) = exact NDV (countDistinct skips
+    // nulls; the null group is excluded the same way).
+    val branches = StatsColumns.map { c =>
+      li.select(col(c).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("n"))
+        .agg(
+          coalesce(sum("n"), lit(0L)).as("n_rows"),
+          coalesce(sum(when(col("v").isNull, col("n")).otherwise(0L)),
+            lit(0L)).as("n_nulls"),
+          count(when(col("v").isNotNull, 1)).as("n_distinct"),
+          min(col("v")).cast("double").as("min_val"),
+          max(col("v")).cast("double").as("max_val"),
+          sum(col("v").cast(DecimalType(18, 6)) * col("n")).cast("double")
+            .as("sum_val"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_val"), col("max_val"), col("sum_val"))
+    }
+    branches.reduce(_ unionByName _).orderBy("column_name")
   }
 
   /** SKETCH twin of [[columnStats]] — the documented 100 TB default
@@ -1153,25 +1166,37 @@ object Relational {
     * cross-engine, so `ndv_est` is hash-checked, not bounds-checked. */
   def columnStatsSketch(s: SparkSession, d: String): DataFrame = {
     val m = HllM
-    val args = StatsColumns.map(c => s"'$c', $c").mkString(", ")
-    val stacked = Tables.lineitem(s, d).select(expr(
-      s"stack(${StatsColumns.size}, $args) AS (column_name, v)"))
-    // ONE fused aggregation: counts, min/max/sum AND the register
-    // sketch ride the same groupBy — the graft.functions.HllRegAgg
-    // buffer is m ints merged by elementwise max, so the shuffle
-    // carries 4 register arrays + 4 stat rows, full stop (null hashes
-    // are skipped by the aggregate, matching the relational
-    // formulation's WHERE v IS NOT NULL)
-    val one = stacked.groupBy("column_name")
-      .agg(count(lit(1)).as("n_rows"),
-        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
-        min(col("v")).cast("double").as("min_val"),
-        max(col("v")).cast("double").as("max_val"),
-        sum(col("v").cast(DecimalType(18, 6))).cast("double").as("sum_val"),
-        graft.functions.HllRegAgg(
-          Dedup.md5hash60(
-            expr("cast(floor(v * 1000000.0) as bigint)").cast("string")),
-          m).as("regs"))
+    // DEDUPE-BEFORE-HASH, one branch per column (r21, guide §1.2 step 2
+    // — per-task work): the md5-60 chain (bigint → string → md5 →
+    // conv) dominated the fused single-pass formulation at 4 hashes
+    // per row (2.4M evaluations at sf0.1, measured 3.9 s). Registers
+    // are an elementwise MAX, so hashing each DISTINCT value once
+    // yields bit-identical registers to hashing every occurrence —
+    // group by value first (map-side combine, narrow shuffle), then
+    // hash the ~NDV survivors (583k vs 2.4M here; the null group's
+    // hash is null and HllRegAgg skips it, matching the relational
+    // formulation's WHERE v IS NOT NULL). counts/min/max/sum ride the
+    // same second level in weighted form — sum(v·n) in DECIMAL is the
+    // exact row-wise sum; see columnStats for the equivalence notes.
+    val branches = StatsColumns.map { c =>
+      Tables.lineitem(s, d).select(col(c).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("n"))
+        .agg(
+          coalesce(sum("n"), lit(0L)).as("n_rows"),
+          coalesce(sum(when(col("v").isNull, col("n")).otherwise(0L)),
+            lit(0L)).as("n_nulls"),
+          min(col("v")).cast("double").as("min_val"),
+          max(col("v")).cast("double").as("max_val"),
+          sum(col("v").cast(DecimalType(18, 6)) * col("n")).cast("double")
+            .as("sum_val"),
+          graft.functions.HllRegAgg(
+            Dedup.md5hash60(
+              expr("cast(floor(v * 1000000.0) as bigint)").cast("string")),
+            m).as("regs"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+          col("min_val"), col("max_val"), col("sum_val"), col("regs"))
+    }
+    val one = branches.reduce(_ unionByName _)
     // estimate arithmetic per 4-row result: occupied registers, the
     // dyadic-rational harmonic sum (explicit DOUBLE division — exact
     // powers of two, association-order-free, replicated by the oracle's
