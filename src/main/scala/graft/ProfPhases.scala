@@ -21,7 +21,27 @@ object ProfPhases {
     val rounds = sys.env.getOrElse("SPARK_GRAFT_PROF_ROUNDS", "3").toInt
     val names =
       if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted else args.toSeq
+    // per-job attribution: jobId, wall, call site — shows WHICH eager
+    // action (localCheckpoint at file:line, noop write) eats the build
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobStart.put(e.jobId, (System.nanoTime(),
+            e.stageInfos.map(si => s"${si.name} [${si.numTasks}]")
+              .mkString(" <- ")))
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val st = jobStart.remove(e.jobId)
+          if (st != null)
+            jobs.add(f"  job ${e.jobId}%4d ${(System.nanoTime() - st._1) / 1e9}%7.3f s  ${st._2}")
+        }
+      })
+    val showJobs = sys.env.get("SPARK_GRAFT_PROF_JOBS").contains("1")
     for (round <- 1 to rounds; name <- names) {
+      jobs.clear()
       spark.catalog.clearCache()
       def t[A](f: => A): (A, Double) = {
         val t0 = System.nanoTime(); val a = f
@@ -33,6 +53,8 @@ object ProfPhases {
         t(df.write.format("noop").mode("overwrite").save())
       println(f"XPX round$round $name build=$tBuild%.3f plan=$tPlan%.3f " +
         f"exec=$tExec%.3f total=${tBuild + tPlan + tExec}%.3f s")
+      if (showJobs) { Thread.sleep(100)
+        jobs.forEach(l => println(l)) }
     }
     spark.stop()
   }

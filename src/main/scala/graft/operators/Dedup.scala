@@ -368,6 +368,10 @@ object Dedup {
 
   /** [[minhashCandidates]] over any (doc_id, s) shingle frame. */
   private[graft] def minhashCandidatesOn(sh: DataFrame): DataFrame = {
+    // the two legs' identical signature pipelines are unified at
+    // runtime by AQE's stage reuse (one ReusedExchange — measured r21;
+    // an explicit localCheckpoint here measured SLOWER, its
+    // materialization barrier beats the reuse it duplicates)
     val bands = minhashBandsOn(sh)
     bands.toDF("i", "band", "bkey")
       .join(bands.toDF("j", "band2", "bkey2"),
@@ -454,6 +458,15 @@ object Dedup {
     * co-shingle join, and return (i, j, c, sz_i, sz_j) for the caller's
     * similarity arithmetic ([[verifyJaccardPairs]] /
     * [[verifyContainmentPairs]]). */
+  /** Broadcast cap for the verify-stage support frames (candidate
+    * pairs, candidate doc ids, per-candidate-doc sizes — all bounded by
+    * the candidate count): pairs under this count broadcast-join
+    * (16-byte rows → ≲ 100 MB hash relations with overhead, well under
+    * the 8 GB broadcast ceiling); past it the joins stay shuffles — the
+    * same measured-demotion discipline as [[VerifyBroadcastMaxVectors]].
+    * A checkpointed `cands.count()` is one metadata-cheap job. */
+  val VerifyBroadcastMaxCandidates: Long = 2L * 1024 * 1024
+
   private def candidateIntersection(
       sh: DataFrame, cands0: DataFrame): DataFrame = {
     // cands is consumed three times (both legs of the doc restriction and
@@ -465,12 +478,24 @@ object Dedup {
     // that never clearCache() (r7 VERDICT cache-leak class; the
     // [[simhashPairs]] discipline)
     val cands = cands0.localCheckpoint()
-    val candDocs = cands.select(col("i").as("doc_id"))
+    // EXPLICIT broadcast of candDocs under
+    // [[VerifyBroadcastMaxCandidates]] (r21, guide §3.1): a
+    // localCheckpoint's size estimate inherits the pre-checkpoint
+    // JOIN-subtree estimate (wildly high), so the planner demoted the
+    // restriction join to SortMergeJoin — the one join here whose
+    // PROBE side is the corpus-wide shingle frame. AQE converts it
+    // back to broadcast at runtime, but only after the frame's
+    // shuffle-write map stage has run — exactly the r11
+    // demotion-trap bytes curve — so the hint is load-bearing at
+    // scale. The OTHER verify joins (cands⋈inter, the two size
+    // attaches) are candidate-bounded on BOTH sides at any corpus
+    // size; hinting them too measured SLOWER locally (three more
+    // sequential driver-side broadcast builds), so they stay with
+    // AQE. Past the cap the join stays a shuffle by design.
+    val small = cands.count() <= VerifyBroadcastMaxCandidates
+    val candDocs0 = cands.select(col("i").as("doc_id"))
       .union(cands.select(col("j").as("doc_id"))).distinct()
-    // candDocs is tiny (bounded by the candidate count) → the restriction
-    // is a broadcast join, no shuffle of the shingle frame. Materialized
-    // (localCheckpoint, candidate-bounded rows) because it feeds both
-    // legs of the intersection join AND the size aggregation below.
+    val candDocs = if (small) broadcast(candDocs0) else candDocs0
     val shCand = sh.join(candDocs, "doc_id").localCheckpoint()
     // |A| per candidate doc from the RESTRICTED frame — identical values
     // (the restriction keeps every shingle of a candidate doc) but avoids
@@ -573,11 +598,15 @@ object Dedup {
     * exact integer arithmetic (see [[prefixCandidates]]). */
   private def prefixIndex(sh: DataFrame, num: Int, den: Int): DataFrame = {
     require(num > 0 && num < den, s"threshold $num/$den not in (0,1)")
-    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    // df via an unordered window over s instead of groupBy(s) + join
+    // back (r21, guide §2.4): the join formulation paid Exchange(s) on
+    // BOTH join legs plus the aggregate's own exchange; the window is
+    // one Exchange(s) + sort over the same frame, same values.
     val wDoc = Window.partitionBy("doc_id").orderBy(asc("df"), asc("s"))
     // sz via an unordered window over the SAME doc_id partitioning as the
     // rank — both window specs share one Exchange + Sort (no extra shuffle)
-    val ranked = sh.join(dfreq, "s")
+    val ranked = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
       .withColumn("pos", row_number().over(wDoc))
     ranked
@@ -587,6 +616,10 @@ object Dedup {
   }
 
   private[graft] def prefixCandidates(sh: DataFrame, num: Int, den: Int): DataFrame = {
+    // the self-join legs' identical window subtrees are unified at
+    // runtime by AQE stage reuse (measured r21: an explicit
+    // localCheckpoint here was ~equal-to-slower — the barrier costs
+    // what the reuse already saves)
     val prefix = prefixIndex(sh, num, den)
     prefix.toDF("i", "sa")
       .join(prefix.toDF("j", "sb"),
