@@ -270,12 +270,21 @@ object Similarity {
   def kmeansCentroids(e: DataFrame, iters: Int): DataFrame = {
     var cents = defaultCentroids(e)
     for (_ <- 1 to iters) {
+      // argmax via max_by over the (ccos, −cent_id) tuple instead of a
+      // row_number window (r21; the [[prototypeClassifyOn]] /
+      // [[coarseCellsProbes]] rule): same (ccos DESC, cent_id ASC)
+      // total order, but the aggregate reduces map-side — the shuffle
+      // carries n assigned rows, not the n×k scored cross rows the
+      // window sorted. The embedding rides the value struct (constant
+      // per vec_id group).
       val assigned = e.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("cent_id"), col("embedding"),
           CosineSimilarity(col("embedding"), col("cv")).as("ccos"))
-        .withColumn("crn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cent_id"))))
-        .filter(col("crn") === 1)
+        .groupBy("vec_id")
+        .agg(max_by(struct(col("cent_id"), col("embedding")),
+          struct(col("ccos"), -col("cent_id"))).as("a"))
+        .select(col("a.cent_id").as("cent_id"),
+          col("a.embedding").as("embedding"))
       val next = assigned
         .select(col("cent_id"), posexplode(col("embedding")).as(Seq("d", "x")))
         .groupBy("cent_id", "d")
@@ -674,13 +683,22 @@ object Similarity {
     * argmin reduces map-side (partial agg) rather than sorting the
     * n×M×Codes distance frame through a window exchange. */
   private def pqEncode(subs: DataFrame, cb: DataFrame): DataFrame =
+    pqEncodeWith(subs, cb).select("vec_id", "m", "cell")
+
+  /** [[pqEncode]] carrying the subvector through the argmin (constant
+    * per (vec_id, m) group) — lets the Lloyd update consume codes
+    * WITHOUT re-joining `subs` on (vec_id, m), one exchange + join
+    * fewer per training iteration (r21). */
+  private def pqEncodeWith(subs: DataFrame, cb: DataFrame): DataFrame =
     subs.join(broadcast(cb), Seq("m"))
-      .select(col("vec_id"), col("m"), col("cell"),
+      .select(col("vec_id"), col("m"), col("sub"), col("cell"),
         aggregate(zip_with(col("sub"), col("cv"),
           (x, y) => (x - y) * (x - y)), lit(0L), _ + _).as("d2"))
       .groupBy("vec_id", "m")
-      .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
-      .select("vec_id", "m", "cell")
+      .agg(min_by(struct(col("cell"), col("sub")),
+        struct(col("d2"), col("cell"))).as("a"))
+      .select(col("vec_id"), col("m"), col("a.cell").as("cell"),
+        col("a.sub").as("sub"))
 
   /** Per-subspace Lloyd (k-means) refinement of the PQ codebooks — the
     * training step that separates a real product quantizer from the
@@ -703,8 +721,9 @@ object Similarity {
       iters: Int): DataFrame = {
     var cb = pqCodebook(e, subs)
     for (_ <- 1 to iters) {
-      val codes = pqEncode(subs, cb)
-      val next = subs.join(codes, Seq("vec_id", "m"))
+      // codes WITH their subvectors ([[pqEncodeWith]]) — no re-join of
+      // `subs` on (vec_id, m) per iteration (r21)
+      val next = pqEncodeWith(subs, cb)
         .select(col("m"), col("cell"), posexplode(col("sub")).as(Seq("dd", "qv")))
         .groupBy("m", "cell", "dd")
         .agg(expr("sum(qv) div count(1)").as("cq"))
