@@ -466,10 +466,16 @@ object SparkEntry {
     //     counts over rollups without re-reading the fact table); each
     //     engine bounds-checks its own sketch against the exact count ---
     "rel_hll_sketch_union" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-      val grouped = li.groupBy("l_returnflag")
+      // dedupe FIRST (r21, the rel_column_stats move): HLL updates are
+      // idempotent in the retained set, so sketching the distinct
+      // (flag, partkey) pairs yields the same estimates as sketching
+      // every row — and `exact_parts` becomes a plain count, removing
+      // the countDistinct-beside-a-sketch Expand over the fact table
+      val pairs = Tables.lineitem(s, d)
+        .select("l_returnflag", "l_partkey").distinct()
+      val grouped = pairs.groupBy("l_returnflag")
         .agg(hll_sketch_agg(col("l_partkey")).as("sk"),
-          countDistinct(col("l_partkey")).as("exact_parts"))
+          count(lit(1)).as("exact_parts"))
         // consumed twice (per-group rows + the merged ALL row): an eager
         // localCheckpoint materializes once and its blocks are released
         // when the frame is GC'd — a bare persist() lingered in the
@@ -479,7 +485,7 @@ object SparkEntry {
         col("exact_parts"), hll_sketch_estimate(col("sk")).as("ap"))
       val merged = grouped.agg(hll_union_agg(col("sk")).as("sk"))
         .crossJoin(broadcast(
-          li.agg(countDistinct(col("l_partkey")).as("exact_parts"))))
+          pairs.agg(countDistinct(col("l_partkey")).as("exact_parts"))))
         .select(lit("ALL").as("l_returnflag"), col("exact_parts"),
           hll_sketch_estimate(col("sk")).as("ap"))
       perFlag.union(merged)

@@ -2808,11 +2808,17 @@ object Relational {
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_shipdate") > col("o_orderdate") + lagUs).as("late"))
-    val perOrder = base.groupBy("l_orderkey")
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
     val perSupp = base.groupBy("l_orderkey", "l_suppkey")
       .agg(max(col("late")).as("was_late"))
+    // per-order distinct-supplier counters FROM perSupp (r21): one row
+    // per (order, supplier) already exists there, so n_supp is a plain
+    // count and n_late counts the was_late rows — replaces the
+    // two-countDistinct aggregate over the full joined fact (Expand ×3
+    // row replication) with a group-count-sized reaggregation; AQE
+    // reuses perSupp's exchange for both consumers
+    val perOrder = perSupp.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp"),
+        count(when(col("was_late"), 1)).as("n_late"))
     perSupp.filter(col("was_late"))
       .join(perOrder, Seq("l_orderkey"))
       .filter(col("n_supp") >= 2 && col("n_late") === 1)
