@@ -571,23 +571,36 @@ object Similarity {
     * rows per method. */
   def recallAtK(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     val e = emb(s, d)
+    // The panel builds THREE independent eager chains (the brute
+    // baseline's localCheckpoint, the k-means coarse training, the PQ
+    // Lloyd training) whose jobs otherwise run back-to-back on the
+    // construction thread — overlap them on futures so the scheduler
+    // back-fills (guide §2.6: actions are only sequential because the
+    // driver calls them sequentially). Each chain is deterministic and
+    // independent, so results are unchanged. The lazy legs cost
+    // nothing to build and ride along for uniformity.
     // consumed once per method + once for the per-query denominator;
     // localCheckpoint (not persist) — the frame is #queries × K rows, so
     // eager materialization is free and nothing lingers in the SQL cache
     // for callers that never clearCache() (ADVICE r5)
-    val brute = bruteTopKOn(e).select("query_id", "neighbor_id")
-      .localCheckpoint()
-    val approx = Seq(
-      "ivf" -> ivfTopKOn(e),
-      "ivf_kmeans" -> ivfTopKOn(e, kmeansCentroids(e, KmeansIters)),
-      "lsh" -> lshTopKOn(e),
-      "pq" -> pqTopKOn(e),
-      "pq_trained" -> pqTrainedTopKOn(e),
-      "ivfpq" -> ivfPqTopKOn(e),
+    val bruteF = Future(
+      bruteTopKOn(e).select("query_id", "neighbor_id").localCheckpoint())
+    val approxF: Seq[(String, Future[DataFrame])] = Seq(
+      "ivf" -> Future(ivfTopKOn(e)),
+      "ivf_kmeans" -> Future(ivfTopKOn(e, kmeansCentroids(e, KmeansIters))),
+      "lsh" -> Future(lshTopKOn(e)),
+      "pq" -> Future(pqTopKOn(e)),
+      "pq_trained" -> Future(pqTrainedTopKOn(e)),
+      "ivfpq" -> Future(ivfPqTopKOn(e)),
       // the raw-encoded audit leg: same cells/seeds/probes, PQ over raw
       // vectors — the panel makes "residual ≥ raw" a measured result
-      "ivfpq_raw" -> ivfPqTopKOn(e, residual = false))
+      "ivfpq_raw" -> Future(ivfPqTopKOn(e, residual = false)))
+    val brute = Await.result(bruteF, Duration.Inf)
+    val approx = approxF.map { case (m, f) => m -> Await.result(f, Duration.Inf) }
     val unioned = approx.map { case (m, df) =>
       df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
     }.reduce(_ union _)
