@@ -49,6 +49,10 @@ object GraftFunctions {
         else LshBuckets(args.head)),
     ("vector_norm", classOf[VectorNorm].getName,
       args => VectorNorm(args.head)),
+    ("intvec_dot", classOf[IntVecDot].getName,
+      args => IntVecDot(args.head, args(1))),
+    ("intvec_sqdist", classOf[IntVecSqDist].getName,
+      args => IntVecSqDist(args.head, args(1))),
     ("simhash_agg", classOf[SimHashAgg].getName,
       args => SimHashAgg(args.head).toAggregateExpression()),
     ("topk_agg", classOf[TopKAgg].getName,

@@ -54,5 +54,40 @@ object Tables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+
+  /** [[documents]] with a FLOOR on scan parallelism (r21, guide §2.5
+    * input skew / §2.4): the corpus parquet can be a single small file
+    * (594 KB at sf0.1 → ONE scan split), and the text-heavy consumers
+    * (shingling, minhash signatures) fan each doc out ~200× map-side —
+    * with the old explode+`.distinct()` shape the distinct's Exchange
+    * incidentally re-spread that work across the cluster; after the
+    * r21 map-side dedup removed it, every downstream exchange's map
+    * side ran single-task. Repartitioning the DOCS (1× text bytes)
+    * by doc_id is strictly cheaper than the removed shuffle of the
+    * ~3× larger exploded shingle frame, deterministic (hash of a
+    * stable key — guide §2.5's retry rule), and SCALE-ADAPTIVE: the
+    * explicit partition count pins the exchange at the session's
+    * default parallelism (cores, any master), and at real corpus
+    * sizes the scan already exceeds it, so no exchange is added at
+    * all. */
+  def documentsSpread(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val docs = documents(s, d)
+    val p = s.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions < p) docs.repartition(p, col("doc_id"))
+    else docs
+  }
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** [[embeddings]] behind the same scan-parallelism floor as
+    * [[documentsSpread]] — the vector corpus is the other single-small-
+    * file input whose consumers do heavy per-row map work (64-dim
+    * cosine/quantize/posexplode chains) before their first exchange. */
+  def embeddingsSpread(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val e = embeddings(s, d)
+    val p = s.sparkContext.defaultParallelism
+    if (e.rdd.getNumPartitions < p) e.repartition(p, col("vec_id"))
+    else e
+  }
 }

@@ -902,10 +902,10 @@ object Curation {
     * doc. At 100 TB this is the shape you want: no window, no all-pairs,
     * and the train set is reusable across evaluation suites. */
   def contamination(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    val docs = Tables.documentsSpread(s, d)
     val sh = docs.select(col("doc_id"),
-        explode(graft.functions.WordShingles(col("text"), 3)).as("s"))
-      .distinct()
+        explode(array_distinct(
+          graft.functions.WordShingles(col("text"), 3))).as("s"))
     val split = docs.select(col("doc_id"),
       splitCol(pctBucket(col("doc_id"))).as("split"))
     val shSplit = sh.join(split, "doc_id")

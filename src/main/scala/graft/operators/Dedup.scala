@@ -85,11 +85,33 @@ object Dedup {
   // 2. exact n-gram (word-shingle) Jaccard pairs
   // ------------------------------------------------------------------
 
-  /** doc_id → distinct word-3-shingles (inverted-index input). */
+  /** doc_id → (distinct word-3-shingle, per-doc set size) — the
+    * inverted-index input.
+    *
+    * Two r21 map-side moves (guide §2.4 — remove shuffles outright):
+    *  - per-doc dedup via `array_distinct` BEFORE the explode: the old
+    *    row-level `.distinct()` hashed the full (doc_id, shingle)
+    *    frame — the heaviest frame in the dedup family — through an
+    *    Exchange purely to drop within-document repeats, which the
+    *    array form drops for free inside the scan stage. distinct was
+    *    keyed by (doc_id, s), so the result set is identical.
+    *  - `sz` = |doc's shingle set| rides along from the scan
+    *    (`size` of the SAME deduped array, one WordShingles eval):
+    *    every verify stage previously re-derived it with a
+    *    groupBy(doc_id) aggregate (one more Exchange of the shingle
+    *    frame) plus TWO join-backs onto the pair frame; now it is a
+    *    grouping-key passenger ([[guardedIntersection]] /
+    *    [[candidateIntersection]]). Same value by construction —
+    *    count of distinct shingles ≡ size of the distinct array.
+    *    Consumers that don't use `sz` (minhash signatures, band
+    *    joins) lose nothing: Catalyst's column pruning drops the
+    *    unused `size()` projection. */
   private def shingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), explode(WordShingles(col("text"), 3)).as("s"))
-      .distinct()
+    Tables.documentsSpread(s, d)
+      .select(col("doc_id"),
+        array_distinct(WordShingles(col("text"), 3)).as("arr"))
+      .select(col("doc_id"), explode(col("arr")).as("s"),
+        size(col("arr")).cast("long").as("sz"))
 
   /** [[shingles]], persisted. The Jaccard pair queries branch off the
     * shingle frame 4-6 times in one plan (candidates, sizes, both sides
@@ -125,19 +147,36 @@ object Dedup {
     * sizes — for the caller's similarity arithmetic.
     * The eager guard is one aggregate over the (persisted) shingle
     * frame; its materialization is reused by every branch below. */
-  private def guardedIntersection(sh: DataFrame,
+  /** Attach the per-doc shingle-set size when the caller's frame does
+    * not already carry it: [[shingles]] computes `sz` MAP-SIDE from the
+    * scan (free), so every production path is a no-op here; ad-hoc
+    * 2-column (doc_id, s) frames (tests, external callers) fall back to
+    * the window derivation — same value, one extra exchange. */
+  private[graft] def withDocSetSize(sh: DataFrame): DataFrame =
+    if (sh.columns.contains("sz")) sh
+    else sh.withColumn("sz",
+      count(lit(1)).over(Window.partitionBy("doc_id")))
+
+  private def guardedIntersection(sh0: DataFrame,
       what: String, hint: String): DataFrame = {
+    val sh = withDocSetSize(sh0)
     val maxDf = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .agg(max("df")).head().getLong(0)
     GraftRefusal.check(maxDf <= MaxNaiveShingleDf,
       s"$what refused: max per-shingle df $maxDf > " +
         s"$MaxNaiveShingleDf (quadratic fan-out); $hint")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    sh.toDF("i", "sa")
-      .join(sh.toDF("j", "sb"), col("sa") === col("sb") && col("i") < col("j"))
-      .groupBy("i", "j").agg(count(lit(1)).as("c"))
-      .join(sizes.toDF("i", "sz_i"), "i")
-      .join(sizes.toDF("j", "sz_j"), "j")
+    // sz_i/sz_j ride the co-shingle join as grouping-key passengers
+    // (r21): [[shingles]] computes them map-side, so the old
+    // groupBy(doc_id) size aggregate + two join-backs are gone — the
+    // partial agg reduces (i, j) groups map-side exactly as before,
+    // the exchange just carries two extra longs per GROUP. sz is
+    // functionally determined by the id, so the group set is identical.
+    sh.select(col("doc_id").as("i"), col("s").as("sa"),
+        col("sz").as("sz_i"))
+      .join(sh.select(col("doc_id").as("j"), col("s").as("sb"),
+          col("sz").as("sz_j")),
+        col("sa") === col("sb") && col("i") < col("j"))
+      .groupBy("i", "j", "sz_i", "sz_j").agg(count(lit(1)).as("c"))
   }
 
   private[graft] def jaccardAll(sh: DataFrame, t: Double): DataFrame =
@@ -416,8 +455,10 @@ object Dedup {
   def incrementalDedupOn(docs: DataFrame, isNew: Column): DataFrame = {
     val flags = docs.select(col("doc_id"), isNew.as("is_new"))
     val sh = docs
-      .select(col("doc_id"), explode(WordShingles(col("text"), 3)).as("s"))
-      .distinct()
+      .select(col("doc_id"),
+        array_distinct(WordShingles(col("text"), 3)).as("arr"))
+      .select(col("doc_id"), explode(col("arr")).as("s"),
+        size(col("arr")).cast("long").as("sz"))
     val bands = minhashBandsOn(sh).join(flags, "doc_id")
     val cands = bands.filter(col("is_new"))
       .select(col("doc_id").as("n"), col("band"), col("bkey"))
@@ -468,7 +509,8 @@ object Dedup {
   val VerifyBroadcastMaxCandidates: Long = 2L * 1024 * 1024
 
   private def candidateIntersection(
-      sh: DataFrame, cands0: DataFrame): DataFrame = {
+      sh0: DataFrame, cands0: DataFrame): DataFrame = {
+    val sh = withDocSetSize(sh0)
     // cands is consumed three times (both legs of the doc restriction and
     // the final join); without materialization each consumer re-evaluates
     // the whole candidate-generation subtree (bands/windows/self-join).
@@ -497,18 +539,20 @@ object Dedup {
       .union(cands.select(col("j").as("doc_id"))).distinct()
     val candDocs = if (small) broadcast(candDocs0) else candDocs0
     val shCand = sh.join(candDocs, "doc_id").localCheckpoint()
-    // |A| per candidate doc from the RESTRICTED frame — identical values
-    // (the restriction keeps every shingle of a candidate doc) but avoids
-    // re-aggregating + re-shuffling the full corpus-wide shingle frame,
-    // which was the dominant verify-stage cost (measured ~2s at sf0.1).
-    val sizes = shCand.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = shCand.toDF("i", "sa")
-      .join(shCand.toDF("j", "sb"),
+    // |A|/|B| ride the co-shingle join as grouping-key passengers: the
+    // shingle frame carries its per-doc set size map-side from the
+    // scan ([[shingles]], r21), so the former RESTRICTED-frame size
+    // aggregate and its two join-backs are gone — the partial agg
+    // still reduces (i, j) groups map-side; the exchange carries two
+    // extra longs per group. sz is functionally determined by the
+    // doc id, so the group set is identical.
+    val inter = shCand.select(col("doc_id").as("i"), col("s").as("sa"),
+        col("sz").as("sz_i"))
+      .join(shCand.select(col("doc_id").as("j"), col("s").as("sb"),
+          col("sz").as("sz_j")),
         col("sa") === col("sb") && col("i") < col("j"))
-      .groupBy("i", "j").agg(count(lit(1)).as("c"))
+      .groupBy("i", "j", "sz_i", "sz_j").agg(count(lit(1)).as("c"))
     cands.join(inter, Seq("i", "j"))
-      .join(sizes.toDF("i", "sz_i"), "i")
-      .join(sizes.toDF("j", "sz_j"), "j")
   }
 
   /** Exact-Jaccard verification of candidate (i, j) pairs: shared tail of
@@ -596,18 +640,19 @@ object Dedup {
     * candidate generators: each doc's first `sz − ⌈t·sz⌉ + 1` shingles
     * in (global document frequency, shingle) order — t = num/den in
     * exact integer arithmetic (see [[prefixCandidates]]). */
-  private def prefixIndex(sh: DataFrame, num: Int, den: Int): DataFrame = {
+  private def prefixIndex(sh0: DataFrame, num: Int, den: Int): DataFrame = {
     require(num > 0 && num < den, s"threshold $num/$den not in (0,1)")
+    val sh = withDocSetSize(sh0)
     // df via an unordered window over s instead of groupBy(s) + join
     // back (r21, guide §2.4): the join formulation paid Exchange(s) on
     // BOTH join legs plus the aggregate's own exchange; the window is
     // one Exchange(s) + sort over the same frame, same values.
     val wDoc = Window.partitionBy("doc_id").orderBy(asc("df"), asc("s"))
-    // sz via an unordered window over the SAME doc_id partitioning as the
-    // rank — both window specs share one Exchange + Sort (no extra shuffle)
+    // sz arrives map-side from the scan ([[shingles]], r21) — the
+    // former unordered count window over doc_id shared the rank's
+    // Exchange + Sort but still evaluated a second window function
     val ranked = sh
       .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
       .withColumn("pos", row_number().over(wDoc))
     ranked
       .filter(col("pos") <=
@@ -646,7 +691,8 @@ object Dedup {
   private[graft] def containmentPrefixCandidates(
       sh: DataFrame, num: Int, den: Int): DataFrame =
     prefixIndex(sh, num, den).toDF("x", "sa")
-      .join(sh.toDF("y", "sb"), col("sa") === col("sb") && col("x") =!= col("y"))
+      .join(sh.select(col("doc_id").as("y"), col("s").as("sb")),
+        col("sa") === col("sb") && col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("i"),
         greatest(col("x"), col("y")).as("j"))
       .distinct()
@@ -870,7 +916,7 @@ object Dedup {
     * Correctness baseline for [[embeddingLshPairs]] and [[Similarity]]'s
     * bucketed ANN; guarded by [[MaxBrutePairVectors]]. */
   def embeddingPairs(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+    val e = Tables.embeddingsSpread(s, d)
     val n = embeddingCorpusCount(s, d) // memoized metadata-only count
     GraftRefusal.check(n <= MaxBrutePairVectors,
       s"brute embeddingPairs refused: $n vectors > $MaxBrutePairVectors " +
@@ -898,7 +944,7 @@ object Dedup {
     * SQL: the approximation itself is cross-engine-checked exactly,
     * rather than pretending the operator equals the brute baseline. */
   def embeddingLshPairs(s: SparkSession, d: String): DataFrame =
-    embeddingLshPairsOn(Tables.embeddings(s, d),
+    embeddingLshPairsOn(Tables.embeddingsSpread(s, d),
       graft.functions.LshBuckets.Tables, graft.functions.LshBuckets.Bits)
 
   /** Occupancy guard for the LSH candidate join (r8 — added after
@@ -928,7 +974,7 @@ object Dedup {
     * end-to-end, so the different (deterministic) recall set is
     * hash-checked, not assumed. */
   def embeddingLshPairsWide(s: SparkSession, d: String): DataFrame =
-    embeddingLshPairsOn(Tables.embeddings(s, d), WideLshTables, WideLshBits)
+    embeddingLshPairsOn(Tables.embeddingsSpread(s, d), WideLshTables, WideLshBits)
 
   private def embeddingLshPairsOn(
       e: DataFrame, tables: Int, bits: Int,
@@ -1111,7 +1157,7 @@ object Dedup {
     * replicates the composition in SQL, so the (deterministically)
     * different recall set is hash-checked, not assumed. */
   def embeddingLshPairsComposite(s: SparkSession, d: String): DataFrame =
-    embeddingLshPairsCompositeOn(Tables.embeddings(s, d),
+    embeddingLshPairsCompositeOn(Tables.embeddingsSpread(s, d),
       broadcastVerify =
         embeddingCorpusCount(s, d) <= VerifyBroadcastMaxVectors)
 
@@ -1166,7 +1212,7 @@ object Dedup {
     // the plant adds n/stride twins; keep the broadcast decision on
     // the AUGMENTED count so the hint can never overshoot the cap
     val n = embeddingCorpusCount(s, d)
-    embeddingLshPairsCompositeOn(plantedNearDupCorpus(Tables.embeddings(s, d)),
+    embeddingLshPairsCompositeOn(plantedNearDupCorpus(Tables.embeddingsSpread(s, d)),
       broadcastVerify =
         n + n / CompositePlantStride <= VerifyBroadcastMaxVectors)
   }
@@ -1231,7 +1277,7 @@ object Dedup {
     * broadcast→shuffle demotion as the signature frame outgrows the
     * 10 MB threshold) is measured, not conjectured. */
   private[graft] def scaledBuckets(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+    val e = Tables.embeddingsSpread(s, d)
     val (t, b) = scaledLshGeometry(embeddingCorpusCount(s, d))
     e.select(col("vec_id"),
       posexplode(graft.functions.LshBuckets(col("embedding"), t, b))
@@ -1258,7 +1304,7 @@ object Dedup {
     * audit. */
   def embeddingLshPairsScaled(s: SparkSession, d: String): DataFrame =
     // memoized parquet row-count metadata — one job per (session, corpus)
-    embeddingLshPairsScaledOn(Tables.embeddings(s, d),
+    embeddingLshPairsScaledOn(Tables.embeddingsSpread(s, d),
       embeddingCorpusCount(s, d))
 
   /** [[embeddingLshPairsScaled]] over an arbitrary (vec_id, embedding)
@@ -1302,7 +1348,7 @@ object Dedup {
     * themselves are corpus-size-free ratios. */
   def lshGeometryEval(s: SparkSession, d: String): DataFrame = {
     import graft.functions.LshBuckets
-    val e = Tables.embeddings(s, d)
+    val e = Tables.embeddingsSpread(s, d)
     val n = embeddingCorpusCount(s, d) // memoized metadata-only count
     GraftRefusal.check(n <= MaxBrutePairVectors,
       s"lshGeometryEval refused: $n vectors > $MaxBrutePairVectors " +

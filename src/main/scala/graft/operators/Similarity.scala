@@ -33,7 +33,7 @@ object Similarity {
   val NumQueries = 10 // queries = vec_id < NumQueries
 
   private def emb(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
+    Tables.embeddingsSpread(s, d)
 
   /** Exact brute-force top-k: broadcast queries × streamed corpus. */
   def bruteTopK(s: SparkSession, d: String): DataFrame =
@@ -705,8 +705,7 @@ object Similarity {
   private def pqEncodeWith(subs: DataFrame, cb: DataFrame): DataFrame =
     subs.join(broadcast(cb), Seq("m"))
       .select(col("vec_id"), col("m"), col("sub"), col("cell"),
-        aggregate(zip_with(col("sub"), col("cv"),
-          (x, y) => (x - y) * (x - y)), lit(0L), _ + _).as("d2"))
+        graft.functions.IntVecSqDist(col("sub"), col("cv")).as("d2"))
       .groupBy("vec_id", "m")
       .agg(min_by(struct(col("cell"), col("sub")),
         struct(col("d2"), col("cell"))).as("a"))
@@ -786,8 +785,7 @@ object Similarity {
       .toDF("query_id", "m", "qsub")
       .join(broadcast(cb), Seq("m"))
       .select(col("query_id"), col("m"), col("cell"),
-        aggregate(zip_with(col("qsub"), col("cv"), (x, y) => x * y),
-          lit(0L), _ + _).as("pdot"))
+        graft.functions.IntVecDot(col("qsub"), col("cv")).as("pdot"))
     // top-K by (adc DESC, vec_id ASC) through the same bounded-heap
     // aggregate as [[bruteTopKOn]]/[[rerank]] — ADC scores the ENTIRE
     // corpus per query by design, so a row_number window here would
@@ -926,8 +924,7 @@ object Similarity {
     // min_by argmin (map-side partial agg, no window)
     val codes = rsubs.join(broadcast(cb), Seq("m"))
       .select(col("vec_id"), col("cent_id"), col("m"), col("cell"),
-        aggregate(zip_with(col("sub"), col("cv"),
-          (x, y) => (x - y) * (x - y)), lit(0L), _ + _).as("d2"))
+        graft.functions.IntVecSqDist(col("sub"), col("cv")).as("d2"))
       .groupBy("vec_id", "cent_id", "m")
       .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
     // per-(query, probed cell) residual LUT: exact integer L2² to every
@@ -944,8 +941,7 @@ object Similarity {
           .as(Seq("m", "sub")))
       .join(broadcast(cb), Seq("m"))
       .select(col("query_id"), col("cent_id"), col("m"), col("cell"),
-        aggregate(zip_with(col("sub"), col("cv"),
-          (x, y) => (x - y) * (x - y)), lit(0L), _ + _).as("pd2"))
+        graft.functions.IntVecSqDist(col("sub"), col("cv")).as("pd2"))
     // score ONLY candidates in probed cells (the cent_id join key);
     // shortlist by (adc ASC, vec_id ASC) via the bounded heap on −adc,
     // then exact-cosine rerank of the shortlist (the shared bounded-heap
@@ -992,8 +988,7 @@ object Similarity {
     def minD2(sv: DataFrame, cb: DataFrame): DataFrame =
       sv.join(broadcast(cb), Seq("m"))
         .select(col("vec_id"), col("m"),
-          aggregate(zip_with(col("sub"), col("cv"),
-            (x, y) => (x - y) * (x - y)), lit(0L), _ + _).as("d2"))
+          graft.functions.IntVecSqDist(col("sub"), col("cv")).as("d2"))
         .groupBy("vec_id", "m").agg(min("d2").as("d2"))
     def leg(name: String, md: DataFrame): DataFrame =
       md.agg(count(lit(1)).as("n_subvectors"), sum("d2").as("total_d2"))
@@ -1273,9 +1268,9 @@ object Similarity {
       .select(col("query_id"), col("nb.id").as("doc_id"),
         (col("p") + 1).as("rank_sem"))
     // — lexical leg: shared distinct 3-shingles vs the broadcast query set
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), explode(WordShingles(col("text"), 3)).as("s"))
-      .distinct()
+    val sh = Tables.documentsSpread(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(WordShingles(col("text"), 3))).as("s"))
     val qsh = sh.filter(col("doc_id") < NumQueries)
       .select(col("doc_id").as("query_id"), col("s"))
     val lex = sh.join(broadcast(qsh), Seq("s"))
@@ -1335,7 +1330,7 @@ object Similarity {
     val quant: Column => Column =
       arr => transform(arr, x => floor(x.cast("double") * lit(1048576.0)).cast("long"))
     def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+      graft.functions.IntVecDot(a, b)
     val qv = e.select(col("vec_id"), quant(col("embedding")).as("qv"))
       .select(col("vec_id"), col("qv"), dot(col("qv"), col("qv")).as("nq"))
     val qc = cents.select(col("cent_id"), quant(col("cv")).as("qc"))
@@ -1387,7 +1382,7 @@ object Similarity {
     val quant: Column => Column =
       arr => transform(arr, x => floor(x.cast("double") * lit(1048576.0)).cast("long"))
     def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+      graft.functions.IntVecDot(a, b)
     val qv = e.select(col("vec_id"), quant(col("embedding")).as("qv"))
       .select(col("vec_id"), col("qv"), dot(col("qv"), col("qv")).as("nq"))
     val qc = cents.select(col("cent_id"), quant(col("cv")).as("qc"))
@@ -1450,7 +1445,7 @@ object Similarity {
   /** [[kcenterSelect]] over any (vec_id, embedding) frame. */
   private[graft] def kcenterSelectOn(e: DataFrame): DataFrame = {
     val d2 = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+      graft.functions.IntVecSqDist(a, b)
     val qvec = e.select(col("vec_id"),
         transform(col("embedding"),
           x => floor(x.cast("double") * LshBuckets.QuantScale)).as("qv"))

@@ -355,13 +355,13 @@ object EventStream {
     // same [[Dedup.bandKeyCols]], so the stream-static equi-join stays
     // key-compatible at any geometry. Fixture corpora resolve to the
     // default (8, 2) — oracle-identical.
-    val corpusDocs = Tables.documents(ss, d)
+    val corpusDocs = Tables.documentsSpread(ss, d)
       .filter(col("doc_id") % 2 === 0)
     val nCorpusDocs = corpusDocs.count()
     val (nBands, nRows) = Dedup.scaledBandGeometry(nCorpusDocs)
     val corpusSh = corpusDocs
-      .select(col("doc_id"), explode(WordShingles(col("text"), 3)).as("s"))
-      .distinct()
+      .select(col("doc_id"),
+        explode(array_distinct(WordShingles(col("text"), 3))).as("s"))
     // LATE MATERIALIZATION (r9, after SCALING measured 382 MiB of ×16
     // shuffle with the payload riding the band join vs the batch twin's
     // 123): the band INDEX carries only (o, band, bkey) — 3 scalars —
@@ -476,12 +476,13 @@ object EventStream {
     def quant(c: org.apache.spark.sql.Column) =
       transform(c, x => floor(x.cast("double") * lit(1048576.0)).cast("long"))
     def qdot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+      graft.functions.IntVecDot(a, b)
     def icos(dot: org.apache.spark.sql.Column, na: org.apache.spark.sql.Column,
         nb: org.apache.spark.sql.Column) =
       dot / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
     // static side: corpus (even ids), integer-exact cell assignment
-    val corpus = Tables.embeddings(ss, d).filter(col("vec_id") % 2 === 0)
+    val corpus =
+      Tables.embeddingsSpread(ss, d).filter(col("vec_id") % 2 === 0)
     val qc = Similarity.defaultCentroids(corpus)
       .select(col("cent_id"), quant(col("cv")).as("qc"))
       .select(col("cent_id"), col("qc"), qdot(col("qc"), col("qc")).as("nc"))
