@@ -138,13 +138,19 @@ object Bench {
     // only a timing over the same bytes the reference timed.
     val refCorpus = sys.env.getOrElse(
       "SPARK_GRAFT_REFERENCE_CORPUS", "/root/reference/354984si.ngl")
+    // words arrive behind the same scan-parallelism floor as the
+    // parquet corpora (Tables.spread, r21): the 3.5 MB single-file
+    // corpus is ONE text split, so the n-gram explode otherwise runs
+    // its whole map side in a single task. The quirk (trailing-element
+    // drop) is applied at read time, before the order-free spread.
+    def refWords() = Tables.spread(
+      sources.WordListSource.read(spark, refCorpus, referenceQuirk = true),
+      "w")
     val benchOnly: Map[String, () => org.apache.spark.sql.DataFrame] = Map(
       "bigram_reference_corpus" -> (() =>
-        operators.TextPipeline.bigramProbabilitiesFromWords(
-          sources.WordListSource.read(spark, refCorpus, referenceQuirk = true))),
+        operators.TextPipeline.bigramProbabilitiesFromWords(refWords())),
       "bigram_reference_corpus_onlyone" -> (() =>
-        operators.TextPipeline.onlyOneProbabilitiesFromWords(
-          sources.WordListSource.read(spark, refCorpus, referenceQuirk = true))))
+        operators.TextPipeline.onlyOneProbabilitiesFromWords(refWords())))
     // Corpus-swap pin (VERDICT r15 item 3): the two rows above are a
     // same-data baseline only if they actually read the 354,984-line
     // file — an env override to a tiny fixture would silently ship a

@@ -16,6 +16,15 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+
+  /** [[lineitem]] behind the [[spread]] scan-parallelism floor — used
+    * by the fact-table aggregations whose per-row map work (decimal
+    * pricing math, md5 sketch hashing, pair explosion) dominates a
+    * single-split scan. NOT the default lineitem loader: for cheap
+    * single-agg queries and multi-branch plans that would each pay the
+    * exchange, the raw scan measured faster (see OPTIMIZATION_r21.md). */
+  def lineitemSpread(s: SparkSession, d: String): DataFrame =
+    spread(load(s, d, "lineitem"), "l_orderkey")
   /** Conf that lets Spark read parquet TIMESTAMP(NANOS) columns as long.
     * SESSION-WIDE: it changes how every int64-nanos parquet column in the
     * session is read. Preferred setup is at session build time
@@ -70,12 +79,18 @@ object Tables {
     * default parallelism (cores, any master), and at real corpus
     * sizes the scan already exceeds it, so no exchange is added at
     * all. */
-  def documentsSpread(s: SparkSession, d: String): DataFrame = {
+  def documentsSpread(s: SparkSession, d: String): DataFrame =
+    spread(documents(s, d), "doc_id")
+
+  /** The generic scan-parallelism floor behind [[documentsSpread]] /
+    * [[embeddingsSpread]]: hash-repartition `df` by a stable key to the
+    * session's default parallelism, ONLY when its current layout is
+    * narrower — a structural no-op once the input outgrows one split. */
+  def spread(df: DataFrame, key: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val docs = documents(s, d)
-    val p = s.sparkContext.defaultParallelism
-    if (docs.rdd.getNumPartitions < p) docs.repartition(p, col("doc_id"))
-    else docs
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p, col(key))
+    else df
   }
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
@@ -83,11 +98,6 @@ object Tables {
     * [[documentsSpread]] — the vector corpus is the other single-small-
     * file input whose consumers do heavy per-row map work (64-dim
     * cosine/quantize/posexplode chains) before their first exchange. */
-  def embeddingsSpread(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    val e = embeddings(s, d)
-    val p = s.sparkContext.defaultParallelism
-    if (e.rdd.getNumPartitions < p) e.repartition(p, col("vec_id"))
-    else e
-  }
+  def embeddingsSpread(s: SparkSession, d: String): DataFrame =
+    spread(embeddings(s, d), "vec_id")
 }

@@ -442,7 +442,7 @@ object Dedup {
     * re-derived per arriving batch — only the new batch's shingling and
     * signatures are per-batch work. */
   def incrementalDedup(s: SparkSession, d: String): DataFrame =
-    incrementalDedupOn(Tables.documents(s, d), col("doc_id") % 2 === 1)
+    incrementalDedupOn(Tables.documentsSpread(s, d), col("doc_id") % 2 === 1)
 
   /** [[incrementalDedup]] over any (doc_id, text, …) frame with an
     * ARBITRARY batch predicate (VERDICT r6 item 4): `isNew` is any
@@ -841,7 +841,7 @@ object Dedup {
     * `sum(when(...))` formulation overflows codegen method limits and
     * falls back to interpreted evaluation (5-28s vs sub-second at sf0.1). */
   def simhashSignatures(s: SparkSession, d: String): DataFrame =
-    simhashSignaturesOn(Tables.documents(s, d))
+    simhashSignaturesOn(Tables.documentsSpread(s, d))
 
   /** [[simhashSignatures]] over any (doc_id, text) frame. */
   private[graft] def simhashSignaturesOn(docs: DataFrame): DataFrame = {
@@ -868,7 +868,7 @@ object Dedup {
     * recall is COMPLETE, not probabilistic), then exact bit_count verify.
     * Guarded by [[MaxSimHashBandBucket]]. */
   def simhashPairs(s: SparkSession, d: String): DataFrame =
-    simhashPairsOn(simhashSignaturesOn(Tables.documents(s, d)))
+    simhashPairsOn(simhashSignaturesOn(Tables.documentsSpread(s, d)))
 
   /** [[simhashPairs]] over a precomputed (doc_id, simhash) frame. */
   private[graft] def simhashPairsOn(sig0: DataFrame): DataFrame = {
@@ -1847,7 +1847,7 @@ object Dedup {
     * minhash edge graph; the roll-up is |sources|-sized. */
   def dupRateBySource(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+    val docs = Tables.documentsSpread(s, d).select("doc_id", "source", "text")
       .withColumn("n_copies", count(lit(1)).over(Window.partitionBy("text")))
     val near = nearDupClustersLsh(s, d).select(col("doc_id").as("nd_id"))
     docs.join(near, col("doc_id") === col("nd_id"), "left")
@@ -1952,7 +1952,7 @@ object Dedup {
     * are equi-joins on doc_id and the report is one partial+final
     * aggregation by source. */
   def dedupReport(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+    val docs = Tables.documentsSpread(s, d).select("doc_id", "source", "text")
     val exactLosers = docs
       .join(docs.groupBy("text").agg(min("doc_id").as("keep_id")), "text")
       .filter(col("doc_id") =!= col("keep_id"))
@@ -2064,7 +2064,7 @@ object Dedup {
     * the shared-key shuffle of `countCombos` pairs
     * (`mapreduce.erl:275-282`); here the "key" is the span shingle. */
   def dupSpans(s: SparkSession, d: String): DataFrame =
-    dupSpansOn(Tables.documents(s, d))
+    dupSpansOn(Tables.documentsSpread(s, d))
 
   /** [[dupSpans]] over any (doc_id, text) DataFrame. */
   def dupSpansOn(docs: DataFrame): DataFrame = {
@@ -2135,7 +2135,7 @@ object Dedup {
     * ≤64-bucket rollup — strictly cheaper than any consumer of the
     * shingle index. */
   def shingleDfProfile(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.documentsSpread(s, d)
       .select(col("doc_id"), explode(
         graft.functions.WordShingles(col("text"), 3)).as("s"))
       .distinct()
@@ -2191,7 +2191,7 @@ object Dedup {
     * refusal: a hash in > MaxFpDocs docs is boilerplate, not evidence
     * of duplication). */
   def winnowingPairs(s: SparkSession, d: String): DataFrame =
-    winnowingPairsOn(Tables.documents(s, d))
+    winnowingPairsOn(Tables.documentsSpread(s, d))
 
   /** [[winnowingPairs]] over any (doc_id, text) frame. */
   private[graft] def winnowingPairsOn(docs: DataFrame): DataFrame = {

@@ -45,7 +45,7 @@ object Relational {
 
   /** TPC-H Q1-style pricing summary: partial+final hash aggregation. */
   def pricingSummary(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+    Tables.lineitemSpread(s, d)
       .filter(col("l_shipdate") <= lit("2001-01-01"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
@@ -176,7 +176,7 @@ object Relational {
     * with AQE they plan as broadcast probes of the two dimension-ish
     * sides, never a second fact shuffle. */
   def largeOrders(s: SparkSession, d: String): DataFrame = {
-    val big = Tables.lineitem(s, d)
+    val big = Tables.lineitemSpread(s, d)
       .groupBy(col("l_orderkey"))
       .agg(sum(col("l_quantity").cast(dec18)).as("dq"))
       .filter(col("dq") > lit(LargeOrderMinQty))
@@ -283,7 +283,7 @@ object Relational {
     }
     audit("orders_lineitem",
         Tables.orders(s, d), "o_orderkey",
-        Tables.lineitem(s, d), "l_orderkey")
+        Tables.lineitemSpread(s, d), "l_orderkey")
       .unionByName(audit("customer_urgent_orders",
         Tables.customer(s, d), "c_custkey",
         Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
@@ -557,7 +557,7 @@ object Relational {
     * a key is known-pathological. */
   val SaltedJoinSalts = 8
   def saltedJoin(s: SparkSession, d: String): DataFrame = {
-    val l = Tables.lineitem(s, d)
+    val l = Tables.lineitemSpread(s, d)
       .withColumn("_lsalt", pmod(col("l_linenumber"), lit(SaltedJoinSalts)))
     val o = Tables.orders(s, d)
       .withColumn("_osalt",
@@ -2803,7 +2803,7 @@ object Relational {
     * per-supplier count is dimension-sized. */
   def lateSuppliers(s: SparkSession, d: String): DataFrame = {
     val lagUs = expr(s"INTERVAL $LateLagDays DAYS")
-    val base = Tables.lineitem(s, d)
+    val base = Tables.lineitemSpread(s, d)
       .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"),
@@ -3324,7 +3324,7 @@ object Relational {
     * back onto the 300-row pair frame. Nothing fact-sized crosses a
     * broadcast. */
   def basketPairs(s: SparkSession, d: String): DataFrame = {
-    val dp = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+    val dp = Tables.lineitemSpread(s, d).select("l_orderkey", "l_partkey")
       .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey"), col("p_brand")).distinct()

@@ -36,6 +36,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
 
   test("Q1 pricing summary: SQL text == DataFrame twin, same optimized plan") {
     registered()
+    // the operator reads lineitem behind the r21 scan-parallelism
+    // floor (Tables.lineitemSpread); point THIS test's view at the
+    // same input layout so the twins still canonicalize identically —
+    // other tests re-call registered(), restoring the raw view
+    Tables.lineitemSpread(spark, d).createOrReplaceTempView("lineitem")
     // the derived avg sits in an OUTER select, mirroring the DataFrame
     // twin's withColumn-above-agg shape — the same structure optimizes
     // to the same plan
