@@ -138,14 +138,8 @@ object Bench {
     // only a timing over the same bytes the reference timed.
     val refCorpus = sys.env.getOrElse(
       "SPARK_GRAFT_REFERENCE_CORPUS", "/root/reference/354984si.ngl")
-    // words arrive behind the same scan-parallelism floor as the
-    // parquet corpora (Tables.spread, r21): the 3.5 MB single-file
-    // corpus is ONE text split, so the n-gram explode otherwise runs
-    // its whole map side in a single task. The quirk (trailing-element
-    // drop) is applied at read time, before the order-free spread.
-    def refWords() = Tables.spread(
-      sources.WordListSource.read(spark, refCorpus, referenceQuirk = true),
-      "w")
+    def refWords() =
+      sources.WordListSource.read(spark, refCorpus, referenceQuirk = true)
     val benchOnly: Map[String, () => org.apache.spark.sql.DataFrame] = Map(
       "bigram_reference_corpus" -> (() =>
         operators.TextPipeline.bigramProbabilitiesFromWords(refWords())),

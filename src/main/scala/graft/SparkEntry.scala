@@ -15,7 +15,7 @@ import graft.operators.{AsOfJoin, Curation, CurationOracles, Dedup, DedupOracles
 object SparkEntry {
 
   private def docs(s: SparkSession, d: String): DataFrame =
-    Tables.documentsSpread(s, d)
+    Tables.documents(s, d)
 
   /** Sketch-estimate tolerance vs the exact value, shared by the Spark
     * queries and their oracles: HLL distinct within 5% relative

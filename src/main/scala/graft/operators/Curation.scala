@@ -34,7 +34,7 @@ object Curation {
     val messy = concat(lit("  "), upper(col("text")), lit(" !!! "))
     val norm = trim(regexp_replace(
       regexp_replace(lower(messy), "[^a-z0-9 ]", ""), " +", " "))
-    Tables.documentsSpread(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"), col("text"), messy.as("messy"), norm.as("norm"))
       .select(
         col("doc_id"),
@@ -54,7 +54,7 @@ object Curation {
     *
     * The LM table is ≤ 26² rows no matter the corpus size → broadcast. */
   def lmScore(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documentsSpread(s, d)
+    val docs = Tables.documents(s, d)
     val counts = TextPipeline.bigramCounts(docs) // bigram, cnt (≤ 676 rows)
     val total = counts.agg(sum("cnt").as("_total"))
     val lm = counts.crossJoin(broadcast(total))
@@ -950,7 +950,7 @@ object Curation {
     val redacted = regexp_replace(
       regexp_replace(salted, PhoneRegex, "[PHONE]"),
       EmailRegex, "[EMAIL]")
-    Tables.documentsSpread(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"), col("text"), salted.as("salted"),
         redacted.as("redacted"))
       .select(col("doc_id"),
@@ -977,7 +977,7 @@ object Curation {
     * in-row token array — no shuffle before the output sort; at 100 TB
     * this is a map-only stage feeding the tokenizer. */
   def chunkDocs(s: SparkSession, d: String): DataFrame =
-    Tables.documentsSpread(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"),
         graft.functions.WordShingles(col("text"), 1).as("ws"))
       .select(col("doc_id"), size(col("ws")).as("n_tokens"), col("ws"))
@@ -1018,7 +1018,7 @@ object Curation {
     * partial+final hash aggregate: [[Dedup.exact]]'s shape at chunk
     * granularity. */
   def chunkDedup(s: SparkSession, d: String): DataFrame =
-    Tables.documentsSpread(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"),
         graft.functions.WordShingles(col("text"), 1).as("ws"))
       .select(col("doc_id"), size(col("ws")).as("n_tokens"), col("ws"))
@@ -1060,7 +1060,7 @@ object Curation {
     * side is the exact shape of [[chunkDedup]], so at 100 TB the two
     * share one intermediate. */
   def boilerplateStrip(s: SparkSession, d: String): DataFrame =
-    boilerplateStripOn(Tables.documentsSpread(s, d))
+    boilerplateStripOn(Tables.documents(s, d))
 
   /** [[boilerplateStrip]] over any (doc_id, text) DataFrame. */
   private[graft] def boilerplateStripOn(docs: DataFrame): DataFrame = {
@@ -1128,7 +1128,7 @@ object Curation {
     * (`mapreduce.erl:156-170`) re-aimed at token budgets: a fixed
     * deterministic key routes work to independent streams. */
   def sequencePack(s: SparkSession, d: String): DataFrame =
-    sequencePackOn(Tables.documentsSpread(s, d))
+    sequencePackOn(Tables.documents(s, d))
 
   /** [[sequencePack]] over any (doc_id, text) DataFrame. */
   def sequencePackOn(docs: DataFrame): DataFrame = {
@@ -1200,7 +1200,7 @@ object Curation {
     * map-only filter — the corpus is scanned twice but never shuffled
     * (both aggregations are partial+final over source, ~#domains rows). */
   def domainRebalance(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documentsSpread(s, d)
+    val docs = Tables.documents(s, d)
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
     val minN = counts.agg(min("n_docs").as("min_n"))
     val rates = counts.crossJoin(broadcast(minN))
@@ -1246,7 +1246,7 @@ object Curation {
     * 100 TB token census cannot overflow the ppm arithmetic (the eager
     * DECIMAL discipline of the exact cross-multiplied tests). */
   def mixtureSchedule(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documentsSpread(s, d)
+    val toks = Tables.documents(s, d)
       .select(col("source"),
         size(graft.functions.WordShingles(col("text"), 1)).cast("long").as("t"))
       .groupBy("source").agg(sum("t").as("n_tokens"))
@@ -1285,7 +1285,7 @@ object Curation {
     * is the same map-side projection as [[mixtureSchedule]]; everything
     * downstream is |sources|-sized with 1-row broadcasts. */
   def mixtureDedupShift(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documentsSpread(s, d)
+    val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         size(graft.functions.WordShingles(col("text"), 1)).cast("long").as("t"),
         col("text"))
@@ -1627,7 +1627,7 @@ object Curation {
     * the parity predicate is this fixture's stand-in, exactly like
     * [[graft.operators.Dedup.incrementalDedupOn]]'s. */
   def snapshotDiff(s: SparkSession, d: String): DataFrame =
-    Tables.documentsSpread(s, d)
+    Tables.documents(s, d)
       .select(Dedup.md5hash60(col("text")).as("content_key"),
         (col("doc_id") % 2 === 0).as("is_old"))
       .groupBy("content_key")

@@ -38,7 +38,7 @@ object Multimodal {
     * assigned round-robin. Stands in for `spark.read.format("binaryFile")`
     * or a parquet table with a real binary column. */
   def catalog(s: SparkSession, d: String): DataFrame =
-    Tables.documentsSpread(s, d).select(
+    Tables.documents(s, d).select(
       col("doc_id").as("media_id"),
       element_at(array(Kinds.map(lit): _*),
         (col("doc_id") % Kinds.size).cast("int") + 1).as("kind"),

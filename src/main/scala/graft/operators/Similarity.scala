@@ -33,7 +33,7 @@ object Similarity {
   val NumQueries = 10 // queries = vec_id < NumQueries
 
   private def emb(s: SparkSession, d: String): DataFrame =
-    Tables.embeddingsSpread(s, d)
+    Tables.embeddings(s, d)
 
   /** Exact brute-force top-k: broadcast queries × streamed corpus. */
   def bruteTopK(s: SparkSession, d: String): DataFrame =
@@ -575,30 +575,32 @@ object Similarity {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
     val e = emb(s, d)
-    // The panel builds THREE independent eager chains (the brute
-    // baseline's localCheckpoint, the k-means coarse training, the PQ
-    // Lloyd training) whose jobs otherwise run back-to-back on the
-    // construction thread — overlap them on futures so the scheduler
-    // back-fills (guide §2.6: actions are only sequential because the
-    // driver calls them sequentially). Each chain is deterministic and
-    // independent, so results are unchanged. The lazy legs cost
-    // nothing to build and ride along for uniformity.
-    // consumed once per method + once for the per-query denominator;
-    // localCheckpoint (not persist) — the frame is #queries × K rows, so
-    // eager materialization is free and nothing lingers in the SQL cache
-    // for callers that never clearCache() (ADVICE r5)
+    // Every leg of the panel — the brute baseline AND all seven
+    // approximate pipelines — is an independent deterministic chain;
+    // materialize each to a #queries×K-row localCheckpoint on its own
+    // future so the scheduler overlaps them all (guide §2.6: actions
+    // are only sequential because the driver calls them sequentially).
+    // The r21 first cut overlapped only the three EAGER training
+    // chains and still evaluated all seven search pipelines inside the
+    // one final action, where their stages serialized on the critical
+    // path; checkpointing each leg makes the whole fan-out concurrent
+    // and the final action a union of tiny materialized frames.
+    // localCheckpoint (not persist): eager, and nothing lingers in the
+    // SQL cache for callers that never clearCache() (ADVICE r5).
     val bruteF = Future(
       bruteTopKOn(e).select("query_id", "neighbor_id").localCheckpoint())
+    def leg(df: => DataFrame): Future[DataFrame] =
+      Future(df.select("query_id", "neighbor_id").localCheckpoint())
     val approxF: Seq[(String, Future[DataFrame])] = Seq(
-      "ivf" -> Future(ivfTopKOn(e)),
-      "ivf_kmeans" -> Future(ivfTopKOn(e, kmeansCentroids(e, KmeansIters))),
-      "lsh" -> Future(lshTopKOn(e)),
-      "pq" -> Future(pqTopKOn(e)),
-      "pq_trained" -> Future(pqTrainedTopKOn(e)),
-      "ivfpq" -> Future(ivfPqTopKOn(e)),
+      "ivf" -> leg(ivfTopKOn(e)),
+      "ivf_kmeans" -> leg(ivfTopKOn(e, kmeansCentroids(e, KmeansIters))),
+      "lsh" -> leg(lshTopKOn(e)),
+      "pq" -> leg(pqTopKOn(e)),
+      "pq_trained" -> leg(pqTrainedTopKOn(e)),
+      "ivfpq" -> leg(ivfPqTopKOn(e)),
       // the raw-encoded audit leg: same cells/seeds/probes, PQ over raw
       // vectors — the panel makes "residual ≥ raw" a measured result
-      "ivfpq_raw" -> Future(ivfPqTopKOn(e, residual = false)))
+      "ivfpq_raw" -> leg(ivfPqTopKOn(e, residual = false)))
     val brute = Await.result(bruteF, Duration.Inf)
     val approx = approxF.map { case (m, f) => m -> Await.result(f, Duration.Inf) }
     val unioned = approx.map { case (m, df) =>
@@ -1165,7 +1167,7 @@ object Similarity {
       .select(col("query_id"), col("nb.id").as("cand_id"),
         col("nb.score").as("rel"))
       .localCheckpoint()
-    // in-pool pair cosines, emitted in both directions
+    // in-pool pair cosines, once per unordered pair (i < j)
     val half = cands.select(col("query_id"), col("cand_id").as("i"))
       .join(cands.select(col("query_id").as("q2"), col("cand_id").as("j")),
         col("query_id") === col("q2") && col("i") < col("j"))
@@ -1182,6 +1184,13 @@ object Similarity {
       .select(col("query_id"), col("i"), col("j"),
         expr("dot / (sqrt(cast(ni as double)) * sqrt(cast(nj as double)))")
           .as("pcos"))
+    // (r21 measured dead end, kept as a note: collapsing the greedy
+    // loop into ONE aggregate expression over collected pool/pair
+    // arrays — higher-order filter/exists/array_max lambdas — ran
+    // 1.5-2× SLOWER than this loop despite replacing ~8 jobs with 2:
+    // the lambdas evaluate interpreted with per-element boxing, ~1.5 M
+    // evals per pass. The NGramArray hazard applies to hot lambdas
+    // even without regex.)
     val pboth = pcosHalf.unionByName(pcosHalf.select(col("query_id"),
         col("j").as("i"), col("i").as("j"), col("pcos")))
       .localCheckpoint()

@@ -28,7 +28,7 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "des", "est", "une", "dans", "et", "du"))
 
   private def docsWithTokens(s: SparkSession, d: String): DataFrame =
-    Tables.documentsSpread(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"), col("text"),
         explode(WordShingles(col("text"), 1)).as("w"))
 
@@ -220,7 +220,7 @@ object TextAnalysis {
     * broadcast). Map-side token counting, ≤64-row result at any
     * corpus size. */
   def lengthProfile(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documentsSpread(s, d)
+    val docs = Tables.documents(s, d)
       .select(size(WordShingles(col("text"), 1)).cast("long").as("t"))
       .select((length(bin(col("t"))) - 1).as("log2_bucket"), col("t"))
       .groupBy("log2_bucket")
@@ -238,7 +238,7 @@ object TextAnalysis {
   }
 
   def tokenCounts(s: SparkSession, d: String): DataFrame =
-    Tables.documentsSpread(s, d).select(
+    Tables.documents(s, d).select(
       col("doc_id"),
       size(WordShingles(col("text"), 1)).as("n_ws_tokens"),
       size(regexp_extract_all(col("text"),
@@ -311,7 +311,7 @@ object TextAnalysis {
       s"collocations refused: $tuVal tokens > $MaxCollocTokens - the " +
         "BIGINT lift staging (n*Tu) could overflow; shard the corpus " +
         "or restage the first multiply in log space")
-    val bgs = Tables.documentsSpread(s, d)
+    val bgs = Tables.documents(s, d)
       .select(explode(graft.functions.WordShingles(col("text"), 2))
         .as("bg"))
       .select(substring_index(col("bg"), " ", 1).as("w1"),
@@ -683,7 +683,7 @@ object TextAnalysis {
   }
 
   def repetition(s: SparkSession, d: String): DataFrame =
-    Tables.documentsSpread(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"),
         explode(WordShingles(col("text"), 2)).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
@@ -717,7 +717,7 @@ object TextAnalysis {
     * the output. The md5 hash is the engine-portable one everywhere
     * else in this repo ([[Dedup.md5hash60]]). */
   def featureHash(s: SparkSession, d: String): DataFrame =
-    Tables.documentsSpread(s, d)
+    Tables.documents(s, d)
       .filter(col("doc_id") % FhSampleMod === 0)
       .select(col("doc_id"), explode(WordShingles(col("text"), 1)).as("w"))
       .withColumn("h", Dedup.md5hash60(col("w")))
@@ -740,7 +740,7 @@ object TextAnalysis {
     * Scale: one scan, two codegen'd per-row counters, a #langs-sized
     * partial+final agg. */
   def tokenFertility(s: SparkSession, d: String): DataFrame =
-    Tables.documentsSpread(s, d)
+    Tables.documents(s, d)
       .select(col("lang"),
         size(WordShingles(col("text"), 1)).cast("long").as("ws"),
         size(regexp_extract_all(col("text"),
@@ -775,7 +775,7 @@ object TextAnalysis {
     * then a ≤ 64-bucket aggregate and a self-join on bucket+1 over
     * ≤ 64 rows. */
   def zipfSpectrum(s: SparkSession, d: String): DataFrame =
-    zipfSpectrumOn(Tables.documentsSpread(s, d))
+    zipfSpectrumOn(Tables.documents(s, d))
 
   /** [[zipfSpectrum]] over any (doc_id, text) frame. */
   private[graft] def zipfSpectrumOn(docs: DataFrame): DataFrame = {
