@@ -878,7 +878,7 @@ object Curation {
 
   /** Deterministic md5 train/val/test split over documents. */
   def splitAssign(s: SparkSession, d: String): DataFrame =
-    Tables.documentsSpread(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"), pctBucket(col("doc_id")).as("bucket"))
       .withColumn("split", splitCol(col("bucket")))
       .orderBy("doc_id")

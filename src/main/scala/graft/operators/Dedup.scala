@@ -442,7 +442,7 @@ object Dedup {
     * re-derived per arriving batch — only the new batch's shingling and
     * signatures are per-batch work. */
   def incrementalDedup(s: SparkSession, d: String): DataFrame =
-    incrementalDedupOn(Tables.documentsSpread(s, d), col("doc_id") % 2 === 1)
+    incrementalDedupOn(Tables.documents(s, d), col("doc_id") % 2 === 1)
 
   /** [[incrementalDedup]] over any (doc_id, text, …) frame with an
     * ARBITRARY batch predicate (VERDICT r6 item 4): `isNew` is any
@@ -454,11 +454,17 @@ object Dedup {
     * — never a data-sized shuffle beyond the joins already there). */
   def incrementalDedupOn(docs: DataFrame, isNew: Column): DataFrame = {
     val flags = docs.select(col("doc_id"), isNew.as("is_new"))
+    // localCheckpoint: FIVE consumers in one plan (two band-join legs,
+    // the verify restriction, both intersection legs) — the removed
+    // row-level distinct()'s Exchange used to give them a reusable
+    // materialization point; the checkpoint restores that without the
+    // shuffle (r21)
     val sh = docs
       .select(col("doc_id"),
         array_distinct(WordShingles(col("text"), 3)).as("arr"))
       .select(col("doc_id"), explode(col("arr")).as("s"),
         size(col("arr")).cast("long").as("sz"))
+      .localCheckpoint()
     val bands = minhashBandsOn(sh).join(flags, "doc_id")
     val cands = bands.filter(col("is_new"))
       .select(col("doc_id").as("n"), col("band"), col("bkey"))
@@ -944,7 +950,7 @@ object Dedup {
     * SQL: the approximation itself is cross-engine-checked exactly,
     * rather than pretending the operator equals the brute baseline. */
   def embeddingLshPairs(s: SparkSession, d: String): DataFrame =
-    embeddingLshPairsOn(Tables.embeddingsSpread(s, d),
+    embeddingLshPairsOn(Tables.embeddings(s, d),
       graft.functions.LshBuckets.Tables, graft.functions.LshBuckets.Bits)
 
   /** Occupancy guard for the LSH candidate join (r8 — added after
@@ -974,7 +980,7 @@ object Dedup {
     * end-to-end, so the different (deterministic) recall set is
     * hash-checked, not assumed. */
   def embeddingLshPairsWide(s: SparkSession, d: String): DataFrame =
-    embeddingLshPairsOn(Tables.embeddingsSpread(s, d), WideLshTables, WideLshBits)
+    embeddingLshPairsOn(Tables.embeddings(s, d), WideLshTables, WideLshBits)
 
   private def embeddingLshPairsOn(
       e: DataFrame, tables: Int, bits: Int,
@@ -1157,7 +1163,7 @@ object Dedup {
     * replicates the composition in SQL, so the (deterministically)
     * different recall set is hash-checked, not assumed. */
   def embeddingLshPairsComposite(s: SparkSession, d: String): DataFrame =
-    embeddingLshPairsCompositeOn(Tables.embeddingsSpread(s, d),
+    embeddingLshPairsCompositeOn(Tables.embeddings(s, d),
       broadcastVerify =
         embeddingCorpusCount(s, d) <= VerifyBroadcastMaxVectors)
 
@@ -1212,7 +1218,7 @@ object Dedup {
     // the plant adds n/stride twins; keep the broadcast decision on
     // the AUGMENTED count so the hint can never overshoot the cap
     val n = embeddingCorpusCount(s, d)
-    embeddingLshPairsCompositeOn(plantedNearDupCorpus(Tables.embeddingsSpread(s, d)),
+    embeddingLshPairsCompositeOn(plantedNearDupCorpus(Tables.embeddings(s, d)),
       broadcastVerify =
         n + n / CompositePlantStride <= VerifyBroadcastMaxVectors)
   }
@@ -1277,7 +1283,7 @@ object Dedup {
     * broadcast→shuffle demotion as the signature frame outgrows the
     * 10 MB threshold) is measured, not conjectured. */
   private[graft] def scaledBuckets(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddingsSpread(s, d)
+    val e = Tables.embeddings(s, d)
     val (t, b) = scaledLshGeometry(embeddingCorpusCount(s, d))
     e.select(col("vec_id"),
       posexplode(graft.functions.LshBuckets(col("embedding"), t, b))
@@ -1304,7 +1310,7 @@ object Dedup {
     * audit. */
   def embeddingLshPairsScaled(s: SparkSession, d: String): DataFrame =
     // memoized parquet row-count metadata — one job per (session, corpus)
-    embeddingLshPairsScaledOn(Tables.embeddingsSpread(s, d),
+    embeddingLshPairsScaledOn(Tables.embeddings(s, d),
       embeddingCorpusCount(s, d))
 
   /** [[embeddingLshPairsScaled]] over an arbitrary (vec_id, embedding)
@@ -1348,7 +1354,7 @@ object Dedup {
     * themselves are corpus-size-free ratios. */
   def lshGeometryEval(s: SparkSession, d: String): DataFrame = {
     import graft.functions.LshBuckets
-    val e = Tables.embeddingsSpread(s, d)
+    val e = Tables.embeddings(s, d)
     val n = embeddingCorpusCount(s, d) // memoized metadata-only count
     GraftRefusal.check(n <= MaxBrutePairVectors,
       s"lshGeometryEval refused: $n vectors > $MaxBrutePairVectors " +

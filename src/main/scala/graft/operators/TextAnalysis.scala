@@ -515,7 +515,7 @@ object TextAnalysis {
     * DOWN ([1, 0]) where DuckDB's `generate_series(1, 0)` is empty, so
     * the guard is also a cross-engine parity requirement. */
   def bpePairStats(s: SparkSession, d: String): DataFrame = {
-    val wf = Tables.documentsSpread(s, d)
+    val wf = Tables.documents(s, d)
       .select(explode(WordShingles(col("text"), 1)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
       .filter(length(col("w")) >= 2)
@@ -579,7 +579,7 @@ object TextAnalysis {
     * path) plus one vocab-sized partial+final aggregation; top-N plans
     * as TakeOrderedAndProject. */
   def bpeEncode(s: SparkSession, d: String): DataFrame =
-    bpeEncodeOn(Tables.documentsSpread(s, d))
+    bpeEncodeOn(Tables.documents(s, d))
 
   /** [[bpeEncode]] over any (doc_id, text, ...) frame. */
   private[graft] def bpeEncodeOn(docs: DataFrame): DataFrame =
